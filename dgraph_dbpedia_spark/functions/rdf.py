@@ -1,0 +1,108 @@
+"""RDF scalar transformations as native Catalyst expressions.
+
+The reference implements these as Scala UDFs marked
+``.asNondeterministic()`` purely to stop Catalyst re-evaluating them
+(DbpediaDgraphSparkApp.scala:544-553, 112-115, SPARK.md:99-119). Here
+each one is a composition of built-in ``pyspark.sql.functions``, so the
+whole stage stays inside codegen — no serialization boundary, no
+single-evaluation workaround needed, and every expression is visible to
+the optimizer for pushdown/pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dgraph_dbpedia_spark.model import SUPPORTED_TYPES, URI_TYPE, XSD_STRING
+
+
+def extract_datatype(o: Column) -> tuple[Column, Column]:
+    """Object string -> (bare value ``v``, datatype URI ``t``).
+
+    Semantics of ``extractDataType`` (DbpediaDgraphSparkApp.scala:544-553):
+    - object starting ``<``  -> the value is the URI itself, type ``<uri>``
+    - object containing ``^^`` -> value is everything before the *last*
+      ``^^`` (values may themselves contain ``^``), type is the suffix
+    - otherwise -> plain literal, no datatype (null type)
+
+    Implemented with ``substring_index(o, '^^', -1)`` for the suffix and a
+    length-based prefix for the value — exact parity with the UDF's
+    split-on-all-``^^``-take-last behavior, but fully native.
+    """
+    dtype_suffix = F.substring_index(o, "^^", -1)
+    has_dtype = o.contains("^^")
+    is_uri = o.startswith("<")
+    v = (
+        F.when(is_uri, o)
+        .when(has_dtype, o.substr(F.lit(1), F.length(o) - F.length(dtype_suffix) - 2))
+        .otherwise(o)
+    )
+    t = F.when(is_uri, F.lit(URI_TYPE)).when(has_dtype, dtype_suffix).otherwise(F.lit(None))
+    return v, t
+
+
+def coerce_datatype(t: Column) -> Column:
+    """Unsupported / missing datatypes collapse to ``xsd:string``
+    (DbpediaDgraphSparkApp.scala:203, SPARK.md:134-140)."""
+    return F.when(t.isin(SUPPORTED_TYPES), t).otherwise(F.lit(XSD_STRING))
+
+
+def typed_triples(df: DataFrame) -> DataFrame:
+    """triples(s,p,o,lang) -> typed triples(s,p,v,t,lang) with coerced t
+    (DbpediaDgraphSparkApp.scala:196-203)."""
+    v, t = extract_datatype(F.col("o"))
+    return df.select("s", "p", v.alias("v"), coerce_datatype(t).alias("t"), "lang")
+
+
+def blank_node(uri: Column) -> Column:
+    """URI -> deterministic blank-node id ``_:md5(uri)``
+    (DbpediaDgraphSparkApp.scala:93, SPARK.md:322)."""
+    return F.concat(F.lit("_:"), F.md5(uri))
+
+
+def remove_lang_tags(o: Column) -> Column:
+    """Strip trailing ``@lang`` tags from literals
+    (DbpediaDgraphSparkApp.scala:94, SPARK.md:365)."""
+    return F.regexp_replace(o, '@[a-z]+$', "")
+
+
+def strip_angle_brackets(uri: Column) -> Column:
+    """``<uri>`` -> ``uri`` (DbpediaDgraphSparkApp.scala:396, SPARK.md:357)."""
+    return uri.substr(F.lit(2), F.length(uri) - 2)
+
+
+def node_lang(uri: Column) -> Column:
+    """Language of a DBpedia resource URI from its host:
+    ``<http://de.dbpedia.org/...>`` -> ``de``; the English namespace has
+    no lang subdomain (``http://dbpedia.org/``) -> ``en``
+    (DbpediaDgraphSparkApp.scala:96-101,113-115)."""
+    host_first = F.regexp_extract(uri, r"^<?http://([^./]+)\.", 1)
+    return F.when(host_first == "dbpedia", F.lit("en")).otherwise(host_first)
+
+
+def remap_en_lang(lang: Column) -> Column:
+    """``en-{lang}`` pseudo-languages carry *English* articles; remap to
+    ``en`` for per-node-language decisions
+    (DbpediaDgraphSparkApp.scala:134,322)."""
+    return F.when(lang.contains("-"), F.lit("en")).otherwise(lang)
+
+
+def geo_to_geojson(v: Column) -> Column:
+    """``"LAT LON"`` literal -> GeoJSON Point object literal
+    (DbpediaDgraphSparkApp.scala:249-260).
+
+    Pipeline: strip quotes -> split on space -> cast array<float> ->
+    swap to [lon, lat] -> to_json(struct('Point', coordinates)) ->
+    re-embed as a quoted literal with inner quotes escaped.
+    """
+    coords = F.split(F.regexp_replace(v, '"', ""), " ").cast("array<float>")
+    lonlat = F.array(coords.getItem(1), coords.getItem(0))
+    geojson = F.to_json(F.struct(F.lit("Point").alias("type"), lonlat.alias("coordinates")))
+    return F.concat(F.lit('"'), F.regexp_replace(geojson, '"', '\\\\"'), F.lit('"'))
+
+
+def rdf_line(s: Column, p: Column, o: Column) -> Column:
+    """Triple columns -> one N-Triples output line ``s p o .``
+    (DbpediaDgraphSparkApp.scala:509)."""
+    return F.concat(s, F.lit(" "), p, F.lit(" "), o, F.lit(" ."))

@@ -1,0 +1,84 @@
+"""Dataset statistics — counts, distinct counts, per-group pivots.
+
+Reference behavior: per-dataset triple/node/predicate counts
+(DbpediaToParquetSparkApp.scala:98-106, DbpediaDgraphSparkApp.scala:154-158),
+a per-language stats table assembled by folding full-outer joins on
+``lang`` over one count-frame per dataset (J4, :157), an ``en-*`` rollup
+row appended via groupBy().sum() + union (A4+U2, :163-171).
+
+Scale notes: exact ``distinct().count()`` on an unbounded column is a
+full shuffle of that column; ``approx_count_distinct`` (HyperLogLog++,
+map-side combinable) is offered for the 100 TB path. The fold of
+full-outer joins is fine here because each input is already one row per
+language (#langs ~ 125): every join is broadcastable. We keep the fold
+for parity but also provide the idiomatic single-shuffle alternative
+(union + pivot).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dataset_counts(df: DataFrame, approx: bool = False) -> dict[str, int]:
+    """triples / distinct nodes / distinct predicates (A5+A6)."""
+    if approx:
+        row = df.agg(
+            F.count(F.lit(1)).alias("triples"),
+            F.approx_count_distinct("s").alias("nodes"),
+            F.approx_count_distinct("p").alias("predicates"),
+        ).collect()[0]
+    else:
+        row = df.agg(
+            F.count(F.lit(1)).alias("triples"),
+            F.countDistinct("s").alias("nodes"),
+            F.countDistinct("p").alias("predicates"),
+        ).collect()[0]
+    return {"triples": row["triples"], "nodes": row["nodes"], "predicates": row["predicates"]}
+
+
+def counts_per_group(df: DataFrame, group_col: str, count_name: str) -> DataFrame:
+    """``groupBy(group).count()`` with a dataset-specific column name so
+    frames can be joined side by side (A3, DbpediaDgraphSparkApp.scala:156)."""
+    return df.groupBy(group_col).agg(F.count(F.lit(1)).alias(count_name))
+
+
+def stats_table(frames: dict[str, DataFrame], group_col: str = "lang") -> DataFrame:
+    """Fold full-outer joins on ``group_col`` over per-dataset count
+    frames (J4, DbpediaDgraphSparkApp.scala:157). Inputs are one row per
+    group, so each join stays broadcast-sized regardless of fact scale."""
+    counted = [counts_per_group(df, group_col, name) for name, df in frames.items()]
+    joined = reduce(lambda a, b: a.join(b, [group_col], "full_outer"), counted)
+    return joined.na.fill(0)
+
+
+def stats_table_pivot(frames: dict[str, DataFrame], group_col: str = "lang") -> DataFrame:
+    """Single-shuffle alternative to the join fold: tag + union + pivot.
+    Preferred at scale when the number of datasets grows."""
+    tagged = [
+        df.select(F.col(group_col), F.lit(name).alias("__dataset"))
+        for name, df in frames.items()
+    ]
+    unioned = reduce(DataFrame.unionByName, tagged)
+    return (
+        unioned.groupBy(group_col)
+        .pivot("__dataset", list(frames.keys()))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+def rollup_group(df: DataFrame, group_col: str, pred, label: str) -> DataFrame:
+    """Aggregate all rows matching ``pred`` into a single labelled row and
+    append it (A4+U2, DbpediaDgraphSparkApp.scala:163-171) — the
+    reference's ``en-*`` rollup."""
+    num_cols = [c for c, t in df.dtypes if c != group_col and t in ("bigint", "int", "long", "double")]
+    rolled = (
+        df.where(pred(F.col(group_col)))
+        .agg(*[F.sum(c).alias(c) for c in num_cols])
+        .select(F.lit(label).alias(group_col), *num_cols)
+    )
+    return df.unionByName(rolled)

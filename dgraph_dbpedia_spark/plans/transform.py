@@ -1,0 +1,364 @@
+"""Transform pipeline: Parquet triples -> cleaned Dgraph RDF + schema + stats.
+
+Parity with the reference flagship ``DbpediaDgraphSparkApp``
+(DbpediaDgraphSparkApp.scala:42-460) re-expressed as pure
+DataFrame -> DataFrame functions:
+
+- source layer with lang partition pruning + missing-input fallback
+- interlanguage-object filter by node language (native expressions)
+- top-k infobox predicates per language with the en-* node-lang remap
+- datatype extraction / coercion / majority-vote disambiguation
+- per-dataset cleanups (blank nodes, lang tags, prefLabel special case,
+  negative dates, geo -> GeoJSON)
+- external-id triples, dgraph.type triples
+- schema generation and partitioned sorted gzip RDF sinks
+- per-language stats table
+
+Config flags mirror the reference's (writeTypes, externaliseUris,
+removeLanguageTags, topInfoboxPropertiesPerLang, printStats); the
+reference's ``when(flag).call(f)`` fluent steps are plain Python ``if``
+(host-language control flow, SURVEY §2.2 P10).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dgraph_dbpedia_spark.model import TRIPLE_SCHEMA, URI_TYPE, XSD_DATE
+from dgraph_dbpedia_spark.functions.rdf import (
+    blank_node,
+    geo_to_geojson,
+    node_lang,
+    rdf_line,
+    remap_en_lang,
+    remove_lang_tags,
+    strip_angle_brackets,
+    typed_triples,
+)
+from dgraph_dbpedia_spark.functions.schema_gen import full_schema, schema_line
+from dgraph_dbpedia_spark.operators.topk import top_k_per_group
+from dgraph_dbpedia_spark.operators.majority import majority_value_per_group
+from dgraph_dbpedia_spark.sources.parquet import read_triples_parquet
+from dgraph_dbpedia_spark.sources.writers import write_partitioned_by
+
+GEORSS_POINT = "<http://www.georss.org/georss/point>"
+SKOS_PREF_LABEL = "<http://www.w3.org/2004/02/skos/core#prefLabel>"
+SKOS_RELATED = "<http://www.w3.org/2004/02/skos/core#related>"
+SKOS_BROADER = "<http://www.w3.org/2004/02/skos/core#broader>"
+SKOS_CONCEPT = "<http://www.w3.org/2004/02/skos/core#Concept>"
+
+
+@dataclass
+class TransformConfig:
+    write_types: bool = True
+    externalise_uris: bool = False
+    remove_language_tags: bool = False
+    top_infobox_properties_per_lang: int | None = 100
+    print_stats: bool = True
+
+
+def invalid_predicate_filter(df: DataFrame) -> DataFrame:
+    """Dgraph forbids ``@`` and ``~`` in predicates (P8,
+    DbpediaDgraphSparkApp.scala:337,358,499)."""
+    return df.where(~F.col("p").contains("@") & ~F.col("p").contains("~"))
+
+
+def filter_interlang_objects(df: DataFrame, object_langs: list[str]) -> DataFrame:
+    """Keep only links into the selected languages, deciding by the
+    object URI's host language (P7, DbpediaDgraphSparkApp.scala:113-115).
+    The reference treats host ``dbpedia`` as the en namespace (:96-101);
+    our native node_lang() already folds that in, so we match on langs."""
+    return df.where(node_lang(F.col("o")).isin(object_langs))
+
+
+def top_k_infobox(
+    df: DataFrame, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """Top-k most frequent predicates per language (ignoring en-*
+    pseudo-langs), then semi-join filter with en-* rows remapped onto the
+    ``en`` top-k set (W1+J2, DbpediaDgraphSparkApp.scala:121-137).
+
+    Returns (filtered triples, topk dimension)."""
+    topk = (
+        top_k_per_group(
+            df.where(~F.col("lang").contains("-")), ["lang"], "p", k
+        )
+        .select("p", "lang")
+        .cache()
+    )
+    filtered = (
+        df.withColumn("node_lang", remap_en_lang(F.col("lang")))
+        .join(
+            F.broadcast(topk.withColumnRenamed("lang", "node_lang")),
+            ["p", "node_lang"],
+            "left_semi",
+        )
+        .drop("node_lang")
+    )
+    return filtered, topk
+
+
+def clean_infobox(
+    typed: DataFrame, predicate_datatypes: DataFrame, externalise_uris: bool
+) -> DataFrame:
+    """Typed infobox triples -> cleaned output triples
+    (DbpediaDgraphSparkApp.scala:215-222): keep majority-datatype rows,
+    drop negative dates, optionally blank-node rewrite, re-attach the
+    ``^^type`` suffix for non-URI objects."""
+    df = typed.join(
+        F.broadcast(predicate_datatypes.select("p", "t")), ["p", "t"], "left_semi"
+    ).where((F.col("t") != XSD_DATE) | ~F.col("v").startswith('"-'))
+    if externalise_uris:
+        df = df.withColumn("s", blank_node(F.col("s"))).withColumn(
+            "v",
+            F.when(F.col("t") == URI_TYPE, blank_node(F.col("v"))).otherwise(F.col("v")),
+        )
+    return df.select(
+        "s",
+        "p",
+        F.when(F.col("t") == URI_TYPE, F.col("v"))
+        .otherwise(F.concat(F.col("v"), F.lit("^^"), F.col("t")))
+        .alias("o"),
+        "lang",
+    )
+
+
+def clean_labels(df: DataFrame, cfg: TransformConfig) -> DataFrame:
+    out = df
+    if cfg.externalise_uris:
+        out = out.withColumn("s", blank_node(F.col("s")))
+    if cfg.remove_language_tags:
+        out = out.withColumn("o", remove_lang_tags(F.col("o")))
+    return out
+
+
+def clean_uri_pairs(df: DataFrame, cfg: TransformConfig) -> DataFrame:
+    """interlanguage_links / page_links / article_categories: both sides
+    are URIs (DbpediaDgraphSparkApp.scala:225-240)."""
+    out = df
+    if cfg.externalise_uris:
+        out = out.withColumn("s", blank_node(F.col("s"))).withColumn(
+            "o", blank_node(F.col("o"))
+        )
+    return out
+
+
+def clean_skos(df: DataFrame, cfg: TransformConfig) -> DataFrame:
+    """prefLabel objects are literals, every other skos object is a URI
+    (DbpediaDgraphSparkApp.scala:243-247)."""
+    out = df
+    if cfg.externalise_uris:
+        out = out.withColumn("s", blank_node(F.col("s"))).withColumn(
+            "o",
+            F.when(F.col("p") == SKOS_PREF_LABEL, F.col("o")).otherwise(
+                blank_node(F.col("o"))
+            ),
+        )
+    if cfg.remove_language_tags:
+        out = out.withColumn(
+            "o",
+            F.when(
+                F.col("p") == SKOS_PREF_LABEL, remove_lang_tags(F.col("o"))
+            ).otherwise(F.col("o")),
+        )
+    return out
+
+
+def clean_geo(df: DataFrame, cfg: TransformConfig) -> DataFrame:
+    """``"LAT LON"`` -> quoted GeoJSON + ``^^<geo:geojson>`` suffix
+    (DbpediaDgraphSparkApp.scala:252-260)."""
+    out = df.withColumn(
+        "o", F.concat(geo_to_geojson(F.col("o")), F.lit("^^<geo:geojson>"))
+    )
+    if cfg.externalise_uris:
+        out = out.withColumn("s", blank_node(F.col("s")))
+    return out
+
+
+def external_id_triples(frames: list[DataFrame]) -> DataFrame:
+    """All URIs seen anywhere -> ``_:md5(uri) <xid> "uri"`` triples
+    (DbpediaDgraphSparkApp.scala:374-398). Each input is ``(s, lang)``."""
+    unioned = reduce(DataFrame.unionByName, [f.distinct() for f in frames]).distinct()
+    return unioned.select(
+        blank_node(F.col("s")).alias("s"),
+        F.lit("<xid>").alias("p"),
+        F.concat(F.lit('"'), strip_angle_brackets(F.col("s")), F.lit('"')).alias("o"),
+        F.col("lang"),
+    )
+
+
+def type_triples(article_frames: list[DataFrame], category_objects: DataFrame,
+                 skos_subjects: DataFrame) -> DataFrame:
+    """dgraph.type triples for Articles / Categories / Concepts
+    (DbpediaDgraphSparkApp.scala:410-440). Inputs are (s, lang) frames."""
+    articles = (
+        reduce(DataFrame.unionByName, [f.distinct() for f in article_frames])
+        .withColumn("p", F.lit("<dgraph.type>"))
+        .withColumn("o", F.lit('"Article"'))
+    )
+    categories = (
+        category_objects.distinct()
+        .withColumn("p", F.lit("<dgraph.type>"))
+        .withColumn("o", F.lit('"Category"'))
+    )
+    concepts = (
+        skos_subjects.withColumn("p", F.lit("<dgraph.type>"))
+        .withColumn("o", F.lit('"Concept"'))
+    )
+    return articles.unionByName(categories).unionByName(concepts).distinct()
+
+
+def write_rdf(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Partitioned sorted gzip text sink for RDF lines (S6,
+    DbpediaDgraphSparkApp.scala:496-516): partition dirs by ``lang``,
+    file-split by ``(p, s)``, in-file sort by ``o``, projection to the
+    N-Triples line at write time. Returns the read-back frame."""
+    if not df.isEmpty():
+        write_partitioned_by(
+            invalid_predicate_filter(df),
+            partition_cols=["lang"],
+            more_file_cols=["p", "s"],
+            sort_cols=["o"],
+            projection=[rdf_line(F.col("s"), F.col("p"), F.col("o")).alias("line")],
+            fmt="text",
+            options={"compression": "gzip"},
+            path=path,
+        )
+    return read_rdf(spark, path)
+
+
+def read_rdf(spark: SparkSession, path: str) -> DataFrame:
+    """Read written RDF back; ``lang=`` dirs come back as a column via
+    partition discovery (S3, DbpediaDgraphSparkApp.scala:530-537)."""
+    if not os.path.exists(path):
+        return spark.createDataFrame([], TRIPLE_SCHEMA)
+    lines = spark.read.text(path)
+    parts = F.split(F.expr("substring(value, 1, length(value) - 2)"), " ", 3)
+    return lines.select(
+        parts.getItem(0).alias("s"),
+        parts.getItem(1).alias("p"),
+        parts.getItem(2).alias("o"),
+        F.col("lang").cast("string").alias("lang"),
+    )
+
+
+def write_schema(df: DataFrame, path: str, indexed: bool) -> None:
+    """Schema text sink (DbpediaDgraphSparkApp.scala:332-372): one file
+    per (dataset, lang) partition via coalesced range partitioning."""
+    write_partitioned_by(
+        invalid_predicate_filter(df),
+        partition_cols=["dataset", "lang"],
+        more_file_cols=["p"],
+        sort_cols=[],
+        projection=[schema_line(indexed).alias("line")],
+        fmt="text",
+        path=path,
+    )
+
+
+def transform(
+    spark: SparkSession,
+    path: str,
+    out: str,
+    languages: list[str] | None = None,
+    cfg: TransformConfig | None = None,
+) -> dict[str, DataFrame]:
+    """Full flagship pipeline. Returns the read-back frames keyed by
+    output name (the reference returns them from writeRdf for the types/
+    coverage steps)."""
+    cfg = cfg or TransformConfig()
+
+    label_triples = read_triples_parquet(spark, f"{path}/labels.parquet", languages)
+    all_infobox = read_triples_parquet(spark, f"{path}/infobox_properties.parquet", languages)
+    all_interlang = read_triples_parquet(spark, f"{path}/interlanguage_links.parquet", languages)
+
+    object_langs = languages or [
+        r["lang"] for r in all_interlang.select("lang").distinct().collect()
+    ]
+    interlang_triples = filter_interlang_objects(all_interlang, object_langs)
+    page_links_triples = read_triples_parquet(spark, f"{path}/page_links.parquet", languages)
+    category_triples = read_triples_parquet(spark, f"{path}/article_categories.parquet", languages)
+    skos_triples = read_triples_parquet(spark, f"{path}/skos_categories.parquet", languages)
+    geo_triples = read_triples_parquet(spark, f"{path}/geo_coordinates.parquet", languages).where(
+        F.col("p") == GEORSS_POINT
+    )
+
+    if cfg.top_infobox_properties_per_lang:
+        infobox_triples, _topk = top_k_infobox(all_infobox, cfg.top_infobox_properties_per_lang)
+    else:
+        infobox_triples = all_infobox
+
+    typed = typed_triples(infobox_triples)
+    predicate_datatypes = majority_value_per_group(typed, ["p"], "t").select("p", "t").cache()
+
+    infobox = clean_infobox(typed, predicate_datatypes, cfg.externalise_uris)
+    labels = clean_labels(label_triples, cfg)
+    interlang = clean_uri_pairs(interlang_triples, cfg)
+    page_links = clean_uri_pairs(page_links_triples, cfg)
+    categories = clean_uri_pairs(category_triples, cfg)
+    skos = clean_skos(skos_triples, cfg)
+    geo = clean_geo(geo_triples, cfg)
+
+    schema = full_schema(
+        spark, infobox_triples, predicate_datatypes,
+        cfg.remove_language_tags, cfg.externalise_uris,
+    ).cache()
+    write_schema(schema, f"{out}/schema.dgraph", indexed=False)
+    write_schema(schema, f"{out}/schema.indexed.dgraph", indexed=True)
+
+    outputs: dict[str, DataFrame] = {}
+    for name, frame in [
+        ("labels", labels),
+        ("infobox_properties", infobox),
+        ("interlanguage_links", interlang),
+        ("page_links", page_links),
+        ("article_categories", categories),
+        ("skos_categories", skos),
+        ("geo_coordinates", geo),
+    ]:
+        outputs[name] = write_rdf(spark, frame, f"{out}/{name}.rdf")
+
+    if cfg.write_types:
+        articles = [
+            outputs[n].select("s", "lang")
+            for n in ("labels", "infobox_properties", "interlanguage_links",
+                      "page_links", "geo_coordinates")
+        ] + [outputs["interlanguage_links"].select(F.col("o").alias("s"), "lang")]
+        types = type_triples(
+            articles,
+            outputs["article_categories"].select(F.col("o").alias("s"), "lang"),
+            outputs["skos_categories"].select("s", "lang"),
+        )
+        outputs["types"] = write_rdf(spark, types, f"{out}/types.rdf")
+
+    if cfg.externalise_uris:
+        xid_inputs = [
+            label_triples.select("s", "lang"),
+            infobox_triples.select("s", "lang"),
+            interlang_triples.select("s", "lang"),
+            interlang_triples.select(F.col("o").alias("s"), "lang"),
+            page_links_triples.select("s", "lang"),
+            page_links_triples.select(F.col("o").alias("s"), "lang"),
+            category_triples.select("s", "lang"),
+            category_triples.select(F.col("o").alias("s"), "lang"),
+            skos_triples.select("s", "lang"),
+            skos_triples.select(F.col("o").alias("s"), "lang").where(
+                F.col("p").isin(SKOS_RELATED, SKOS_BROADER)
+            ),
+            spark.createDataFrame([(SKOS_CONCEPT, "any")], ["s", "lang"]),
+            geo_triples.select("s", "lang"),
+        ]
+        outputs["external_ids"] = write_rdf(
+            spark, external_id_triples(xid_inputs), f"{out}/external_ids.rdf"
+        )
+
+    if cfg.print_stats:
+        coverage = outputs["infobox_properties"].count() * 100 // max(all_infobox.count(), 1)
+        print(f"cleaned-up infoboxes cover {coverage}% of original rows")
+
+    return outputs

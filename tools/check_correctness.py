@@ -1,0 +1,100 @@
+"""Local approximation of the driver's correctness gate: run each
+``queries()`` entry at sf0.01 in Spark and its ``oracle_sql()`` in
+DuckDB, compare row count, column names, and an order-insensitive
+value multiset (columns sorted by name, values stringified).
+
+Usage: python tools/check_correctness.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+import __spark_entry__ as entry_mod
+from dgraph_dbpedia_spark.session import build_session
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_value(v):
+    import datetime
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 6))
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_value(r[i]) for i in order) for r in rows)
+
+
+def main(sf_dir: str) -> int:
+    spark = build_session(app_name="correctness-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = 0
+    for name, fn in queries.items():
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = sdf.collect()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"WEAK {name}: rows-only, {len(s_rows)} rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error {e}")
+            failures += 1
+            continue
+        problems = []
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rows {len(s_rows)} vs {len(d_rows)}")
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"cols {sorted(s_cols)} vs {sorted(d_cols)}")
+        if not problems:
+            a = norm_rows(s_cols, s_rows)
+            b = norm_rows(d_cols, d_rows)
+            if a != b:
+                diff = [x for x in a if x not in b][:3]
+                diff2 = [x for x in b if x not in a][:3]
+                problems.append(f"values differ: spark-only {diff} duck-only {diff2}")
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)}")
+            failures += 1
+        else:
+            print(f"OK   {name}: {len(s_rows)} rows")
+    spark.stop()
+    return failures
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sys.exit(1 if main(sf) else 0)
