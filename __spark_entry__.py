@@ -169,6 +169,70 @@ def _q_geo_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# more reference-surface queries
+
+
+def _q_ttl_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 line-parse semantics over constructed N-Triples lines."""
+    from dgraph_dbpedia_spark.sources.ttl import parse_ttl_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    line = F.concat(
+        F.lit("<doc:"),
+        F.col("doc_id").cast("string"),
+        F.lit("> <p:source> \""),
+        F.col("text"),
+        F.lit('" .'),
+    )
+    return parse_ttl_lines(docs.select(line.alias("value")))
+
+
+def _q_union_fold_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: fold unionByName over frames with differing column order."""
+    cust = _t(spark, sf_dir, "customer")
+    frames = [
+        cust.where(F.col("c_nationkey") < 8).select("c_custkey", "c_name"),
+        cust.where(F.col("c_nationkey").between(8, 15)).select("c_name", "c_custkey"),
+        cust.where(F.col("c_nationkey") > 15).select("c_custkey", "c_name"),
+    ]
+    return reduce(DataFrame.unionByName, frames)
+
+
+def _q_stats_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dgraph_dbpedia_spark.operators.stats import stats_table_pivot
+
+    docs = _t(spark, sf_dir, "documents")
+    frames = {
+        f"src{i}": docs.where(F.col("source") == f"src{i}") for i in range(3)
+    }
+    return stats_table_pivot(frames, "lang")
+
+
+def _q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+U2: per-lang counts with an aggregated rollup row appended."""
+    from dgraph_dbpedia_spark.operators.stats import counts_per_group, rollup_group
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = counts_per_group(docs, "lang", "n")
+    return rollup_group(counts, "lang", lambda c: c.startswith("e"), "e*")
+
+
+def _q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling-window aggregation over event time (the batch twin
+    of the streaming operator in dgraph_dbpedia_spark.streaming)."""
+    events = _t(spark, sf_dir, "events")
+    ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    win = F.window(ts, "1 hour")
+    return (
+        events.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        # epoch seconds, not timestamp: keeps the oracle comparison
+        # timezone-independent
+        .select(F.col("w.start").cast("long").alias("ws"), "event_type", "n")
+    )
+
+
+# --------------------------------------------------------------------------
 # training-data-pipeline extensions
 
 
@@ -189,23 +253,83 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dgraph_dbpedia_spark.operators.similarity import cosine_topk
+
     emb = _t(spark, sf_dir, "embeddings")
-    query = emb.orderBy("vec_id").limit(1).select(
-        F.col("embedding").cast("array<double>").alias("q")
+    query = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("q"))
+    return cosine_topk(emb.where(F.col("vec_id") > 0), query, k=5)
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dgraph_dbpedia_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, w=3, threshold=0.4)
+
+
+def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dgraph_dbpedia_spark.operators.dedup import minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, w=3, k=16)
+    return sigs.select(
+        "doc_id", *[F.col("sig").getItem(i).alias(f"sig_{i:02d}") for i in range(16)]
     )
-    cand = emb.where(F.col("vec_id") > 0).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dgraph_dbpedia_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, w=3, k=16, bands=4, threshold=0.4)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dgraph_dbpedia_spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs)
+
+
+def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dgraph_dbpedia_spark.operators.textstats import language_id
+
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dgraph_dbpedia_spark.operators.textstats import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def _q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dgraph_dbpedia_spark.operators.textstats import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dgraph_dbpedia_spark.operators.textstats import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dgraph_dbpedia_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("q"))
+    return lsh_bucketed_topk(
+        emb.where(F.col("vec_id") > 0), query, k=5, n_planes=8, dims=64
     )
-    joined = cand.crossJoin(F.broadcast(query))
-    dot = F.aggregate(
-        F.zip_with("e", "q", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    sim = (dot / (norm(F.col("e")) * norm(F.col("q")))).alias("sim")
-    scored = joined.select("vec_id", F.round(sim, 4).alias("sim"))
-    return scored.orderBy(F.col("sim").desc(), "vec_id").limit(5)
+
+
+def _q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dgraph_dbpedia_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.3, n_planes=4, dims=64)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -223,14 +347,179 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "remove_lang_tags": _q_remove_lang_tags,
     "extract_datatype": _q_extract_datatype,
     "geo_geojson": _q_geo_geojson,
+    "ttl_parse": _q_ttl_parse,
+    "union_fold_by_name": _q_union_fold_by_name,
+    "stats_pivot": _q_stats_pivot,
+    "rollup_counts": _q_rollup_counts,
+    "window_tumbling": _q_window_tumbling,
     "dedup_exact": _q_dedup_exact,
     "token_count": _q_token_count,
     "cosine_topk": _q_cosine_topk,
+    "ngram_jaccard_pairs": _q_ngram_jaccard,
+    "minhash_signatures": _q_minhash_signatures,
+    "minhash_pairs": _q_minhash_pairs,
+    "simhash": _q_simhash,
+    "language_id": _q_language_id,
+    "quality_score": _q_quality_score,
+    "token_counts_bpe": _q_token_counts_bpe,
+    "fingerprint": _q_fingerprint,
+    "lsh_ann_topk": _q_lsh_ann_topk,
+    "cosine_near_dup": _q_cosine_near_dup,
 }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
+
+
+# --------------------------------------------------------------------------
+# oracle-SQL generators for the hash-based operators: replicate the exact
+# md5-derived hash pipeline (functions/hashing.py) in DuckDB SQL
+
+
+def _sql_hash64(expr: str, seed: int | None = None) -> str:
+    if seed is not None:
+        expr = f"({expr} || '#{seed}')"
+    return f"('0x' || substring(md5({expr}), 1, 15))::BIGINT"
+
+
+_SQL_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t != '')"
+_SQL_TOKS_LOWER = (
+    "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != '')"
+)
+
+
+def _sql_shingles(toks: str, w: int) -> str:
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({toks}) - {w - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {w - 1}), ' ')))"
+    )
+
+
+def _sql_minhash_base(w: int, k: int) -> str:
+    """CTE producing (doc_id, sh, sig_00..sig_NN) from documents.
+    Two signature lanes per seeded md5 digest (hex 1-15 / 16-30),
+    mirroring operators/dedup._signatures_from_shingles."""
+
+    def lane(i: int) -> str:
+        j, start = divmod(i, 2)
+        return (
+            f"list_min(list_transform(sh, s -> ('0x' || "
+            f"substring(md5(s || '#{j}'), {1 + start * 15}, 15))::BIGINT)) "
+            f"AS sig_{i:02d}"
+        )
+
+    sig_cols = ",\n       ".join(lane(i) for i in range(k))
+    return f"""
+        sh AS (
+            SELECT doc_id, {_sql_shingles(_SQL_TOKS, w)} AS sh FROM documents),
+        sig AS (
+            SELECT doc_id, sh,
+       {sig_cols}
+            FROM sh)
+    """
+
+
+def _sql_minhash_pairs(w: int = 3, k: int = 16, bands: int = 4, threshold: float = 0.4) -> str:
+    rows = k // bands
+    band_selects = " UNION ALL ".join(
+        f"""SELECT doc_id, sh, {b} AS band, {_sql_hash64(
+            " || ',' || ".join(f"sig_{b * rows + r:02d}::VARCHAR" for r in range(rows))
+        )} AS bucket FROM sig"""
+        for b in range(bands)
+    )
+    return f"""
+        WITH {_sql_minhash_base(w, k)},
+        bands AS ({band_selects}),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sh AS sh_a, y.sh AS sh_b
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+        SELECT a, b,
+               round(len(list_intersect(sh_a, sh_b)) /
+                     (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))),
+                     6) AS jaccard
+        FROM cand
+        WHERE round(len(list_intersect(sh_a, sh_b)) /
+                    (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))),
+                    6) >= {threshold}
+    """
+
+
+def _sql_simhash(n_bits: int = 60) -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> {b}) & 1) * 2 - 1)) > 0 "
+        f"THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(n_bits)
+    )
+    return f"""
+        WITH hs AS (
+            SELECT doc_id,
+                   list_transform({_SQL_TOKS}, t -> {_sql_hash64('t')}) AS hs
+            FROM documents)
+        SELECT doc_id, ({bit_terms})::BIGINT AS simhash FROM hs
+    """
+
+
+def _planes(n_planes: int, dims: int) -> list[list[float]]:
+    """The deterministic pseudo-random hyperplanes of
+    operators/similarity.py, computed host-side (identical md5 math)."""
+    import hashlib
+
+    scale = float(1 << 59)
+    return [
+        [
+            int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16) / scale - 1.0
+            for d in range(dims)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _sql_bucket(vec_expr: str, n_planes: int, dims: int) -> str:
+    planes = _planes(n_planes, dims)
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product({vec_expr}, "
+        f"[{', '.join(repr(v) for v in plane)}]) > 0 "
+        f"THEN (1::BIGINT << {p}) ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    return f"({terms})"
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"round(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 4)"
+    )
+
+
+def _sql_lsh_ann_topk(k: int = 5, n_planes: int = 8, dims: int = 64) -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   {_sql_bucket('embedding::DOUBLE[]', n_planes, dims)} AS bucket
+            FROM embeddings),
+        q AS (SELECT v AS q, bucket FROM e ORDER BY vec_id LIMIT 1)
+        SELECT e.vec_id, {_sql_cosine('e.v', 'q.q')} AS sim
+        FROM e JOIN q ON e.bucket = q.bucket
+        WHERE e.vec_id > 0
+        ORDER BY sim DESC, e.vec_id LIMIT {k}
+    """
+
+
+def _sql_cosine_near_dup(threshold: float = 0.3, n_planes: int = 4, dims: int = 64) -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   {_sql_bucket('embedding::DOUBLE[]', n_planes, dims)} AS bucket
+            FROM embeddings)
+        SELECT DISTINCT a.vec_id AS a, b.vec_id AS b,
+               {_sql_cosine('a.v', 'b.v')} AS sim
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {_sql_cosine('a.v', 'b.v')} >= {threshold}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -366,4 +655,117 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings, q WHERE vec_id > 0)
             SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 5
         """,
+        "ttl_parse": """
+            WITH lines AS (
+                SELECT '<doc:' || doc_id::VARCHAR || '> <p:source> "' || text || '" .' AS value
+                FROM documents),
+            stripped AS (
+                SELECT substr(value, 1, length(value) - 2) AS v FROM lines
+                WHERE NOT starts_with(value, '#') AND length(value) > 2)
+            SELECT split_part(v, ' ', 1) AS s,
+                   split_part(v, ' ', 2) AS p,
+                   substr(v, length(split_part(v, ' ', 1)) + length(split_part(v, ' ', 2)) + 3) AS o
+            FROM stripped
+        """,
+        "union_fold_by_name": """
+            SELECT c_custkey, c_name FROM customer WHERE c_nationkey < 8
+            UNION ALL
+            SELECT c_custkey, c_name FROM customer WHERE c_nationkey BETWEEN 8 AND 15
+            UNION ALL
+            SELECT c_custkey, c_name FROM customer WHERE c_nationkey > 15
+        """,
+        "stats_pivot": """
+            SELECT lang,
+                   count(*) FILTER (source = 'src0') AS src0,
+                   count(*) FILTER (source = 'src1') AS src1,
+                   count(*) FILTER (source = 'src2') AS src2
+            FROM documents WHERE source IN ('src0', 'src1', 'src2')
+            GROUP BY lang
+        """,
+        "rollup_counts": """
+            WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+            SELECT lang, n FROM c
+            UNION ALL
+            SELECT 'e*' AS lang, sum(n)::BIGINT AS n FROM c WHERE lang LIKE 'e%'
+        """,
+        "window_tumbling": """
+            SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts))::BIGINT AS ws,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH sh AS (
+                SELECT doc_id, {_sql_shingles(_SQL_TOKS, 3)} AS sh FROM documents),
+            e AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+            inter AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT a, b, round(i / (len(x.sh) + len(y.sh) - i), 6) AS jaccard
+            FROM inter JOIN sh x ON inter.a = x.doc_id JOIN sh y ON inter.b = y.doc_id
+            WHERE round(i / (len(x.sh) + len(y.sh) - i), 6) >= 0.4
+        """,
+        "minhash_signatures": f"""
+            WITH {_sql_minhash_base(3, 16)}
+            SELECT doc_id, {', '.join(f'sig_{i:02d}' for i in range(16))} FROM sig
+        """,
+        "minhash_pairs": _sql_minhash_pairs(),
+        "simhash": _sql_simhash(),
+        "language_id": f"""
+            WITH t AS (SELECT doc_id, {_SQL_TOKS_LOWER} AS toks FROM documents),
+            s AS (
+                SELECT doc_id,
+                       len(list_intersect(toks, ['the','of','and','to','in','a','is','that','for','it'])) AS s_en,
+                       len(list_intersect(toks, ['der','die','das','und','in','den','von','zu','mit','ist'])) AS s_de,
+                       len(list_intersect(toks, ['le','la','les','de','des','et','en','un','une','est'])) AS s_fr,
+                       len(list_intersect(toks, ['el','la','los','de','que','y','en','un','una','es'])) AS s_es
+                FROM t)
+            SELECT doc_id,
+                   CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                        WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                        WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                        ELSE 'fr' END AS lang_guess,
+                   greatest(s_de, s_en, s_es, s_fr) AS hits
+            FROM s
+        """,
+        "quality_score": f"""
+            WITH t AS (
+                SELECT doc_id, text, {_SQL_TOKS} AS toks, length(text) AS n_chars
+                FROM documents),
+            f AS (
+                SELECT doc_id, n_chars, len(toks) AS n_tokens,
+                       round(n_chars / greatest(len(toks), 1), 4) AS mean_token_len,
+                       round(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))
+                             / greatest(n_chars, 1), 4) AS punct_ratio,
+                       round(len(list_intersect(toks,
+                             ['the','of','and','to','in','a','is','that','for','it']))
+                             / greatest(len(toks), 1), 4) AS stopword_ratio
+                FROM t)
+            SELECT doc_id, n_chars, n_tokens, mean_token_len, punct_ratio,
+                   stopword_ratio,
+                   round((CASE WHEN n_tokens >= 5 THEN 1.0 ELSE n_tokens / 5.0 END)
+                         * (CASE WHEN mean_token_len >= 3 AND mean_token_len <= 10
+                                 THEN 1.0 ELSE 0.5 END)
+                         * (1 - least(punct_ratio * 2, 1.0)), 4) AS score
+            FROM f
+        """,
+        "token_counts_bpe": f"""
+            SELECT doc_id,
+                   len({_SQL_TOKS}) AS n_ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS n_bpe_tokens
+            FROM documents
+        """,
+        "fingerprint": f"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(0, greatest(floor((length(text) - 16) / 8)::INT + 1, 1)),
+                           i -> substr(text, i * 8 + 1, 16)) AS windows
+                FROM documents)
+            SELECT doc_id,
+                   list_min(list_transform(windows, x -> {_sql_hash64('x')})) AS fp
+            FROM w
+        """,
+        "lsh_ann_topk": _sql_lsh_ann_topk(),
+        "cosine_near_dup": _sql_cosine_near_dup(),
     }

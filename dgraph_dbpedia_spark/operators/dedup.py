@@ -1,0 +1,297 @@
+"""Document deduplication operators — exact and near-duplicate.
+
+Extension surface beyond the reference (SURVEY §7.8): the operators a
+100 TB training-data pipeline needs. All are native DataFrame plans:
+
+- exact:      md5 fingerprint -> groupBy -> min-id representative
+- n-gram Jaccard: shingle explode + equi-join (sparse — cost is
+  proportional to shared shingles, never O(n^2) row pairs)
+- MinHash+LSH: k-seed signature -> banding -> bucket equi-join for
+  candidates -> exact Jaccard verify on candidates only
+- SimHash:    60-bit sign fingerprint + banded hamming candidates
+
+Hashing uses the cross-engine md5 scheme (functions/hashing.py) so
+every step is DuckDB-oracle-checkable.
+
+Scale shape: each operator's only shuffles are (a) the explode-groupBy
+on shingles/buckets, bounded by total shingle count, and (b) the final
+per-pair aggregation, bounded by candidate count. Skewed shingles (stop
+phrases) are the known hazard of the Jaccard join — ``max_shingle_freq``
+drops shingles shared by more than N docs (they contribute nothing to
+discrimination and everything to skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dgraph_dbpedia_spark.functions.hashing import hash64, shingles, tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One representative (min id) per distinct text. Returns
+    ``(fp, doc_id)``."""
+    return df.groupBy(F.md5(text_col).alias("fp")).agg(F.min(id_col).alias(id_col))
+
+
+def _shingled(df: DataFrame, text_col: str, id_col: str, w: int) -> DataFrame:
+    # two-step select: materialize the token array as a bound column
+    # before shingling — a lambda over an unbound expression re-evaluates
+    # the whole tokenize subtree per loop iteration (O(len^2) per doc)
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    return toks.select(F.col(id_col), shingles(F.col("toks"), w).alias("sh"))
+
+
+def _hashed_shingled(df: DataFrame, text_col: str, id_col: str, w: int) -> DataFrame:
+    """Shingle sets as int64 hashes: 8-byte join/intersect keys instead
+    of multi-word strings. Distinctness is preserved (60-bit md5-derived
+    hashes; collision probability is negligible at any realistic doc
+    size), shuffle volume drops by the average shingle length."""
+    sh = _shingled(df, text_col, id_col, w)
+    return sh.select(
+        F.col(id_col), F.transform("sh", lambda s: hash64(s)).alias("sh")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All pairs (a < b) with shingle-set Jaccard >= threshold.
+
+    Sparse plan: explode distinct shingles, self-equi-join on the
+    shingle, count joint shingles per pair (= intersection size), then
+    ``|A ∪ B| = |A| + |B| - |A ∩ B|``. Only documents sharing at least
+    one shingle ever meet.
+    """
+    # persist: the shingled frame feeds four plan branches (two join
+    # sides + two size lookups); without it Catalyst recomputes the
+    # shingling per branch (no cross-branch subplan sharing, SURVEY §4)
+    sh = _hashed_shingled(df, text_col, id_col, w).persist()
+    sizes = sh.select(F.col(id_col), F.size("sh").alias("n"))
+    exploded = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    if max_shingle_freq is not None:
+        # drop degenerate stop-shingles: they blow up the join and carry
+        # no discriminative signal
+        rare = (
+            exploded.groupBy("shingle")
+            .count()
+            .where(F.col("count") <= max_shingle_freq)
+            .select("shingle")
+        )
+        exploded = exploded.join(rare, "shingle", "left_semi")
+    a = exploded.select(F.col(id_col).alias("a"), "shingle")
+    b = exploded.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    k: int = 16,
+) -> DataFrame:
+    """k-minimum-hash signature per document: ``sig[i] = min over
+    shingles of hash_i(shingle)``. Returns ``(id, sig: array<bigint>)``.
+
+    Entirely per-row (no shuffle): a transform+array_min per seed over
+    the shingle array.
+    """
+    return _signatures_from_shingles(_shingled(df, text_col, id_col, w), id_col, k)
+
+
+def _signatures_from_shingles(sh: DataFrame, id_col: str, k: int) -> DataFrame:
+    """k signature lanes from k/2 md5 passes: each 128-bit md5 digest
+    yields two independent 60-bit components (hex chars 1-15 and 16-30).
+    The seeded digests are materialized as bound columns in a first
+    select so the min-extraction transforms don't recompute them.
+
+    Closure capture, NOT default args, in the lambdas: pyspark counts
+    lambda params to decide between (x) and (x, index) variants."""
+    assert k % 2 == 0, "k must be even (two lanes per md5 digest)"
+    half = k // 2
+
+    def digests(j: int):
+        return lambda s: F.md5(F.concat(s, F.lit(f"#{j}")))
+
+    with_md5 = sh.select(
+        F.col(id_col),
+        *[F.transform("sh", digests(j)).alias(f"__m{j}") for j in range(half)],
+    )
+
+    def lane(j: int, start: int):
+        return F.array_min(
+            F.transform(
+                f"__m{j}",
+                lambda m: F.conv(F.substring(m, start, 15), 16, 10).cast("bigint"),
+            )
+        )
+
+    sig = F.array(*[x for j in range(half) for x in (lane(j, 1), lane(j, 16))])
+    return with_md5.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: documents agreeing on all rows of any band become a
+    candidate pair. Returns distinct ``(a, b)`` with a < b.
+
+    One explode (doc x bands) + one groupBy-join on (band, bucket-hash):
+    shuffle volume = #docs * #bands, never O(n^2).
+    """
+    band_hashes = F.array(
+        *[
+            hash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("sig").getItem(b * rows_per_band + r).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = signatures.select(
+        F.col(id_col), F.posexplode(band_hashes).alias("band", "bucket")
+    )
+    a = buckets.select(F.col(id_col).alias("a"), "band", "bucket")
+    b = buckets.select(F.col(id_col).alias("b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pipeline: signatures -> banded candidates ->
+    exact-Jaccard verification of candidates only. Returns
+    ``(a, b, jaccard)`` pairs above threshold."""
+    rows_per_band = k // bands
+    # one shingling pass feeds signatures AND the verify step
+    sh_str = _shingled(df, text_col, id_col, w).persist()
+    sigs = _signatures_from_shingles(sh_str, id_col, k)
+    cands = minhash_lsh_candidates(sigs, id_col, bands, rows_per_band)
+    sh = sh_str.select(
+        F.col(id_col), F.transform("sh", lambda s: hash64(s)).alias("sh")
+    )
+    sa = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+N_SIMHASH_BITS = 60  # fits the cross-engine 15-hex-char hash
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """60-bit SimHash per document over whitespace tokens: bit b is set
+    iff the sum over tokens of (+-1 by token-hash bit b) is positive.
+    Returns ``(id, simhash: bigint)``. Per-row only — no shuffle."""
+    hs = F.transform(tokens(F.col(text_col)), lambda t: hash64(t))
+    df = df.select(F.col(id_col), hs.alias("hs"))
+
+    # NB: pyspark's higher-order-function wrapper derives lambda arity by
+    # signature inspection, so the bit index must be captured via closure,
+    # not a default argument
+    def vote(b: int):
+        return lambda acc, h: acc + (
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1
+        )
+
+    bit_votes = [
+        F.aggregate("hs", F.lit(0).cast("long"), vote(b))
+        for b in range(N_SIMHASH_BITS)
+    ]
+    sh = None
+    for b, vote in enumerate(bit_votes):
+        term = F.when(vote > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sh = term if sh is None else sh + term
+    return df.select(F.col(id_col), sh.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Banding on 4 x 15-bit chunks: any pair within hamming 3 of 60 bits
+    agrees exactly on at least one chunk (pigeonhole), so candidate
+    generation is an equi-join on (chunk-index, chunk-value) — no
+    all-pairs comparison. Returns ``(a, b, hamming)``."""
+    sh = simhash(df, text_col, id_col)
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), c * 15).bitwiseAND(F.lit((1 << 15) - 1))
+            for c in range(4)
+        ]
+    )
+    buckets = sh.select(
+        F.col(id_col), F.col("simhash"), F.posexplode(chunks).alias("chunk", "val")
+    )
+    a = buckets.select(
+        F.col(id_col).alias("a"), F.col("simhash").alias("sim_a"), "chunk", "val"
+    )
+    b = buckets.select(
+        F.col(id_col).alias("b"), F.col("simhash").alias("sim_b"), "chunk", "val"
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, ["chunk", "val"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", hamming.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

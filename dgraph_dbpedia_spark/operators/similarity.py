@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Extension surface (SURVEY §7.8). Two paths:
+
+- ``cosine_topk``  — brute-force exact top-k against a query vector.
+  Correctness baseline; per-row native arithmetic (zip_with/aggregate),
+  a broadcast of the query, and a top-k. At scale this is a single scan:
+  fine whenever k << n and the scan is the cost floor anyway.
+- ``lsh_bucketed_topk`` — random-hyperplane LSH: sign-bit sketch per
+  vector -> candidates share a bucket -> exact re-rank inside buckets.
+  The scale path: the equi-join on buckets replaces the full scan per
+  query with a bucket lookup; probing nearby buckets (multi-probe)
+  trades recall for cost.
+- ``cosine_near_dup_pairs`` — all-pairs variant for embedding near-dup
+  detection, LSH-bucketed so the join is sparse.
+
+Hyperplanes are deterministic pseudo-random unit-free vectors derived
+from the cross-engine hash (functions/hashing.py) — no RNG state, same
+result every run and every engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dgraph_dbpedia_spark.functions.hashing import hash64
+
+
+def _dot(a: Column | str, b: Column | str) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column | str) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_col: str = "q",
+) -> DataFrame:
+    """Exact top-k by cosine against a 1-row query frame (broadcast).
+    Deterministic tie-break on id. Returns ``(id, sim)``."""
+    cand = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("e"))
+    q = query.select(F.col(query_col).cast("array<double>").alias("q"))
+    scored = cand.crossJoin(F.broadcast(q)).select(
+        F.col(id_col), F.round(cosine("e", "q"), 4).alias("sim")
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
+def plane_values(n_planes: int, dims: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane coefficients in [-1, 1),
+    flattened row-major (plane p occupies [p*dims, (p+1)*dims)). Derived
+    from the cross-engine md5 hash of ``"p:d"`` so oracles can recompute
+    them bit-identically."""
+    from dgraph_dbpedia_spark.functions.hashing import hash64_py
+
+    scale = float(1 << 59)
+    return [
+        hash64_py(f"{p}:{d}") / scale - 1.0
+        for p in range(n_planes)
+        for d in range(dims)
+    ]
+
+
+def hyperplane_signs(vec: Column, n_planes: int, dims: int) -> Column:
+    """Sign-bit sketch: bit p = 1 iff ``vec . h_p > 0``. Returns an int64
+    bucket id (n_planes bits).
+
+    The planes ship as ONE flattened array literal and the double loop
+    runs inside two nested higher-order aggregates — constant-size
+    expression tree, so codegen stays small no matter how many planes/
+    dims (the naive unrolled form is n_planes*dims literal nodes and
+    minutes of codegen at 8x64)."""
+    flat = F.lit(plane_values(n_planes, dims))
+
+    def proj(p: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            F.lit(0.0),
+            lambda acc, d: acc
+            + F.element_at(vec, d + 1) * F.element_at(flat, p * dims + d + 1),
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc
+        + F.when(proj(p) > 0, F.pow(F.lit(2.0), p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_col: str = "q",
+    n_planes: int = 8,
+    dims: int = 64,
+) -> DataFrame:
+    """ANN: restrict the exact re-rank to vectors sharing the query's
+    LSH bucket. Recall < 1 by construction; raise n_planes for finer
+    buckets or probe more buckets for recall."""
+    cand = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("e"),
+        hyperplane_signs(F.col(vec_col).cast("array<double>"), n_planes, dims).alias(
+            "bucket"
+        ),
+    )
+    q = query.select(
+        F.col(query_col).cast("array<double>").alias("q"),
+        hyperplane_signs(F.col(query_col).cast("array<double>"), n_planes, dims).alias(
+            "bucket"
+        ),
+    )
+    scored = cand.join(F.broadcast(q), "bucket").select(
+        F.col(id_col), F.round(cosine("e", "q"), 4).alias("sim")
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dims: int = 64,
+) -> DataFrame:
+    """All pairs with cosine >= threshold, LSH-bucketed: only vectors in
+    the same bucket are compared (high-cosine pairs land together with
+    probability (1 - theta/pi)^n_planes). Returns ``(a, b, sim)``."""
+    sk = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("e"),
+        hyperplane_signs(F.col(vec_col).cast("array<double>"), n_planes, dims).alias(
+            "bucket"
+        ),
+    )
+    a = sk.select(F.col(id_col).alias("a"), F.col("e").alias("ea"), "bucket")
+    b = sk.select(F.col(id_col).alias("b"), F.col("e").alias("eb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(cosine("ea", "eb"), 4).alias("sim"))
+        .where(F.col("sim") >= threshold)
+        .distinct()
+    )

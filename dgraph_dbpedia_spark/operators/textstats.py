@@ -1,0 +1,132 @@
+"""Text analysis operators for training-data curation.
+
+Extension surface (SURVEY §7.8): language-ID (stopword n-gram
+heuristic), quality scoring (length / punctuation / stopword ratios),
+token counting (whitespace + BPE-ish regex), and document
+fingerprinting (min-hash of character shingles — a rolling-hash
+equivalent that is cross-engine checkable).
+
+All native expressions; each operator is one narrow projection over the
+documents table, so Catalyst prunes the scan to (id, text) and the whole
+stage is codegen — the 100 TB cost is the scan itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dgraph_dbpedia_spark.functions.hashing import hash64, tokens
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+# Deliberately small and public-knowledge; the operator's contract is
+# deterministic scoring, not linguistic accuracy.
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "a", "is", "that", "for", "it"],
+    "de": ["der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist"],
+    "fr": ["le", "la", "les", "de", "des", "et", "en", "un", "une", "est"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "una", "es"],
+}
+
+# GPT-2-style pre-tokenizer shape: word pieces, numbers, punctuation runs
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Best-guess language by stopword-hit count; deterministic
+    tie-break = lexicographic language code. Returns
+    ``(id, lang_guess, hits)``."""
+    # materialize tokens once; repeated references to the raw tokenize
+    # expression would re-run the split per stopword list
+    df = df.select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks"))
+    toks = F.col("__toks")
+    scores = [
+        (lang, F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))))
+        for lang, words in sorted(STOPWORDS.items())
+    ]
+    best_hits = F.greatest(*[s for _, s in scores])
+    guess = F.lit(None).cast("string")
+    # first (lexicographic) language achieving the max wins
+    for lang, s in reversed(scores):
+        guess = F.when(s == best_hits, F.lit(lang)).otherwise(guess)
+    return df.select(
+        F.col(id_col), guess.alias("lang_guess"), best_hits.alias("hits")
+    )
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic quality features + a [0,1] composite. Returns
+    ``(id, n_chars, n_tokens, mean_token_len, punct_ratio,
+    stopword_ratio, score)``."""
+    df = df.select(
+        F.col(id_col), F.col(text_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    text = F.col(text_col)
+    toks = F.col("__toks")
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    mean_tok = F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 4)
+    n_punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_ratio = F.round(
+        F.size(F.array_intersect(toks, en_stop)) / F.greatest(n_tokens, F.lit(1)), 4
+    )
+    # composite: long enough, words not too long/short, little punctuation
+    score = F.round(
+        F.when(n_tokens >= 5, 1.0).otherwise(n_tokens / 5.0)
+        * F.when((mean_tok >= 3) & (mean_tok <= 10), 1.0).otherwise(0.5)
+        * (1 - F.least(punct_ratio * 2, F.lit(1.0))),
+        4,
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        mean_tok.alias("mean_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("score"),
+    )
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Whitespace and BPE-ish token counts. Returns
+    ``(id, n_ws_tokens, n_bpe_tokens)``."""
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+        ).alias("n_bpe_tokens"),
+    )
+
+
+def fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    char_window: int = 16,
+    stride: int = 8,
+) -> DataFrame:
+    """Content fingerprint: minimum hash over strided character windows
+    (winnowing-style). Equal fingerprints => near-identical prefixes of
+    content; robust to small whitespace edits when stride < window.
+    Returns ``(id, fp)``."""
+    text = F.col(text_col)
+    # explicit floor: engines disagree on double->int cast rounding
+    n_windows = F.greatest(
+        F.floor((F.length(text) - char_window) / stride).cast("int") + 1, F.lit(1)
+    )
+    windows = F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda i: text.substr(i * stride + 1, F.lit(char_window)),
+    )
+    fp = F.array_min(F.transform(windows, lambda w: hash64(w)))
+    return df.select(F.col(id_col), fp.alias("fp"))

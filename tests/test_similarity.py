@@ -1,0 +1,55 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dgraph_dbpedia_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    cosine_topk,
+    lsh_bucketed_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),   # near 0
+        (2, [0.0, 1.0, 0.0, 0.0]),    # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),   # opposite
+        (4, [0.7, 0.7, 0.0, 0.0]),    # 45 degrees
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+
+
+@pytest.fixture(scope="module")
+def query(spark):
+    return spark.createDataFrame([([1.0, 0.0, 0.0, 0.0],)], ["q"])
+
+
+def test_cosine_topk_exact(spark, vectors, query):
+    out = cosine_topk(vectors, query, k=3)
+    rows = out.collect()
+    assert [r["vec_id"] for r in rows] == [0, 1, 4]
+    assert rows[0]["sim"] == 1.0
+    assert abs(rows[2]["sim"] - math.cos(math.pi / 4)) < 1e-3
+
+
+def test_lsh_topk_finds_same_bucket_neighbor(spark, vectors, query):
+    out = lsh_bucketed_topk(vectors, query, k=3, dims=4, n_planes=4)
+    ids = [r["vec_id"] for r in out.collect()]
+    # exact match 0 must share the query's bucket by construction
+    assert 0 in ids
+    # the opposite vector can never share all sign bits
+    assert 3 not in ids
+
+
+def test_near_dup_pairs(spark, vectors):
+    pairs = {(r["a"], r["b"]): r["sim"] for r in
+             cosine_near_dup_pairs(vectors, threshold=0.95, dims=4, n_planes=4).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.99
+    assert all(s >= 0.95 for s in pairs.values())
