@@ -232,6 +232,18 @@ def _q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dgraph_dbpedia_spark.streaming.events import sliding_counts
+
+    return sliding_counts(_t(spark, sf_dir, "events"))
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dgraph_dbpedia_spark.streaming.events import sessionize_batch
+
+    return sessionize_batch(_t(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------------
 # training-data-pipeline extensions
 
@@ -325,6 +337,16 @@ def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dgraph_dbpedia_spark.operators.multimodal import (
+        attach_binary,
+        decode_image_meta,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumnRenamed("doc_id", "id")
+    return decode_image_meta(attach_binary(docs))
+
+
 def _q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dgraph_dbpedia_spark.operators.similarity import cosine_near_dup_pairs
 
@@ -365,6 +387,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": _q_fingerprint,
     "lsh_ann_topk": _q_lsh_ann_topk,
     "cosine_near_dup": _q_cosine_near_dup,
+    "sliding_window": _q_sliding_window,
+    "sessionize": _q_sessionize,
+    "multimodal_decode": _q_multimodal_decode,
 }
 
 
@@ -768,4 +793,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lsh_ann_topk": _sql_lsh_ann_topk(),
         "cosine_near_dup": _sql_cosine_near_dup(),
+        "sliding_window": """
+            WITH e AS (
+                SELECT event_type,
+                       time_bucket(INTERVAL 30 MINUTE, ts) AS b
+                FROM events),
+            w AS (
+                SELECT event_type,
+                       epoch(b - k * INTERVAL 30 MINUTE)::BIGINT AS ws
+                FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k))
+            SELECT ws, event_type, count(*) AS n FROM w GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH e AS (
+                SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS ts_s
+                FROM events),
+            g AS (
+                SELECT *, CASE WHEN lag(ts_s) OVER w IS NULL
+                                 OR ts_s - lag(ts_s) OVER w > 1800
+                               THEN 1 ELSE 0 END AS ns
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+            s AS (
+                SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                                        ROWS UNBOUNDED PRECEDING)::INT AS session_id
+                FROM g)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts_s) AS start_s, max(ts_s) AS end_s
+            FROM s GROUP BY user_id, session_id
+        """,
+        "multimodal_decode": """
+            SELECT doc_id AS id,
+                   octet_length(encode(text)) AS n_bytes,
+                   16 + ('0x' || substring(md5(text), 1, 15))::BIGINT % 4096 AS width,
+                   16 + (('0x' || substring(md5(text), 1, 15))::BIGINT // 4096) % 4096 AS height,
+                   'fake/deterministic' AS format
+            FROM documents
+        """,
     }

@@ -1,0 +1,225 @@
+"""Structured Streaming extensions over the events table.
+
+The reference has no streaming surface (SURVEY §2.11); these are the
+additive stream operators a large-scale event pipeline needs, built on
+public Structured Streaming APIs: file-source reads, watermarked
+tumbling/sliding window aggregation, and a custom stateful sessionizer
+via ``applyInPandasWithState``.
+
+Each windowed operator has a *batch twin* (same transformation applied
+to a batch DataFrame) — the twins power DuckDB oracle checks and let
+callers run identical logic in either mode. Event time arrives as
+nanosecond longs (the driver's parquet layout) and is converted with
+``timestamp_micros`` — pure epoch math, timezone-proof.
+
+Scale notes: windowed counts are partial-aggregated before the state
+store; state size is bounded by (#windows in watermark horizon x
+#groups). The sessionizer keys state by user_id — state volume is
+O(active users), and ``GroupStateTimeout.EventTimeTimeout`` evicts idle
+sessions at the watermark.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# the driver's events.parquet schema with TIMESTAMP(NANOS) read as long
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def event_time(col: str = "ts") -> F.Column:
+    """Nanos-long -> timestamp column (micros precision)."""
+    return F.timestamp_micros((F.col(col) / 1000).cast("long"))
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(path)
+        .withColumn("event_time", event_time())
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-type counts in tumbling event-time windows. Works on both
+    streaming frames (with watermark-bounded state) and batch frames
+    (watermark is a no-op in batch). Output: (ws, event_type, n)."""
+    df = events
+    if "event_time" not in df.columns:
+        df = df.withColumn("event_time", event_time())
+    if df.isStreaming:
+        df = df.withWatermark("event_time", watermark)
+    return (
+        df.groupBy(F.window("event_time", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("long").alias("ws"), "event_type", "n")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window per-type counts; each event lands in
+    window/slide windows. Output: (ws, event_type, n)."""
+    df = events
+    if "event_time" not in df.columns:
+        df = df.withColumn("event_time", event_time())
+    if df.isStreaming:
+        df = df.withWatermark("event_time", watermark)
+    return (
+        df.groupBy(
+            F.window("event_time", window, slide).alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("long").alias("ws"), "event_type", "n")
+    )
+
+
+SESSION_GAP_SECONDS = 30 * 60
+
+_SESSION_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_id", T.IntegerType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("start_s", T.LongType()),
+        T.StructField("end_s", T.LongType()),
+    ]
+)
+
+
+def sessionize_batch(events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS) -> DataFrame:
+    """Batch twin of the stateful sessionizer: sessions are maximal runs
+    of a user's events with inter-event gap <= gap_seconds.
+
+    Classic lag + cumulative-sum plan: one shuffle on user_id, two
+    window passes over the same partitioning (Catalyst reuses the sort).
+    Output: (user_id, session_id, n_events, start_s, end_s) with
+    session_id numbered 1..n per user in time order."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    # integer division (exact): float division of nanos loses precision
+    ts_s = F.expr("ts div 1000000000")
+    with_gap = (
+        events.select("event_id", "user_id", ts_s.alias("ts_s"))
+        .withColumn("prev", F.lag("ts_s").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev").isNull()
+                | ((F.col("ts_s") - F.col("prev")) > gap_seconds),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+        )
+    )
+    return with_gap.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_s").alias("start_s"),
+        F.max("ts_s").alias("end_s"),
+    )
+
+
+def _sessionize_group(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """applyInPandasWithState update function: maintains (next_session_id,
+    last_seen_s) per user, closes a session when the gap exceeds the
+    threshold or the state times out at the watermark."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        if state.exists:
+            sid, n, start_s, last_s = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [[user_id, sid, n, start_s, last_s]],
+                columns=["user_id", "session_id", "n_events", "start_s", "end_s"],
+            )
+        return
+
+    rows = pd.concat(list(pdfs)).sort_values("ts_s")
+    if state.exists:
+        sid, n, start_s, last_s = state.get
+    else:
+        sid, n, start_s, last_s = 0, 0, None, None
+
+    out = []
+    for ts_s in rows["ts_s"]:
+        ts_s = int(ts_s)
+        if last_s is None or ts_s - last_s > SESSION_GAP_SECONDS:
+            if n > 0:
+                out.append([user_id, sid, n, start_s, last_s])
+            sid, n, start_s = sid + 1, 0, ts_s
+        n += 1
+        last_s = ts_s
+    state.update((sid, n, start_s, last_s))
+    state.setTimeoutTimestamp(last_s * 1000 + SESSION_GAP_SECONDS * 1000)
+    if out:
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_id", "n_events", "start_s", "end_s"]
+        )
+
+
+def sessionize_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful operator: streaming sessionization keyed by user
+    via applyInPandasWithState (arbitrary state + event-time timeout).
+    Emits a row per *closed* session."""
+    df = events
+    if "event_time" not in df.columns:
+        df = df.withColumn("event_time", event_time())
+    df = df.withWatermark("event_time", watermark).withColumn(
+        "ts_s", F.expr("ts div 1000000000")
+    )
+    return (
+        df.select("user_id", "event_id", "ts_s", "event_time")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            outputStructType=_SESSION_OUTPUT,
+            stateStructType="sid int, n long, start_s long, last_s long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    stream: DataFrame, name: str, output_mode: str = "complete"
+) -> None:
+    """Drain a stream into an in-memory table with the available-now
+    trigger (test/verification harness)."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
