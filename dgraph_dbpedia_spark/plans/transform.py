@@ -240,9 +240,9 @@ def read_rdf(spark: SparkSession, path: str) -> DataFrame:
     lines = spark.read.text(path)
     parts = F.split(F.expr("substring(value, 1, length(value) - 2)"), " ", 3)
     return lines.select(
-        parts.getItem(0).alias("s"),
-        parts.getItem(1).alias("p"),
-        parts.getItem(2).alias("o"),
+        F.get(parts, 0).alias("s"),
+        F.get(parts, 1).alias("p"),
+        F.get(parts, 2).alias("o"),
         F.col("lang").cast("string").alias("lang"),
     )
 

@@ -32,9 +32,11 @@ def parse_ttl_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
         lines.where(~value.startswith("#"))
         .where(F.length(value) > 2)
         .select(
-            parts.getItem(0).alias("s"),
-            parts.getItem(1).alias("p"),
-            parts.getItem(2).alias("o"),
+            # F.get (not getItem): ANSI mode throws on short splits; a
+            # malformed line yields nulls instead of failing the job
+            F.get(parts, 0).alias("s"),
+            F.get(parts, 1).alias("p"),
+            F.get(parts, 2).alias("o"),
         )
     )
 
