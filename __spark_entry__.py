@@ -244,6 +244,205 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(_t(spark, sf_dir, "events"))
 
 
+def _q_typed_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1+F11+P9+clean_infobox projection: extract/coerce datatypes,
+    drop negative dates, re-attach the ``^^type`` suffix for literals."""
+    from dgraph_dbpedia_spark.functions.rdf import typed_triples
+    from dgraph_dbpedia_spark.model import URI_TYPE, XSD_DATE
+
+    events = _t(spark, sf_dir, "events")
+    o = (
+        F.when(
+            F.col("event_type") == "click",
+            F.concat(F.lit("<http://x/u"), F.col("user_id").cast("string"), F.lit(">")),
+        )
+        .when(
+            F.col("event_type") == "view",
+            F.concat(
+                F.lit('"'),
+                F.col("value").cast("string"),
+                F.lit('"^^<http://www.w3.org/2001/XMLSchema#double>'),
+            ),
+        )
+        .when(
+            F.col("event_type") == "purchase",
+            F.when(
+                F.col("user_id") % 10 == 0,
+                F.lit('"-0044-03-15"^^<http://www.w3.org/2001/XMLSchema#date>'),
+            ).otherwise(
+                F.concat(
+                    F.lit('"19'),
+                    F.lpad((F.col("user_id") % 90).cast("string"), 2, "0"),
+                    F.lit('-01-02"^^<http://www.w3.org/2001/XMLSchema#date>'),
+                )
+            ),
+        )
+        .otherwise(
+            # value containing ^ + unsupported datatype -> coerces to string
+            F.concat(F.lit('"x^y"^^<http://unsupported/'), F.col("event_type"), F.lit(">"))
+        )
+    )
+    triples = events.select(
+        F.concat(F.lit("<e:"), F.col("event_id").cast("string"), F.lit(">")).alias("s"),
+        F.concat(F.lit("<p:"), F.col("event_type"), F.lit(">")).alias("p"),
+        o.alias("o"),
+        F.lit("en").alias("lang"),
+    )
+    typed = typed_triples(triples)
+    cleaned = typed.where((F.col("t") != XSD_DATE) | ~F.col("v").startswith('"-'))
+    return cleaned.select(
+        "s",
+        "p",
+        F.when(F.col("t") == URI_TYPE, F.col("v"))
+        .otherwise(F.concat(F.col("v"), F.lit("^^"), F.col("t")))
+        .alias("o"),
+    )
+
+
+def _q_schema_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3+D3+D4+P11+A7: majority-vote predicate datatypes joined back to
+    (p, lang) pairs, mapped to Dgraph types/index specs, en-* remapped,
+    deduped (DbpediaDgraphSparkApp.scala:318-324 shape)."""
+    from dgraph_dbpedia_spark.functions.rdf import typed_triples
+    from dgraph_dbpedia_spark.functions.schema_gen import infobox_predicate_schema
+    from dgraph_dbpedia_spark.operators.majority import majority_value_per_group
+
+    events = _t(spark, sf_dir, "events")
+    o = (
+        F.when(
+            F.col("event_type") == "click",
+            F.concat(F.lit("<http://x/u"), F.col("user_id").cast("string"), F.lit(">")),
+        )
+        .when(
+            F.col("event_type").isin("view", "error"),
+            F.concat(
+                F.lit('"'),
+                F.col("value").cast("string"),
+                F.lit('"^^<http://www.w3.org/2001/XMLSchema#double>'),
+            ),
+        )
+        .when(
+            # purchase: 3/4 date, 1/4 untyped literal -> majority = date
+            (F.col("event_type") == "purchase") & (F.col("user_id") % 4 != 0),
+            F.lit('"2001-01-02"^^<http://www.w3.org/2001/XMLSchema#date>'),
+        )
+        .when(F.col("event_type") == "purchase", F.lit('"plain"'))
+        .otherwise(
+            F.concat(
+                F.lit('"'),
+                F.col("user_id").cast("string"),
+                F.lit('"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+            )
+        )
+    )
+    triples = events.select(
+        F.concat(F.lit("<e:"), F.col("event_id").cast("string"), F.lit(">")).alias("s"),
+        F.concat(F.lit("<p:"), F.col("event_type"), F.lit(">")).alias("p"),
+        o.alias("o"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("de")).otherwise(F.lit("en-vi")).alias("lang"),
+    )
+    typed = typed_triples(triples)
+    pd = majority_value_per_group(typed, ["p"], "t").select("p", "t")
+    return infobox_predicate_schema(triples, pd)
+
+
+def _q_rdf_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 projection + F1 + P8: N-Triples output lines with the
+    Dgraph-invalid predicate blacklist applied."""
+    from dgraph_dbpedia_spark.functions.rdf import rdf_line
+    from dgraph_dbpedia_spark.plans.transform import invalid_predicate_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    triples = docs.select(
+        F.concat(F.lit("<doc:"), F.col("doc_id").cast("string"), F.lit(">")).alias("s"),
+        F.concat(
+            F.lit("<p:"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("bad@x"))
+            .when(F.col("doc_id") % 7 == 1, F.lit("odd~y"))
+            .otherwise(F.lit("ok")),
+            F.lit(">"),
+        ).alias("p"),
+        F.concat(F.lit('"'), F.col("source"), F.lit('"')).alias("o"),
+    )
+    return invalid_predicate_filter(triples).select(
+        rdf_line(F.col("s"), F.col("p"), F.col("o")).alias("line")
+    )
+
+
+def _q_node_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/D2: keep triples whose object URI's host language is in the
+    selected set; en namespace has no subdomain."""
+    from dgraph_dbpedia_spark.functions.rdf import node_lang
+
+    docs = _t(spark, sf_dir, "documents")
+    host = F.when(F.col("lang") == "en", F.lit("dbpedia.org")).otherwise(
+        F.concat(F.col("lang"), F.lit(".dbpedia.org"))
+    )
+    o = F.concat(
+        F.lit("<http://"), host, F.lit("/resource/R"), F.col("doc_id").cast("string"), F.lit(">")
+    )
+    df = docs.select("doc_id", o.alias("o"))
+    return df.where(node_lang(F.col("o")).isin("de", "en", "zh")).select(
+        "doc_id", node_lang(F.col("o")).alias("nl")
+    )
+
+
+def _q_en_lang_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11: en-* pseudo-languages remap to en for node-lang decisions."""
+    from dgraph_dbpedia_spark.functions.rdf import remap_en_lang
+
+    docs = _t(spark, sf_dir, "documents")
+    pseudo = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.lit("en-"), F.col("lang"))
+    ).otherwise(F.col("lang"))
+    return docs.select("doc_id", remap_en_lang(pseudo).alias("node_lang"))
+
+
+def _q_external_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2+F8+A7: distinct URIs -> ``_:md5(uri) <xid> "uri"`` triples
+    (DbpediaDgraphSparkApp.scala:374-398)."""
+    from dgraph_dbpedia_spark.plans.transform import external_id_triples
+
+    docs = _t(spark, sf_dir, "documents")
+    uris = docs.select(
+        F.concat(
+            F.lit("<http://x/R"), (F.col("doc_id") % 100).cast("string"), F.lit(">")
+        ).alias("s"),
+        "lang",
+    )
+    return external_id_triples([uris])
+
+
+def _q_geo_point_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3-F6 strict variant: parse ``"LAT LON"``, swap to (lon, lat)
+    numeric columns — value-checked without JSON formatting."""
+    events = _t(spark, sf_dir, "events")
+    point = F.concat(
+        F.lit('"'),
+        F.round(F.col("value"), 4).cast("string"),
+        F.lit(" "),
+        F.round(F.col("value") / 3, 4).cast("string"),
+        F.lit('"'),
+    )
+    coords = F.split(F.regexp_replace(point, '"', ""), " ").cast("array<double>")
+    lonlat = F.array(coords.getItem(1), coords.getItem(0))
+    return events.select(
+        "event_id",
+        F.round(lonlat.getItem(0), 4).alias("lon"),
+        F.round(lonlat.getItem(1), 4).alias("lat"),
+    )
+
+
+def _q_approx_distinct_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 scale path: approx_count_distinct instead of exact distinct
+    (SURVEY §7 100 TB posture). Rows-only check: HLL estimates are
+    engine-specific."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.approx_count_distinct("source").alias("n_sources_approx")
+    )
+
+
 # --------------------------------------------------------------------------
 # training-data-pipeline extensions
 
@@ -374,6 +573,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_pivot": _q_stats_pivot,
     "rollup_counts": _q_rollup_counts,
     "window_tumbling": _q_window_tumbling,
+    "typed_cleanup": _q_typed_cleanup,
+    "schema_derivation": _q_schema_derivation,
+    "rdf_lines": _q_rdf_lines,
+    "node_lang_filter": _q_node_lang_filter,
+    "en_lang_remap": _q_en_lang_remap,
+    "external_ids": _q_external_ids,
+    "geo_point_parts": _q_geo_point_parts,
+    "approx_distinct_nodes": _q_approx_distinct_nodes,
     "dedup_exact": _q_dedup_exact,
     "token_count": _q_token_count,
     "cosine_topk": _q_cosine_topk,
@@ -657,6 +864,144 @@ def oracle_sql() -> dict[str, str]:
             FROM src
         """,
         # geo_geojson: no oracle (JSON float formatting is engine-specific)
+        "typed_cleanup": """
+            WITH src AS (
+                SELECT event_id, event_type, user_id,
+                       CASE WHEN event_type = 'click'
+                            THEN '<http://x/u' || user_id::VARCHAR || '>'
+                            WHEN event_type = 'view'
+                            THEN '"' || value::VARCHAR || '"^^<http://www.w3.org/2001/XMLSchema#double>'
+                            WHEN event_type = 'purchase' AND user_id % 10 = 0
+                            THEN '"-0044-03-15"^^<http://www.w3.org/2001/XMLSchema#date>'
+                            WHEN event_type = 'purchase'
+                            THEN '"19' || lpad((user_id % 90)::VARCHAR, 2, '0') || '-01-02"^^<http://www.w3.org/2001/XMLSchema#date>'
+                            ELSE '"x^y"^^<http://unsupported/' || event_type || '>'
+                       END AS o
+                FROM events),
+            typed AS (
+                SELECT '<e:' || event_id::VARCHAR || '>' AS s,
+                       '<p:' || event_type || '>' AS p,
+                       CASE WHEN starts_with(o, '<') THEN o
+                            WHEN contains(o, '^^')
+                            THEN o[1:length(o) - length(list_extract(string_split(o, '^^'), -1)) - 2]
+                            ELSE o END AS v,
+                       CASE WHEN starts_with(o, '<') THEN '<uri>'
+                            WHEN contains(o, '^^')
+                            THEN list_extract(string_split(o, '^^'), -1)
+                            ELSE NULL END AS rawt
+                FROM src),
+            coerced AS (
+                SELECT s, p, v,
+                       CASE WHEN rawt IN ('<uri>',
+                                          '<http://www.w3.org/2001/XMLSchema#date>',
+                                          '<http://www.w3.org/2001/XMLSchema#double>',
+                                          '<http://www.w3.org/2001/XMLSchema#integer>',
+                                          '<http://www.w3.org/2001/XMLSchema#string>')
+                            THEN rawt
+                            ELSE '<http://www.w3.org/2001/XMLSchema#string>' END AS t
+                FROM typed)
+            SELECT s, p,
+                   CASE WHEN t = '<uri>' THEN v ELSE v || '^^' || t END AS o
+            FROM coerced
+            WHERE NOT (t = '<http://www.w3.org/2001/XMLSchema#date>'
+                       AND starts_with(v, '"-'))
+        """,
+        "schema_derivation": """
+            WITH trip AS (
+                SELECT '<p:' || event_type || '>' AS p,
+                       CASE WHEN user_id % 2 = 0 THEN 'de' ELSE 'en' END AS lang,
+                       CASE WHEN event_type = 'click' THEN '<uri>'
+                            WHEN event_type IN ('view', 'error')
+                            THEN '<http://www.w3.org/2001/XMLSchema#double>'
+                            WHEN event_type = 'purchase' AND user_id % 4 != 0
+                            THEN '<http://www.w3.org/2001/XMLSchema#date>'
+                            WHEN event_type = 'purchase'
+                            THEN '<http://www.w3.org/2001/XMLSchema#string>'
+                            ELSE '<http://www.w3.org/2001/XMLSchema#integer>' END AS t
+                FROM events),
+            maj AS (
+                SELECT p, t FROM (
+                    SELECT p, t, row_number() OVER (
+                        PARTITION BY p ORDER BY count(*) DESC, t ASC) AS rn
+                    FROM trip GROUP BY p, t) x
+                WHERE rn = 1),
+            mapped AS (
+                SELECT DISTINCT 'infobox_properties' AS dataset, trip.p, trip.lang,
+                       CASE maj.t WHEN '<uri>' THEN '[uid]'
+                                  WHEN '<http://www.w3.org/2001/XMLSchema#date>' THEN 'datetime'
+                                  WHEN '<http://www.w3.org/2001/XMLSchema#double>' THEN 'float'
+                                  WHEN '<http://www.w3.org/2001/XMLSchema#integer>' THEN 'int'
+                                  ELSE 'string' END AS t
+                FROM trip JOIN maj ON trip.p = maj.p)
+            SELECT dataset, p, lang, t,
+                   CASE t WHEN '[uid]' THEN '@reverse'
+                          WHEN 'datetime' THEN '@index(day)'
+                          WHEN 'float' THEN '@index(float)'
+                          WHEN 'int' THEN '@index(int)'
+                          ELSE '@index(fulltext)' END AS i
+            FROM mapped
+        """,
+        "rdf_lines": """
+            WITH t AS (
+                SELECT '<doc:' || doc_id::VARCHAR || '>' AS s,
+                       '<p:' || (CASE WHEN doc_id % 7 = 0 THEN 'bad@x'
+                                      WHEN doc_id % 7 = 1 THEN 'odd~y'
+                                      ELSE 'ok' END) || '>' AS p,
+                       '"' || source || '"' AS o
+                FROM documents)
+            SELECT s || ' ' || p || ' ' || o || ' .' AS line
+            FROM t WHERE NOT contains(p, '@') AND NOT contains(p, '~')
+        """,
+        "node_lang_filter": """
+            WITH t AS (
+                SELECT doc_id,
+                       '<http://' ||
+                       (CASE WHEN lang = 'en' THEN 'dbpedia.org'
+                             ELSE lang || '.dbpedia.org' END) ||
+                       '/resource/R' || doc_id::VARCHAR || '>' AS o
+                FROM documents),
+            n AS (
+                SELECT doc_id,
+                       CASE WHEN regexp_extract(o, '^<?http://([^./]+)\\.', 1) = 'dbpedia'
+                            THEN 'en'
+                            ELSE regexp_extract(o, '^<?http://([^./]+)\\.', 1) END AS nl
+                FROM t)
+            SELECT doc_id, nl FROM n WHERE nl IN ('de', 'en', 'zh')
+        """,
+        "en_lang_remap": """
+            SELECT doc_id,
+                   CASE WHEN contains(l, '-') THEN 'en' ELSE l END AS node_lang
+            FROM (SELECT doc_id,
+                         CASE WHEN doc_id % 3 = 0 THEN 'en-' || lang
+                              ELSE lang END AS l
+                  FROM documents)
+        """,
+        "external_ids": """
+            WITH u AS (
+                SELECT DISTINCT
+                       '<http://x/R' || (doc_id % 100)::VARCHAR || '>' AS uri,
+                       lang
+                FROM documents)
+            SELECT '_:' || md5(uri) AS s, '<xid>' AS p,
+                   '"' || uri[2:length(uri) - 1] || '"' AS o, lang
+            FROM u
+        """,
+        "geo_point_parts": """
+            WITH p AS (
+                SELECT event_id,
+                       '"' || round(value, 4)::VARCHAR || ' ' ||
+                       round(value / 3, 4)::VARCHAR || '"' AS point
+                FROM events),
+            c AS (
+                SELECT event_id,
+                       string_split(replace(point, '"', ''), ' ') AS coords
+                FROM p)
+            SELECT event_id,
+                   round(coords[2]::DOUBLE, 4) AS lon,
+                   round(coords[1]::DOUBLE, 4) AS lat
+            FROM c
+        """,
+        # approx_distinct_nodes: no oracle (HLL estimates are engine-specific)
         "dedup_exact": """
             SELECT md5(text) AS fp, min(doc_id) AS doc_id
             FROM documents GROUP BY md5(text)

@@ -5,19 +5,75 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is executed with a count()/collect() action so the full plan
 runs; timing covers plan + execution (not session startup).
+
+Additionally measures the two reference pipelines end-to-end on a
+generated reference-shaped ttl corpus (~20 triples/subject, subjects
+scaled by sf) and reports triples/s under "pipelines" — the unit
+BASELINE.md publishes (ingest ~300k, transform ~400k triples/s on
+8 cores). Set SPARK_GRAFT_PIPELINE=0 to skip that section.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod
 from dgraph_dbpedia_spark.session import build_session
+
+
+def bench_pipelines(spark, sf: float) -> dict[str, float]:
+    """Ingest (.ttl -> parquet) and transform (parquet -> RDF + schema)
+    wall-clock + triples/s on a generated corpus. Corpus generation and
+    the throughput-denominator counts run outside the timed windows."""
+    from dgraph_dbpedia_spark.benchgen import generate_ttl_corpus, LANGS
+    from dgraph_dbpedia_spark.plans.ingest import ingest
+    from dgraph_dbpedia_spark.plans.transform import TransformConfig, transform
+
+    n_subjects = int(os.environ.get("SPARK_GRAFT_BENCH_SUBJECTS", int(600_000 * sf)))
+    work = tempfile.mkdtemp(prefix="sparkgraft-bench-")
+    try:
+        ttl_root = f"{work}/ttl"
+        generate_ttl_corpus(spark, ttl_root, n_subjects)
+
+        start = time.perf_counter()
+        results = ingest(spark, ttl_root, f"{work}/parquet", print_stats=False)
+        ingest_s = time.perf_counter() - start
+        in_triples = sum(
+            spark.read.parquet(r.path).count() for r in results
+        )
+
+        cfg = TransformConfig(
+            write_types=True,
+            externalise_uris=True,
+            remove_language_tags=True,
+            top_infobox_properties_per_lang=100,
+            print_stats=False,
+        )
+        start = time.perf_counter()
+        outputs = transform(
+            spark, f"{work}/parquet", f"{work}/rdf", languages=list(LANGS), cfg=cfg
+        )
+        transform_s = time.perf_counter() - start
+        out_triples = sum(df.count() for df in outputs.values())
+
+        return {
+            "subjects": n_subjects,
+            "ingest_sec": round(ingest_s, 3),
+            "ingest_triples": in_triples,
+            "ingest_triples_per_sec": round(in_triples / ingest_s),
+            "transform_sec": round(transform_s, 3),
+            "transform_out_triples": out_triples,
+            "transform_triples_per_sec": round(in_triples / transform_s),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def main() -> None:
@@ -33,6 +89,10 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 3)
         _ = n
 
+    pipelines: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_PIPELINE", "1") != "0":
+        pipelines = bench_pipelines(spark, sf)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -42,6 +102,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "pipelines": pipelines,
             }
         )
     )

@@ -146,19 +146,25 @@ def cosine_near_dup_pairs(
     """All pairs with cosine >= threshold, LSH-bucketed: only vectors in
     the same bucket are compared (high-cosine pairs land together with
     probability (1 - theta/pi)^n_planes). Returns ``(a, b, sim)``."""
+    # norms precomputed per VECTOR (n rows), not per pair (~n^2/buckets
+    # rows): inside the bucket join only the dot product remains —
+    # higher-order array aggregates run interpreted, so halving the
+    # per-pair array passes matters
     sk = df.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("e"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("n"),
         hyperplane_signs(F.col(vec_col).cast("array<double>"), n_planes, dims).alias(
             "bucket"
         ),
     )
-    a = sk.select(F.col(id_col).alias("a"), F.col("e").alias("ea"), "bucket")
-    b = sk.select(F.col(id_col).alias("b"), F.col("e").alias("eb"), "bucket")
+    a = sk.select(F.col(id_col).alias("a"), F.col("e").alias("ea"), F.col("n").alias("na"), "bucket")
+    b = sk.select(F.col(id_col).alias("b"), F.col("e").alias("eb"), F.col("n").alias("nb"), "bucket")
+    sim = F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")), 4)
     return (
         a.join(b, "bucket")
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", F.round(cosine("ea", "eb"), 4).alias("sim"))
+        .select("a", "b", sim.alias("sim"))
         .where(F.col("sim") >= threshold)
         .distinct()
     )

@@ -67,13 +67,19 @@ def ingest(
     languages: list[str] | None = None,
     datasets: list[str] | None = None,
     print_stats: bool = True,
+    parallelism: int = 4,
 ) -> list[IngestResult]:
+    """Per-dataset jobs are independent (separate inputs, separate output
+    trees), so they are submitted from a small driver-side thread pool:
+    Spark's scheduler interleaves their stages and keeps executors busy
+    while any one job is in its sampling/commit phases. The reference
+    runs datasets serially (DbpediaToParquetSparkApp.scala:71-95); the
+    result is identical, only the job submission overlaps."""
     languages = languages or catalog.list_languages(root)
     datasets = datasets or catalog.list_datasets(root)
     datasets = [d for d in datasets if not d.endswith("_en_uris")]
 
-    results = []
-    for dataset in datasets:
+    def run(dataset: str) -> IngestResult:
         df = load_dataset(spark, root, dataset, languages)
         parquet_path = os.path.join(out, f"{dataset}.parquet")
         write_partitioned_by(
@@ -86,5 +92,11 @@ def ingest(
         result = IngestResult(dataset, parquet_path)
         if print_stats:
             result.stats = dataset_counts(spark.read.parquet(parquet_path))
-        results.append(result)
-    return results
+        return result
+
+    if parallelism <= 1:
+        return [run(d) for d in datasets]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=parallelism) as pool:
+        return list(pool.map(run, datasets))

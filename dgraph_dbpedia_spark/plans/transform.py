@@ -182,8 +182,13 @@ def clean_geo(df: DataFrame, cfg: TransformConfig) -> DataFrame:
 
 def external_id_triples(frames: list[DataFrame]) -> DataFrame:
     """All URIs seen anywhere -> ``_:md5(uri) <xid> "uri"`` triples
-    (DbpediaDgraphSparkApp.scala:374-398). Each input is ``(s, lang)``."""
-    unioned = reduce(DataFrame.unionByName, [f.distinct() for f in frames]).distinct()
+    (DbpediaDgraphSparkApp.scala:374-398). Each input is ``(s, lang)``.
+
+    One global distinct instead of the reference's per-frame distincts:
+    the result set is identical, and partial (map-side) aggregation
+    already collapses in-frame duplicates before the single shuffle —
+    n frames' worth of extra shuffles saved."""
+    unioned = reduce(DataFrame.unionByName, frames).distinct()
     return unioned.select(
         blank_node(F.col("s")).alias("s"),
         F.lit("<xid>").alias("p"),
@@ -217,18 +222,31 @@ def write_rdf(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     """Partitioned sorted gzip text sink for RDF lines (S6,
     DbpediaDgraphSparkApp.scala:496-516): partition dirs by ``lang``,
     file-split by ``(p, s)``, in-file sort by ``o``, projection to the
-    N-Triples line at write time. Returns the read-back frame."""
-    if not df.isEmpty():
-        write_partitioned_by(
-            invalid_predicate_filter(df),
-            partition_cols=["lang"],
-            more_file_cols=["p", "s"],
-            sort_cols=["o"],
-            projection=[rdf_line(F.col("s"), F.col("p"), F.col("o")).alias("line")],
-            fmt="text",
-            options={"compression": "gzip"},
-            path=path,
-        )
+    N-Triples line at write time. Returns the read-back frame.
+
+    The frame is persisted for the duration of the sink because three
+    actions consume it — the isEmpty guard (P12), the range
+    partitioner's sampling pass, and the write itself. Without the
+    persist the full upstream plan (windows, joins, gzip re-scans for
+    derived datasets) executes three times; with it, once (X1 — the
+    reference caches reused subplans for the same reason)."""
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        if not df.isEmpty():
+            write_partitioned_by(
+                invalid_predicate_filter(df),
+                partition_cols=["lang"],
+                more_file_cols=["p", "s"],
+                sort_cols=["o"],
+                projection=[rdf_line(F.col("s"), F.col("p"), F.col("o")).alias("line")],
+                fmt="text",
+                options={"compression": "gzip"},
+                path=path,
+            )
+    finally:
+        df.unpersist()
     return read_rdf(spark, path)
 
 
@@ -308,11 +326,19 @@ def transform(
         spark, infobox_triples, predicate_datatypes,
         cfg.remove_language_tags, cfg.externalise_uris,
     ).cache()
+    # materialize the cached dimensions (topk, predicate_datatypes,
+    # schema) once, before concurrent writers race to compute them
+    schema.count()
     write_schema(schema, f"{out}/schema.dgraph", indexed=False)
     write_schema(schema, f"{out}/schema.indexed.dgraph", indexed=True)
 
-    outputs: dict[str, DataFrame] = {}
-    for name, frame in [
+    # the seven dataset sinks are independent jobs — submit them from a
+    # driver-side thread pool so Spark interleaves their stages (the
+    # sampling/commit phases of one write leave executors idle for the
+    # others); results are identical to the reference's serial loop
+    from concurrent.futures import ThreadPoolExecutor
+
+    frames = [
         ("labels", labels),
         ("infobox_properties", infobox),
         ("interlanguage_links", interlang),
@@ -320,8 +346,13 @@ def transform(
         ("article_categories", categories),
         ("skos_categories", skos),
         ("geo_coordinates", geo),
-    ]:
-        outputs[name] = write_rdf(spark, frame, f"{out}/{name}.rdf")
+    ]
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futures = {
+            name: pool.submit(write_rdf, spark, frame, f"{out}/{name}.rdf")
+            for name, frame in frames
+        }
+        outputs: dict[str, DataFrame] = {n: f.result() for n, f in futures.items()}
 
     if cfg.write_types:
         articles = [
