@@ -536,6 +536,16 @@ def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dgraph_dbpedia_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("q"))
+    return ivf_topk(
+        emb.where(F.col("vec_id") > 0), query, k=5, n_centroids=16, n_probe=2
+    )
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dgraph_dbpedia_spark.operators.multimodal import (
         attach_binary,
@@ -593,6 +603,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts_bpe": _q_token_counts_bpe,
     "fingerprint": _q_fingerprint,
     "lsh_ann_topk": _q_lsh_ann_topk,
+    "ivf_ann_topk": _q_ivf_ann_topk,
     "cosine_near_dup": _q_cosine_near_dup,
     "sliding_window": _q_sliding_window,
     "sessionize": _q_sessionize,
@@ -720,11 +731,42 @@ def _sql_bucket(vec_expr: str, n_planes: int, dims: int) -> str:
     return f"({terms})"
 
 
-def _sql_cosine(a: str, b: str) -> str:
+def _sql_cosine(a: str, b: str, digits: int = 4) -> str:
     return (
         f"round(list_dot_product({a}, {b}) / "
-        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 4)"
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), {digits})"
     )
+
+
+def _sql_ivf_topk(k: int = 5, n_centroids: int = 16, n_probe: int = 2) -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id > 0),
+        cent AS (
+            SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT {n_centroids}),
+        q AS (
+            SELECT embedding::DOUBLE[] AS q FROM embeddings
+            ORDER BY vec_id LIMIT 1),
+        asg AS (
+            SELECT vec_id, v, cid FROM (
+                SELECT e.vec_id, e.v, cent.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_sql_cosine('e.v', 'cent.c', 6)} DESC,
+                                    cent.cid ASC) AS rn
+                FROM e CROSS JOIN cent) x
+            WHERE rn = 1),
+        probes AS (
+            SELECT cid FROM (
+                SELECT cid, {_sql_cosine('c', 'q', 6)} AS csim
+                FROM cent CROSS JOIN q
+                ORDER BY csim DESC, cid LIMIT {n_probe}) y)
+        SELECT a.vec_id, {_sql_cosine('a.v', 'q.q')} AS sim
+        FROM asg a SEMI JOIN probes p ON a.cid = p.cid
+        CROSS JOIN q
+        ORDER BY sim DESC, a.vec_id LIMIT {k}
+    """
 
 
 def _sql_lsh_ann_topk(k: int = 5, n_planes: int = 8, dims: int = 64) -> str:
@@ -1137,6 +1179,7 @@ def oracle_sql() -> dict[str, str]:
             FROM w
         """,
         "lsh_ann_topk": _sql_lsh_ann_topk(),
+        "ivf_ann_topk": _sql_ivf_topk(),
         "cosine_near_dup": _sql_cosine_near_dup(),
         "sliding_window": """
             WITH e AS (

@@ -81,6 +81,10 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = build_session(app_name="dgraph_dbpedia_spark-bench")
 
+    # warm the JVM/codegen paths so the first timed query doesn't carry
+    # one-time session costs (parquet footer reads, codegen compiler)
+    spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10).count()
+
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
         start = time.perf_counter()

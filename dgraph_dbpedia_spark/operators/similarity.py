@@ -135,6 +135,79 @@ def lsh_bucketed_topk(
     return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine (the IVF
+    inverted lists). Deterministic tie-break: round(sim, 6) desc, then
+    centroid id asc. Returns ``(id, vec, cid)``.
+
+    Cost shape: |df| x |centroids| dot products via a broadcast
+    nested-loop join — the standard IVF assignment cost; the windowed
+    argmax partitions by vector id, so each vector's k candidate rows
+    stay in one task."""
+    from pyspark.sql import Window
+
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cid"),
+        F.round(cosine(vec_col, "c"), 6).alias("csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col(id_col), F.col(vec_col), "cid")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_col: str = "q",
+    n_centroids: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: deterministic seed centroids (the
+    ``n_centroids`` lowest-id vectors), one-pass nearest-centroid
+    assignment, query probes its ``n_probe`` nearest lists, exact cosine
+    re-rank inside the probed lists only.
+
+    The scale path vs brute force: the full scan is replaced by reading
+    ~n_probe/n_centroids of the data; the inverted lists are an
+    equi-join key, so storage can be bucketed/partitioned by ``cid``
+    and probing prunes partitions. Recall < 1 by construction; raise
+    n_probe for recall, n_centroids for finer lists."""
+    e = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("e"))
+    centroids = (
+        e.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col("e").alias("c"))
+    )
+    lists = ivf_assign(e, centroids, id_col, "e")
+
+    q = query.select(F.col(query_col).cast("array<double>").alias("q"))
+    probes = (
+        centroids.crossJoin(F.broadcast(q))
+        .select("cid", F.round(cosine("c", "q"), 6).alias("csim"))
+        .orderBy(F.col("csim").desc(), F.col("cid"))
+        .limit(n_probe)
+        .select("cid")
+    )
+    cand = lists.join(F.broadcast(probes), "cid", "left_semi")
+    scored = cand.crossJoin(F.broadcast(q)).select(
+        F.col(id_col), F.round(cosine("e", "q"), 4).alias("sim")
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

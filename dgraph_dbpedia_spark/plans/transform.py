@@ -329,13 +329,12 @@ def transform(
     # materialize the cached dimensions (topk, predicate_datatypes,
     # schema) once, before concurrent writers race to compute them
     schema.count()
-    write_schema(schema, f"{out}/schema.dgraph", indexed=False)
-    write_schema(schema, f"{out}/schema.indexed.dgraph", indexed=True)
 
-    # the seven dataset sinks are independent jobs — submit them from a
-    # driver-side thread pool so Spark interleaves their stages (the
-    # sampling/commit phases of one write leave executors idle for the
-    # others); results are identical to the reference's serial loop
+    # every sink below except types.rdf is an independent job — submit
+    # them from a driver-side thread pool so Spark interleaves their
+    # stages under the FAIR scheduler (the sampling/commit phases of one
+    # write leave executors idle for the others); results are identical
+    # to the reference's serial loop
     from concurrent.futures import ThreadPoolExecutor
 
     frames = [
@@ -347,12 +346,42 @@ def transform(
         ("skos_categories", skos),
         ("geo_coordinates", geo),
     ]
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        schema_futures = [
+            pool.submit(write_schema, schema, f"{out}/schema.dgraph", False),
+            pool.submit(write_schema, schema, f"{out}/schema.indexed.dgraph", True),
+        ]
         futures = {
             name: pool.submit(write_rdf, spark, frame, f"{out}/{name}.rdf")
             for name, frame in frames
         }
+        xid_future = None
+        if cfg.externalise_uris:
+            xid_inputs = [
+                label_triples.select("s", "lang"),
+                infobox_triples.select("s", "lang"),
+                interlang_triples.select("s", "lang"),
+                interlang_triples.select(F.col("o").alias("s"), "lang"),
+                page_links_triples.select("s", "lang"),
+                page_links_triples.select(F.col("o").alias("s"), "lang"),
+                category_triples.select("s", "lang"),
+                category_triples.select(F.col("o").alias("s"), "lang"),
+                skos_triples.select("s", "lang"),
+                skos_triples.select(F.col("o").alias("s"), "lang").where(
+                    F.col("p").isin(SKOS_RELATED, SKOS_BROADER)
+                ),
+                spark.createDataFrame([(SKOS_CONCEPT, "any")], ["s", "lang"]),
+                geo_triples.select("s", "lang"),
+            ]
+            xid_future = pool.submit(
+                write_rdf, spark, external_id_triples(xid_inputs),
+                f"{out}/external_ids.rdf",
+            )
         outputs: dict[str, DataFrame] = {n: f.result() for n, f in futures.items()}
+        for f in schema_futures:
+            f.result()
+        if xid_future is not None:
+            outputs["external_ids"] = xid_future.result()
 
     if cfg.write_types:
         articles = [
@@ -366,27 +395,6 @@ def transform(
             outputs["skos_categories"].select("s", "lang"),
         )
         outputs["types"] = write_rdf(spark, types, f"{out}/types.rdf")
-
-    if cfg.externalise_uris:
-        xid_inputs = [
-            label_triples.select("s", "lang"),
-            infobox_triples.select("s", "lang"),
-            interlang_triples.select("s", "lang"),
-            interlang_triples.select(F.col("o").alias("s"), "lang"),
-            page_links_triples.select("s", "lang"),
-            page_links_triples.select(F.col("o").alias("s"), "lang"),
-            category_triples.select("s", "lang"),
-            category_triples.select(F.col("o").alias("s"), "lang"),
-            skos_triples.select("s", "lang"),
-            skos_triples.select(F.col("o").alias("s"), "lang").where(
-                F.col("p").isin(SKOS_RELATED, SKOS_BROADER)
-            ),
-            spark.createDataFrame([(SKOS_CONCEPT, "any")], ["s", "lang"]),
-            geo_triples.select("s", "lang"),
-        ]
-        outputs["external_ids"] = write_rdf(
-            spark, external_id_triples(xid_inputs), f"{out}/external_ids.rdf"
-        )
 
     if cfg.print_stats:
         coverage = outputs["infobox_properties"].count() * 100 // max(all_infobox.count(), 1)

@@ -53,3 +53,28 @@ def test_near_dup_pairs(spark, vectors):
              cosine_near_dup_pairs(vectors, threshold=0.95, dims=4, n_planes=4).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] >= 0.99
     assert all(s >= 0.95 for s in pairs.values())
+
+
+def test_ivf_topk_exact_within_probed_lists(spark, vectors, query):
+    from dgraph_dbpedia_spark.operators.similarity import ivf_topk
+
+    # 2 centroids (ids 0, 1 — both near the query), probe 1: every vector
+    # assigns to one of the two near-identical centroids, so probing the
+    # nearest list must surface the exact match first
+    out = ivf_topk(vectors, query, k=3, n_centroids=2, n_probe=1)
+    rows = out.collect()
+    assert rows[0]["vec_id"] == 0
+    assert rows[0]["sim"] == 1.0
+    # ids come from the probed inverted list only
+    assert len(rows) <= 3
+
+
+def test_ivf_full_probe_equals_brute_force(spark, vectors, query):
+    from dgraph_dbpedia_spark.operators.similarity import cosine_topk, ivf_topk
+
+    # probing every list makes IVF exhaustive == brute force
+    ivf = ivf_topk(vectors, query, k=5, n_centroids=2, n_probe=2)
+    brute = cosine_topk(vectors, query, k=5)
+    assert [r["vec_id"] for r in ivf.collect()] == [
+        r["vec_id"] for r in brute.collect()
+    ]
