@@ -43,14 +43,16 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, w: int) -> DataFrame:
     return toks.select(F.col(id_col), shingles(F.col("toks"), w).alias("sh"))
 
 
-def _hashed_shingled(df: DataFrame, text_col: str, id_col: str, w: int) -> DataFrame:
+def _hashed_shingled(
+    df: DataFrame, text_col: str, id_col: str, w: int, fast: bool = False
+) -> DataFrame:
     """Shingle sets as int64 hashes: 8-byte join/intersect keys instead
     of multi-word strings. Distinctness is preserved (60-bit md5-derived
     hashes; collision probability is negligible at any realistic doc
     size), shuffle volume drops by the average shingle length."""
     sh = _shingled(df, text_col, id_col, w)
     return sh.select(
-        F.col(id_col), F.transform("sh", lambda s: hash64(s)).alias("sh")
+        F.col(id_col), F.transform("sh", lambda s: hash64(s, fast=fast)).alias("sh")
     )
 
 
@@ -61,18 +63,20 @@ def ngram_jaccard_pairs(
     w: int = 3,
     threshold: float = 0.8,
     max_shingle_freq: int | None = None,
+    fast: bool = False,
 ) -> DataFrame:
     """All pairs (a < b) with shingle-set Jaccard >= threshold.
 
     Sparse plan: explode distinct shingles, self-equi-join on the
     shingle, count joint shingles per pair (= intersection size), then
     ``|A ∪ B| = |A| + |B| - |A ∩ B|``. Only documents sharing at least
-    one shingle ever meet.
+    one shingle ever meet. ``fast=True`` -> xxhash64 shingle keys
+    (production path, not oracle-checkable).
     """
     # persist: the shingled frame feeds four plan branches (two join
     # sides + two size lookups); without it Catalyst recomputes the
     # shingling per branch (no cross-branch subplan sharing, SURVEY §4)
-    sh = _hashed_shingled(df, text_col, id_col, w).persist()
+    sh = _hashed_shingled(df, text_col, id_col, w, fast).persist()
     sizes = sh.select(F.col(id_col), F.size("sh").alias("n"))
     exploded = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
     if max_shingle_freq is not None:
@@ -115,6 +119,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     w: int = 3,
     k: int = 16,
+    fast: bool = False,
 ) -> DataFrame:
     """k-minimum-hash signature per document: ``sig[i] = min over
     shingles of hash_i(shingle)``. Returns ``(id, sig: array<bigint>)``.
@@ -122,17 +127,34 @@ def minhash_signatures(
     Entirely per-row (no shuffle): a transform+array_min per seed over
     the shingle array.
     """
-    return _signatures_from_shingles(_shingled(df, text_col, id_col, w), id_col, k)
+    return _signatures_from_shingles(
+        _shingled(df, text_col, id_col, w), id_col, k, fast
+    )
 
 
-def _signatures_from_shingles(sh: DataFrame, id_col: str, k: int) -> DataFrame:
+def _signatures_from_shingles(
+    sh: DataFrame, id_col: str, k: int, fast: bool = False
+) -> DataFrame:
     """k signature lanes from k/2 md5 passes: each 128-bit md5 digest
     yields two independent 60-bit components (hex chars 1-15 and 16-30).
     The seeded digests are materialized as bound columns in a first
     select so the min-extraction transforms don't recompute them.
 
+    ``fast=True``: k seeded xxhash64 lanes instead — fully codegen'd,
+    no hex decode, the 100 TB path (not oracle-checkable).
+
     Closure capture, NOT default args, in the lambdas: pyspark counts
     lambda params to decide between (x) and (x, index) variants."""
+    if fast:
+
+        def lane_fast(i: int):
+            return F.array_min(
+                F.transform("sh", lambda s: F.xxhash64(s, F.lit(i)))
+            )
+
+        sig = F.array(*[lane_fast(i) for i in range(k)])
+        return sh.select(F.col(id_col), sig.alias("sig"))
+
     assert k % 2 == 0, "k must be even (two lanes per md5 digest)"
     half = k // 2
 
@@ -161,6 +183,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 4,
+    fast: bool = False,
 ) -> DataFrame:
     """LSH banding: documents agreeing on all rows of any band become a
     candidate pair. Returns distinct ``(a, b)`` with a < b.
@@ -177,7 +200,8 @@ def minhash_lsh_candidates(
                         F.col("sig").getItem(b * rows_per_band + r).cast("string")
                         for r in range(rows_per_band)
                     ],
-                )
+                ),
+                fast=fast,
             )
             for b in range(bands)
         ]
@@ -203,17 +227,19 @@ def minhash_dedup_pairs(
     k: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    fast: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-dup pipeline: signatures -> banded candidates ->
     exact-Jaccard verification of candidates only. Returns
-    ``(a, b, jaccard)`` pairs above threshold."""
+    ``(a, b, jaccard)`` pairs above threshold. ``fast=True`` -> seeded
+    xxhash64 everywhere (production path, not oracle-checkable)."""
     rows_per_band = k // bands
     # one shingling pass feeds signatures AND the verify step
     sh_str = _shingled(df, text_col, id_col, w).persist()
-    sigs = _signatures_from_shingles(sh_str, id_col, k)
-    cands = minhash_lsh_candidates(sigs, id_col, bands, rows_per_band)
+    sigs = _signatures_from_shingles(sh_str, id_col, k, fast)
+    cands = minhash_lsh_candidates(sigs, id_col, bands, rows_per_band, fast)
     sh = sh_str.select(
-        F.col(id_col), F.transform("sh", lambda s: hash64(s)).alias("sh")
+        F.col(id_col), F.transform("sh", lambda s: hash64(s, fast=fast)).alias("sh")
     )
     sa = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
@@ -232,12 +258,13 @@ N_SIMHASH_BITS = 60  # fits the cross-engine 15-hex-char hash
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    fast: bool = False,
 ) -> DataFrame:
     """60-bit SimHash per document over whitespace tokens: bit b is set
     iff the sum over tokens of (+-1 by token-hash bit b) is positive.
     Returns ``(id, simhash: bigint)``. Per-row only — no shuffle."""
-    hs = F.transform(tokens(F.col(text_col)), lambda t: hash64(t))
+    hs = F.transform(tokens(F.col(text_col)), lambda t: hash64(t, fast=fast))
     df = df.select(F.col(id_col), hs.alias("hs"))
 
     # NB: pyspark's higher-order-function wrapper derives lambda arity by
@@ -264,6 +291,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    fast: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
@@ -271,7 +299,7 @@ def simhash_near_dup_pairs(
     agrees exactly on at least one chunk (pigeonhole), so candidate
     generation is an equi-join on (chunk-index, chunk-value) — no
     all-pairs comparison. Returns ``(a, b, hamming)``."""
-    sh = simhash(df, text_col, id_col)
+    sh = simhash(df, text_col, id_col, fast)
     chunks = F.array(
         *[
             F.shiftright(F.col("simhash"), c * 15).bitwiseAND(F.lit((1 << 15) - 1))

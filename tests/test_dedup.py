@@ -72,3 +72,35 @@ def test_no_python_udf_in_plans(spark, docs):
                ngram_jaccard_pairs(docs, threshold=0.1)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fast_hash_variants_same_shape_and_dups(spark):
+    """fast=True (xxhash64 production path) keeps plan shape and still
+    finds the obvious near-duplicate pair; values differ from the md5
+    oracle family by design."""
+    from dgraph_dbpedia_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        ngram_jaccard_pairs,
+        simhash,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "completely different text about spark query engines"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    mh = minhash_dedup_pairs(df, w=3, k=16, bands=8, threshold=0.3, fast=True)
+    assert [(r["a"], r["b"]) for r in mh.collect()] == [(1, 2)]
+    assert mh.schema.simpleString() == "struct<a:bigint,b:bigint,jaccard:double>"
+
+    nj = ngram_jaccard_pairs(df, w=3, threshold=0.3, fast=True)
+    assert [(r["a"], r["b"]) for r in nj.collect()] == [(1, 2)]
+
+    sh1 = {r["doc_id"]: r["simhash"] for r in simhash(df, fast=True).collect()}
+    sh2 = {r["doc_id"]: r["simhash"] for r in simhash(df, fast=True).collect()}
+    assert sh1 == sh2  # deterministic across runs
+    # near-dup docs agree on most bits, the unrelated doc doesn't
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sh1[1], sh1[2]) < ham(sh1[1], sh1[3])
