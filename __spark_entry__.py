@@ -111,6 +111,33 @@ def _q_join_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_nationkey", "n_name", "r_name")
 
 
+def _q_multi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite plan check (TPC-H Q5 shape): 6-table join with
+    broadcast dimension chain + aggregation — exercises Catalyst's join
+    reordering and AQE broadcast selection on a star schema."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .where(customer.c_nationkey == supplier.s_nationkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def _q_stats_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     frames = {
@@ -572,6 +599,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": _q_pricing_summary,
     "distinct_custkeys_per_priority": _q_distinct_custkeys,
     "join_nation_region": _q_join_nation_region,
+    "multi_join_revenue": _q_multi_join_revenue,
     "stats_full_outer_fold": _q_stats_fold,
     "union_distinct": _q_union_distinct,
     "blank_node_rewrite": _q_blank_node,
@@ -861,6 +889,19 @@ def oracle_sql() -> dict[str, str]:
         "join_nation_region": """
             SELECT n_nationkey, n_name, r_name
             FROM nation JOIN region ON n_regionkey = r_regionkey
+        """,
+        "multi_join_revenue": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+            GROUP BY r_name, n_name
         """,
         "stats_full_outer_fold": """
             SELECT coalesce(a.lang, b.lang, c.lang) AS lang,
