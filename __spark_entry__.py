@@ -669,26 +669,31 @@ def _sql_shingles(toks: str, w: int) -> str:
 
 
 def _sql_minhash_base(w: int, k: int) -> str:
-    """CTE producing (doc_id, sh, sig_00..sig_NN) from documents.
-    Two signature lanes per seeded md5 digest (hex 1-15 / 16-30),
-    mirroring operators/dedup._signatures_from_shingles."""
+    """CTE producing (doc_id, sh, sig_00..sig_NN) from documents, where
+    ``sh`` is the md5-hashed shingle set and the signature lanes are the
+    Carter-Wegman family of operators/dedup.minhash_signatures:
+    ``(a_i * (h mod p) + b_i) mod p``, p = 2^31-1."""
+    from dgraph_dbpedia_spark.operators.dedup import MERSENNE31, minhash_lane_coeffs
 
-    def lane(i: int) -> str:
-        j, start = divmod(i, 2)
-        return (
-            f"list_min(list_transform(sh, s -> ('0x' || "
-            f"substring(md5(s || '#{j}'), {1 + start * 15}, 15))::BIGINT)) "
-            f"AS sig_{i:02d}"
-        )
-
-    sig_cols = ",\n       ".join(lane(i) for i in range(k))
+    sig_cols = ",\n       ".join(
+        f"list_min(list_transform(hb, h -> ({a} * h + {b}) % {MERSENNE31})) "
+        f"AS sig_{i:02d}"
+        for i, (a, b) in enumerate(minhash_lane_coeffs(k))
+    )
     return f"""
         sh AS (
-            SELECT doc_id, {_sql_shingles(_SQL_TOKS, w)} AS sh FROM documents),
+            SELECT doc_id,
+                   list_transform({_sql_shingles(_SQL_TOKS, w)},
+                                  s -> {_sql_hash64('s')}) AS sh
+            FROM documents),
+        hbase AS (
+            SELECT doc_id, sh,
+                   list_transform(sh, h -> h % {MERSENNE31}) AS hb
+            FROM sh),
         sig AS (
             SELECT doc_id, sh,
        {sig_cols}
-            FROM sh)
+            FROM hbase)
     """
 
 

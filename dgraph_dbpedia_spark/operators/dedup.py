@@ -113,6 +113,24 @@ def ngram_jaccard_pairs(
     )
 
 
+MERSENNE31 = (1 << 31) - 1
+
+
+def minhash_lane_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic Carter-Wegman coefficients (a_i, b_i) for the k
+    signature lanes, derived from the cross-engine hash so oracles can
+    recompute them."""
+    from dgraph_dbpedia_spark.functions.hashing import hash64_py
+
+    return [
+        (
+            hash64_py(f"a:{i}") % (MERSENNE31 - 1) + 1,
+            hash64_py(f"b:{i}") % MERSENNE31,
+        )
+        for i in range(k)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -122,60 +140,38 @@ def minhash_signatures(
     fast: bool = False,
 ) -> DataFrame:
     """k-minimum-hash signature per document: ``sig[i] = min over
-    shingles of hash_i(shingle)``. Returns ``(id, sig: array<bigint>)``.
+    shingles of lane_i(h(shingle))``. Returns ``(id, sig: array<bigint>)``.
 
-    Entirely per-row (no shuffle): a transform+array_min per seed over
-    the shingle array.
+    Entirely per-row (no shuffle): ONE strong hash per shingle (md5, or
+    xxhash64 with ``fast=True``), then k Carter-Wegman universal-hash
+    lanes ``(a_i * (h mod p) + b_i) mod p`` with p = 2^31-1 — each lane
+    is a multiply+add+mod over the hashed-shingle array, not another
+    digest pass. ``a_i < p`` and ``h mod p < p`` keep every product
+    under 2^62, so the arithmetic is int64-exact in Spark AND DuckDB
+    (which errors on BIGINT overflow rather than wrapping).
     """
-    return _signatures_from_shingles(
-        _shingled(df, text_col, id_col, w), id_col, k, fast
+    return _signatures_from_hashed(
+        _hashed_shingled(df, text_col, id_col, w, fast), id_col, k
     )
 
 
-def _signatures_from_shingles(
-    sh: DataFrame, id_col: str, k: int, fast: bool = False
-) -> DataFrame:
-    """k signature lanes from k/2 md5 passes: each 128-bit md5 digest
-    yields two independent 60-bit components (hex chars 1-15 and 16-30).
-    The seeded digests are materialized as bound columns in a first
-    select so the min-extraction transforms don't recompute them.
-
-    ``fast=True``: k seeded xxhash64 lanes instead — fully codegen'd,
-    no hex decode, the 100 TB path (not oracle-checkable).
+def _signatures_from_hashed(sh: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Signature lanes over pre-hashed shingles ``(id, sh: array<bigint>)``.
 
     Closure capture, NOT default args, in the lambdas: pyspark counts
     lambda params to decide between (x) and (x, index) variants."""
-    if fast:
-
-        def lane_fast(i: int):
-            return F.array_min(
-                F.transform("sh", lambda s: F.xxhash64(s, F.lit(i)))
-            )
-
-        sig = F.array(*[lane_fast(i) for i in range(k)])
-        return sh.select(F.col(id_col), sig.alias("sig"))
-
-    assert k % 2 == 0, "k must be even (two lanes per md5 digest)"
-    half = k // 2
-
-    def digests(j: int):
-        return lambda s: F.md5(F.concat(s, F.lit(f"#{j}")))
-
-    with_md5 = sh.select(
+    base = sh.select(
         F.col(id_col),
-        *[F.transform("sh", digests(j)).alias(f"__m{j}") for j in range(half)],
+        F.transform("sh", lambda h: F.pmod(h, F.lit(MERSENNE31))).alias("hb"),
     )
 
-    def lane(j: int, start: int):
+    def lane(a: int, b: int):
         return F.array_min(
-            F.transform(
-                f"__m{j}",
-                lambda m: F.conv(F.substring(m, start, 15), 16, 10).cast("bigint"),
-            )
+            F.transform("hb", lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31))
         )
 
-    sig = F.array(*[x for j in range(half) for x in (lane(j, 1), lane(j, 16))])
-    return with_md5.select(F.col(id_col), sig.alias("sig"))
+    sig = F.array(*[lane(a, b) for a, b in minhash_lane_coeffs(k)])
+    return base.select(F.col(id_col), sig.alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -234,13 +230,10 @@ def minhash_dedup_pairs(
     ``(a, b, jaccard)`` pairs above threshold. ``fast=True`` -> seeded
     xxhash64 everywhere (production path, not oracle-checkable)."""
     rows_per_band = k // bands
-    # one shingling pass feeds signatures AND the verify step
-    sh_str = _shingled(df, text_col, id_col, w).persist()
-    sigs = _signatures_from_shingles(sh_str, id_col, k, fast)
+    # ONE shingle-hashing pass feeds signatures AND the verify step
+    sh = _hashed_shingled(df, text_col, id_col, w, fast).persist()
+    sigs = _signatures_from_hashed(sh, id_col, k)
     cands = minhash_lsh_candidates(sigs, id_col, bands, rows_per_band, fast)
-    sh = sh_str.select(
-        F.col(id_col), F.transform("sh", lambda s: hash64(s, fast=fast)).alias("sh")
-    )
     sa = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
