@@ -21,6 +21,7 @@ result every run and every engine.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -131,6 +132,45 @@ def lsh_bucketed_topk(
     )
     scored = cand.join(F.broadcast(q), "bucket").select(
         F.col(id_col), F.round(cosine("e", "q"), 4).alias("sim")
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
+def cosine_topk_arrow(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_col: str = "q",
+) -> DataFrame:
+    """Production twin of :func:`cosine_topk`: the scoring loop runs as
+    an Arrow-batched pandas UDF (numpy matrix-vector product per batch)
+    instead of interpreted higher-order array expressions — the
+    vectorized path for wide embeddings at 100 TB, at the price of one
+    Python stage (so not part of the JVM-only oracle surface).
+
+    Same contract and tie-break as cosine_topk; results match to float
+    rounding."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    q_vec = [float(x) for x in query.first()[0]]
+
+    def score_batch(emb: pd.Series) -> pd.Series:
+        q = np.asarray(q_vec, dtype=np.float64)
+        qn = np.sqrt(q @ q)
+        mat = np.asarray(emb.tolist(), dtype=np.float64)
+        sims = (mat @ q) / (np.sqrt((mat * mat).sum(axis=1)) * qn)
+        return pd.Series(np.round(sims, 4))
+
+    # real class objects (not string hints) in the signature: pyspark
+    # resolves the eval type by inspecting the annotations
+    score = pandas_udf(score_batch, DoubleType())
+
+    scored = df.select(
+        F.col(id_col), score(F.col(vec_col).cast("array<double>")).alias("sim")
     )
     return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
 

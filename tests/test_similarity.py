@@ -78,3 +78,20 @@ def test_ivf_full_probe_equals_brute_force(spark, vectors, query):
     assert [r["vec_id"] for r in ivf.collect()] == [
         r["vec_id"] for r in brute.collect()
     ]
+
+
+def test_cosine_topk_arrow_matches_jvm(spark):
+    """The Arrow/numpy production variant returns the same ranking and
+    (rounded) sims as the JVM-native brute-force path on sf0.001."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_arrow,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("q"))
+    cand = emb.where(F.col("vec_id") > 0)
+    jvm = cosine_topk(cand, q, k=10).collect()
+    arrow = cosine_topk_arrow(cand, q, k=10).collect()
+    assert [r["vec_id"] for r in arrow] == [r["vec_id"] for r in jvm]
+    assert all(abs(a["sim"] - j["sim"]) < 1e-4 for a, j in zip(arrow, jvm))
