@@ -529,6 +529,38 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs)
 
 
+def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup pairs; at max_hamming=3 over 4 chunks the
+    pigeonhole makes banding exhaustive, so the all-pairs oracle is
+    exact."""
+    from dgraph_dbpedia_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=3)
+
+
+def _q_near_dup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup end-step: anti-join out the higher id of every
+    minhash near-dup pair."""
+    from dgraph_dbpedia_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        near_dup_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, w=3, k=16, bands=4, threshold=0.4)
+    return near_dup_filter(docs, pairs).select("doc_id", "lang", "source")
+
+
+def _q_salted_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation; result identical to a plain
+    group count (the salt is physical only)."""
+    from dgraph_dbpedia_spark.operators.stats import salted_group_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    return salted_group_count(li, ["l_returnflag", "l_linestatus"])
+
+
 def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dgraph_dbpedia_spark.operators.textstats import language_id
 
@@ -626,6 +658,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signatures": _q_minhash_signatures,
     "minhash_pairs": _q_minhash_pairs,
     "simhash": _q_simhash,
+    "simhash_near_dup": _q_simhash_near_dup,
+    "near_dup_filter": _q_near_dup_filter,
+    "salted_group_counts": _q_salted_group_counts,
     "language_id": _q_language_id,
     "quality_score": _q_quality_score,
     "token_counts_bpe": _q_token_counts_bpe,
@@ -1169,6 +1204,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_pairs": _sql_minhash_pairs(),
         "simhash": _sql_simhash(),
+        "simhash_near_dup": f"""
+            WITH s AS ({_sql_simhash()})
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "near_dup_filter": f"""
+            WITH p AS ({_sql_minhash_pairs()})
+            SELECT d.doc_id, d.lang, d.source
+            FROM documents d
+            ANTI JOIN (SELECT DISTINCT b FROM p) l ON d.doc_id = l.b
+        """,
+        "salted_group_counts": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
         "language_id": f"""
             WITH t AS (SELECT doc_id, {_SQL_TOKS_LOWER} AS toks FROM documents),
             s AS (

@@ -316,3 +316,15 @@ def simhash_near_dup_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def near_dup_filter(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-level dedup step: given near-dup ``(a, b)`` pairs with
+    a < b, drop every document that appears as the higher id of a pair
+    (greedy keep-the-canonical-representative). One broadcast-able
+    anti-join — the operation a training-data pipeline actually runs
+    after candidate generation."""
+    losers = pairs.select(F.col("b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

@@ -82,3 +82,28 @@ def rollup_group(df: DataFrame, group_col: str, pred, label: str) -> DataFrame:
         .select(F.lit(label).alias(group_col), *num_cols)
     )
     return df.unionByName(rolled)
+
+
+def salted_group_count(
+    df: DataFrame, keys: list[str], n_salts: int = 32, count_col: str = "n"
+) -> DataFrame:
+    """Two-stage skew-safe group count: pre-aggregate on (keys, salt)
+    with a uniform random-ish salt derived from the whole row, then
+    sum the partials per key. Identical result to
+    ``groupBy(keys).count()``; the difference is physical — a hot key's
+    rows spread over ``n_salts`` reducers in stage one instead of
+    landing on a single task.
+
+    For plain counts Spark's map-side partial aggregation usually makes
+    this unnecessary (SURVEY §4); it is the template for skewed
+    aggregations whose partials are NOT map-side combinable
+    (collect_set, exact distinct counts per key) and documents the
+    salting lever the 100 TB posture calls for.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(F.count(F.lit(1)).alias("__partial"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("__partial").alias(count_col))

@@ -43,7 +43,7 @@ def norm_rows(cols, rows):
     return sorted(tuple(norm_value(r[i]) for i in order) for r in rows)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     spark = build_session(app_name="correctness-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -55,6 +55,8 @@ def main(sf_dir: str) -> int:
     oracles = entry_mod.oracle_sql()
     failures = 0
     for name, fn in queries.items():
+        if only and name not in only:
+            continue
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
@@ -97,4 +99,4 @@ def main(sf_dir: str) -> int:
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    sys.exit(1 if main(sf) else 0)
+    sys.exit(1 if main(sf, only=sys.argv[2:] or None) else 0)
