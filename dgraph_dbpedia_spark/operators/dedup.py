@@ -260,23 +260,35 @@ def simhash(
     hs = F.transform(tokens(F.col(text_col)), lambda t: hash64(t, fast=fast))
     df = df.select(F.col(id_col), hs.alias("hs"))
 
-    # NB: pyspark's higher-order-function wrapper derives lambda arity by
-    # signature inspection, so the bit index must be captured via closure,
-    # not a default argument
-    def vote(b: int):
-        return lambda acc, h: acc + (
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1
-        )
-
-    bit_votes = [
-        F.aggregate("hs", F.lit(0).cast("long"), vote(b))
-        for b in range(N_SIMHASH_BITS)
-    ]
-    sh = None
-    for b, vote in enumerate(bit_votes):
-        term = F.when(vote > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
-        sh = term if sh is None else sh + term
-    return df.select(F.col(id_col), sh.alias("simhash"))
+    # single fold over the token-hash array accumulating all 60 bit
+    # votes at once (vote[b] += bit(h,b) ? +1 : -1), then pack votes>0
+    # into the fingerprint. The naive form — one F.aggregate per bit —
+    # re-traverses the array 60x and emits a codegen tree 60 subtrees
+    # wide; this fold is one traversal and one compact expression.
+    # SQL expr because the shift amount is a lambda variable (the
+    # python F.shiftright wrapper only takes a literal int).
+    votes = F.expr(
+        f"""aggregate(
+            hs,
+            array_repeat(0L, {N_SIMHASH_BITS}),
+            (acc, h) -> zip_with(
+                acc,
+                transform(sequence(0, {N_SIMHASH_BITS - 1}),
+                          b -> shiftright(h, b) & 1L),
+                (v, bit) -> v + bit * 2L - 1L
+            )
+        )"""
+    )
+    pack = F.expr(
+        """aggregate(
+            zip_with(votes, sequence(0, size(votes) - 1),
+                     (v, b) -> if(v > 0, shiftleft(1L, b), 0L)),
+            0L, (acc, x) -> acc + x
+        )"""
+    )
+    return df.select(F.col(id_col), votes.alias("votes")).select(
+        F.col(id_col), pack.alias("simhash")
+    )
 
 
 def simhash_near_dup_pairs(
@@ -291,8 +303,13 @@ def simhash_near_dup_pairs(
     Banding on 4 x 15-bit chunks: any pair within hamming 3 of 60 bits
     agrees exactly on at least one chunk (pigeonhole), so candidate
     generation is an equi-join on (chunk-index, chunk-value) — no
-    all-pairs comparison. Returns ``(a, b, hamming)``."""
-    sh = simhash(df, text_col, id_col, fast)
+    all-pairs comparison. Returns ``(a, b, hamming)``.
+
+    The fingerprint frame is persisted: it feeds both sides of the
+    self-join, and without the persist Catalyst recomputes the full
+    simhash fold per side (no cross-branch subplan sharing, SURVEY §4).
+    """
+    sh = simhash(df, text_col, id_col, fast).persist()
     chunks = F.array(
         *[
             F.shiftright(F.col("simhash"), c * 15).bitwiseAND(F.lit((1 << 15) - 1))
@@ -309,12 +326,15 @@ def simhash_near_dup_pairs(
         F.col(id_col).alias("b"), F.col("simhash").alias("sim_b"), "chunk", "val"
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    # hamming filter BEFORE the dedup-distinct: the filter is a cheap
+    # per-row bit_count on the join output, while distinct is a shuffle —
+    # order matters at scale (candidates >> survivors)
     return (
         a.join(b, ["chunk", "val"])
         .where(F.col("a") < F.col("b"))
         .select("a", "b", hamming.alias("hamming"))
-        .distinct()
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -327,7 +327,18 @@ def transform(
         cfg.remove_language_tags, cfg.externalise_uris,
     ).cache()
     # materialize the cached dimensions (topk, predicate_datatypes,
-    # schema) once, before concurrent writers race to compute them
+    # schema) once, before concurrent writers race to compute them.
+    # Measured-and-rejected variants (do not re-try without re-measuring):
+    #  - overlapping this materialization with the dim-independent sinks
+    #    stretched the dims critical path ~40% under contention (21.2s
+    #    vs 19.3s total at 60k bench subjects);
+    #  - persisting the typed infobox frame for its four consumers lost
+    #    to Catalyst column pruning — the cache materializes all columns
+    #    while each uncached consumer reads a 2-column pruned subset
+    #    (22.6s vs 19.3s);
+    #  - deriving types.rdf from in-memory frames instead of the gzip
+    #    read-back recomputed every cleaned frame after unpersist and
+    #    doubled total wall-clock (40.6s).
     schema.count()
 
     # every sink below except types.rdf is an independent job — submit
