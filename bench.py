@@ -3,8 +3,11 @@
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed with a count()/collect() action so the full plan
-runs; timing covers plan + execution (not session startup).
+Each query is executed with a `noop`-format write so EVERY output column
+is evaluated — a plain count() lets Catalyst prune the projection and
+times a row-count scan instead of the operator (confirmed for ~13
+projection-only queries in round 1). Timing covers plan + execution
+(not session startup).
 
 Additionally measures the two reference pipelines end-to-end on a
 generated reference-shaped ttl corpus (~20 triples/subject, subjects
@@ -36,7 +39,11 @@ def bench_pipelines(spark, sf: float) -> dict[str, float]:
     from dgraph_dbpedia_spark.plans.ingest import ingest
     from dgraph_dbpedia_spark.plans.transform import TransformConfig, transform
 
-    n_subjects = int(os.environ.get("SPARK_GRAFT_BENCH_SUBJECTS", int(600_000 * sf)))
+    # 6M*sf subjects (600k at sf0.1): large enough that per-job fixed
+    # overhead (commit protocol, range sampling, 9 independent sinks)
+    # stops dominating — throughput at 60k subjects understated the
+    # pipeline by >2x (r1 verdict)
+    n_subjects = int(os.environ.get("SPARK_GRAFT_BENCH_SUBJECTS", int(6_000_000 * sf)))
     work = tempfile.mkdtemp(prefix="sparkgraft-bench-")
     try:
         ttl_root = f"{work}/ttl"
@@ -73,6 +80,10 @@ def bench_pipelines(spark, sf: float) -> dict[str, float]:
         parquet_bytes = tree_bytes(f"{work}/parquet")
         rdf_gz_bytes = tree_bytes(f"{work}/rdf")
 
+        from dgraph_dbpedia_spark.observability import collect_spill_metrics
+
+        spill = collect_spill_metrics(spark)
+
         return {
             "subjects": n_subjects,
             "ingest_sec": round(ingest_s, 3),
@@ -85,6 +96,12 @@ def bench_pipelines(spark, sf: float) -> dict[str, float]:
             # at 2.17 B triples ~= 19 / 9.7 bytes per triple
             "parquet_bytes_per_triple": round(parquet_bytes / in_triples, 2),
             "rdf_gz_bytes_per_triple": round(rdf_gz_bytes / out_triples, 2),
+            # X5 parity: the reference prints spill/peak at end of run
+            "memory_spill_gb": round(spill.memory_bytes_spilled / 1024**3, 3),
+            "disk_spill_gb": round(spill.disk_bytes_spilled / 1024**3, 3),
+            "peak_execution_memory_mb": round(
+                spill.peak_execution_memory / 1024**2, 1
+            ),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -103,9 +120,16 @@ def main() -> None:
     for name, fn in entry_mod.queries().items():
         start = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()
+        # noop sink: full evaluation of all output columns, no pruning
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
-        _ = n
+
+    # the pair-finding queries persist self-join intermediates (their
+    # results carry release handles; the suite doesn't call release to
+    # keep per-query timing honest) — drop them all before the pipeline
+    # section so transform doesn't compete with stale cached partitions
+    # (measured 2x transform slowdown from the leftover storage)
+    spark.catalog.clearCache()
 
     pipelines: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_PIPELINE", "1") != "0":
@@ -118,6 +142,7 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                "action": "noop_write_all_columns",  # r2: was count(); count() let Catalyst prune projection-only queries
                 "queries": timings,
                 "sf": sf,
                 "pipelines": pipelines,

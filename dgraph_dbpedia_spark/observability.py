@@ -6,10 +6,12 @@ DbpediaDgraphSparkApp.scala:79-90,450): it accumulates
 execution memory, then prints them at the end of the run.
 
 PySpark cannot subclass a JVM SparkListener without a py4j callback
-server, so this uses the public Spark monitoring REST API
-(/api/v1/applications/{id}/stages) — same numbers, no JVM bridge.
-Requires the UI to be enabled (pass ``enable_ui=True`` to
-build_session's ``extra_conf`` as ``{"spark.ui.enabled": "true"}``).
+server, so the primary path reads the driver's ``AppStatusStore``
+directly over py4j (``sc.statusStore.stageList``) — the same store the
+UI and REST API serve from, populated by the always-on
+AppStatusListener, so it works with ``spark.ui.enabled=false`` (the
+default session). The REST API (/api/v1/applications/{id}/stages)
+remains as a fallback when the UI happens to be enabled.
 """
 
 from __future__ import annotations
@@ -40,8 +42,42 @@ class SpillMetrics:
 
 
 def collect_spill_metrics(spark: SparkSession) -> SpillMetrics:
-    """Aggregate spill/peak-memory across all completed stages of the
-    current application via the monitoring REST API."""
+    """Aggregate spill/peak-memory across all stages of the current
+    application. Reads the JVM AppStatusStore via py4j (works with the
+    UI disabled); falls back to the monitoring REST API if the store
+    isn't reachable but a UI is."""
+    try:
+        return _from_status_store(spark)
+    except Exception:  # noqa: BLE001 — py4j surface varies across versions
+        return _from_rest(spark)
+
+
+def _from_status_store(spark: SparkSession) -> SpillMetrics:
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    # stageList(statuses, details, withSummaries, quantiles, taskStatus):
+    # empty statuses list = all stages, no task details/summaries
+    stages = store.stageList(
+        sc._jvm.java.util.ArrayList(),
+        False,
+        False,
+        sc._gateway.new_array(sc._jvm.double, 0),
+        sc._jvm.java.util.ArrayList(),
+    )
+    m = SpillMetrics()
+    it = stages.iterator()
+    while it.hasNext():
+        s = it.next()
+        m.memory_bytes_spilled += s.memoryBytesSpilled()
+        m.disk_bytes_spilled += s.diskBytesSpilled()
+        m.peak_execution_memory = max(
+            m.peak_execution_memory, s.peakExecutionMemory()
+        )
+        m.stages += 1
+    return m
+
+
+def _from_rest(spark: SparkSession) -> SpillMetrics:
     ui_url = spark.sparkContext.uiWebUrl
     if not ui_url:
         return SpillMetrics()
