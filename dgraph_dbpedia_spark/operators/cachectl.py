@@ -1,0 +1,42 @@
+"""Caller-visible cache scope for operators that persist intermediates.
+
+Several pair-finding operators (`dedup.ngram_jaccard_pairs`,
+`dedup.minhash_dedup_pairs`, `similarity.cosine_near_dup_pairs`, ...)
+persist a frame that feeds both sides of a self-join — without the
+persist the sketch computation runs twice (Spark does not share
+subplans across join branches). A long-lived session calling these
+repeatedly would otherwise accumulate cached partitions forever.
+
+The contract: the operator tags its result with the persisted handles;
+the caller releases them with :func:`release` once the result has been
+materialized (collected / written). Releasing before materialization is
+safe but forfeits the single-computation guarantee.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_ATTR = "_graft_persisted"
+
+
+def tag_persisted(result: DataFrame, *frames: DataFrame) -> DataFrame:
+    """Attach persisted intermediate handles to ``result`` so the caller
+    can free them with :func:`release` after materializing."""
+    existing = list(getattr(result, _ATTR, ()))
+    setattr(result, _ATTR, existing + list(frames))
+    return result
+
+
+def persisted_frames(result: DataFrame) -> list[DataFrame]:
+    return list(getattr(result, _ATTR, ()))
+
+
+def release(result: DataFrame) -> int:
+    """Unpersist every intermediate the operator cached for ``result``.
+    Returns the number of frames released. Idempotent."""
+    frames = persisted_frames(result)
+    for f in frames:
+        f.unpersist()
+    setattr(result, _ATTR, [])
+    return len(frames)

@@ -80,6 +80,92 @@ def test_ivf_full_probe_equals_brute_force(spark, vectors, query):
     ]
 
 
+def test_hyperplane_signs_arrow_pinned_equal_to_native(spark):
+    """The vectorized numpy sketch must reproduce the native fold's
+    bucket ids bit-for-bit (a sign flip needs a projection within
+    ~1e-13 of zero — asserting zero mismatches pins it)."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        hyperplane_signs,
+        hyperplane_signs_arrow,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    nat = e.select("vec_id", hyperplane_signs(F.col("e"), 8, 64).alias("b"))
+    arr = e.select("vec_id", hyperplane_signs_arrow(8, 64)(F.col("e")).alias("b"))
+    mismatches = (
+        nat.alias("n")
+        .join(arr.alias("a"), "vec_id")
+        .where(F.col("n.b") != F.col("a.b"))
+        .count()
+    )
+    assert mismatches == 0
+
+
+def test_ivf_assign_no_shuffle(spark, vectors):
+    """The assignment is a pure projection over a broadcast centroid
+    literal — no Exchange may appear between scan and argmax (the old
+    crossJoin+window shape shuffled |df| x |centroids| rows)."""
+    from dgraph_dbpedia_spark.operators.similarity import ivf_assign
+
+    e = vectors.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    cent = (
+        e.orderBy("vec_id")
+        .limit(2)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("c"))
+    )
+    asg = ivf_assign(e, cent)
+    plan = asg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = {r["vec_id"]: r["cid"] for r in asg.collect()}
+    # 0 and its near-duplicate 1 are the centroids; orthogonal 2 and
+    # 45-degree 4 are nearer to 1's direction than... verify argmax is
+    # self-assignment for the centroids themselves at minimum
+    assert got[0] == 0 and got[1] == 1
+
+
+def test_lsh_topk_many_per_query_k_and_exclusions(spark, vectors):
+    """Batch ANN: <=k rows per query, candidates only from shared
+    buckets, descending sim within each query."""
+    from dgraph_dbpedia_spark.operators.similarity import lsh_bucketed_topk_many
+
+    qs = vectors.where(F.col("vec_id").isin(0, 2)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q")
+    )
+    corpus = vectors.where(~F.col("vec_id").isin(0, 2))
+    out = lsh_bucketed_topk_many(corpus, qs, k=2, dims=4, n_planes=4)
+    rows = out.collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, rs in by_q.items():
+        assert len(rs) <= 2
+        sims = [r["sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+    # query 0's near-duplicate (vector 1) shares all sign bits
+    assert any(r["vec_id"] == 1 for r in by_q.get(0, []))
+    # the opposite vector never lands in query 0's bucket
+    assert not any(r["vec_id"] == 3 for r in by_q.get(0, []))
+
+
+def test_near_dup_pairs_release_unpersists(spark, vectors):
+    """Operators that persist self-join intermediates expose the handle;
+    release() frees the cached partitions (ADVICE: long-session leak)."""
+    from dgraph_dbpedia_spark.operators.cachectl import persisted_frames, release
+
+    out = cosine_near_dup_pairs(vectors, threshold=0.95, dims=4, n_planes=4)
+    out.collect()
+    frames = persisted_frames(out)
+    assert frames, "result should carry its persisted sketch handle"
+    assert all(f.storageLevel.useMemory or f.storageLevel.useDisk for f in frames)
+    n = release(out)
+    assert n == len(frames)
+    assert all(
+        not (f.storageLevel.useMemory or f.storageLevel.useDisk) for f in frames
+    )
+    assert release(out) == 0  # idempotent
+
+
 def test_cosine_topk_arrow_matches_jvm(spark):
     """The Arrow/numpy production variant returns the same ranking and
     (rounded) sims as the JVM-native brute-force path on sf0.001."""
