@@ -62,7 +62,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     w: int = 3,
     threshold: float = 0.8,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 1000,
     fast: bool = False,
 ) -> DataFrame:
     """All pairs (a < b) with shingle-set Jaccard >= threshold.
@@ -72,12 +72,28 @@ def ngram_jaccard_pairs(
     ``|A ∪ B| = |A| + |B| - |A ∩ B|``. Only documents sharing at least
     one shingle ever meet. ``fast=True`` -> xxhash64 shingle keys
     (production path, not oracle-checkable).
+
+    ``max_shingle_freq`` (default 1000) drops shingles shared by more
+    than N documents BEFORE the self-join: a stop-phrase shingle at
+    corpus scale is a hot-key join explosion (f docs sharing one shingle
+    is f^2/2 joined rows), and a shingle in >1000 docs carries no
+    near-dup signal. FINITE BY DEFAULT — at 100 TB the cap is the
+    difference between a bounded join and a runaway key; pass ``None``
+    to opt out. The Jaccard is computed over the FILTERED shingle
+    universe on both axes (intersection and set sizes), so it is the
+    exact Jaccard of the capped sets — not a hybrid of filtered
+    intersections over unfiltered sizes.
+
+    The result carries its persisted shingle-frame handle — release with
+    :func:`dgraph_dbpedia_spark.operators.cachectl.release` after
+    materializing.
     """
+    from dgraph_dbpedia_spark.operators.cachectl import tag_persisted
+
     # persist: the shingled frame feeds four plan branches (two join
     # sides + two size lookups); without it Catalyst recomputes the
     # shingling per branch (no cross-branch subplan sharing, SURVEY §4)
     sh = _hashed_shingled(df, text_col, id_col, w, fast).persist()
-    sizes = sh.select(F.col(id_col), F.size("sh").alias("n"))
     exploded = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
     if max_shingle_freq is not None:
         # drop degenerate stop-shingles: they blow up the join and carry
@@ -88,7 +104,11 @@ def ngram_jaccard_pairs(
             .where(F.col("count") <= max_shingle_freq)
             .select("shingle")
         )
-        exploded = exploded.join(rare, "shingle", "left_semi")
+        exploded = exploded.join(rare, "shingle", "left_semi").persist()
+    # set sizes from the SAME (possibly capped) universe as the
+    # intersection — shingles are distinct per doc, so the exploded row
+    # count per id is the set size
+    sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = exploded.select(F.col(id_col).alias("a"), "shingle")
     b = exploded.select(F.col(id_col).alias("b"), "shingle")
     inter = (
@@ -99,7 +119,7 @@ def ngram_jaccard_pairs(
     )
     na = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na"))
     nb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb"))
-    return (
+    out = (
         inter.join(na, "a")
         .join(nb, "b")
         .withColumn(
@@ -111,6 +131,8 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+    persisted = [sh] if max_shingle_freq is None else [sh, exploded]
+    return tag_persisted(out, *persisted)
 
 
 MERSENNE31 = (1 << 31) - 1
@@ -229,6 +251,8 @@ def minhash_dedup_pairs(
     exact-Jaccard verification of candidates only. Returns
     ``(a, b, jaccard)`` pairs above threshold. ``fast=True`` -> seeded
     xxhash64 everywhere (production path, not oracle-checkable)."""
+    from dgraph_dbpedia_spark.operators.cachectl import tag_persisted
+
     rows_per_band = k // bands
     # ONE shingle-hashing pass feeds signatures AND the verify step
     sh = _hashed_shingled(df, text_col, id_col, w, fast).persist()
@@ -238,13 +262,14 @@ def minhash_dedup_pairs(
     sb = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    out = (
         cands.join(sa, "a")
         .join(sb, "b")
         .withColumn("jaccard", F.round(inter / union, 6))
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+    return tag_persisted(out, sh)
 
 
 N_SIMHASH_BITS = 60  # fits the cross-engine 15-hex-char hash
@@ -308,7 +333,10 @@ def simhash_near_dup_pairs(
     The fingerprint frame is persisted: it feeds both sides of the
     self-join, and without the persist Catalyst recomputes the full
     simhash fold per side (no cross-branch subplan sharing, SURVEY §4).
+    The result carries the handle — release via cachectl.release.
     """
+    from dgraph_dbpedia_spark.operators.cachectl import tag_persisted
+
     sh = simhash(df, text_col, id_col, fast).persist()
     chunks = F.array(
         *[
@@ -329,13 +357,14 @@ def simhash_near_dup_pairs(
     # hamming filter BEFORE the dedup-distinct: the filter is a cheap
     # per-row bit_count on the join output, while distinct is a shuffle —
     # order matters at scale (candidates >> survivors)
-    return (
+    out = (
         a.join(b, ["chunk", "val"])
         .where(F.col("a") < F.col("b"))
         .select("a", "b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    return tag_persisted(out, sh)
 
 
 def near_dup_filter(

@@ -38,6 +38,46 @@ def test_ngram_jaccard_identical_pair(spark, docs):
     assert (1, 4) not in pairs
 
 
+def test_ngram_jaccard_hot_shingle_cap_prunes(spark):
+    """max_shingle_freq drops stop-shingles shared by more than N docs
+    BEFORE the self-join: pairs whose only overlap is the hot shingle
+    disappear, and the reported jaccard for surviving pairs uses the
+    capped universe on both axes (intersection AND set sizes)."""
+    hot = "common boilerplate footer text"  # 3-shingles hit every doc
+    rows = [
+        (1, f"alpha beta gamma delta {hot}"),
+        (2, f"alpha beta gamma delta {hot}"),
+        (3, f"omega psi chi phi {hot}"),
+        (4, f"one two three four {hot}"),
+        (5, f"five six seven eight {hot}"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # uncapped: every pair shares the footer shingles -> all pairs appear
+    uncapped = ngram_jaccard_pairs(df, threshold=0.01, max_shingle_freq=None)
+    assert uncapped.count() == 10  # all C(5,2) pairs share the footer
+    # capped at 4: the footer shingles (freq 5) are dropped; only the
+    # true duplicate pair (1,2) shares any remaining shingle, and its
+    # jaccard over the capped universe is exactly 1.0 (not diluted by
+    # unfiltered set sizes — the ADVICE hybrid-metric bug)
+    capped = ngram_jaccard_pairs(df, threshold=0.01, max_shingle_freq=4)
+    got = {(r["a"], r["b"]): r["jaccard"] for r in capped.collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == 1.0
+
+
+def test_ngram_jaccard_release_unpersists(spark, docs):
+    from dgraph_dbpedia_spark.operators.cachectl import persisted_frames, release
+
+    out = ngram_jaccard_pairs(docs, threshold=0.3)
+    out.collect()
+    frames = persisted_frames(out)
+    assert frames
+    release(out)
+    assert all(
+        not (f.storageLevel.useMemory or f.storageLevel.useDisk) for f in frames
+    )
+
+
 def test_minhash_identical_signatures(spark, docs):
     sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs).collect()}
     assert sigs[1] == sigs[2]
