@@ -183,7 +183,11 @@ def _q_extract_datatype(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_geo_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only check: JSON float formatting differs across engines
+    """F7 to_json(struct) GeoJSON, oracled on PARSED values: the emitted
+    literal is unwrapped and re-parsed with from_json so the comparison
+    is on (type, lon, lat) — float formatting of the JSON text itself
+    (engine-specific) stops mattering. Exercises the full
+    geo_to_geojson round trip including the quote escaping."""
     events = _t(spark, sf_dir, "events")
     point = F.concat(
         F.lit('"'),
@@ -192,7 +196,18 @@ def _q_geo_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 2, 3).cast("string"),
         F.lit('"'),
     )
-    return events.select("event_id", geo_to_geojson(point).alias("geojson"))
+    gj = events.select("event_id", geo_to_geojson(point).alias("gj"))
+    # strip the outer quotes, unescape \" -> ", parse the GeoJSON back
+    raw = F.regexp_replace(
+        F.col("gj").substr(F.lit(2), F.length("gj") - 2), r'\\"', '"'
+    )
+    parsed = F.from_json(raw, "type string, coordinates array<float>")
+    return gj.select(
+        "event_id",
+        parsed["type"].alias("gtype"),
+        F.round(parsed["coordinates"].getItem(0).cast("double"), 3).alias("lon"),
+        F.round(parsed["coordinates"].getItem(1).cast("double"), 3).alias("lat"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -462,11 +477,19 @@ def _q_geo_point_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_approx_distinct_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 scale path: approx_count_distinct instead of exact distinct
-    (SURVEY §7 100 TB posture). Rows-only check: HLL estimates are
-    engine-specific."""
+    (SURVEY §7 100 TB posture). HLL estimates are engine-specific, so
+    the oracle checks a BOUND instead of the raw estimate: the query
+    emits (lang, exact count, estimate-within-±5%-of-exact) and the
+    oracle emits (lang, exact count, TRUE) — the hash matches iff the
+    exact counts agree AND Spark's HLL landed inside the bound."""
     docs = _t(spark, sf_dir, "documents")
+    exact = F.count_distinct("source")
+    # rsd 0.01: the default 0.05 sketch misses tiny cardinalities by 1
+    # (18 vs 19 ~= 5.3% > bound); the tighter sketch is still O(1) state
+    approx = F.approx_count_distinct("source", 0.01)
     return docs.groupBy("lang").agg(
-        F.approx_count_distinct("source").alias("n_sources_approx")
+        exact.alias("n_sources"),
+        ((F.abs(approx - exact) / exact) <= F.lit(0.05)).alias("within_5pct"),
     )
 
 
@@ -502,7 +525,11 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dgraph_dbpedia_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, w=3, threshold=0.4)
+    # finite skew cap (also the operator default): stop-shingles above
+    # the cap would be a hot-key join explosion at corpus scale. No
+    # shingle reaches 1000 docs at oracle SF, so the DuckDB SQL needs no
+    # mirroring frequency filter.
+    return ngram_jaccard_pairs(docs, w=3, threshold=0.4, max_shingle_freq=1000)
 
 
 def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -595,6 +622,20 @@ def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lsh_ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-query ANN: N query vectors x corpus in one plan (the
+    training-pipeline shape the single-query variant can't express)."""
+    from dgraph_dbpedia_spark.operators.similarity import lsh_bucketed_topk_many
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q")
+    )
+    return lsh_bucketed_topk_many(
+        emb.where(F.col("vec_id") >= 3), qs, k=3, n_planes=4, dims=64
+    )
+
+
 def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dgraph_dbpedia_spark.operators.similarity import ivf_topk
 
@@ -666,6 +707,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts_bpe": _q_token_counts_bpe,
     "fingerprint": _q_fingerprint,
     "lsh_ann_topk": _q_lsh_ann_topk,
+    "lsh_ann_topk_batch": _q_lsh_ann_topk_batch,
     "ivf_ann_topk": _q_ivf_ann_topk,
     "cosine_near_dup": _q_cosine_near_dup,
     "sliding_window": _q_sliding_window,
@@ -851,6 +893,24 @@ def _sql_lsh_ann_topk(k: int = 5, n_planes: int = 8, dims: int = 64) -> str:
     """
 
 
+def _sql_lsh_ann_topk_batch(k: int = 3, n_planes: int = 4, dims: int = 64) -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   {_sql_bucket('embedding::DOUBLE[]', n_planes, dims)} AS bucket
+            FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS q, bucket FROM e WHERE vec_id < 3),
+        c AS (SELECT vec_id, v, bucket FROM e WHERE vec_id >= 3)
+        SELECT qid, vec_id, sim FROM (
+            SELECT q.qid, c.vec_id, {_sql_cosine('c.v', 'q.q')} AS sim,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {_sql_cosine('c.v', 'q.q')} DESC, c.vec_id) AS rn
+            FROM c JOIN q ON c.bucket = q.bucket) t
+        WHERE rn <= {k}
+    """
+
+
 def _sql_cosine_near_dup(threshold: float = 0.3, n_planes: int = 4, dims: int = 64) -> str:
     return f"""
         WITH e AS (
@@ -986,7 +1046,18 @@ def oracle_sql() -> dict[str, str]:
                         ELSE NULL END AS t
             FROM src
         """,
-        # geo_geojson: no oracle (JSON float formatting is engine-specific)
+        # geo_geojson oracled on PARSED values (type, lon, lat): the JSON
+        # text itself is engine-formatted, the parsed floats are not. The
+        # Spark side parses its own emitted literal back with from_json;
+        # here the same values are derived directly. The float32 hop
+        # (::FLOAT::DOUBLE) mirrors geo_to_geojson's array<float> cast.
+        "geo_geojson": """
+            SELECT event_id,
+                   'Point' AS gtype,
+                   round((round(value * 2, 3)::FLOAT)::DOUBLE, 3) AS lon,
+                   round((round(value, 3)::FLOAT)::DOUBLE, 3) AS lat
+            FROM events
+        """,
         "typed_cleanup": """
             WITH src AS (
                 SELECT event_id, event_type, user_id,
@@ -1124,7 +1195,16 @@ def oracle_sql() -> dict[str, str]:
                    round(coords[1]::DOUBLE, 4) AS lat
             FROM c
         """,
-        # approx_distinct_nodes: no oracle (HLL estimates are engine-specific)
+        # approx_distinct_nodes: the raw HLL estimate is engine-specific,
+        # so the oracle checks the BOUND — spark emits (exact, est-within-
+        # ±5%) and the oracle emits (exact, TRUE); hashes match iff the
+        # estimate landed in the bound and the exact counts agree.
+        "approx_distinct_nodes": """
+            SELECT lang,
+                   count(DISTINCT source) AS n_sources,
+                   TRUE AS within_5pct
+            FROM documents GROUP BY lang
+        """,
         "dedup_exact": """
             SELECT md5(text) AS fp, min(doc_id) AS doc_id
             FROM documents GROUP BY md5(text)
@@ -1277,6 +1357,7 @@ def oracle_sql() -> dict[str, str]:
             FROM w
         """,
         "lsh_ann_topk": _sql_lsh_ann_topk(),
+        "lsh_ann_topk_batch": _sql_lsh_ann_topk_batch(),
         "ivf_ann_topk": _sql_ivf_topk(),
         "cosine_near_dup": _sql_cosine_near_dup(),
         "sliding_window": """
