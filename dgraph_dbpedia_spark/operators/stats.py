@@ -84,6 +84,37 @@ def rollup_group(df: DataFrame, group_col: str, pred, label: str) -> DataFrame:
     return df.unionByName(rolled)
 
 
+def per_lang_stats_tables(
+    frames: dict[str, DataFrame], group_col: str = "lang"
+) -> tuple[DataFrame, DataFrame]:
+    """The reference flagship's per-language x per-dataset count tables
+    (DbpediaDgraphSparkApp.scala:155-179): the J4 full-outer fold over
+    per-dataset counts, split into
+
+    - the MAIN table: all non-``en-*`` languages plus ONE ``en-*``
+      rollup row (groupBy().sum() over the pseudo-language rows, U2),
+      ordered by language;
+    - the EN-STAR table: the individual ``en-*`` rows, ordered.
+
+    Both inputs to the union come from one cached fold, so the fact
+    frames are scanned once per dataset regardless of how many tables
+    are printed."""
+    tbl = stats_table(frames, group_col).cache()
+    num_cols = [c for c in tbl.columns if c != group_col]
+    en_star = tbl.where(F.col(group_col).startswith("en-"))
+    rolled = (
+        en_star.withColumn(group_col, F.lit("en-*"))
+        .groupBy(group_col)
+        .agg(*[F.sum(c).alias(c) for c in num_cols])
+    )
+    main = (
+        tbl.where(~F.col(group_col).startswith("en-"))
+        .unionByName(rolled)
+        .orderBy(group_col)
+    )
+    return main, en_star.orderBy(group_col)
+
+
 def salted_group_count(
     df: DataFrame, keys: list[str], n_salts: int = 32, count_col: str = "n"
 ) -> DataFrame:

@@ -35,18 +35,24 @@ def write_partitioned_by(
     mode: str = "overwrite",
     options: dict[str, str] | None = None,
     path: str | None = None,
+    coalesce_to: int | None = None,
 ) -> None:
     """Range-partition + sort-within + partitionBy write (S5/S6/S8).
 
     ``partition_cols`` become Hive partition directories; ``more_file_cols``
     additionally spread large partitions across several files;
     ``sort_cols`` order rows inside each file (after the implicit
-    partition/file columns).
+    partition/file columns). ``coalesce_to`` replaces the range shuffle
+    with a plain coalesce — N tasks total, so each partition dir gets at
+    most N files (the reference's ``coalesce(1)`` schema sink, S7/X3);
+    only sensible for frames that are small at any scale.
     """
     range_cols = [*partition_cols, *more_file_cols]
     full_sort = [*partition_cols, *more_file_cols, *sort_cols]
 
-    if n_partitions:
+    if coalesce_to:
+        out = df.coalesce(coalesce_to)
+    elif n_partitions:
         out = df.repartitionByRange(n_partitions, *range_cols)
     else:
         out = df.repartitionByRange(*range_cols)

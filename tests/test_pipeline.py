@@ -128,6 +128,84 @@ def test_coverage_ratio(spark, pipeline_dirs):
     assert cov > 0.5
 
 
+def test_schema_single_file_per_partition(pipeline_dirs):
+    """Reference coalesce(1) parity (DbpediaDgraphSparkApp.scala:330):
+    each (dataset, lang) schema dir holds exactly ONE part-file."""
+    _, _, out, _, _ = pipeline_dirs
+    for schema_dir in ("schema.dgraph", "schema.indexed.dgraph"):
+        part_dirs = glob.glob(os.path.join(str(out), schema_dir, "dataset=*", "lang=*"))
+        assert part_dirs, schema_dir
+        for d in part_dirs:
+            parts = [f for f in os.listdir(d) if f.startswith("part-")]
+            assert len(parts) == 1, (d, parts)
+
+
+def test_get_languages_en_star_expansion():
+    """Selecting 'en' pulls in en-<lang> pseudo-language partitions
+    (DbpediaDgraphSparkApp.scala:457-472); without 'en' no expansion."""
+    from dgraph_dbpedia_spark.plans.transform import get_languages
+
+    assert get_languages(None) is None
+    assert get_languages(["de", "vi"]) == ["de", "vi"]
+    assert get_languages(["en", "de", "vi"]) == [
+        "de", "en", "en-de", "en-vi", "vi"
+    ]
+    assert get_languages(["en"]) == ["en"]
+
+
+def test_transform_languages_selection_keeps_en_star(spark, pipeline_dirs, tmp_path):
+    """--languages ['en','de'] must still read the lang=en-de partition
+    (ADVICE r1: the raw list silently dropped every en-* partition)."""
+    _, parquet, _, _, _ = pipeline_dirs
+    out2 = tmp_path / "rdf_langs"
+    outputs = transform(
+        spark, str(parquet), str(out2), languages=["en", "de"],
+        cfg=TransformConfig(
+            write_types=False, externalise_uris=False,
+            remove_language_tags=False, top_infobox_properties_per_lang=None,
+            print_stats=False,
+        ),
+    )
+    langs = {r["lang"] for r in outputs["labels"].select("lang").distinct().collect()}
+    assert "en-de" in langs
+    assert "vi" not in langs and "en-vi" not in langs
+
+
+def test_per_lang_stats_tables(spark, pipeline_dirs):
+    """The flagship's stats tables: one row per non-en-* lang plus the
+    en-* rollup whose counts equal the sum of the en-* rows."""
+    from dgraph_dbpedia_spark.operators.stats import per_lang_stats_tables
+
+    _, parquet, _, _, _ = pipeline_dirs
+    labels = spark.read.parquet(os.path.join(str(parquet), "labels.parquet"))
+    links = spark.read.parquet(os.path.join(str(parquet), "page_links.parquet"))
+    main, en_star = per_lang_stats_tables({"labels": labels, "page_links": links})
+    main_rows = {r["lang"]: r for r in main.collect()}
+    en_rows = en_star.collect()
+    assert set(main_rows) == {"de", "en", "vi", "en-*"}
+    assert {r["lang"] for r in en_rows} == {"en-de", "en-vi"}
+    for col in ("labels", "page_links"):
+        assert main_rows["en-*"][col] == sum(r[col] for r in en_rows)
+        # fixture: 40 subjects per lang in labels
+    assert main_rows["de"]["labels"] == 40
+
+
+def test_types_derivation_includes_category_subjects(spark, pipeline_dirs):
+    """article_categories SUBJECTS get dgraph.type Article (reference
+    :419; missing in r1): every category-triple subject must appear as
+    an Article type triple."""
+    _, _, out, _, outputs = pipeline_dirs
+    types = outputs["types"]
+    cat_subjects = {
+        r["s"] for r in outputs["article_categories"].select("s").distinct().collect()
+    }
+    article_nodes = {
+        r["s"]
+        for r in types.where(F.col("o") == '"Article"').select("s").collect()
+    }
+    assert cat_subjects <= article_nodes
+
+
 def test_transform_deterministic(spark, pipeline_dirs, tmp_path):
     """Re-running the transform produces identical RDF line sets."""
     _, parquet, out, _, outputs = pipeline_dirs

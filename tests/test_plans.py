@@ -18,8 +18,17 @@ import __spark_entry__ as entry_mod
 
 SF = "/root/testdata/sf0.001"
 
-# queries whose plans may legitimately contain Python stages
-_PYTHON_OK = {"multimodal_decode"}
+# queries whose plans may legitimately contain Python stages — all are
+# Arrow-batched (vectorized numpy kernels), never row-at-a-time:
+# multimodal codecs, and the LSH hyperplane sketch's production twin
+# (hyperplane_signs_arrow; the native fold remains the oracle surface,
+# pinned equal in test_similarity.py)
+_PYTHON_OK = {
+    "multimodal_decode",
+    "cosine_near_dup",
+    "lsh_ann_topk",
+    "lsh_ann_topk_batch",
+}
 
 
 def _plan(df) -> str:

@@ -31,9 +31,9 @@ def main() -> None:
 
     real_write_rdf, real_write_schema = T.write_rdf, T.write_schema
 
-    def timed_write_rdf(spark, df, path):
+    def timed_write_rdf(spark, df, path, *args, **kwargs):
         s = time.perf_counter() - t0[0]
-        out = real_write_rdf(spark, df, path)
+        out = real_write_rdf(spark, df, path, *args, **kwargs)
         e = time.perf_counter() - t0[0]
         spans.append((os.path.basename(path), s, e))
         return out
