@@ -23,6 +23,8 @@ discrimination and everything to skew).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -275,15 +277,54 @@ def minhash_dedup_pairs(
 N_SIMHASH_BITS = 60  # fits the cross-engine 15-hex-char hash
 
 
+def _simhash_fold_arrow(n_bits: int = N_SIMHASH_BITS):
+    """Vectorized twin of the native vote fold: token hashes (computed
+    JVM-side — md5 stays native) fold to the fingerprint in numpy inside
+    an Arrow batch. Integer arithmetic, so bit-IDENTICAL to the native
+    fold by construction (no float-order caveat like the hyperplane
+    sketch). Returns a Column-producing pandas UDF."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    def fold(hs: "pd.Series") -> "pd.Series":
+        import numpy as np  # noqa: F811
+        import pandas as pd
+
+        shifts = np.arange(n_bits, dtype=np.int64)
+        out = np.zeros(len(hs), dtype=np.int64)
+        for i, arr in enumerate(hs):
+            h = np.asarray(arr, dtype=np.int64)
+            if h.size == 0:
+                continue
+            votes = ((h[:, None] >> shifts) & 1).sum(axis=0) * 2 - h.size
+            out[i] = ((votes > 0).astype(np.int64) << shifts).sum()
+        return pd.Series(out)
+
+    return pandas_udf(fold, LongType())
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     fast: bool = False,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """60-bit SimHash per document over whitespace tokens: bit b is set
     iff the sum over tokens of (+-1 by token-hash bit b) is positive.
-    Returns ``(id, simhash: bigint)``. Per-row only — no shuffle."""
+    Returns ``(id, simhash: bigint)``. Per-row only — no shuffle.
+
+    ``use_arrow=True`` (default) runs the vote fold as a numpy kernel in
+    an Arrow batch (the interpreted higher-order fold walks tokens x 60
+    bits in the expression interpreter); results are bit-identical —
+    integer math — so the oracle contract is unaffected. ``False`` keeps
+    the all-native plan."""
     hs = F.transform(tokens(F.col(text_col)), lambda t: hash64(t, fast=fast))
     df = df.select(F.col(id_col), hs.alias("hs"))
+
+    if use_arrow:
+        return df.select(
+            F.col(id_col), _simhash_fold_arrow()(F.col("hs")).alias("simhash")
+        )
 
     # single fold over the token-hash array accumulating all 60 bit
     # votes at once (vote[b] += bit(h,b) ? +1 : -1), then pack votes>0

@@ -178,8 +178,14 @@ def lsh_bucketed_topk(
     buckets or probe more buckets for recall.
 
     ``use_arrow=True`` (default) computes the corpus-side sketch with
-    the vectorized numpy kernel; ``False`` keeps the all-native
-    expression plan (the JVM-only oracle surface)."""
+    the vectorized numpy kernel AND resolves the (bounded, 1-row) query
+    vector driver-side: its bucket becomes a literal FILTER on the
+    corpus sketch — no join, no second Python stage — and the query
+    vector a literal array in the scoring expression. The sequential
+    per-element float fold of the native plan is preserved exactly
+    (repr round-trips doubles), so results match the all-native path
+    bit-for-bit. ``False`` keeps the all-native expression plan (the
+    JVM-only oracle surface)."""
     cand = df.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("e"),
@@ -187,6 +193,19 @@ def lsh_bucketed_topk(
             F.col(vec_col).cast("array<double>"), n_planes, dims, use_arrow
         ).alias("bucket"),
     )
+    if use_arrow:
+        import numpy as np
+
+        q_vec = [float(x) for x in query.select(query_col).first()[0]]
+        planes = np.asarray(plane_values(n_planes, dims), dtype=np.float64)
+        planes = planes.reshape(n_planes, dims)
+        bits = (planes @ np.asarray(q_vec, dtype=np.float64)) > 0
+        q_bucket = int((bits.astype(np.int64) << np.arange(n_planes)).sum())
+        q_lit = F.expr("array(" + ",".join(repr(v) + "D" for v in q_vec) + ")")
+        scored = cand.where(F.col("bucket") == F.lit(q_bucket)).select(
+            F.col(id_col), F.round(cosine(F.col("e"), q_lit), 4).alias("sim")
+        )
+        return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
     q = query.select(
         F.col(query_col).cast("array<double>").alias("q"),
         _bucket_col(

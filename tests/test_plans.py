@@ -28,6 +28,8 @@ _PYTHON_OK = {
     "cosine_near_dup",
     "lsh_ann_topk",
     "lsh_ann_topk_batch",
+    "simhash",           # Arrow vote fold (bit-equal to native, pinned)
+    "simhash_near_dup",
 }
 
 
