@@ -656,6 +656,51 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(attach_binary(docs))
 
 
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermark-bounded streaming dedup; the key
+    columns are projected because which physical row survives per key is
+    first-arrival nondeterministic."""
+    from dgraph_dbpedia_spark.streaming.events import dedup_events
+
+    events = _t(spark, sf_dir, "events")
+    return dedup_events(events, keys=["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+
+
+def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join (broadcast dim,
+    stateless), aggregated per segment with integer-exact measures."""
+    from dgraph_dbpedia_spark.streaming.events import enrich_events
+
+    events = _t(spark, sf_dir, "events")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return enrich_events(events, dim, "user_id").groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal 1-to-N frame sampling (stride chunks of the binary
+    column; deterministic md5 frame hashes stand in for the codec)."""
+    from dgraph_dbpedia_spark.operators.multimodal import attach_binary, frame_sample
+
+    docs = _t(spark, sf_dir, "documents").withColumnRenamed("doc_id", "id")
+    return frame_sample(attach_binary(docs), every_n_bytes=64)
+
+
+def _q_embed_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature-extraction stub: binary -> float8 vector
+    (md5-seeded deterministic fake at the model-inference site)."""
+    from dgraph_dbpedia_spark.operators.multimodal import attach_binary, embed_binary
+
+    docs = _t(spark, sf_dir, "documents").withColumnRenamed("doc_id", "id")
+    return embed_binary(attach_binary(docs), dims=8)
+
+
 def _q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dgraph_dbpedia_spark.operators.similarity import cosine_near_dup_pairs
 
@@ -713,6 +758,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sliding_window": _q_sliding_window,
     "sessionize": _q_sessionize,
     "multimodal_decode": _q_multimodal_decode,
+    "frame_sample": _q_frame_sample,
+    "embed_binary": _q_embed_binary,
+    "stream_dedup": _q_stream_dedup,
+    "stream_enrich": _q_stream_enrich,
 }
 
 
@@ -922,6 +971,17 @@ def _sql_cosine_near_dup(threshold: float = 0.3, n_planes: int = 4, dims: int = 
         FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE {_sql_cosine('a.v', 'b.v')} >= {threshold}
     """
+
+
+def _sql_embed_binary(dims: int = 8) -> str:
+    """md5-digest-byte fake embedding: byte i of the digest is hex chars
+    [2i, 2i+2); the float math mirrors the Python kernel exactly
+    (double divide, then float32 cast at the schema boundary)."""
+    elems = ", ".join(
+        f"((('0x' || substring(md5(text), {2 * i + 1}, 2))::INT) / 255.0 - 0.5)::FLOAT"
+        for i in range(dims)
+    )
+    return f"SELECT doc_id AS id, [{elems}] AS embedding FROM documents"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1395,5 +1455,29 @@ def oracle_sql() -> dict[str, str]:
                    16 + (('0x' || substring(md5(text), 1, 15))::BIGINT // 4096) % 4096 AS height,
                    'fake/deterministic' AS format
             FROM documents
+        """,
+        # frame_sample chunks the UTF-8 bytes at a 64-byte stride; the
+        # corpus is pure ASCII (asserted in tests), so DuckDB's
+        # character-based substring produces the same chunks
+        "frame_sample": """
+            WITH f AS (
+                SELECT doc_id AS id, text,
+                       unnest(range(0, greatest(length(text), 1), 64)) AS off
+                FROM documents)
+            SELECT id, (off // 64) AS frame_idx,
+                   ('0x' || substring(md5(substring(text, off + 1, 64)), 1, 15))::BIGINT
+                       AS frame_hash
+            FROM f
+        """,
+        "embed_binary": _sql_embed_binary(),
+        "stream_dedup": """
+            SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "stream_enrich": """
+            SELECT c_mktsegment,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users
+            FROM events LEFT JOIN customer ON user_id = c_custkey
+            GROUP BY c_mktsegment
         """,
     }

@@ -155,6 +155,36 @@ def minhash_lane_coeffs(k: int) -> list[tuple[int, int]]:
     ]
 
 
+def _minhash_lanes_arrow(k: int):
+    """Vectorized twin of the signature lanes: the k Carter-Wegman
+    multiply-add-mod passes and the per-lane min run in numpy inside an
+    Arrow batch (shingle md5 hashing stays JVM-native upstream).
+    Integer arithmetic under 2^62 — bit-identical to the native fold."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    coeffs = minhash_lane_coeffs(k)
+    A = np.asarray([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    B = np.asarray([b for _, b in coeffs], dtype=np.int64)[:, None]
+
+    def lanes(sh: "pd.Series") -> "pd.Series":
+        import numpy as np  # noqa: F811
+        import pandas as pd
+
+        out = []
+        for arr in sh:
+            h = np.asarray(arr, dtype=np.int64)
+            if h.size == 0:
+                out.append(None)
+                continue
+            hb = (h % MERSENNE31)[None, :]
+            out.append(((A * hb + B) % MERSENNE31).min(axis=1).tolist())
+        return pd.Series(out)
+
+    return pandas_udf(lanes, ArrayType(LongType()))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -162,6 +192,7 @@ def minhash_signatures(
     w: int = 3,
     k: int = 16,
     fast: bool = False,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """k-minimum-hash signature per document: ``sig[i] = min over
     shingles of lane_i(h(shingle))``. Returns ``(id, sig: array<bigint>)``.
@@ -173,10 +204,18 @@ def minhash_signatures(
     digest pass. ``a_i < p`` and ``h mod p < p`` keep every product
     under 2^62, so the arithmetic is int64-exact in Spark AND DuckDB
     (which errors on BIGINT overflow rather than wrapping).
+
+    ``use_arrow=True`` (default) runs the k lane passes as one numpy
+    kernel per Arrow batch instead of k interpreted array traversals;
+    bit-identical (integer math), pinned in tests. ``False`` keeps the
+    all-native plan (the oracle surface).
     """
-    return _signatures_from_hashed(
-        _hashed_shingled(df, text_col, id_col, w, fast), id_col, k
-    )
+    sh = _hashed_shingled(df, text_col, id_col, w, fast)
+    if use_arrow:
+        return sh.select(
+            F.col(id_col), _minhash_lanes_arrow(k)(F.col("sh")).alias("sig")
+        )
+    return _signatures_from_hashed(sh, id_col, k)
 
 
 def _signatures_from_hashed(sh: DataFrame, id_col: str, k: int) -> DataFrame:
@@ -248,17 +287,24 @@ def minhash_dedup_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     fast: bool = False,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup pipeline: signatures -> banded candidates ->
     exact-Jaccard verification of candidates only. Returns
     ``(a, b, jaccard)`` pairs above threshold. ``fast=True`` -> seeded
-    xxhash64 everywhere (production path, not oracle-checkable)."""
+    xxhash64 everywhere (production path, not oracle-checkable);
+    ``use_arrow`` selects the vectorized (bit-identical) lane kernel."""
     from dgraph_dbpedia_spark.operators.cachectl import tag_persisted
 
     rows_per_band = k // bands
     # ONE shingle-hashing pass feeds signatures AND the verify step
     sh = _hashed_shingled(df, text_col, id_col, w, fast).persist()
-    sigs = _signatures_from_hashed(sh, id_col, k)
+    if use_arrow:
+        sigs = sh.select(
+            F.col(id_col), _minhash_lanes_arrow(k)(F.col("sh")).alias("sig")
+        )
+    else:
+        sigs = _signatures_from_hashed(sh, id_col, k)
     cands = minhash_lsh_candidates(sigs, id_col, bands, rows_per_band, fast)
     sa = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))

@@ -210,6 +210,43 @@ def sessionize_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame
     )
 
 
+def dedup_events(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming deduplication: keep the first event per key, with state
+    bounded by the watermark horizon (``dropDuplicatesWithinWatermark``
+    — late duplicates beyond the horizon are NOT caught, which is the
+    price of bounded state; unbounded ``dropDuplicates`` state would OOM
+    a 100 TB stream). On a batch frame the same call degrades to plain
+    ``dropDuplicates`` (exact).
+
+    Which physical row survives per key is nondeterministic in both
+    modes (first-arrival wins); project the key columns afterward when
+    determinism matters (the oracle query does exactly that)."""
+    keys = keys or ["event_id"]
+    df = events
+    if "event_time" not in df.columns:
+        df = df.withColumn("event_time", event_time())
+    if df.isStreaming:
+        return df.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return df.dropDuplicates(keys)
+
+
+def enrich_events(
+    events: DataFrame, dim: DataFrame, on: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream
+    joins the static dimension; Spark plans it as a broadcast hash join
+    when the dim is small (no stream-side shuffle, no state store —
+    stream-static inner/left joins are stateless). The identical call
+    works on a batch frame (the twin the oracle checks)."""
+    return events.join(F.broadcast(dim), on, how)
+
+
 def run_to_memory(
     stream: DataFrame, name: str, output_mode: str = "complete"
 ) -> None:

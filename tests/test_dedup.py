@@ -65,6 +65,16 @@ def test_ngram_jaccard_hot_shingle_cap_prunes(spark):
     assert got[(1, 2)] == 1.0
 
 
+def test_minhash_arrow_pinned_equal_to_native(spark):
+    """The numpy lane kernel is integer math — signatures must equal the
+    native higher-order fold exactly on real data."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    nat = minhash_signatures(docs, use_arrow=False).withColumnRenamed("sig", "n")
+    arr = minhash_signatures(docs, use_arrow=True).withColumnRenamed("sig", "a")
+    diff = nat.join(arr, "doc_id").where(F.col("n") != F.col("a")).count()
+    assert diff == 0
+
+
 def test_simhash_arrow_pinned_equal_to_native(spark):
     """The numpy vote fold is integer math — it must equal the native
     higher-order fold exactly on real data."""
@@ -118,15 +128,17 @@ def test_simhash_near_dup_pairs(spark, docs):
 
 
 def test_no_python_udf_in_plans(spark, docs):
-    # simhash's default is the Arrow vote fold (vectorized, bit-equal);
+    # simhash/minhash default to Arrow kernels (vectorized, bit-equal);
     # use_arrow=False must stay fully native — and nothing may ever use
     # row-at-a-time Python
-    for df in (minhash_signatures(docs), simhash(docs, use_arrow=False),
+    for df in (minhash_signatures(docs, use_arrow=False),
+               simhash(docs, use_arrow=False),
                ngram_jaccard_pairs(docs, threshold=0.1)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    arrow_plan = simhash(docs)._jdf.queryExecution().executedPlan().toString()
-    assert "BatchEvalPython" not in arrow_plan  # Arrow-batched only
+    for df in (simhash(docs), minhash_signatures(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan  # Arrow-batched only
 
 
 def test_fast_hash_variants_same_shape_and_dups(spark):

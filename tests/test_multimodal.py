@@ -58,3 +58,15 @@ def test_arrow_batched_not_row_udf(spark, binary_docs):
     plan = decode_image_meta(binary_docs)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_documents_ascii_invariant(spark):
+    """The frame_sample oracle chunks by CHARACTER in DuckDB but the
+    kernel chunks by BYTE: equivalent only while the corpus is ASCII.
+    Pin the invariant so a corpus change surfaces here, not as a silent
+    oracle mismatch."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    non_ascii = docs.where(
+        F.octet_length(F.col("text")) != F.length(F.col("text"))
+    ).count()
+    assert non_ascii == 0

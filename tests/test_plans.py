@@ -25,11 +25,16 @@ SF = "/root/testdata/sf0.001"
 # pinned equal in test_similarity.py)
 _PYTHON_OK = {
     "multimodal_decode",
+    "frame_sample",
+    "embed_binary",
     "cosine_near_dup",
     "lsh_ann_topk",
     "lsh_ann_topk_batch",
     "simhash",           # Arrow vote fold (bit-equal to native, pinned)
     "simhash_near_dup",
+    "minhash_signatures",  # Arrow lane kernel (bit-equal, pinned)
+    "minhash_pairs",
+    "near_dup_filter",
 }
 
 

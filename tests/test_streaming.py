@@ -95,3 +95,50 @@ def test_sessionize_stream_closes_sessions(spark, events_dir, events_batch):
     assert len(g) > 0
     for key, n in g.items():
         assert b.get(key) == n, key
+
+
+def test_stream_dedup_drops_duplicates(spark, events_dir, events_batch):
+    """Streaming dropDuplicatesWithinWatermark removes key duplicates
+    within the horizon; the projected key set equals the batch twin's."""
+    from dgraph_dbpedia_spark.streaming.events import dedup_events
+
+    stream = read_events_stream(spark, events_dir)
+    deduped = dedup_events(stream, keys=["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    run_to_memory(deduped, "t_dedup", "append")
+    got = {
+        (r["user_id"], r["event_type"]) for r in spark.table("t_dedup").collect()
+    }
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in dedup_events(events_batch, keys=["user_id", "event_type"])
+        .select("user_id", "event_type")
+        .collect()
+    }
+    assert got == want and len(want) > 0
+    # and the stream emitted each key exactly once
+    assert spark.table("t_dedup").count() == len(want)
+
+
+def test_stream_enrich_stateless_broadcast(spark, events_dir, events_batch):
+    """Stream-static join enriches each micro-batch from the broadcast
+    dim with no state store; totals match the batch twin."""
+    from dgraph_dbpedia_spark.streaming.events import enrich_events
+
+    dim = spark.createDataFrame(
+        [(i, "seg%d" % (i % 3)) for i in range(200)], ["user_id", "segment"]
+    )
+    stream = read_events_stream(spark, events_dir)
+    run_to_memory(
+        enrich_events(stream, dim, "user_id").select("event_id", "segment"),
+        "t_enrich",
+        "append",
+    )
+    got = spark.table("t_enrich")
+    want = enrich_events(events_batch, dim, "user_id").select("event_id", "segment")
+    assert got.count() == want.count() == events_batch.count()
+    assert got.exceptAll(want).count() == 0
+    # batch twin plans a broadcast join
+    plan = want._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
