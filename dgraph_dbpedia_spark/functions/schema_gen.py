@@ -102,18 +102,49 @@ def infobox_predicate_schema(
     )
 
 
+def infobox_predicate_schema_from_pairs(
+    pairs: DataFrame, predicate_datatypes: DataFrame
+) -> DataFrame:
+    """(p, lang)-granularity twin of :func:`infobox_predicate_schema`
+    for callers that already aggregated the fact table: ``pairs`` is the
+    distinct (p, lang) set of the (top-k-filtered) infobox triples with
+    ``en-*`` remapped to ``en``. The schema row set depends on the fact
+    frame only through that distinct set, so joining the majority
+    dimension and mapping types over ~10^4 pairs instead of the fact
+    rows yields the identical frame without a fact-table scan."""
+    return (
+        pairs.join(F.broadcast(predicate_datatypes.select("p", "t")), "p")
+        .withColumn("t", dgraph_data_type(F.col("t")))
+        .select(
+            F.lit("infobox_properties").alias("dataset"),
+            "p",
+            "lang",
+            "t",
+            dgraph_index(F.col("t")).alias("i"),
+        )
+        .distinct()
+    )
+
+
 def full_schema(
     spark: SparkSession,
     infobox_triples: DataFrame,
     predicate_datatypes: DataFrame,
     remove_language_tags: bool = False,
     externalise_uris: bool = False,
+    derived: DataFrame | None = None,
 ) -> DataFrame:
     """Static ∪ data-derived ∪ (optional xid), deduped and sorted for a
-    deterministic schema file (DbpediaDgraphSparkApp.scala:290-330)."""
+    deterministic schema file (DbpediaDgraphSparkApp.scala:290-330).
+
+    ``derived`` substitutes a precomputed data-derived frame (see
+    :func:`infobox_predicate_schema_from_pairs`) so pipelines that
+    already hold the (lang, p, t) count cube skip the fact-table scan."""
     frames = [
         static_predicate_schema(spark, remove_language_tags),
-        infobox_predicate_schema(infobox_triples, predicate_datatypes),
+        derived
+        if derived is not None
+        else infobox_predicate_schema(infobox_triples, predicate_datatypes),
     ]
     schema = reduce(DataFrame.unionByName, frames).distinct()
     if externalise_uris:

@@ -42,7 +42,6 @@ from dgraph_dbpedia_spark.functions.rdf import (
 )
 from dgraph_dbpedia_spark.functions.schema_gen import full_schema, schema_line
 from dgraph_dbpedia_spark.operators.topk import top_k_per_group
-from dgraph_dbpedia_spark.operators.majority import majority_value_per_group
 from dgraph_dbpedia_spark.sources.parquet import read_triples_parquet
 from dgraph_dbpedia_spark.sources.writers import write_partitioned_by
 
@@ -118,6 +117,79 @@ def top_k_infobox(
         .drop("node_lang")
     )
     return filtered, topk
+
+
+def infobox_dims(
+    all_infobox: DataFrame, k: int | None
+) -> tuple[DataFrame | None, DataFrame, DataFrame]:
+    """One-scan derivation of the three infobox dimensions — top-k
+    predicate set (W1), majority datatype per predicate (W2), and the
+    data-derived schema pairs — from a single ``(lang, p, t)`` count
+    cube.
+
+    Value-identical to running ``top_k_per_group`` /
+    ``majority_value_per_group`` / the schema ``distinct()`` directly
+    over the fact table: each of those aggregates at ``(lang, p[, t])``
+    granularity, so summing the cube's partial counts reproduces their
+    inputs exactly (same counts, same tie-breaks). The difference is
+    physical — the fact table is scanned ONCE instead of three times,
+    and every window/join below runs over the ~|langs|x|preds|x|types|
+    cube, which at any data scale is dimension-sized. At 100 TB this
+    removes two full scans and two wide aggregations from the dims
+    critical path.
+
+    Returns ``(topk | None, predicate_datatypes, schema_derived)``;
+    ``topk`` is ``None`` when ``k`` is (no top-k filtering requested).
+    """
+    from pyspark.sql import Window
+
+    cube = (
+        typed_triples(all_infobox)
+        .groupBy("lang", "p", "t")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .cache()
+    )
+    topk = None
+    fcube = cube
+    if k:
+        # counts per (lang, p) over non-pseudo langs = sum of cube rows;
+        # tie-break (count desc, p asc) matches top_k_per_group
+        w = Window.partitionBy("lang").orderBy(
+            F.col("count").desc(), F.col("p").asc()
+        )
+        topk = (
+            cube.where(~F.col("lang").contains("-"))
+            .groupBy("lang", "p")
+            .agg(F.sum("count").alias("count"))
+            .withColumn("__rank", F.row_number().over(w))
+            .where(F.col("__rank") <= k)
+            .select("p", "lang")
+            .cache()
+        )
+        # the reference filters fact rows by (p, en-*-remapped lang) ∈
+        # top-k; the same semi-join on the cube keeps exactly the
+        # (lang, p, t) strata those rows form
+        fcube = cube.withColumn("node_lang", remap_en_lang(F.col("lang"))).join(
+            F.broadcast(topk.withColumnRenamed("lang", "node_lang")),
+            ["p", "node_lang"],
+            "left_semi",
+        )
+    wm = Window.partitionBy("p").orderBy(F.col("count").desc(), F.col("t").asc())
+    predicate_datatypes = (
+        fcube.groupBy("p", "t")
+        .agg(F.sum("count").alias("count"))
+        .withColumn("__rank", F.row_number().over(wm))
+        .where(F.col("__rank") == 1)
+        .select("p", "t")
+        .cache()
+    )
+    from dgraph_dbpedia_spark.functions.schema_gen import (
+        infobox_predicate_schema_from_pairs,
+    )
+
+    pairs = fcube.select("p", remap_en_lang(F.col("lang")).alias("lang")).distinct()
+    schema_derived = infobox_predicate_schema_from_pairs(pairs, predicate_datatypes)
+    return topk, predicate_datatypes, schema_derived
 
 
 def clean_infobox(
@@ -221,25 +293,27 @@ def type_triples(article_frames: list[DataFrame], category_objects: DataFrame,
 
     The reference distincts every input frame, unions, then distincts
     again (9 shuffles). Value-identical with ONE shuffle: union
-    everything with the constant (p, o) attached and distinct once —
-    map-side partial aggregation collapses in-frame duplicates before
-    the exchange, so the shuffle carries little more than the final
-    row set (measured 13.8s -> single-stage at 600k bench subjects)."""
-    articles = (
-        reduce(DataFrame.unionByName, article_frames)
-        .withColumn("p", F.lit("<dgraph.type>"))
-        .withColumn("o", F.lit('"Article"'))
+    everything with a 1-byte class tag, distinct once, and attach the
+    constant (p, o) strings AFTER the exchange — map-side partial
+    aggregation collapses in-frame duplicates before the shuffle, and
+    the shuffled rows carry (s, lang, tinyint) instead of repeating the
+    ~30-byte type literals on every row (measured 13.8s -> single-stage
+    at 600k bench subjects; the tag trims ~25% off the shuffle bytes)."""
+    tag = lambda df, c: df.withColumn("cls", F.lit(c).cast("tinyint"))  # noqa: E731
+    tagged = reduce(
+        DataFrame.unionByName,
+        [tag(f, 0) for f in article_frames]
+        + [tag(category_objects, 1), tag(skos_subjects, 2)],
+    ).distinct()
+    return tagged.select(
+        "s",
+        F.lit("<dgraph.type>").alias("p"),
+        F.when(F.col("cls") == 0, F.lit('"Article"'))
+        .when(F.col("cls") == 1, F.lit('"Category"'))
+        .otherwise(F.lit('"Concept"'))
+        .alias("o"),
+        "lang",
     )
-    categories = (
-        category_objects
-        .withColumn("p", F.lit("<dgraph.type>"))
-        .withColumn("o", F.lit('"Category"'))
-    )
-    concepts = (
-        skos_subjects.withColumn("p", F.lit("<dgraph.type>"))
-        .withColumn("o", F.lit('"Concept"'))
-    )
-    return articles.unionByName(categories).unionByName(concepts).distinct()
 
 
 #: target rows per output gzip part-file at scale: a task writes
@@ -369,8 +443,21 @@ def transform(
         F.col("p") == GEORSS_POINT
     )
 
-    if cfg.top_infobox_properties_per_lang:
-        infobox_triples, _topk = top_k_infobox(all_infobox, cfg.top_infobox_properties_per_lang)
+    # one fact-table scan feeds all three infobox dimensions (top-k set,
+    # majority datatypes, schema pairs); see infobox_dims
+    topk, predicate_datatypes, schema_derived = infobox_dims(
+        all_infobox, cfg.top_infobox_properties_per_lang
+    )
+    if topk is not None:
+        infobox_triples = (
+            all_infobox.withColumn("node_lang", remap_en_lang(F.col("lang")))
+            .join(
+                F.broadcast(topk.withColumnRenamed("lang", "node_lang")),
+                ["p", "node_lang"],
+                "left_semi",
+            )
+            .drop("node_lang")
+        )
     else:
         infobox_triples = all_infobox
 
@@ -407,7 +494,6 @@ def transform(
         en_star_table.show(1000, truncate=False)
 
     typed = typed_triples(infobox_triples)
-    predicate_datatypes = majority_value_per_group(typed, ["p"], "t").select("p", "t").cache()
 
     infobox = clean_infobox(typed, predicate_datatypes, cfg.externalise_uris)
     labels = clean_labels(label_triples, cfg)
@@ -420,6 +506,7 @@ def transform(
     schema = full_schema(
         spark, infobox_triples, predicate_datatypes,
         cfg.remove_language_tags, cfg.externalise_uris,
+        derived=schema_derived,
     ).cache()
     # materialize the cached dimensions (topk, predicate_datatypes,
     # schema) once, before concurrent writers race to compute them.

@@ -226,3 +226,31 @@ def test_transform_deterministic(spark, pipeline_dirs, tmp_path):
     b = spark.read.text(os.path.join(str(out2), "infobox_properties.rdf"))
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0
+
+
+def test_infobox_dims_equal_direct_operators(spark, pipeline_dirs):
+    """The one-scan cube derivation must be value-identical to running
+    top_k_per_group / majority_value_per_group / the schema distinct
+    directly over the fact table (same counts, same tie-breaks)."""
+    from dgraph_dbpedia_spark.functions.rdf import remap_en_lang, typed_triples
+    from dgraph_dbpedia_spark.functions.schema_gen import infobox_predicate_schema
+    from dgraph_dbpedia_spark.operators.majority import majority_value_per_group
+    from dgraph_dbpedia_spark.plans.transform import infobox_dims, top_k_infobox
+
+    _, parquet, _, _, _ = pipeline_dirs
+    fact = spark.read.parquet(os.path.join(str(parquet), "infobox_properties.parquet"))
+    fact = fact.withColumn("lang", F.col("lang").cast("string"))
+
+    topk, pred_dt, schema_derived = infobox_dims(fact, 5)
+    filtered_direct, topk_direct = top_k_infobox(fact, 5)
+    assert topk.exceptAll(topk_direct).count() == 0
+    assert topk_direct.exceptAll(topk).count() == 0
+
+    typed = typed_triples(filtered_direct)
+    pd_direct = majority_value_per_group(typed, ["p"], "t").select("p", "t")
+    assert pred_dt.exceptAll(pd_direct).count() == 0
+    assert pd_direct.exceptAll(pred_dt).count() == 0
+
+    schema_direct = infobox_predicate_schema(filtered_direct, pd_direct)
+    assert schema_derived.exceptAll(schema_direct).count() == 0
+    assert schema_direct.exceptAll(schema_derived).count() == 0
