@@ -708,6 +708,66 @@ def _q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(emb, threshold=0.3, n_planes=4, dims=64)
 
 
+def _q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate strip: HTML-ish tags out, whitespace collapsed."""
+    from dgraph_dbpedia_spark.operators.textclean import clean_text
+
+    return clean_text(_t(spark, sf_dir, "documents"))
+
+
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over text seeded with a deterministic synthetic
+    email + IPv4 per doc (the corpus itself carries none), so the
+    redaction regexes are genuinely exercised, not vacuously green."""
+    from dgraph_dbpedia_spark.operators.textclean import pii_redact
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    return pii_redact(docs)
+
+
+def _q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dgraph_dbpedia_spark.operators.textclean import repetition_score
+
+    return repetition_score(_t(spark, sf_dir, "documents"), n=3)
+
+
+def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-threshold sample (reproducible split: selection
+    is a pure function of doc_id, stable across engines/partitioning)."""
+    from dgraph_dbpedia_spark.operators.textclean import hash_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return hash_sample(docs, rate_num=32)
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup graph: every doc
+    labeled with the min doc_id reachable through pairs (iterative
+    min-label propagation; oracled by a DuckDB recursive CTE)."""
+    from dgraph_dbpedia_spark.operators.cachectl import release
+    from dgraph_dbpedia_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_dedup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, w=3, k=16, bands=4, threshold=0.4)
+    out = dedup_clusters(docs, pairs)
+    # dedup_clusters materialized the edge set; the pair sketch cache is
+    # no longer needed by the returned (checkpoint-rooted) frame
+    release(pairs)
+    return out
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_sources_per_lang": _q_topk_sources,
     "topk_semi_join": _q_topk_semi_join,
@@ -762,6 +822,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_binary": _q_embed_binary,
     "stream_dedup": _q_stream_dedup,
     "stream_enrich": _q_stream_enrich,
+    "clean_text": _q_clean_text,
+    "pii_redact": _q_pii_redact,
+    "repetition_score": _q_repetition_score,
+    "hash_sample": _q_hash_sample,
+    "dedup_clusters": _q_dedup_clusters,
 }
 
 
@@ -781,6 +846,14 @@ def _sql_hash64(expr: str, seed: int | None = None) -> str:
 
 
 _SQL_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t != '')"
+
+# textclean regexes are written in the RE2 ∩ Java-regex common subset,
+# so the DuckDB oracle uses the exact same pattern strings
+from dgraph_dbpedia_spark.operators.textclean import (  # noqa: E402
+    EMAIL_RE as EMAIL_RE_SQL,
+    IPV4_RE as IPV4_RE_SQL,
+    PHONE_RE as PHONE_RE_SQL,
+)
 _SQL_TOKS_LOWER = (
     "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != '')"
 )
@@ -1479,5 +1552,66 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users
             FROM events LEFT JOIN customer ON user_id = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "clean_text": """
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                       '\\s+', ' ', 'g')) AS clean
+            FROM documents
+        """,
+        "pii_redact": f"""
+            WITH seeded AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id::VARCHAR ||
+                       '@example.com at 10.0.0.' ||
+                       (doc_id % 256)::VARCHAR AS text
+                FROM documents)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       text, '{EMAIL_RE_SQL}', '<EMAIL>', 'g'),
+                       '{IPV4_RE_SQL}', '<IP>', 'g'),
+                       '{PHONE_RE_SQL}', '<PHONE>', 'g') AS redacted,
+                   len(regexp_extract_all(text, '{EMAIL_RE_SQL}'))::INT
+                       AS n_emails,
+                   len(regexp_extract_all(text, '{IPV4_RE_SQL}'))::INT
+                       AS n_ipv4
+            FROM seeded
+        """,
+        "repetition_score": f"""
+            WITH t AS (
+                SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+            g AS (
+                SELECT doc_id, toks,
+                       list_transform(
+                           range(1, greatest(len(toks) - 2, 0) + 1),
+                           i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+                       ) AS grams
+                FROM t)
+            SELECT doc_id,
+                   len(toks)::INT AS n_tokens,
+                   round(len(list_distinct(toks)) / greatest(len(toks), 1), 6)
+                       AS ttr,
+                   CASE WHEN len(grams) > 0
+                        THEN round(1 - len(list_distinct(grams)) / len(grams), 6)
+                        ELSE 0.0 END AS dup_ngram_ratio
+            FROM g
+        """,
+        "hash_sample": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE substring(md5(doc_id::VARCHAR), 1, 2) < '20'
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE
+            pairs AS (SELECT a, b FROM ({_sql_minhash_pairs()}) p),
+            edges AS (
+                SELECT a AS src, b AS dst FROM pairs
+                UNION SELECT b AS src, a AS dst FROM pairs),
+            reach AS (
+                SELECT doc_id AS id, doc_id AS r FROM documents
+                UNION
+                SELECT reach.id, edges.dst AS r
+                FROM reach JOIN edges ON reach.r = edges.src)
+            SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
         """,
     }

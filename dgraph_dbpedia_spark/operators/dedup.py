@@ -464,3 +464,75 @@ def near_dup_filter(
     after candidate generation."""
     losers = pairs.select(F.col("b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: assign every
+    document the MINIMUM doc id reachable through pairs — the cluster
+    representative. Returns ``(doc_id, cluster_id)`` for ALL docs
+    (singletons map to themselves).
+
+    This is the end-step ``near_dup_filter`` approximates greedily: the
+    pairwise keep-lowest rule under-deletes on transitive chains
+    (a~b, b~c but not a~c keeps both a and c's duplicates of b's
+    content); component labeling deletes exactly one survivor per
+    connected group.
+
+    Algorithm: iterative min-label propagation. Per round, one
+    edges-by-labels equi-join plus a groupBy-min — both shuffles are on
+    the doc-id key, so AQE coalesces them and skew is bounded by max
+    component degree. Rounds = graph DIAMETER, and LSH-banded near-dup
+    graphs are quasi-cliques (banding links every pair that shares a
+    bucket), so 2-4 rounds in practice; ``max_iter`` guards
+    pathological chains. ``localCheckpoint`` truncates the lineage per
+    round — without it the plan doubles each iteration and round 15+
+    spends longer planning than executing. Convergence is detected with
+    a per-round 1-row aggregate (count of changed labels), the standard
+    driver-side loop of iterative Spark algorithms — not a
+    driver-collect of data.
+    """
+    # undirected: propagate labels both ways along every pair
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    edges.count()
+    labels = docs.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new")
+            .join(labels, "id")
+            .where(F.col("new") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+    )

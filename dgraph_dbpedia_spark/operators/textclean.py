@@ -1,0 +1,123 @@
+"""Text cleaning / curation operators for training-data pipelines.
+
+Extension surface (SURVEY §7.8 continuation): boilerplate stripping,
+PII redaction, repetition scoring, and deterministic hash-based
+sampling — the standard pre-training corpus curation steps that sit
+between raw scrape and dedup.
+
+All native Catalyst expressions (regexp_replace / array functions /
+md5): each operator is a narrow projection over the documents table, so
+at 100 TB the cost is the scan itself — no shuffle, no Python.  Every
+regex is written in the common subset of Java regex (Spark) and RE2
+(DuckDB): no lookaround, no backreferences — so the same pattern runs
+verbatim in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dgraph_dbpedia_spark.functions.hashing import tokens
+
+# Patterns shared verbatim with the DuckDB oracle (RE2 ∩ Java regex).
+HTML_TAG_RE = r"<[^>]*>"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\+[0-9][0-9() \-]{6,}[0-9]"
+
+
+def clean_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Boilerplate strip: drop HTML-ish tags, collapse whitespace runs
+    to single spaces, trim. Returns ``(id, clean)``.
+
+    Pure projection — the 100 TB plan is scan → regexp project, fully
+    whole-stage-codegen, no exchange.
+    """
+    c = F.regexp_replace(F.col(text_col), HTML_TAG_RE, " ")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.select(F.col(id_col), c.alias("clean"))
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails / IPv4 addresses / international phone numbers with
+    typed placeholder tokens. Returns ``(id, redacted, n_emails,
+    n_ipv4)`` — the counts make the redaction auditable (how much PII a
+    shard carried) without retaining the values.
+    """
+    text = F.col(text_col)
+    redacted = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    redacted = F.regexp_replace(redacted, IPV4_RE, "<IP>")
+    redacted = F.regexp_replace(redacted, PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(IPV4_RE), 0)).alias("n_ipv4"),
+    )
+
+
+def _token_ngrams(toks: Column, n: int) -> Column:
+    """Token n-grams as space-joined strings; empty array below n
+    tokens (guarded — ``sequence(0, -1)`` would count DOWN)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Within-document repetition features: type-token ratio and the
+    fraction of duplicated token n-grams. Returns
+    ``(id, n_tokens, ttr, dup_ngram_ratio)``.
+
+    High dup_ngram_ratio = boilerplate / TOC / generated spam — the
+    standard Gopher/RefinedWeb-style repetition filter signals. Pure
+    per-row array math; no shuffle at any scale.
+    """
+    df = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
+    grams = _token_ngrams(toks, n)
+    n_grams = F.size(grams)
+    dup_ratio = F.when(
+        n_grams > 0,
+        F.round(1.0 - F.size(F.array_distinct(grams)) / n_grams, 6),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)), 6
+        ).alias("ttr"),
+        dup_ratio.alias("dup_ngram_ratio"),
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    rate_num: int = 32,
+    rate_den: int = 256,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic, engine-independent sampling: keep rows whose
+    ``md5(key)`` first byte falls under ``rate_num/rate_den`` (den must
+    be 256). Unlike ``df.sample()`` the selection is a pure function of
+    the key — stable across runs, engines, partitionings, and cluster
+    sizes, which is what makes train/eval splits reproducible at 100 TB.
+
+    Filter-only plan: no shuffle, pushes to the scan's data filters.
+    """
+    if rate_den != 256:
+        raise ValueError("rate_den must be 256 (one md5 byte)")
+    threshold = f"{rate_num:02x}"
+    byte_hex = F.substring(F.md5(F.col(key_col).cast("string")), 1, 2)
+    return df.where(byte_hex < F.lit(threshold))

@@ -1,0 +1,90 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dgraph_dbpedia_spark.operators.dedup import dedup_clusters
+from dgraph_dbpedia_spark.operators.textclean import (
+    clean_text,
+    hash_sample,
+    pii_redact,
+    repetition_score,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "<p>Hello   <b>world</b></p>\n\n  spaced\tout  "),
+            (2, "mail me at jane.doe+x@example.co.uk or ping 192.168.0.1 ok"),
+            (3, "call +1 (555) 123-4567 today"),
+            (4, "aaa bbb aaa bbb aaa bbb aaa bbb"),
+            (5, "all distinct tokens in this one sentence right here"),
+            (6, "ab"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_clean_text_strips_tags_and_whitespace(spark, docs):
+    out = {r["doc_id"]: r["clean"] for r in clean_text(docs).collect()}
+    assert out[1] == "Hello world spaced out"
+    assert out[2].startswith("mail me at")  # untouched: no tags
+
+
+def test_pii_redact(spark, docs):
+    rows = {r["doc_id"]: r for r in pii_redact(docs).collect()}
+    assert "<EMAIL>" in rows[2]["redacted"]
+    assert "<IP>" in rows[2]["redacted"]
+    assert "jane" not in rows[2]["redacted"]
+    assert rows[2]["n_emails"] == 1 and rows[2]["n_ipv4"] == 1
+    assert "<PHONE>" in rows[3]["redacted"]
+    assert rows[1]["n_emails"] == 0
+
+
+def test_repetition_score(spark, docs):
+    rows = {r["doc_id"]: r for r in repetition_score(docs, n=3).collect()}
+    # doc 4: 8 tokens alternating -> 2 distinct -> ttr 0.25; 6 trigrams,
+    # only 2 distinct ("aaa bbb aaa", "bbb aaa bbb") -> dup ratio 4/6
+    assert rows[4]["ttr"] == 0.25
+    assert rows[4]["dup_ngram_ratio"] == pytest.approx(4 / 6, abs=1e-6)
+    assert rows[5]["ttr"] == 1.0 and rows[5]["dup_ngram_ratio"] == 0.0
+    # below n tokens: zero ratio, not an error (sequence guard)
+    assert rows[6]["n_tokens"] == 1 and rows[6]["dup_ngram_ratio"] == 0.0
+
+
+def test_hash_sample_deterministic_and_plausible(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = sorted(r["doc_id"] for r in hash_sample(df, rate_num=32).collect())
+    b = sorted(r["doc_id"] for r in hash_sample(df, rate_num=32).collect())
+    assert a == b  # pure function of the key
+    assert 0.08 < len(a) / 2000 < 0.17  # ~12.5% +- sampling noise
+    # nested rates: a 16/256 sample is a subset of the 32/256 sample
+    sub = set(r["doc_id"] for r in hash_sample(df, rate_num=16).collect())
+    assert sub <= set(a)
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    """a~b and b~c (no direct a~c pair): all three must land in one
+    cluster labeled min(a) — exactly the case the greedy pairwise
+    near_dup_filter under-deletes."""
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(1, 4), (4, 6), (2, 3)], ["a", "b"]
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, pairs).collect()}
+    assert out[1] == out[4] == out[6] == 1
+    assert out[2] == out[3] == 2
+    assert out[5] == 5 and out[7] == 7  # singletons label themselves
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    """Path graph 0-1-2-...-9: worst-case diameter for min-label
+    propagation; must still converge inside max_iter."""
+    docs = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["a", "b"]
+    )
+    out = dedup_clusters(docs, pairs, max_iter=15)
+    assert set(r["cluster_id"] for r in out.collect()) == {0}
