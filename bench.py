@@ -31,80 +31,25 @@ import __spark_entry__ as entry_mod
 from dgraph_dbpedia_spark.session import build_session
 
 
-def bench_pipelines(spark, sf: float) -> dict[str, float]:
+def bench_pipelines(sf: float) -> dict[str, float]:
     """Ingest (.ttl -> parquet) and transform (parquet -> RDF + schema)
-    wall-clock + triples/s on a generated corpus. Corpus generation and
-    the throughput-denominator counts run outside the timed windows."""
-    from dgraph_dbpedia_spark.benchgen import generate_ttl_corpus, LANGS
-    from dgraph_dbpedia_spark.plans.ingest import ingest
-    from dgraph_dbpedia_spark.plans.transform import TransformConfig, transform
+    wall-clock + triples/s, run in a SUBPROCESS (tools/pipeline_bench.py)
+    so the pipelines get a fresh JVM: after the 50+ query suite the
+    shared driver heap is grown/fragmented and the same transform runs
+    ~1.7x slower than in a clean session — state no cluster deployment
+    of the pipeline would carry."""
+    import subprocess
 
-    # 6M*sf subjects (600k at sf0.1): large enough that per-job fixed
-    # overhead (commit protocol, range sampling, 9 independent sinks)
-    # stops dominating — throughput at 60k subjects understated the
-    # pipeline by >2x (r1 verdict)
-    n_subjects = int(os.environ.get("SPARK_GRAFT_BENCH_SUBJECTS", int(6_000_000 * sf)))
-    work = tempfile.mkdtemp(prefix="sparkgraft-bench-")
-    try:
-        ttl_root = f"{work}/ttl"
-        generate_ttl_corpus(spark, ttl_root, n_subjects)
-
-        start = time.perf_counter()
-        results = ingest(spark, ttl_root, f"{work}/parquet", print_stats=False)
-        ingest_s = time.perf_counter() - start
-        in_triples = sum(
-            spark.read.parquet(r.path).count() for r in results
-        )
-
-        cfg = TransformConfig(
-            write_types=True,
-            externalise_uris=True,
-            remove_language_tags=True,
-            top_infobox_properties_per_lang=100,
-            print_stats=False,
-        )
-        start = time.perf_counter()
-        outputs = transform(
-            spark, f"{work}/parquet", f"{work}/rdf", languages=list(LANGS), cfg=cfg
-        )
-        transform_s = time.perf_counter() - start
-        out_triples = sum(df.count() for df in outputs.values())
-
-        def tree_bytes(root: str) -> int:
-            return sum(
-                os.path.getsize(os.path.join(d, f))
-                for d, _, fs in os.walk(root)
-                for f in fs
-            )
-
-        parquet_bytes = tree_bytes(f"{work}/parquet")
-        rdf_gz_bytes = tree_bytes(f"{work}/rdf")
-
-        from dgraph_dbpedia_spark.observability import collect_spill_metrics
-
-        spill = collect_spill_metrics(spark)
-
-        return {
-            "subjects": n_subjects,
-            "ingest_sec": round(ingest_s, 3),
-            "ingest_triples": in_triples,
-            "ingest_triples_per_sec": round(in_triples / ingest_s),
-            "transform_sec": round(transform_s, 3),
-            "transform_out_triples": out_triples,
-            "transform_triples_per_sec": round(in_triples / transform_s),
-            # footprint comparables: BASELINE parquet 42 GB / RDF.gz 21 GB
-            # at 2.17 B triples ~= 19 / 9.7 bytes per triple
-            "parquet_bytes_per_triple": round(parquet_bytes / in_triples, 2),
-            "rdf_gz_bytes_per_triple": round(rdf_gz_bytes / out_triples, 2),
-            # X5 parity: the reference prints spill/peak at end of run
-            "memory_spill_gb": round(spill.memory_bytes_spilled / 1024**3, 3),
-            "disk_spill_gb": round(spill.disk_bytes_spilled / 1024**3, 3),
-            "peak_execution_memory_mb": round(
-                spill.peak_execution_memory / 1024**2, 1
-            ),
-        }
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    script = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "pipeline_bench.py"
+    )
+    out = subprocess.run(
+        [sys.executable, script, str(sf)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def main() -> None:
@@ -131,9 +76,13 @@ def main() -> None:
     # (measured 2x transform slowdown from the leftover storage)
     spark.catalog.clearCache()
 
+    # stop the query-suite session BEFORE the pipeline subprocess so the
+    # two JVMs don't compete for cores
+    spark.stop()
+
     pipelines: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_PIPELINE", "1") != "0":
-        pipelines = bench_pipelines(spark, sf)
+        pipelines = bench_pipelines(sf)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -149,7 +98,6 @@ def main() -> None:
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -566,9 +566,12 @@ def transform(
             pool.submit(write_schema, schema, f"{out}/schema.indexed.dgraph", True),
         ]
         if cfg.write_types:
+            _lvl = getattr(
+                StorageLevel,
+                os.environ.get("SPARK_GRAFT_RETAIN_LEVEL", "MEMORY_AND_DISK"),
+            )
             retained = {
-                name: frame.persist(StorageLevel.MEMORY_AND_DISK)
-                for name, frame in frames
+                name: frame.persist(_lvl) for name, frame in frames
             }
             futures = {
                 name: pool.submit(
