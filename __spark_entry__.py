@@ -1169,13 +1169,19 @@ def oracle_sql() -> dict[str, str]:
                        END AS o
                 FROM events)
             SELECT event_id,
+                   -- Scala split drops trailing empty fields: rtrim trailing
+                   -- carets, then v = all-but-last-2 fields, t = last field
+                   -- (functions/rdf.py extract_datatype, scala:544-553)
                    CASE WHEN starts_with(o, '<') THEN o
                         WHEN contains(o, '^^')
-                        THEN o[1:length(o) - length(list_extract(string_split(o, '^^'), -1)) - 2]
+                        THEN coalesce(array_to_string(
+                               list_slice(string_split(rtrim(o, '^'), '^'), 1,
+                                 greatest(length(string_split(rtrim(o, '^'), '^')) - 2, 0)),
+                               '^'), '')
                         ELSE o END AS v,
                    CASE WHEN starts_with(o, '<') THEN '<uri>'
                         WHEN contains(o, '^^')
-                        THEN list_extract(string_split(o, '^^'), -1)
+                        THEN list_extract(string_split(rtrim(o, '^'), '^'), -1)
                         ELSE NULL END AS t
             FROM src
         """,

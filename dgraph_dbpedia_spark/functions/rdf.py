@@ -22,23 +22,46 @@ def extract_datatype(o: Column) -> tuple[Column, Column]:
 
     Semantics of ``extractDataType`` (DbpediaDgraphSparkApp.scala:544-553):
     - object starting ``<``  -> the value is the URI itself, type ``<uri>``
-    - object containing ``^^`` -> value is everything before the *last*
-      ``^^`` (values may themselves contain ``^``), type is the suffix
+    - object containing ``^^`` -> ``fields = value.split("\\^")``;
+      value is ``fields.dropRight(2).mkString("^")``, type is
+      ``fields.last``. Scala/Java ``split`` with the default limit DROPS
+      TRAILING EMPTY FIELDS, so trailing ``^`` runs vanish before the
+      "last field" is taken: ``'a^^b^'`` -> t = ``b`` (not ``b^``), and
+      ``'ab^^'`` -> v = ``''``, t = ``ab``.
     - otherwise -> plain literal, no datatype (null type)
 
-    Implemented with ``substring_index(o, '^^', -1)`` for the suffix and a
-    length-based prefix for the value — exact parity with the UDF's
-    split-on-all-``^^``-take-last behavior, but fully native.
+    Native model of the trailing-empty-drop: strip trailing carets first
+    (``regexp_replace(o, '\\^+$', '')`` — trailing empty fields correspond
+    1:1 to trailing separators), then the type is the substring after the
+    last remaining ``^`` and the value is everything before the last TWO
+    fields (``substring_index(stripped, '^', -2)`` is those two fields
+    plus their joining caret). ``greatest(0, ...)`` covers <=2 fields,
+    where ``dropRight(2).mkString`` is the empty string.
+
+    One deliberate divergence: an all-caret object (e.g. ``'^^'``) makes
+    the Scala UDF throw (``split`` yields an empty array, ``.last``
+    raises); a data-dependent crash is unacceptable at scale, so this
+    implementation defines that case as (v='', t='').
     """
-    dtype_suffix = F.substring_index(o, "^^", -1)
+    stripped = F.regexp_replace(o, r"\^+$", "")
+    tail2 = F.substring_index(stripped, "^", -2)
     has_dtype = o.contains("^^")
     is_uri = o.startswith("<")
     v = (
         F.when(is_uri, o)
-        .when(has_dtype, o.substr(F.lit(1), F.length(o) - F.length(dtype_suffix) - 2))
+        .when(
+            has_dtype,
+            stripped.substr(
+                F.lit(1), F.greatest(F.lit(0), F.length(stripped) - F.length(tail2) - 1)
+            ),
+        )
         .otherwise(o)
     )
-    t = F.when(is_uri, F.lit(URI_TYPE)).when(has_dtype, dtype_suffix).otherwise(F.lit(None))
+    t = (
+        F.when(is_uri, F.lit(URI_TYPE))
+        .when(has_dtype, F.substring_index(stripped, "^", -1))
+        .otherwise(F.lit(None))
+    )
     return v, t
 
 

@@ -10,6 +10,8 @@ Batched: hypothesis generates input lists, one Spark job per list.
 
 from __future__ import annotations
 
+import os
+
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -18,11 +20,19 @@ from dgraph_dbpedia_spark.sources.ttl import parse_ttl_lines
 
 
 def ref_extract_datatype(value: str) -> tuple[str, str | None]:
-    """Host-side port of the reference UDF's exact split/rejoin logic."""
+    """Host-side port of the reference UDF's exact split/rejoin logic.
+
+    Scala/Java ``split`` with the default limit drops TRAILING empty
+    fields (Python's keeps them), so the port strips trailing carets
+    first — trailing empty fields correspond 1:1 to trailing separators.
+    All-caret inputs (``'^^'``) crash the Scala UDF (``.last`` of an
+    empty array); the engine defines them as (v='', t='') instead, and
+    the stripped-then-split model here yields exactly that.
+    """
     if value.startswith("<"):
         return value, "<uri>"
     if "^^" in value:
-        fields = value.split("^")
+        fields = value.rstrip("^").split("^")
         return "^".join(fields[:-2]), fields[-1]
     return value, None
 
@@ -33,14 +43,21 @@ _object_strings = st.one_of(
         min_size=1,
         max_size=40,
     ),
+    # caret-dense strings to hammer the Scala trailing-empty-drop edge
+    st.text("ab^", min_size=1, max_size=12),
     st.builds(lambda v, t: f'"{v}"^^<{t}>', st.text("abc^", min_size=0, max_size=8),
               st.text("xyz", min_size=1, max_size=5)),
+    st.builds(lambda b, n: b + "^" * n, st.text("ab^", min_size=0, max_size=6),
+              st.integers(min_value=1, max_value=4)),
     st.builds(lambda u: f"<http://{u}>", st.text("abc./", min_size=1, max_size=12)),
 )
 
 
-@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
-@given(st.lists(_object_strings, min_size=1, max_size=30))
+_EXAMPLES = int(os.environ.get("SPARK_GRAFT_HYPOTHESIS_EXAMPLES", "40"))
+
+
+@settings(max_examples=_EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_object_strings, min_size=1, max_size=50))
 def test_extract_datatype_matches_reference(spark, values):
     df = spark.createDataFrame([(v,) for v in values], ["o"])
     v, t = extract_datatype(F.col("o"))
