@@ -33,8 +33,11 @@ from dgraph_dbpedia_spark.functions.rdf import (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # the driver's testdata stores TIMESTAMP(NANOS); Spark has no nanos
-    # type, so read them as long regardless of the caller's session conf
+    # events.ts is TIMESTAMP without timezone (NTZ); pin the session to
+    # UTC so NTZ -> TIMESTAMP casts agree with the DuckDB oracle's
+    # epoch() regardless of the caller's session conf. Legacy nanos
+    # testdata needs nanosAsLong (no-op on micros layouts).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
