@@ -16,11 +16,12 @@ These implement the two scalable shapes:
   is applied AFTER the equi-join, so Catalyst runs a hash join, never a
   broadcast-nested-loop.
 
-Timestamps are treated as plain comparable integers (the testdata's
-TIMESTAMP(NANOS) columns arrive as epoch-nanos longs under
-``nanosAsLong``); any monotonic orderable type works for
-:func:`asof_join`, while :func:`range_count_join` needs integer
-arithmetic for the bucket id (integer ``div`` — double division loses
+Timestamps are treated as plain comparable integers — convert
+timestamp columns up front (e.g. ``streaming.events.epoch_seconds``,
+which handles both the nanos-long and TIMESTAMP_NTZ driver layouts).
+Any monotonic orderable type works for :func:`asof_join` when
+``tolerance`` is None; the tolerance guard and :func:`range_count_join`
+need integer arithmetic (integer ``div`` — double division loses
 precision above 2^53, which epoch-nanos exceeds).
 """
 
@@ -87,7 +88,9 @@ def asof_join(
         matched = F.when(
             matched["__ts"] >= F.col(ts_col) - F.lit(tolerance), matched
         )
-    out = u.where(F.col("__side") == 1).withColumn("__m", matched)
+    # compute the window BEFORE dropping right rows — filtering first
+    # would hide the right side from the window frame
+    out = u.withColumn("__m", matched).where(F.col("__side") == 1)
     return out.select(
         *[c for c in left.columns],
         *[F.col("__m")[c].alias(f"{prefix}{c}") for c in payload_cols],

@@ -8,9 +8,14 @@ via ``applyInPandasWithState``.
 
 Each windowed operator has a *batch twin* (same transformation applied
 to a batch DataFrame) — the twins power DuckDB oracle checks and let
-callers run identical logic in either mode. Event time arrives as
-nanosecond longs (the driver's parquet layout) and is converted with
-``timestamp_micros`` — pure epoch math, timezone-proof.
+callers run identical logic in either mode. Event time is
+layout-adaptive: nanosecond epoch longs (legacy driver layout) are
+converted with ``timestamp_micros`` (pure epoch math), and
+TIMESTAMP / TIMESTAMP_NTZ columns (current driver layout) pass
+through. Epoch-seconds extraction uses ``unix_timestamp``, which for
+NTZ treats the wall clock as UTC independent of the session timezone
+(verified under a non-UTC session TZ) — exactly DuckDB's
+``epoch(ts)`` semantics, so oracle comparisons stay timezone-proof.
 
 Scale notes: windowed counts are partial-aggregated before the state
 store; state size is bounded by (#windows in watermark horizon x
@@ -30,11 +35,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# the driver's events.parquet schema with TIMESTAMP(NANOS) read as long
+# the driver's events.parquet schema (ts is TIMESTAMP without timezone)
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -43,19 +48,37 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def event_time(col: str = "ts") -> F.Column:
-    """Nanos-long -> timestamp column (micros precision)."""
-    return F.timestamp_micros((F.col(col) / 1000).cast("long"))
+def event_time(df: DataFrame, col: str = "ts") -> F.Column:
+    """TIMESTAMP column for any ts layout. Nanos-epoch longs become
+    micros timestamps (pure epoch math). TIMESTAMP_NTZ is rebased to a
+    true TIMESTAMP via epoch seconds — ``unix_timestamp`` reads the NTZ
+    wall clock as UTC independent of session TZ, and watermarks REQUIRE
+    TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise). Second
+    precision: lossless for the hour-scale windows and the
+    seconds-based sessionizer built on top."""
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        return F.timestamp_micros((F.col(col) / 1000).cast("long"))
+    if dt == "timestamp_ntz":
+        return F.timestamp_seconds(F.unix_timestamp(F.col(col)))
+    return F.col(col)
+
+
+def epoch_seconds(df: DataFrame, col: str = "ts") -> F.Column:
+    """Epoch seconds (long, truncated) for either ts layout. Integer
+    ``div`` on the nanos path (double division loses precision above
+    2^53); ``unix_timestamp`` on the timestamp path — for NTZ it reads
+    the wall clock as UTC regardless of session timezone, matching
+    DuckDB's ``epoch(ts)``."""
+    if dict(df.dtypes).get(col) == "bigint":
+        return F.expr(f"{col} div 1000000000")
+    return F.unix_timestamp(F.col(col))
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over a directory of events parquet files."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(path)
-        .withColumn("event_time", event_time())
-    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    return stream.withColumn("event_time", event_time(stream))
 
 
 def tumbling_counts(
@@ -66,13 +89,14 @@ def tumbling_counts(
     (watermark is a no-op in batch). Output: (ws, event_type, n)."""
     df = events
     if "event_time" not in df.columns:
-        df = df.withColumn("event_time", event_time())
+        df = df.withColumn("event_time", event_time(df))
     if df.isStreaming:
         df = df.withWatermark("event_time", watermark)
     return (
         df.groupBy(F.window("event_time", window).alias("w"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("w.start").cast("long").alias("ws"), "event_type", "n")
+        # unix_timestamp, not a long cast: NTZ windows reject the cast
+        .select(F.unix_timestamp(F.col("w.start")).alias("ws"), "event_type", "n")
     )
 
 
@@ -86,7 +110,7 @@ def sliding_counts(
     window/slide windows. Output: (ws, event_type, n)."""
     df = events
     if "event_time" not in df.columns:
-        df = df.withColumn("event_time", event_time())
+        df = df.withColumn("event_time", event_time(df))
     if df.isStreaming:
         df = df.withWatermark("event_time", watermark)
     return (
@@ -94,7 +118,7 @@ def sliding_counts(
             F.window("event_time", window, slide).alias("w"), F.col("event_type")
         )
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("w.start").cast("long").alias("ws"), "event_type", "n")
+        .select(F.unix_timestamp(F.col("w.start")).alias("ws"), "event_type", "n")
     )
 
 
@@ -122,10 +146,8 @@ def sessionize_batch(events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS) 
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
-    # integer division (exact): float division of nanos loses precision
-    ts_s = F.expr("ts div 1000000000")
     with_gap = (
-        events.select("event_id", "user_id", ts_s.alias("ts_s"))
+        events.select("event_id", "user_id", epoch_seconds(events).alias("ts_s"))
         .withColumn("prev", F.lag("ts_s").over(w))
         .withColumn(
             "new_session",
@@ -193,9 +215,9 @@ def sessionize_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame
     Emits a row per *closed* session."""
     df = events
     if "event_time" not in df.columns:
-        df = df.withColumn("event_time", event_time())
+        df = df.withColumn("event_time", event_time(df))
     df = df.withWatermark("event_time", watermark).withColumn(
-        "ts_s", F.expr("ts div 1000000000")
+        "ts_s", epoch_seconds(events)
     )
     return (
         df.select("user_id", "event_id", "ts_s", "event_time")
@@ -228,7 +250,7 @@ def dedup_events(
     keys = keys or ["event_id"]
     df = events
     if "event_time" not in df.columns:
-        df = df.withColumn("event_time", event_time())
+        df = df.withColumn("event_time", event_time(df))
     if df.isStreaming:
         return df.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
             keys

@@ -1,0 +1,144 @@
+"""Tests for operators/temporal.py: as-of join and bucketed range join.
+
+Covers the semantics the oracle can't isolate: tolerance nulling,
+inclusive at-or-before matching, tie-breaks, and bucket-boundary edges
+(events exactly at +/-radius, and just beyond).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dgraph_dbpedia_spark.operators.temporal import asof_join, range_count_join
+
+
+def _asof(spark, left_rows, right_rows, **kw):
+    left = spark.createDataFrame(left_rows, ["event_id", "k", "ts"])
+    right = spark.createDataFrame(right_rows, ["m_id", "k", "val", "ts"])
+    kw.setdefault("keys", ["k"])
+    kw.setdefault("ts_col", "ts")
+    kw.setdefault("payload_cols", ["m_id", "val"])
+    out = asof_join(left, right, **kw)
+    return {
+        r["event_id"]: (r["matched_m_id"], r["matched_val"], r["matched_lag"])
+        for r in out.collect()
+    }
+
+
+def test_asof_backward_inclusive_and_no_match(spark):
+    got = _asof(
+        spark,
+        [(1, "a", 100), (2, "a", 50), (3, "a", 10)],
+        [(10, "a", 1.0, 50), (11, "a", 2.0, 90)],
+    )
+    # ts=100: latest right at 90; ts=50: right AT 50 (inclusive);
+    # ts=10: nothing at-or-before -> nulls
+    assert got[1] == (11, 2.0, 10)
+    assert got[2] == (10, 1.0, 0)
+    assert got[3] == (None, None, None)
+
+
+def test_asof_keys_partition_matches(spark):
+    got = _asof(
+        spark,
+        [(1, "a", 100), (2, "b", 100)],
+        [(10, "a", 1.0, 40), (11, "b", 2.0, 70)],
+    )
+    assert got[1] == (10, 1.0, 60)
+    assert got[2] == (11, 2.0, 30)
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    got = _asof(
+        spark,
+        [(1, "a", 100), (2, "a", 100)],
+        [(10, "a", 1.0, 10)],
+        tolerance=90,  # lag is exactly 90 -> kept (>= ts - tolerance)
+    )
+    assert got[1] == (10, 1.0, 90)
+    got = _asof(
+        spark,
+        [(1, "a", 100)],
+        [(10, "a", 1.0, 9)],
+        tolerance=90,  # lag 91 -> stale, nulled
+    )
+    assert got[1] == (None, None, None)
+
+
+def test_asof_tie_break_highest_order_col(spark):
+    # two right rows at the same ts: the larger order_col (default:
+    # first payload col) wins — both payload values come from THAT row
+    got = _asof(
+        spark,
+        [(1, "a", 100)],
+        [(10, "a", 1.0, 60), (12, "a", 3.0, 60), (11, "a", 2.0, 60)],
+    )
+    assert got[1] == (12, 3.0, 40)
+
+
+def test_asof_null_payload_values_stay_with_their_row(spark):
+    # the latest right row has a NULL val: per-column last() would leak
+    # the older row's val; the struct encoding must keep the null
+    got = _asof(
+        spark,
+        [(1, "a", 100)],
+        [(10, "a", 5.0, 40), (11, "a", None, 60)],
+    )
+    assert got[1] == (11, None, 40)
+
+
+def _range(spark, probe_rows, event_rows, radius):
+    probe = spark.createDataFrame(probe_rows, ["event_id", "k", "ts"])
+    events = spark.createDataFrame(event_rows, ["k", "ts"])
+    out = range_count_join(probe, events, ["k"], "ts", radius)
+    return {r["event_id"]: r["n_in_range"] for r in out.collect()}
+
+
+def test_range_count_boundary_inclusive(spark):
+    # events at exactly +/-radius count; radius+1 does not
+    got = _range(
+        spark,
+        [(1, "a", 1000)],
+        [("a", 900), ("a", 1100), ("a", 899), ("a", 1101), ("a", 1000)],
+        radius=100,
+    )
+    assert got[1] == 3
+
+
+def test_range_count_bucket_edges_and_zero_match(spark):
+    # probe at a bucket boundary: in-range events land in the adjacent
+    # bucket on either side and must still be found exactly once
+    got = _range(
+        spark,
+        [(1, "a", 200), (2, "a", 5000), (3, "b", 200)],
+        [("a", 101), ("a", 299), ("a", 200)],
+        radius=100,
+    )
+    assert got[1] == 3  # 101 and 299 (adjacent buckets), plus 200 itself
+    assert got[2] == 0  # zero-match probes kept with count 0
+    assert got[3] == 0  # key mismatch never counts
+
+
+def test_range_count_matches_brute_force(spark):
+    # deterministic brute-force cross-check on a small grid
+    probe_rows = [(i, "k%d" % (i % 3), i * 37 % 500) for i in range(40)]
+    event_rows = [("k%d" % (j % 3), j * 53 % 500) for j in range(60)]
+    radius = 40
+    got = _range(spark, probe_rows, event_rows, radius)
+    for pid, k, ts in probe_rows:
+        want = sum(
+            1 for ek, ets in event_rows if ek == k and abs(ets - ts) <= radius
+        )
+        assert got[pid] == want, (pid, k, ts)
+
+
+def test_asof_plan_single_shuffle_no_join(spark):
+    """The as-of encoding must stay a union + window: no join operator,
+    one exchange on the keys (the 100 TB no-explosion guarantee)."""
+    left = spark.createDataFrame([(1, "a", 100)], ["event_id", "k", "ts"])
+    right = spark.createDataFrame([(10, "a", 1.0, 40)], ["m_id", "k", "val", "ts"])
+    out = asof_join(left, right, ["k"], "ts", ["m_id", "val"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
