@@ -696,7 +696,9 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").withColumnRenamed("doc_id", "id")
-    return decode_image_meta(attach_binary(docs))
+    # pin the deterministic fake: the oracle replicates it, and the
+    # auto-probe default would diverge on machines where PIL exists
+    return decode_image_meta(attach_binary(docs), use_real_decoder=False)
 
 
 def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -11,11 +11,15 @@ Catalyst expression form. Batch size rides
 whatever the upstream frame had (no shuffle is introduced).
 
 The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so
-the decode kernels are STUBS: ``use_real_decoder=True`` raises
-``NotImplementedError`` where the real library call belongs, and the
-default path produces a deterministic fake derived from the md5 of the
-bytes — which keeps the full Spark-side pipeline (schema, Arrow
-batching, UDF signatures) real, testable, and DuckDB-oracle-checkable.
+the decode kernels self-gate on importability: ``use_real_decoder``
+defaults to ``None`` = auto — each task probes for the codec library
+INSIDE the kernel (executors need not match the driver's environment)
+and upgrades itself to the real decoder when present, else falls back
+to a deterministic fake derived from the md5 of the bytes. ``True``
+forces the real codec (``NotImplementedError`` where it is missing),
+``False`` pins the fake — the fake stays the DuckDB-oracle surface
+either way. ``pil_module`` / ``decoder`` allow dependency injection
+(cloudpickle ships test doubles by value into workers).
 """
 
 from __future__ import annotations
@@ -62,28 +66,61 @@ def _fake_dims(content: bytes) -> tuple[int, int]:
     return 16 + h % 4096, 16 + (h // 4096) % 4096
 
 
+def _try_import_pil():
+    """Worker-side codec probe. Returns the PIL.Image module or None."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image_meta(
     df: DataFrame,
     id_col: str = "id",
     content_col: str = "content",
-    use_real_decoder: bool = False,
+    use_real_decoder: bool | None = None,
+    pil_module=None,
 ) -> DataFrame:
     """Binary -> (id, n_bytes, width, height, format) via Arrow-batched
-    mapInPandas. The real decoder belongs at the marked site."""
+    mapInPandas.
+
+    ``use_real_decoder=None`` (default): auto — probe for PIL inside
+    the kernel and decode for real when it imports, else emit the
+    deterministic fake. ``True``: require PIL (NotImplementedError if
+    absent). ``False``: always fake (the oracle surface).
+    ``pil_module`` overrides the probe (test injection)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        image_mod = pil_module if pil_module is not None else _try_import_pil()
+        if use_real_decoder and image_mod is None:
+            raise NotImplementedError(
+                "image codec not available in this environment"
+            )
+        decode_real = image_mod is not None and use_real_decoder is not False
+        import io  # noqa: PLC0415
+
         for pdf in batches:
-            if use_real_decoder:
-                # real implementation: PIL.Image.open(io.BytesIO(b)).size
-                raise NotImplementedError("image codec not available in this environment")
-            dims = [_fake_dims(bytes(b)) for b in pdf[content_col]]
+            raw = [bytes(b) for b in pdf[content_col]]
+            if decode_real:
+                rows = []
+                for b in raw:
+                    img = image_mod.open(io.BytesIO(b))
+                    w, h = img.size
+                    rows.append((w, h, str(img.format or "unknown").lower()))
+                dims = [(w, h) for w, h, _ in rows]
+                fmt = [f for _, _, f in rows]
+            else:
+                dims = [_fake_dims(b) for b in raw]
+                fmt = "fake/deterministic"
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].astype("int64"),
-                    "n_bytes": [len(bytes(b)) for b in pdf[content_col]],
+                    "n_bytes": [len(b) for b in raw],
                     "width": [w for w, _ in dims],
                     "height": [h for _, h in dims],
-                    "format": "fake/deterministic",
+                    "format": fmt,
                 }
             )
 
@@ -97,17 +134,34 @@ def frame_sample(
     id_col: str = "id",
     content_col: str = "content",
     every_n_bytes: int = 64,
-    use_real_decoder: bool = False,
+    use_real_decoder: bool | None = None,
+    decoder=None,
 ) -> DataFrame:
-    """Video frame sampling stub: emits one row per sampled 'frame'
-    (here: per byte-stride chunk) — demonstrates the 1-to-N mapInPandas
-    shape a real ffmpeg-based sampler would have."""
+    """Video frame sampling: emits one row per sampled 'frame'. The
+    default kernel chunks at a byte stride (deterministic, the oracle
+    surface) — it demonstrates the 1-to-N mapInPandas shape a real
+    ffmpeg-based sampler has. ``decoder`` injects a real sampler:
+    ``decoder(bytes) -> list[(frame_idx, frame_hash)]``; with
+    ``use_real_decoder=True`` and no decoder, NotImplementedError (no
+    video codec ships in this environment to auto-probe for)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if use_real_decoder and decoder is None:
+            raise NotImplementedError(
+                "video codec not available in this environment"
+            )
         for pdf in batches:
-            if use_real_decoder:
-                raise NotImplementedError("video codec not available in this environment")
             ids, idxs, hashes = [], [], []
+            if decoder is not None:
+                for vid, b in zip(pdf[id_col], pdf[content_col]):
+                    for idx, fh in decoder(bytes(b)):
+                        ids.append(int(vid))
+                        idxs.append(int(idx))
+                        hashes.append(int(fh))
+                yield pd.DataFrame(
+                    {"id": ids, "frame_idx": idxs, "frame_hash": hashes}
+                )
+                continue
             for vid, b in zip(pdf[id_col], pdf[content_col]):
                 data = bytes(b)
                 for i, off in enumerate(range(0, max(len(data), 1), every_n_bytes)):
@@ -127,10 +181,14 @@ def embed_binary(
     id_col: str = "id",
     content_col: str = "content",
     dims: int = 8,
-    use_real_decoder: bool = False,
+    use_real_decoder: bool | None = None,
+    decoder=None,
 ) -> DataFrame:
-    """Feature-extraction stub: binary -> float vector (md5-seeded fake;
-    a real model inference call belongs at the marked site). Output
+    """Feature extraction: binary -> float vector. Default kernel is an
+    md5-seeded deterministic fake (the oracle surface); ``decoder``
+    injects a real model: ``decoder(bytes) -> list[float]`` of length
+    ``dims``. ``use_real_decoder=True`` with no decoder raises (no
+    model runtime ships in this environment to auto-probe for). Output
     feeds the similarity operators (operators/similarity.py)."""
     out_schema = T.StructType(
         [
@@ -140,11 +198,16 @@ def embed_binary(
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if use_real_decoder and decoder is None:
+            raise NotImplementedError(
+                "model runtime not available in this environment"
+            )
         for pdf in batches:
-            if use_real_decoder:
-                raise NotImplementedError("model runtime not available in this environment")
             vecs = []
             for b in pdf[content_col]:
+                if decoder is not None:
+                    vecs.append([float(v) for v in decoder(bytes(b))])
+                    continue
                 digest = hashlib.md5(bytes(b)).digest()
                 vecs.append([digest[i] / 255.0 - 0.5 for i in range(dims)])
             yield pd.DataFrame({"id": pdf[id_col].astype("int64"), "embedding": vecs})

@@ -162,6 +162,55 @@ def hyperplane_signs(vec: Column, n_planes: int, dims: int) -> Column:
     )
 
 
+def probe_buckets(
+    q_vec: list[float], n_planes: int, dims: int, n_probes: int
+) -> list[int]:
+    """Query-directed multi-probe sequence (Lv et al., VLDB'07): the
+    query's own bucket first, then buckets reached by flipping sign
+    bits in increasing order of total |projection margin| — a bit whose
+    hyperplane projection is nearly zero is the bit a true neighbor
+    most likely differs in, so those buckets are probed first.
+
+    Subsets are enumerated best-first with the classic heap successor
+    scheme (shift-last / extend-last over margin-sorted bit indices),
+    so cost is O(n_probes log n_probes) regardless of 2^n_planes.
+    Driver-side numpy on ONE bounded query vector — no distributed
+    work."""
+    import heapq
+
+    import numpy as np
+
+    planes = np.asarray(plane_values(n_planes, dims), dtype=np.float64)
+    proj = planes.reshape(n_planes, dims) @ np.asarray(q_vec, dtype=np.float64)
+    base = int(((proj > 0).astype(np.int64) << np.arange(n_planes)).sum())
+    margins = np.abs(proj)
+    order = np.argsort(margins, kind="stable")
+    m = margins[order]
+
+    out = [base]
+    if n_probes <= 1 or n_planes == 0:
+        return out[:n_probes] or [base]
+    heap: list[tuple[float, tuple[int, ...]]] = [(float(m[0]), (0,))]
+    seen: set[tuple[int, ...]] = set()
+    while heap and len(out) < n_probes:
+        cost, subset = heapq.heappop(heap)
+        if subset in seen:
+            continue
+        seen.add(subset)
+        b = base
+        for i in subset:
+            b ^= 1 << int(order[i])
+        out.append(b)
+        last = subset[-1]
+        if last + 1 < n_planes:
+            shifted = subset[:-1] + (last + 1,)
+            heapq.heappush(
+                heap, (cost - float(m[last]) + float(m[last + 1]), shifted)
+            )
+            heapq.heappush(heap, (cost + float(m[last + 1]), subset + (last + 1,)))
+    return out
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     query: DataFrame,
@@ -172,20 +221,28 @@ def lsh_bucketed_topk(
     n_planes: int = 8,
     dims: int = 64,
     use_arrow: bool = True,
+    n_probes: int = 1,
 ) -> DataFrame:
     """ANN: restrict the exact re-rank to vectors sharing the query's
-    LSH bucket. Recall < 1 by construction; raise n_planes for finer
-    buckets or probe more buckets for recall.
+    LSH bucket(s). Recall < 1 by construction; raise ``n_probes``
+    (query-directed multi-probe, arrow path only) or lower ``n_planes``
+    for recall, the reverse for cost. Measured on planted-neighbor data
+    (clustered vectors, the regime where ANN is meaningful — the
+    driver's synthetic embeddings are isotropic random, where NO
+    sublinear index can beat the scan fraction): n_planes=8,
+    n_probes=16 recovers >= 0.9 of the exact cosine top-10 while
+    scanning ~7% of the corpus
+    (tests/test_similarity.py::test_lsh_multiprobe_recall).
 
     ``use_arrow=True`` (default) computes the corpus-side sketch with
     the vectorized numpy kernel AND resolves the (bounded, 1-row) query
-    vector driver-side: its bucket becomes a literal FILTER on the
-    corpus sketch — no join, no second Python stage — and the query
+    vector driver-side: its probe sequence becomes a literal FILTER on
+    the corpus sketch — no join, no second Python stage — and the query
     vector a literal array in the scoring expression. The sequential
     per-element float fold of the native plan is preserved exactly
     (repr round-trips doubles), so results match the all-native path
     bit-for-bit. ``False`` keeps the all-native expression plan (the
-    JVM-only oracle surface)."""
+    JVM-only oracle surface; single-probe only)."""
     cand = df.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("e"),
@@ -194,18 +251,15 @@ def lsh_bucketed_topk(
         ).alias("bucket"),
     )
     if use_arrow:
-        import numpy as np
-
         q_vec = [float(x) for x in query.select(query_col).first()[0]]
-        planes = np.asarray(plane_values(n_planes, dims), dtype=np.float64)
-        planes = planes.reshape(n_planes, dims)
-        bits = (planes @ np.asarray(q_vec, dtype=np.float64)) > 0
-        q_bucket = int((bits.astype(np.int64) << np.arange(n_planes)).sum())
+        buckets = probe_buckets(q_vec, n_planes, dims, n_probes)
         q_lit = F.expr("array(" + ",".join(repr(v) + "D" for v in q_vec) + ")")
-        scored = cand.where(F.col("bucket") == F.lit(q_bucket)).select(
+        scored = cand.where(F.col("bucket").isin(buckets)).select(
             F.col(id_col), F.round(cosine(F.col("e"), q_lit), 4).alias("sim")
         )
         return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+    if n_probes != 1:
+        raise ValueError("multi-probe requires use_arrow=True")
     q = query.select(
         F.col(query_col).cast("array<double>").alias("q"),
         _bucket_col(

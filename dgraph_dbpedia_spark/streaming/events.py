@@ -75,9 +75,17 @@ def epoch_seconds(df: DataFrame, col: str = "ts") -> F.Column:
     return F.unix_timestamp(F.col(col))
 
 
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over a directory of events parquet files."""
-    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a directory of events parquet files.
+    ``max_files_per_trigger`` bounds each micro-batch (1 = one file per
+    batch, so watermarks advance between files — the shape a rotating
+    log directory produces)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(path)
     return stream.withColumn("event_time", event_time(stream))
 
 

@@ -70,3 +70,63 @@ def test_documents_ascii_invariant(spark):
         F.octet_length(F.col("text")) != F.length(F.col("text"))
     ).count()
     assert non_ascii == 0
+
+
+def _fake_pil():
+    """Stand-in for PIL.Image: open() parses an 'img:w:h:...' byte
+    layout. Built from locals so cloudpickle ships it by VALUE into
+    workers (a module-level test class would pickle by reference and
+    fail to import there)."""
+    import types
+
+    class Img:
+        def __init__(self, data: bytes):
+            head = data.decode("ascii", "ignore").split(":")
+            self.size = (int(head[1]), int(head[2]))
+            self.format = "PNG"
+
+    return types.SimpleNamespace(open=lambda fp: Img(fp.read()))
+
+
+def test_decode_upgrades_itself_with_injected_codec(spark):
+    """With a (fake) PIL module injected, the kernel takes the
+    real-decoder path: width/height/format come from the codec, not the
+    md5 fake — proving the operator self-upgrades where codecs exist."""
+    df = spark.createDataFrame(
+        [(1, b"img:640:480:junk"), (2, b"img:32:64:junk")], ["id", "content"]
+    )
+    out = {
+        r["id"]: r
+        for r in decode_image_meta(df, pil_module=_fake_pil()).collect()
+    }
+    assert (out[1]["width"], out[1]["height"]) == (640, 480)
+    assert (out[2]["width"], out[2]["height"]) == (32, 64)
+    assert out[1]["format"] == "png"
+    assert out[1]["n_bytes"] == 16
+
+
+def test_decode_pinned_fake_ignores_codec(spark):
+    """use_real_decoder=False must stay on the md5 fake even when a
+    codec is available (the oracle surface is pinned)."""
+    df = spark.createDataFrame([(1, b"img:640:480:junk")], ["id", "content"])
+    out = decode_image_meta(
+        df, use_real_decoder=False, pil_module=_fake_pil()
+    ).collect()[0]
+    h = int(hashlib.md5(b"img:640:480:junk").hexdigest()[:15], 16)
+    assert out["width"] == 16 + h % 4096
+    assert out["format"] == "fake/deterministic"
+
+
+def test_frame_sample_and_embed_accept_injected_decoders(spark):
+    df = spark.createDataFrame([(7, b"abcdef")], ["id", "content"])
+    frames = frame_sample(
+        df, decoder=lambda b: [(i, len(b) * 100 + i) for i in range(2)]
+    ).collect()
+    assert [(r["frame_idx"], r["frame_hash"]) for r in frames] == [
+        (0, 600),
+        (1, 601),
+    ]
+    vecs = embed_binary(
+        df, dims=3, decoder=lambda b: [float(len(b)), 1.5, -2.0]
+    ).collect()
+    assert vecs[0]["embedding"] == [6.0, 1.5, -2.0]

@@ -181,3 +181,86 @@ def test_cosine_topk_arrow_matches_jvm(spark):
     arrow = cosine_topk_arrow(cand, q, k=10).collect()
     assert [r["vec_id"] for r in arrow] == [r["vec_id"] for r in jvm]
     assert all(abs(a["sim"] - j["sim"]) < 1e-4 for a, j in zip(arrow, jvm))
+
+
+def test_probe_buckets_sequence_properties():
+    """Multi-probe sequence: starts at the query's own bucket, unique
+    buckets, correct length, and the first perturbation flips exactly
+    the minimum-margin bit."""
+    import numpy as np
+
+    from dgraph_dbpedia_spark.operators.similarity import (
+        plane_values,
+        probe_buckets,
+    )
+
+    rng = np.random.default_rng(3)
+    q = list(rng.normal(size=64))
+    got = probe_buckets(q, 8, 64, 16)
+    assert len(got) == 16 and len(set(got)) == 16
+    planes = np.asarray(plane_values(8, 64)).reshape(8, 64)
+    proj = planes @ np.asarray(q)
+    base = int(((proj > 0).astype(np.int64) << np.arange(8)).sum())
+    assert got[0] == base
+    min_bit = int(np.argmin(np.abs(proj)))
+    assert got[1] == base ^ (1 << min_bit)
+    # probing every bucket degenerates to the full sequence, still unique
+    full = probe_buckets(q, 4, 64, 16)
+    assert sorted(full) == list(range(16))
+
+
+def test_lsh_multiprobe_recall(spark):
+    """On planted-neighbor data (50 cluster centers x 10 noisy copies —
+    the regime ANN exists for; the driver's embeddings are isotropic
+    random, where no sublinear index beats its scan fraction),
+    n_planes=8 / n_probes=16 recovers >= 0.9 of the exact cosine top-10
+    on average while probing 16 of 256 buckets (~7% of the corpus)."""
+    import numpy as np
+
+    from dgraph_dbpedia_spark.operators.similarity import (
+        cosine_topk,
+        lsh_bucketed_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    bases = rng.normal(size=(50, 64))
+    x = np.repeat(bases, 10, axis=0) + 0.15 * rng.normal(size=(500, 64))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    recalls = []
+    for qi in (0, 87, 174, 261, 348, 435):
+        q = df.where(F.col("vec_id") == qi).select(F.col("embedding").alias("q"))
+        corpus = df.where(F.col("vec_id") != qi)
+        exact = {r[0] for r in cosine_topk(corpus, q, k=10).collect()}
+        ann = {
+            r[0]
+            for r in lsh_bucketed_topk(corpus, q, k=10, n_probes=16).collect()
+        }
+        recalls.append(len(exact & ann) / 10)
+    df.unpersist()
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_lsh_single_probe_subset_of_multiprobe(spark):
+    """n_probes=1 candidates are a subset of n_probes=4's (the probe
+    sequence only ever widens), and the native path rejects multi-probe."""
+    import numpy as np
+    import pytest
+
+    from dgraph_dbpedia_spark.operators.similarity import lsh_bucketed_topk
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(200, 64))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    corpus = df.where(F.col("vec_id") != 0)
+    one = {r[0] for r in lsh_bucketed_topk(corpus, q, k=200, n_probes=1).collect()}
+    four = {r[0] for r in lsh_bucketed_topk(corpus, q, k=200, n_probes=4).collect()}
+    assert one <= four
+    with pytest.raises(ValueError, match="multi-probe"):
+        lsh_bucketed_topk(corpus, q, k=5, use_arrow=False, n_probes=2)

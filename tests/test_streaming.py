@@ -142,3 +142,103 @@ def test_stream_enrich_stateless_broadcast(spark, events_dir, events_batch):
     # batch twin plans a broadcast join
     plan = want._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+@pytest.fixture(scope="module")
+def multi_file_events_dir(tmp_path_factory):
+    """Four time-ordered parquet files (log-rotation shape): watermarks
+    advance between micro-batches when maxFilesPerTrigger=1."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    t = t.sort_by([("ts", "ascending")])
+    d = tmp_path_factory.mktemp("events_multi")
+    n = t.num_rows // 4
+    for i in range(4):
+        chunk = t.slice(i * n, n if i < 3 else t.num_rows - 3 * n)
+        pq.write_table(chunk, os.path.join(str(d), f"part-{i}.parquet"))
+    return str(d)
+
+
+def test_multifile_tumbling_and_enrich_match_batch(
+    spark, multi_file_events_dir, events_batch
+):
+    """End-to-end over 4 micro-batches (1 file each): windowed counts
+    and the stream-static enrich equal their batch twins exactly."""
+    stream = read_events_stream(spark, multi_file_events_dir, max_files_per_trigger=1)
+    run_to_memory(tumbling_counts(stream), "mf_tumbling", "complete")
+    got = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in spark.table("mf_tumbling").collect()
+    }
+    want = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in tumbling_counts(events_batch).collect()
+    }
+    assert got == want and len(want) > 0
+
+    from dgraph_dbpedia_spark.streaming.events import enrich_events
+
+    dim = spark.createDataFrame(
+        [(i, "seg%d" % (i % 3)) for i in range(200)], ["user_id", "segment"]
+    )
+    stream = read_events_stream(spark, multi_file_events_dir, max_files_per_trigger=1)
+    run_to_memory(
+        enrich_events(stream, dim, "user_id").select("event_id", "segment"),
+        "mf_enrich",
+        "append",
+    )
+    got_e = spark.table("mf_enrich")
+    want_e = enrich_events(events_batch, dim, "user_id").select(
+        "event_id", "segment"
+    )
+    assert got_e.count() == want_e.count() == events_batch.count()
+    assert got_e.exceptAll(want_e).count() == 0
+
+
+def test_multifile_sessionize_closes_only_batch_sessions(
+    spark, multi_file_events_dir, events_batch
+):
+    """Sessions closed by the event-time timeout as the watermark moves
+    across micro-batches must each exist in the batch twin with
+    identical stats — and batches crossing files must actually close
+    some (non-empty)."""
+    stream = read_events_stream(spark, multi_file_events_dir, max_files_per_trigger=1)
+    run_to_memory(sessionize_stream(stream), "mf_sessions", "append")
+    got = {
+        (r["user_id"], r["start_s"], r["end_s"]): r["n_events"]
+        for r in spark.table("mf_sessions").collect()
+    }
+    want = {
+        (r["user_id"], r["start_s"], r["end_s"]): r["n_events"]
+        for r in sessionize_batch(events_batch).collect()
+    }
+    assert len(got) > 0
+    for key, n in got.items():
+        assert want.get(key) == n, key
+
+
+def test_multifile_dedup_bounded_state_semantics(
+    spark, multi_file_events_dir, events_batch
+):
+    """dropDuplicatesWithinWatermark across micro-batches: the KEY SET
+    equals the batch twin's (no key is ever lost), while duplicates
+    recurring beyond the watermark horizon may re-emit — the documented
+    price of bounded state."""
+    from dgraph_dbpedia_spark.streaming.events import dedup_events
+
+    stream = read_events_stream(spark, multi_file_events_dir, max_files_per_trigger=1)
+    deduped = dedup_events(stream, keys=["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    run_to_memory(deduped, "mf_dedup", "append")
+    got_rows = spark.table("mf_dedup")
+    got = {(r["user_id"], r["event_type"]) for r in got_rows.collect()}
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in dedup_events(events_batch, keys=["user_id", "event_type"])
+        .select("user_id", "event_type")
+        .collect()
+    }
+    assert got == want and len(want) > 0
+    assert got_rows.count() >= len(want)
