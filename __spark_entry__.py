@@ -282,6 +282,18 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(_t(spark, sf_dir, "events"))
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum quota sampling: 20 documents per
+    (lang, source) stratum by smallest cross-engine id-hash — exact,
+    reproducible, engine-independent (operators/sampling.py)."""
+    from dgraph_dbpedia_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return stratified_sample(docs, ["lang", "source"], 20, "doc_id")
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal: backward as-of join — each click event attaches the
     latest purchase by the same user at-or-before it, within a 1-hour
@@ -881,6 +893,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "union_fold_by_name": _q_union_fold_by_name,
     "stats_pivot": _q_stats_pivot,
     "rollup_counts": _q_rollup_counts,
+    "stratified_sample": _q_stratified_sample,
 }
 
 
@@ -1601,6 +1614,16 @@ def oracle_sql() -> dict[str, str]:
                 WHERE r.user_id = l.user_id
                   AND r.ts_s <= l.ts_s AND r.ts_s >= l.ts_s - 3600
                 ORDER BY r.ts_s DESC, r.m_id DESC LIMIT 1) m ON TRUE
+        """,
+        "stratified_sample": f"""
+            WITH r AS (
+                SELECT doc_id, lang, source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang, source
+                           ORDER BY {_sql_hash64('doc_id::VARCHAR')} ASC,
+                                    doc_id ASC) AS rn
+                FROM documents)
+            SELECT doc_id, lang, source, n_chars FROM r WHERE rn <= 20
         """,
         "range_count_join": """
             WITH ev AS (

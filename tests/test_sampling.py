@@ -1,0 +1,37 @@
+"""Tests for operators/sampling.stratified_sample: exact quotas,
+determinism under repartitioning, and fast-path shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dgraph_dbpedia_spark.operators.sampling import stratified_sample
+
+
+def test_exact_quota_and_small_strata(spark):
+    rows = [(i, "a" if i < 50 else "b", i * 2) for i in range(55)]
+    df = spark.createDataFrame(rows, ["id", "g", "payload"])
+    out = stratified_sample(df, ["g"], 10, "id")
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 10, "b": 5}  # stratum b has only 5 rows
+    # payload columns pass through untouched
+    got = {(r["id"], r["payload"]) for r in out.collect()}
+    assert all(p == i * 2 for i, p in got)
+
+
+def test_deterministic_under_repartition(spark):
+    rows = [(i, "g%d" % (i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "g"])
+    a = {tuple(r) for r in stratified_sample(df, ["g"], 7, "id").collect()}
+    b = {
+        tuple(r)
+        for r in stratified_sample(df.repartition(13), ["g"], 7, "id").collect()
+    }
+    assert a == b and len(a) == 21
+
+
+def test_fast_path_same_quota(spark):
+    rows = [(i, "g%d" % (i % 2)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "g"])
+    out = stratified_sample(df, ["g"], 5, "id", fast=True)
+    assert out.count() == 10
