@@ -31,19 +31,23 @@ def extract_datatype(o: Column) -> tuple[Column, Column]:
     - otherwise -> plain literal, no datatype (null type)
 
     Native model of the trailing-empty-drop: strip trailing carets first
-    (``regexp_replace(o, '\\^+$', '')`` — trailing empty fields correspond
-    1:1 to trailing separators), then the type is the substring after the
+    (``rtrim(o, '^')`` — trailing empty fields correspond 1:1 to trailing
+    separators; a character-set trim, not a regex, so the hot path stays
+    a single backward scan), then the type is the substring after the
     last remaining ``^`` and the value is everything before the last TWO
     fields (``substring_index(stripped, '^', -2)`` is those two fields
     plus their joining caret). ``greatest(0, ...)`` covers <=2 fields,
-    where ``dropRight(2).mkString`` is the empty string.
+    where ``dropRight(2).mkString`` is the empty string. All expressions
+    sit behind the ``contains('^^')`` branch of a CaseWhen, which codegen
+    evaluates lazily — rows without a datatype (the overwhelming
+    majority) never pay for the trim/substring work.
 
     One deliberate divergence: an all-caret object (e.g. ``'^^'``) makes
     the Scala UDF throw (``split`` yields an empty array, ``.last``
     raises); a data-dependent crash is unacceptable at scale, so this
     implementation defines that case as (v='', t='').
     """
-    stripped = F.regexp_replace(o, r"\^+$", "")
+    stripped = F.rtrim(o, F.lit("^"))
     tail2 = F.substring_index(stripped, "^", -2)
     has_dtype = o.contains("^^")
     is_uri = o.startswith("<")

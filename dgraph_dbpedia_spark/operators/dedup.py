@@ -489,12 +489,20 @@ def dedup_clusters(
     component degree. Rounds = graph DIAMETER, and LSH-banded near-dup
     graphs are quasi-cliques (banding links every pair that shares a
     bucket), so 2-4 rounds in practice; ``max_iter`` guards
-    pathological chains. ``localCheckpoint`` truncates the lineage per
-    round — without it the plan doubles each iteration and round 15+
-    spends longer planning than executing. Convergence is detected with
-    a per-round 1-row aggregate (count of changed labels), the standard
-    driver-side loop of iterative Spark algorithms — not a
-    driver-collect of data.
+    pathological chains and raises ``RuntimeError`` LOUDLY if labels
+    have not converged when it is hit — returning partial components
+    would silently under-merge clusters. ``localCheckpoint`` truncates
+    the lineage per round — without it the plan doubles each iteration
+    and round 15+ spends longer planning than executing. Convergence is
+    detected with a per-round 1-row aggregate (count of changed
+    labels), the standard driver-side loop of iterative Spark
+    algorithms — not a driver-collect of data.
+
+    Rounds scale with component DIAMETER, so a pathological long-chain
+    graph (diameter > max_iter) needs the large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14), which contracts chains in O(log^2 n) rounds —
+    the documented upgrade path if a corpus ever trips the cap.
     """
     # undirected: propagate labels both ways along every pair
     edges = (
@@ -507,6 +515,7 @@ def dedup_clusters(
     labels = docs.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
     ).localCheckpoint()
+    changed = -1
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -533,6 +542,13 @@ def dedup_clusters(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still changing): component diameter "
+            "exceeds max_iter — raise it, or switch to a "
+            "large-star/small-star contraction for chain-shaped graphs"
+        )
     return labels.select(
         F.col("id").alias(id_col), F.col("label").alias("cluster_id")
     )

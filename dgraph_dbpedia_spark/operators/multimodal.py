@@ -90,7 +90,13 @@ def decode_image_meta(
     the kernel and decode for real when it imports, else emit the
     deterministic fake. ``True``: require PIL (NotImplementedError if
     absent). ``False``: always fake (the oracle surface).
-    ``pil_module`` overrides the probe (test injection)."""
+    ``pil_module`` overrides the probe (test injection).
+
+    Per-row robustness: in auto/real mode, any cell PIL cannot decode
+    (corrupt or non-image bytes — a certainty in a 100 TB crawl) falls
+    back to the deterministic fake for THAT ROW with
+    ``format='fake/deterministic'`` instead of failing the task; a
+    poisoned cell must never cost a 10k-row Arrow batch or the job."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         image_mod = pil_module if pil_module is not None else _try_import_pil()
@@ -101,19 +107,21 @@ def decode_image_meta(
         decode_real = image_mod is not None and use_real_decoder is not False
         import io  # noqa: PLC0415
 
+        def one(b: bytes) -> tuple[int, int, str]:
+            if decode_real:
+                try:
+                    img = image_mod.open(io.BytesIO(b))
+                    return img.size[0], img.size[1], str(img.format or "unknown").lower()
+                except Exception:  # noqa: BLE001 — PIL raises a zoo of codec errors
+                    pass
+            w, h = _fake_dims(b)
+            return w, h, "fake/deterministic"
+
         for pdf in batches:
             raw = [bytes(b) for b in pdf[content_col]]
-            if decode_real:
-                rows = []
-                for b in raw:
-                    img = image_mod.open(io.BytesIO(b))
-                    w, h = img.size
-                    rows.append((w, h, str(img.format or "unknown").lower()))
-                dims = [(w, h) for w, h, _ in rows]
-                fmt = [f for _, _, f in rows]
-            else:
-                dims = [_fake_dims(b) for b in raw]
-                fmt = "fake/deterministic"
+            rows = [one(b) for b in raw]
+            dims = [(w, h) for w, h, _ in rows]
+            fmt = [f for _, _, f in rows]
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].astype("int64"),

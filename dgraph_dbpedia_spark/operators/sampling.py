@@ -37,10 +37,15 @@ def stratified_sample(
     """Keep the ``n_per_stratum`` rows with the smallest
     ``hash(id_col)`` inside each stratum (ties broken by id). Columns
     pass through unchanged."""
+    # pick a rank column name that cannot clobber caller data (ADVICE
+    # r5: a fixed "__rn" silently dropped an input column of that name)
+    rn = "__rn"
+    while rn in df.columns:
+        rn = "_" + rn
     h = hash64(F.col(id_col).cast("string"), fast=fast)
     w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(id_col).asc())
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= n_per_stratum)
-        .drop("__rn")
+        df.withColumn(rn, F.row_number().over(w))
+        .where(F.col(rn) <= n_per_stratum)
+        .drop(rn)
     )

@@ -559,8 +559,13 @@ def transform(
 
     # 7 rdf sinks + 2 schema files + external_ids + types: one worker
     # each so no job waits for a pool slot; FAIR scheduling interleaves
-    # their stages on the executors
-    with ThreadPoolExecutor(max_workers=11) as pool:
+    # their stages on the executors. Pool width is the concurrency dial
+    # for the sink phase: fewer workers = staggered waves (less cache /
+    # shuffle-memory contention, more idle executors between commits) —
+    # measured at the 3M-subject scale in BENCH_SCALE.md before fixing
+    # the default.
+    sink_workers = int(os.environ.get("SPARK_GRAFT_SINK_WORKERS", "11"))
+    with ThreadPoolExecutor(max_workers=sink_workers) as pool:
         schema_futures = [
             pool.submit(write_schema, schema, f"{out}/schema.dgraph", False),
             pool.submit(write_schema, schema, f"{out}/schema.indexed.dgraph", True),

@@ -9,10 +9,15 @@ via ``applyInPandasWithState``.
 Each windowed operator has a *batch twin* (same transformation applied
 to a batch DataFrame) — the twins power DuckDB oracle checks and let
 callers run identical logic in either mode. Event time is
-layout-adaptive: nanosecond epoch longs (legacy driver layout) are
+layout-adaptive IN THE BATCH HELPERS (``event_time`` /
+``epoch_seconds``): nanosecond epoch longs (legacy driver layout) are
 converted with ``timestamp_micros`` (pure epoch math), and
 TIMESTAMP / TIMESTAMP_NTZ columns (current driver layout) pass
-through. Epoch-seconds extraction uses ``unix_timestamp``, which for
+through. The STREAM source is not adaptive: ``read_events_stream``
+pins ``EVENTS_SCHEMA`` (ts as TIMESTAMP_NTZ, the current layout) —
+file streams need an explicit schema up front, so reading legacy
+nanos-long parquet through it requires passing that legacy schema
+explicitly. Epoch-seconds extraction uses ``unix_timestamp``, which for
 NTZ treats the wall clock as UTC independent of the session timezone
 (verified under a non-UTC session TZ) — exactly DuckDB's
 ``epoch(ts)`` semantics, so oracle comparisons stay timezone-proof.
@@ -76,13 +81,18 @@ def epoch_seconds(df: DataFrame, col: str = "ts") -> F.Column:
 
 
 def read_events_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    schema: T.StructType | None = None,
 ) -> DataFrame:
     """File-source stream over a directory of events parquet files.
     ``max_files_per_trigger`` bounds each micro-batch (1 = one file per
     batch, so watermarks advance between files — the shape a rotating
-    log directory produces)."""
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    log directory produces). ``schema`` overrides ``EVENTS_SCHEMA`` for
+    non-current layouts (e.g. legacy nanos-long ``ts``); ``event_time``
+    adapts to whichever ts type the schema declares."""
+    reader = spark.readStream.schema(schema or EVENTS_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(path)

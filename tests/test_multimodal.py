@@ -117,6 +117,56 @@ def test_decode_pinned_fake_ignores_codec(spark):
     assert out["format"] == "fake/deterministic"
 
 
+def _picky_pil():
+    """Fake PIL whose open() raises on anything not starting ``img:`` —
+    models real PIL hitting corrupt/non-image bytes mid-batch."""
+    import types
+
+    class Img:
+        def __init__(self, data: bytes):
+            if not data.startswith(b"img:"):
+                raise ValueError("cannot identify image file")
+            head = data.decode("ascii", "ignore").split(":")
+            self.size = (int(head[1]), int(head[2]))
+            self.format = "JPEG"
+
+    return types.SimpleNamespace(open=lambda fp: Img(fp.read()))
+
+
+def test_decode_per_row_fallback_on_corrupt_bytes(spark):
+    """A cell the codec rejects falls back to the deterministic fake for
+    that row only — the rest of the batch still decodes for real and the
+    task does not fail (ADVICE r5: auto-upgrade must not make output
+    crash on non-image bytes)."""
+    df = spark.createDataFrame(
+        [(1, b"img:640:480:ok"), (2, b"not an image at all")], ["id", "content"]
+    )
+    out = {
+        r["id"]: r
+        for r in decode_image_meta(df, pil_module=_picky_pil()).collect()
+    }
+    assert (out[1]["width"], out[1]["height"], out[1]["format"]) == (640, 480, "jpeg")
+    h = int(hashlib.md5(b"not an image at all").hexdigest()[:15], 16)
+    assert out[2]["width"] == 16 + h % 4096
+    assert out[2]["format"] == "fake/deterministic"
+
+
+def test_decode_real_pil_when_available(spark):
+    """Pins real-PIL output when the environment gains the codec (skips
+    cleanly where it is absent): a 1x1 PNG must decode to its true
+    dimensions through the auto path, not the md5 fake."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (5, 3)).save(buf, format="PNG")
+    df = spark.createDataFrame([(1, buf.getvalue())], ["id", "content"])
+    out = decode_image_meta(df).collect()[0]
+    assert (out["width"], out["height"], out["format"]) == (5, 3, "png")
+
+
 def test_frame_sample_and_embed_accept_injected_decoders(spark):
     df = spark.createDataFrame([(7, b"abcdef")], ["id", "content"])
     frames = frame_sample(

@@ -35,3 +35,14 @@ def test_fast_path_same_quota(spark):
     df = spark.createDataFrame(rows, ["id", "g"])
     out = stratified_sample(df, ["g"], 5, "id", fast=True)
     assert out.count() == 10
+
+
+def test_temp_column_collision_survives(spark):
+    """An input column literally named __rn must pass through unchanged
+    (ADVICE r5: the fixed temp name used to clobber and drop it)."""
+    rows = [(i, "g", i * 10) for i in range(20)]
+    df = spark.createDataFrame(rows, ["id", "g", "__rn"])
+    out = stratified_sample(df, ["g"], 4, "id")
+    assert out.columns == ["id", "g", "__rn"]
+    assert all(r["__rn"] == r["id"] * 10 for r in out.collect())
+    assert out.count() == 4

@@ -88,3 +88,14 @@ def test_dedup_clusters_long_chain_converges(spark):
     )
     out = dedup_clusters(docs, pairs, max_iter=15)
     assert set(r["cluster_id"] for r in out.collect()) == {0}
+
+
+def test_dedup_clusters_cap_fails_loud(spark):
+    """Hitting max_iter before convergence must RAISE, not return
+    partial labels that silently under-merge clusters."""
+    import pytest
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], ["doc_id"])
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(11)], ["a", "b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(docs, pairs, max_iter=2)

@@ -3,7 +3,13 @@
 DuckDB, compare row count, column names, and an order-insensitive
 value multiset (columns sorted by name, values stringified).
 
-Usage: python tools/check_correctness.py [sf_dir]
+Unlike the driver (which records only the first 50 ``queries()``
+entries), this sweeps ALL registered queries, and — when run without a
+query filter — writes the per-query result map to
+``CORRECTNESS_FULL.json`` at the repo root: the committed fallback
+signal for queries outside the driver's window (ADVICE r5).
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -54,6 +60,7 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = 0
+    report: dict[str, dict] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -63,10 +70,12 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
             s_rows = sdf.collect()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error {e}")
+            report[name] = {"status": "FAIL", "err": f"spark error {e}"}
             failures += 1
             continue
         if name not in oracles:
             print(f"WEAK {name}: rows-only, {len(s_rows)} rows")
+            report[name] = {"status": "WEAK", "spark_rows": len(s_rows)}
             continue
         try:
             res = con.execute(oracles[name])
@@ -74,6 +83,7 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
             d_rows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error {e}")
+            report[name] = {"status": "FAIL", "err": f"duckdb error {e}"}
             failures += 1
             continue
         problems = []
@@ -90,10 +100,26 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
                 problems.append(f"values differ: spark-only {diff} duck-only {diff2}")
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
+            report[name] = {"status": "FAIL", "err": "; ".join(problems)}
             failures += 1
         else:
             print(f"OK   {name}: {len(s_rows)} rows")
+            report[name] = {
+                "status": "OK",
+                "spark_rows": len(s_rows),
+                "oracle_rows": len(d_rows),
+                "hash_match": True,
+            }
     spark.stop()
+    if not only:
+        import json
+        import os
+
+        out = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "CORRECTNESS_FULL.json")
+        with open(out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "queries": report}, f, indent=1)
+        print(f"wrote {out} ({len(report)} queries)")
     return failures
 
 
