@@ -864,6 +864,25 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same component labeling as ``dedup_clusters`` via large-star /
+    small-star contraction (Kiveris et al. SoCC'14) — the O(log^2 n)
+    round-count scale path for long-diameter graphs. Shares the
+    recursive-CTE oracle with ``dedup_clusters`` (identical output
+    contract)."""
+    from dgraph_dbpedia_spark.operators.cachectl import release
+    from dgraph_dbpedia_spark.operators.dedup import (
+        dedup_clusters_star,
+        minhash_dedup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, w=3, k=16, bands=4, threshold=0.4)
+    out = dedup_clusters_star(docs, pairs)
+    release(pairs)
+    return out
+
+
 # Dict order matters: the driver's correctness gate runs the FIRST 50
 # entries (observed: CORRECTNESS_r03/r04/r05 each record exactly the
 # first 50, in order). TRACKED RISK: this is driver-internal behavior;
@@ -884,6 +903,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_salted": _q_asof_join_salted,
     "stratified_sample": _q_stratified_sample,
     "dedup_clusters": _q_dedup_clusters,
+    "dedup_clusters_star": _q_dedup_clusters_star,
     # promoted from the r5 tail — first-ever driver rows
     "union_distinct": _q_union_distinct,
     "blank_node_rewrite": _q_blank_node,
@@ -1785,4 +1805,6 @@ def oracle_sql() -> dict[str, str]:
     }
     # the salted variant is semantically identical — same oracle
     d["asof_join_salted"] = d["asof_join"]
+    # star contraction has the identical output contract — same oracle
+    d["dedup_clusters_star"] = d["dedup_clusters"]
     return d

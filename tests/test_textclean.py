@@ -99,3 +99,35 @@ def test_dedup_clusters_cap_fails_loud(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(11)], ["a", "b"])
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_clusters(docs, pairs, max_iter=2)
+
+
+def test_dedup_clusters_star_matches_label_prop(spark):
+    """Star contraction and label propagation must agree on a mixed
+    graph: two multi-node components + singletons."""
+    from dgraph_dbpedia_spark.operators.dedup import dedup_clusters_star
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 12)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(1, 4), (4, 6), (2, 3), (3, 9), (9, 10), (7, 8)], ["a", "b"]
+    )
+    lp = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, pairs).collect()}
+    st = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters_star(docs, pairs).collect()
+    }
+    assert lp == st
+
+
+def test_dedup_clusters_star_long_chain_log_rounds(spark):
+    """Path graph of 200 nodes: diameter 199 — label propagation at
+    max_iter=25 would raise; star contraction must finish in <=12
+    alternation rounds (O(log^2 n) bound)."""
+    from dgraph_dbpedia_spark.operators.dedup import dedup_clusters_star
+
+    n = 200
+    docs = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["a", "b"])
+    out = dedup_clusters_star(docs, pairs, max_iter=12)
+    rows = out.collect()
+    assert len(rows) == n
+    assert set(r["cluster_id"] for r in rows) == {0}
