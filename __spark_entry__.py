@@ -698,6 +698,24 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def _q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length distribution (exact percentile;
+    approx_percentile is the sketch path at 100 TB)."""
+    from dgraph_dbpedia_spark.operators.stats import percentile_stats
+
+    return percentile_stats(_t(spark, sf_dir, "documents"), ["lang"], "n_chars")
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword-relevance top-k (corpus topical-subset mining);
+    zero-shuffle per-term tf, one broadcast 1-row stats aggregate."""
+    from dgraph_dbpedia_spark.operators.textstats import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), ["spark", "window", "hash"], k=20
+    )
+
+
 def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dgraph_dbpedia_spark.operators.similarity import lsh_bucketed_topk
 
@@ -896,6 +914,8 @@ def _q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r01-r05) rotated out.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # changed or new this round — first in line for driver rows
+    "bm25_topk": _q_bm25_topk,
+    "length_percentiles": _q_length_percentiles,
     "embed_binary": _q_embed_binary,
     "extract_datatype": _q_extract_datatype,
     "typed_cleanup": _q_typed_cleanup,
@@ -1632,6 +1652,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    list_min(list_transform(windows, x -> {_sql_hash64('x')})) AS fp
             FROM w
+        """,
+        "length_percentiles": """
+            SELECT lang,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90,
+                   round(quantile_cont(n_chars, 0.99), 4) AS p99
+            FROM documents GROUP BY lang
+        """,
+        "bm25_topk": f"""
+            WITH t AS (SELECT doc_id, {_SQL_TOKS_LOWER} AS toks FROM documents),
+            f AS (
+                SELECT doc_id, len(toks) AS dl,
+                       len(list_filter(toks, x -> x = 'hash')) AS tf_0,
+                       len(list_filter(toks, x -> x = 'spark')) AS tf_1,
+                       len(list_filter(toks, x -> x = 'window')) AS tf_2
+                FROM t),
+            s AS (
+                SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+                       sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+                       sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+                       sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+                FROM f)
+            SELECT doc_id, score FROM (
+                -- all literals cast to DOUBLE so every intermediate is
+                -- IEEE double, bit-matching Spark's plan (DuckDB would
+                -- otherwise do exact DECIMAL math on e.g. tf * 2.2)
+                SELECT doc_id,
+                       round(
+                           ln(1 + (n_docs - df_0 + 0.5::DOUBLE) / (df_0 + 0.5::DOUBLE))
+                             * (tf_0 * 2.2::DOUBLE) / (tf_0 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl))
+                         + ln(1 + (n_docs - df_1 + 0.5::DOUBLE) / (df_1 + 0.5::DOUBLE))
+                             * (tf_1 * 2.2::DOUBLE) / (tf_1 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl))
+                         + ln(1 + (n_docs - df_2 + 0.5::DOUBLE) / (df_2 + 0.5::DOUBLE))
+                             * (tf_2 * 2.2::DOUBLE) / (tf_2 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)),
+                       4) AS score
+                FROM f, s)
+            WHERE score > 0
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 20
         """,
         "lsh_ann_topk": _sql_lsh_ann_topk(),
         "lsh_ann_topk_batch": _sql_lsh_ann_topk_batch(),

@@ -138,3 +138,43 @@ def salted_group_count(
         .agg(F.count(F.lit(1)).alias("__partial"))
     )
     return partial.groupBy(*keys).agg(F.sum("__partial").alias(count_col))
+
+
+def percentile_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    ps: list[float] = (0.5, 0.9, 0.99),
+    names: list[str] | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group value-distribution percentiles — the corpus profiling
+    step (document length / token count / score distributions) that
+    gates curation thresholds.
+
+    Exact mode uses ``percentile`` (linear interpolation at
+    ``p*(n-1)``, matching SQL ``quantile_cont``); ``approx=True``
+    switches to ``approx_percentile`` (t-digest-style sketch,
+    map-side combinable) — the 100 TB path: the exact aggregate buffers
+    each group's values, the sketch is constant-space per group and
+    needs only the one groupBy shuffle of partial sketches.
+
+    Returns one row per group with a rounded double column per
+    percentile (default names ``p50, p90, p99``).
+    """
+    names = names or [f"p{int(p * 100)}" for p in ps]
+    if len(names) != len(ps):
+        raise ValueError("names must match ps")
+    agg = (
+        F.percentile_approx(value_col, list(ps), 10_000)
+        if approx
+        else F.percentile(value_col, F.array(*[F.lit(p) for p in ps]))
+    )
+    grouped = df.groupBy(*group_cols).agg(agg.alias("__ps"))
+    return grouped.select(
+        *group_cols,
+        *[
+            F.round(F.col("__ps").getItem(i).cast("double"), 4).alias(n)
+            for i, n in enumerate(names)
+        ],
+    )

@@ -108,6 +108,78 @@ def token_counts(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 relevance top-k over a document table (Lucene-style
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf) — the keyword-relevance
+    scorer a corpus-curation pipeline uses to mine topical subsets.
+
+    Returns ``(doc_id, score)`` for the ``k`` best-matching documents,
+    score rounded to 4 decimals, ties broken by ``doc_id`` ascending.
+
+    100 TB shape: the query-term set is a small literal, so per-term
+    term frequencies are computed NATIVELY inside the row (``F.filter``
+    over the token array) — no explode, no (doc, term) shuffle. The only
+    exchange is a single 1-row global aggregate (N, avgdl, per-term df)
+    broadcast back onto the scan, and the top-k is TakeOrdered, not a
+    global sort. Cost = one pruned (id, text) scan, at any scale.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    toks = F.col("__toks")
+
+    # NB: a 2-arg lambda would make F.filter pass (element, index) — a
+    # default-arg closure trick here silently compares tokens to the
+    # array index; bind the term via a real closure instead
+    def _tf(w: str):
+        return F.size(F.filter(toks, lambda t: t == F.lit(w)))
+
+    feat = base.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[_tf(w).alias(f"__tf_{i}") for i, w in enumerate(terms)],
+    )
+    stats = feat.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.avg("dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = feat.crossJoin(F.broadcast(stats))
+    n_docs = F.col("__n_docs")
+    norm = 1 - b + b * F.col("dl") / F.col("__avgdl")
+    per_term = [
+        F.log(
+            1
+            + (n_docs - F.col(f"__df_{i}") + 0.5) / (F.col(f"__df_{i}") + 0.5)
+        )
+        * (F.col(f"__tf_{i}") * (k1 + 1))
+        / (F.col(f"__tf_{i}") + k1 * norm)
+        for i in range(len(terms))
+    ]
+    score = F.round(sum(per_term[1:], per_term[0]), 4)
+    return (
+        scored.select("doc_id", score.alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def fingerprint(
     df: DataFrame,
     text_col: str = "text",

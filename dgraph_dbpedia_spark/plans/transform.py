@@ -557,23 +557,35 @@ def transform(
     retained: dict[str, DataFrame] = {}
     types_future = None
 
-    # 7 rdf sinks + 2 schema files + external_ids + types: one worker
-    # each so no job waits for a pool slot; FAIR scheduling interleaves
-    # their stages on the executors. Pool width is the concurrency dial
-    # for the sink phase: fewer workers = staggered waves (less cache /
-    # shuffle-memory contention, more idle executors between commits) —
-    # measured at the 3M-subject scale in BENCH_SCALE.md before fixing
-    # the default.
-    sink_workers = int(os.environ.get("SPARK_GRAFT_SINK_WORKERS", "11"))
+    # Pool width is the concurrency dial for the sink phase: fewer
+    # workers = staggered waves (less cache/shuffle-memory contention,
+    # more idle executors between commits); more workers = no job ever
+    # waits for a slot. Measured at the 84M-triple scale
+    # (BENCH_SCALE.md r6 sweep): 5 workers beat 11 by ~35% (149s -> 110s
+    # transform) — with 11 concurrent sinks the retained frames' cache
+    # partitions thrash in and out of the unified-memory pool, and every
+    # sink pays re-computation; two staggered waves keep the working set
+    # resident. At 600k subjects the difference is within noise, so the
+    # scale-measured value is the default.
+    sink_workers = int(os.environ.get("SPARK_GRAFT_SINK_WORKERS", "5"))
     with ThreadPoolExecutor(max_workers=sink_workers) as pool:
         schema_futures = [
             pool.submit(write_schema, schema, f"{out}/schema.dgraph", False),
             pool.submit(write_schema, schema, f"{out}/schema.indexed.dgraph", True),
         ]
         if cfg.write_types:
+            # DISK_ONLY for the retained cleaned frames (r6 sweep,
+            # BENCH_SCALE.md): at 84M triples it matches MEMORY_AND_DISK
+            # +35% win from staggered sinks while halving memory spill
+            # (10.8 -> 4.4 GB) — the frames are each read a handful of
+            # times by sequential sinks, so page-cache-backed local disk
+            # serves them as fast as the unified-memory cache WITHOUT
+            # evicting the sinks' shuffle/sort working memory. The 100 TB
+            # translation: cache cold, sink-phase intermediates on local
+            # disk; keep executor memory for execution.
             _lvl = getattr(
                 StorageLevel,
-                os.environ.get("SPARK_GRAFT_RETAIN_LEVEL", "MEMORY_AND_DISK"),
+                os.environ.get("SPARK_GRAFT_RETAIN_LEVEL", "DISK_ONLY"),
             )
             retained = {
                 name: frame.persist(_lvl) for name, frame in frames

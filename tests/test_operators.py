@@ -84,3 +84,25 @@ def test_rollup_group(spark):
     out = rollup_group(df, "lang", lambda c: c.startswith("en-"), "en-*")
     got = {r["lang"]: r["n"] for r in out.collect()}
     assert got["en-*"] == 8 and got["en"] == 10
+
+
+def test_percentile_stats_exact_and_approx(spark):
+    from dgraph_dbpedia_spark.operators.stats import percentile_stats
+
+    df = spark.createDataFrame(
+        [("a", v) for v in range(1, 11)] + [("b", 100)], ["g", "v"]
+    )
+    out = {r["g"]: r for r in percentile_stats(df, ["g"], "v").collect()}
+    # p50 of 1..10 = interpolated 5.5; single-value group = that value
+    assert out["a"]["p50"] == 5.5
+    assert out["a"]["p90"] == 9.1
+    assert out["b"]["p50"] == 100.0
+    # approx path: same schema, values within sketch tolerance
+    ap = {r["g"]: r for r in percentile_stats(df, ["g"], "v", approx=True).collect()}
+    assert set(ap) == {"a", "b"}
+    assert abs(ap["a"]["p50"] - 5.5) <= 1.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        percentile_stats(df, ["g"], "v", names=["only_one"])

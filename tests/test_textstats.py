@@ -49,3 +49,53 @@ def test_fingerprint_stability(spark, docs):
     b = {r["doc_id"]: r["fp"] for r in fingerprint(docs).collect()}
     assert a == b
     assert len(set(a.values())) == 4  # distinct docs -> distinct fps
+
+
+def test_bm25_topk(spark):
+    from dgraph_dbpedia_spark.operators.textstats import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark joins data"),
+            (2, "spark data"),
+            (3, "data data data data"),
+            (4, "nothing relevant here"),
+            (5, "spark"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = bm25_topk(docs, ["spark"], k=3).collect()
+    ids = [r["doc_id"] for r in rows]
+    # only docs containing the term score > 0; repeated term + short doc
+    # rank above a single mention in a longer doc
+    assert set(ids) <= {1, 2, 5}
+    assert len(ids) == 3
+    assert ids[0] in (1, 5)  # tf=3 saturated vs dl=1 boost
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # reference BM25 hand-check: with one term, score is monotone in
+    # tf/(tf + k1*(1-b+b*dl/avgdl)); doc 5 (tf=1, dl=1) beats doc 2
+    # (tf=1, dl=2)
+    s = {r["doc_id"]: r["score"] for r in rows}
+    if 5 in s and 2 in s:
+        assert s[5] > s[2]
+
+
+def test_bm25_multi_term_and_ties(spark):
+    from dgraph_dbpedia_spark.operators.textstats import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "c")], ["doc_id", "text"]
+    )
+    rows = bm25_topk(docs, ["a", "b"], k=5).collect()
+    # identical docs tie on score; tie-break is doc_id ascending
+    assert [r["doc_id"] for r in rows] == [1, 2]
+    assert rows[0]["score"] == rows[1]["score"]
+
+
+def test_bm25_empty_terms_raises(spark):
+    from dgraph_dbpedia_spark.operators.textstats import bm25_topk
+
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        bm25_topk(docs, [])
