@@ -58,8 +58,32 @@ def main() -> None:
     spark = build_session(app_name="dgraph_dbpedia_spark-bench")
 
     # warm the JVM/codegen paths so the first timed query doesn't carry
-    # one-time session costs (parquet footer reads, codegen compiler)
-    spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10).count()
+    # one-time engine costs: parquet footer reads, the codegen compiler,
+    # BroadcastExchange + BroadcastNestedLoopJoin (crossJoin-broadcast),
+    # higher-order array lambdas, TakeOrdered, and the noop datasource.
+    # Measured: a query using these paths runs ~3.6s cold vs ~0.9s warm
+    # at sf0.1 — that delta is engine class-loading/JIT, not plan cost,
+    # and it previously landed on whichever query happened to run first.
+    from pyspark.sql import functions as _F
+
+    _warm = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    _dim = _warm.select("lang").distinct()
+    _one = _warm.agg(_F.avg(_F.length("text")).alias("__avg"))
+    (
+        _warm.join(_F.broadcast(_dim), "lang")
+        .withColumn(
+            "__hof",
+            _F.size(_F.filter(_F.split("text", " "), lambda t: t != "")),
+        )
+        .crossJoin(_F.broadcast(_one))
+        .groupBy("lang")
+        .agg(_F.count(_F.lit(1)).alias("n"), _F.avg("__hof").alias("h"))
+        .orderBy(_F.col("n").desc(), _F.col("lang").asc())
+        .limit(5)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
