@@ -522,23 +522,25 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        # the per-row changed flag rides along in the SAME pass, so the
+        # convergence check is a scan-count of the checkpointed result —
+        # not the extra join-per-round it used to be (one fewer shuffle
+        # per iteration; the flag column is projected away before the
+        # next round's join)
+        new_min = F.least(
+            F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+        )
+        with_flag = (
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
             .select(
                 "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
+                new_min.alias("new_label"),
+                (new_min < F.col("label")).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "new")
-            .join(labels, "id")
-            .where(F.col("new") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
+        changed = with_flag.where(F.col("chg")).count()
+        labels = with_flag.select("id", F.col("new_label").alias("label"))
         if changed == 0:
             break
     edges.unpersist()

@@ -61,6 +61,14 @@ def build_session(
             "spark.hadoop.zlib.compress.level",
             os.environ.get("SPARK_GRAFT_GZIP_LEVEL", "BEST_SPEED"),
         )
+        # scan-split size: smaller splits = more parallel scan tasks on
+        # modest single-dataset inputs (a 500 MB parquet gives only ~4
+        # tasks at the 128 MB default — underutilizes 32 cores in the
+        # dims phase before any shuffle exists to re-balance)
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"),
+        )
         # local mode: the driver heap IS the executor heap. Measured at
         # 84M-triple transform scale (ParallelGC unless noted):
         #   8g  -> 147s, 570k triples/s, 14 GB spill
