@@ -69,17 +69,19 @@ def build_session(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"),
         )
-        # local mode: the driver heap IS the executor heap. Measured at
-        # 84M-triple transform scale (ParallelGC unless noted):
-        #   8g  -> 147s, 570k triples/s, 14 GB spill
-        #   12g -> 133s, 634k triples/s, 7.7 GB spill   <- default
-        #   16g (G1) -> 160s, 523k/s
-        #   24g -> 218s, 386k/s (zero spill but GC pauses eat the win)
-        # Moderate heap + lz4 disk spill beats a spill-free giant heap:
-        # spill writes ride the page cache while full-GC cost grows
-        # superlinearly with heap. Only effective when this process
-        # launches the JVM; cluster deployments size executors instead.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
+        # local mode: the driver heap IS the executor heap. History: with
+        # retained frames cached in the unified pool (pre-r6), 12g +
+        # spill beat larger heaps (24g lost to full-GC pauses). After the
+        # r6 sink fix (DISK_ONLY retained frames + 5-worker waves) the
+        # unified pool holds only execution memory, and the calculus
+        # INVERTED — 16g ParallelGC now wins at every scale measured
+        # (BENCH_SCALE.md r6): sf0.1 18.0s/935k vs 22.8s/738k at 12g;
+        # 84M triples 70.3s/1.19M vs 71.8s/1.17M (spill 9.6 GB -> ~1);
+        # 168M triples 174s/964k vs 214s/785k (spill 70 GB -> 13).
+        # Re-measure this pair whenever the sink phase changes shape.
+        # Only effective when this process launches the JVM; cluster
+        # deployments size executors instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # throughput GC for batch pipelines: measured transform 38.3s
         # (ParallelGC) vs 43.5s (G1) at 600k subjects on local[32]; G1's
         # concurrent cycles pay off for latency, not these bulk jobs.
