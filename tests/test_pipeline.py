@@ -254,3 +254,30 @@ def test_infobox_dims_equal_direct_operators(spark, pipeline_dirs):
     schema_direct = infobox_predicate_schema(filtered_direct, pd_direct)
     assert schema_derived.exceptAll(schema_direct).count() == 0
     assert schema_direct.exceptAll(schema_derived).count() == 0
+
+
+def test_transform_schedule_independent(spark, pipeline_dirs, tmp_path, monkeypatch):
+    """Output must not depend on sink-pool width: a single-worker
+    (fully serial) run produces the same line sets as the module
+    fixture's concurrent run — guards the r6 wave-scheduling work
+    against any ordering-dependent nondeterminism."""
+    _, parquet, out, _, _ = pipeline_dirs
+    monkeypatch.setenv("SPARK_GRAFT_SINK_WORKERS", "1")
+    out2 = tmp_path / "rdf_serial"
+    transform(
+        spark,
+        str(parquet),
+        str(out2),
+        cfg=TransformConfig(
+            write_types=True,
+            externalise_uris=True,
+            remove_language_tags=True,
+            top_infobox_properties_per_lang=5,
+            print_stats=False,
+        ),
+    )
+    for ds in ("infobox_properties.rdf", "types.rdf", "external_ids.rdf"):
+        a = spark.read.text(os.path.join(str(out), ds))
+        b = spark.read.text(os.path.join(str(out2), ds))
+        assert a.count() == b.count(), ds
+        assert a.exceptAll(b).count() == 0, ds
