@@ -706,6 +706,16 @@ def _q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return percentile_stats(_t(spark, sf_dir, "documents"), ["lang"], "n_chars")
 
 
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-style per-user interval join (batch twin of the
+    watermarked stream-stream join in streaming/events.py): every click
+    matched to the same user's views in the preceding 30 minutes."""
+    from dgraph_dbpedia_spark.streaming.events import interval_join
+
+    events = _t(spark, sf_dir, "events")
+    return interval_join(events, events, "click", "view", 1800)
+
+
 def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword-relevance top-k (corpus topical-subset mining);
     zero-shuffle per-term tf, one broadcast 1-row stats aggregate."""
@@ -916,6 +926,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # changed or new this round — first in line for driver rows
     "bm25_topk": _q_bm25_topk,
     "length_percentiles": _q_length_percentiles,
+    "interval_join": _q_interval_join,
     "embed_binary": _q_embed_binary,
     "extract_datatype": _q_extract_datatype,
     "typed_cleanup": _q_typed_cleanup,
@@ -1652,6 +1663,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    list_min(list_transform(windows, x -> {_sql_hash64('x')})) AS fp
             FROM w
+        """,
+        "interval_join": """
+            SELECT l.event_id AS l_event_id, r.event_id AS r_event_id,
+                   l.user_id,
+                   (floor(epoch(l.ts)) - floor(epoch(r.ts)))::BIGINT AS lag_s
+            FROM events l JOIN events r ON l.user_id = r.user_id
+            WHERE l.event_type = 'click' AND r.event_type = 'view'
+              AND floor(epoch(r.ts)) <= floor(epoch(l.ts))
+              AND floor(epoch(r.ts)) >= floor(epoch(l.ts)) - 1800
         """,
         "length_percentiles": """
             SELECT lang,

@@ -287,6 +287,56 @@ def enrich_events(
     return events.join(F.broadcast(dim), on, how)
 
 
+def interval_join(
+    left_events: DataFrame,
+    right_events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "view",
+    lookback_seconds: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-user event-time interval join: each LEFT event (e.g. a click)
+    matched to every RIGHT event (e.g. a view) by the same user in the
+    preceding ``lookback_seconds`` (inclusive; right at-or-before left)
+    — the attribution join of an event pipeline. Works on two streaming
+    frames (Spark's watermarked stream-stream inner join: both sides'
+    state is evicted once the watermark passes the time-range bound) and
+    on batch frames (watermarks are skipped; the same equi-join on
+    ``user_id`` plus a range filter, a hash join at any scale — never a
+    cartesian).
+
+    Output: ``(l_event_id, r_event_id, user_id, lag_s)`` with
+    ``lag_s = left - right`` in truncated epoch seconds, matching the
+    batch/oracle ``floor(epoch(ts))`` convention.
+    """
+    def side(df: DataFrame, etype: str, prefix: str) -> DataFrame:
+        out = df
+        if "event_time" not in out.columns:
+            out = out.withColumn("event_time", event_time(out))
+        out = out.where(F.col("event_type") == etype).select(
+            F.col("event_id").alias(f"{prefix}_event_id"),
+            F.col("user_id").alias(f"{prefix}_user_id"),
+            F.col("event_time").alias(f"{prefix}_et"),
+        )
+        if out.isStreaming:
+            out = out.withWatermark(f"{prefix}_et", watermark)
+        return out
+
+    l = side(left_events, left_type, "l")
+    r = side(right_events, right_type, "r")
+    cond = (
+        (l["l_user_id"] == r["r_user_id"])
+        & (r["r_et"] <= l["l_et"])
+        & (r["r_et"] >= l["l_et"] - F.expr(f"INTERVAL {lookback_seconds} SECONDS"))
+    )
+    return l.join(r, cond).select(
+        "l_event_id",
+        "r_event_id",
+        F.col("l_user_id").alias("user_id"),
+        (F.unix_timestamp("l_et") - F.unix_timestamp("r_et")).alias("lag_s"),
+    )
+
+
 def run_to_memory(
     stream: DataFrame, name: str, output_mode: str = "complete"
 ) -> None:

@@ -242,3 +242,44 @@ def test_multifile_dedup_bounded_state_semantics(
     }
     assert got == want and len(want) > 0
     assert got_rows.count() >= len(want)
+
+
+def test_interval_join_stream_matches_batch(
+    spark, multi_file_events_dir, events_batch
+):
+    """Watermarked stream-stream interval join over 4 micro-batches
+    equals the batch twin exactly (inner join: late/early state both
+    bounded by the watermark + time-range condition)."""
+    from dgraph_dbpedia_spark.streaming.events import interval_join
+
+    ls = read_events_stream(spark, multi_file_events_dir, max_files_per_trigger=1)
+    rs = read_events_stream(spark, multi_file_events_dir, max_files_per_trigger=1)
+    run_to_memory(
+        interval_join(ls, rs, "click", "view", 1800), "ss_interval", "append"
+    )
+    got = spark.table("ss_interval")
+    want = interval_join(events_batch, events_batch, "click", "view", 1800)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+
+
+def test_interval_join_bounds_inclusive(spark):
+    """right at exactly t-lookback and at t both match; t+1s does not."""
+    from dgraph_dbpedia_spark.streaming.events import interval_join
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 7, "click", 0.0, ""),
+        (2, base - dt.timedelta(seconds=1800), 7, "view", 0.0, ""),  # edge
+        (3, base, 7, "view", 0.0, ""),                               # same ts
+        (4, base + dt.timedelta(seconds=1), 7, "view", 0.0, ""),     # after
+        (5, base - dt.timedelta(seconds=1801), 7, "view", 0.0, ""),  # too old
+        (6, base, 8, "view", 0.0, ""),                               # other user
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = interval_join(df, df, "click", "view", 1800)
+    got = {(r["r_event_id"], r["lag_s"]) for r in out.collect()}
+    assert got == {(2, 1800), (3, 0)}
