@@ -706,6 +706,16 @@ def _q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return percentile_stats(_t(spark, sf_dir, "documents"), ["lang"], "n_chars")
 
 
+def _q_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence-packing offsets: shard-hash, per-shard ordered
+    token cumsum, fixed-length pack ids. One shuffle at any scale."""
+    from dgraph_dbpedia_spark.operators.sampling import pack_offsets
+
+    return pack_offsets(
+        _t(spark, sf_dir, "documents"), max_tokens=512, n_shards=4
+    )
+
+
 def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribution-style per-user interval join (batch twin of the
     watermarked stream-stream join in streaming/events.py): every click
@@ -927,6 +937,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": _q_bm25_topk,
     "length_percentiles": _q_length_percentiles,
     "interval_join": _q_interval_join,
+    "pack_offsets": _q_pack_offsets,
     "embed_binary": _q_embed_binary,
     "extract_datatype": _q_extract_datatype,
     "typed_cleanup": _q_typed_cleanup,
@@ -1663,6 +1674,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    list_min(list_transform(windows, x -> {_sql_hash64('x')})) AS fp
             FROM w
+        """,
+        "pack_offsets": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       ({_sql_hash64('doc_id::VARCHAR')} % 4)::INT AS shard,
+                       len({_SQL_TOKS}) AS n_tokens
+                FROM documents),
+            c AS (
+                SELECT doc_id, shard, n_tokens,
+                       sum(n_tokens) OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS end_tok
+                FROM base)
+            SELECT doc_id, shard, n_tokens,
+                   (end_tok - n_tokens)::BIGINT AS start_tok,
+                   end_tok::BIGINT AS end_tok,
+                   floor((end_tok - n_tokens) / 512)::BIGINT AS first_pack,
+                   floor(greatest(end_tok - 1, end_tok - n_tokens) / 512)::BIGINT AS last_pack
+            FROM c
         """,
         "interval_join": """
             SELECT l.event_id AS l_event_id, r.event_id AS r_event_id,

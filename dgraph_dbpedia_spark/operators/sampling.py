@@ -49,3 +49,57 @@ def stratified_sample(
         .where(F.col(rn) <= n_per_stratum)
         .drop(rn)
     )
+
+
+def pack_offsets(
+    df,
+    max_tokens: int = 2048,
+    n_shards: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Sequence-packing offsets for LLM pretraining: documents are
+    hash-assigned to shards, concatenated in deterministic (doc id)
+    order within each shard, and the token stream is cut into
+    fixed-length packs of ``max_tokens`` (GPT-style concat-and-chunk —
+    documents may straddle pack boundaries; the pack ids a doc touches
+    are ``first_pack..last_pack``).
+
+    Returns ``(doc_id, shard, n_tokens, start_tok, end_tok, first_pack,
+    last_pack)`` where ``start_tok`` is the doc's offset in its shard's
+    concatenated token stream and ``end_tok`` is exclusive.
+
+    100 TB shape: ONE shuffle (the per-shard ordered window for the
+    running sum); shard count is the parallelism dial — packing is
+    embarrassingly parallel across shards, and determinism comes from
+    the (shard, doc_id) sort, not from input order. The md5-derived
+    shard hash is cross-engine checkable; swap ``fast=True``-style
+    xxhash in production exactly as the dedup operators do.
+    """
+    from pyspark.sql import Window
+
+    from dgraph_dbpedia_spark.functions.hashing import hash64, tokens
+
+    toks = F.size(tokens(F.col(text_col))).alias("n_tokens")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(hash64(F.col(id_col).cast("string")), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+        toks,
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    end = F.sum("n_tokens").over(w)
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (end - F.col("n_tokens")).alias("start_tok"),
+        end.alias("end_tok"),
+        F.floor((end - F.col("n_tokens")) / max_tokens).cast("bigint").alias("first_pack"),
+        # exclusive end: a doc ending exactly on a boundary stays in the
+        # previous pack; empty docs occupy no pack but keep first_pack
+        F.floor(
+            (F.greatest(end - 1, end - F.col("n_tokens"))) / max_tokens
+        ).cast("bigint").alias("last_pack"),
+    )

@@ -46,3 +46,40 @@ def test_temp_column_collision_survives(spark):
     assert out.columns == ["id", "g", "__rn"]
     assert all(r["__rn"] == r["id"] * 10 for r in out.collect())
     assert out.count() == 4
+
+
+def test_pack_offsets_contiguous_per_shard(spark):
+    from dgraph_dbpedia_spark.operators.sampling import pack_offsets
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i % 7 + 1))) for i in range(40)],
+        ["doc_id", "text"],
+    )
+    out = pack_offsets(docs, max_tokens=10, n_shards=3).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= {0, 1, 2} and len(out) == 40
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        cursor = 0
+        for r in rows:
+            # token stream is contiguous: no gaps, no overlaps
+            assert r["start_tok"] == cursor
+            assert r["end_tok"] == cursor + r["n_tokens"]
+            cursor = r["end_tok"]
+            # pack ids consistent with offsets
+            assert r["first_pack"] == r["start_tok"] // 10
+            assert r["last_pack"] == max(r["end_tok"] - 1, r["start_tok"]) // 10
+            assert r["first_pack"] <= r["last_pack"]
+
+
+def test_pack_offsets_deterministic_under_repartition(spark):
+    from dgraph_dbpedia_spark.operators.sampling import pack_offsets
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(30)], ["doc_id", "text"]
+    )
+    a = sorted(map(tuple, pack_offsets(docs, 8, 2).collect()))
+    b = sorted(map(tuple, pack_offsets(docs.repartition(7), 8, 2).collect()))
+    assert a == b
