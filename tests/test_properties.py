@@ -90,3 +90,85 @@ def test_ttl_parse_matches_reference(spark, lines):
     ]
     want = [p for p in (ref_parse(l) for l in lines) if p is not None]
     assert got == want
+
+
+# ---- BM25 vs a straightforward host-side reference implementation
+
+
+def ref_bm25(docs: list[tuple[int, str]], terms: list[str], k: int,
+             k1: float = 1.2, b: float = 0.75):
+    terms = sorted({t.lower() for t in terms})
+    toks = {i: [w for w in txt.lower().split() if w] for i, txt in docs}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    import math
+
+    out = []
+    for i, _ in docs:
+        dl = len(toks[i])
+        score = 0.0
+        for w in terms:
+            tf = toks[i].count(w)
+            df = sum(1 for t in toks.values() if w in t)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            score = score + idf * (tf * (k1 + 1)) / (
+                tf + k1 * (1 - b + b * dl / avgdl)
+            )
+        score = round(score, 4)
+        if score > 0:
+            out.append((i, score))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+_words = st.sampled_from(["spark", "data", "row", "scan", "agg", "the", "a"])
+_doc_texts = st.lists(_words, min_size=1, max_size=12).map(" ".join)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_doc_texts, min_size=2, max_size=20))
+def test_bm25_matches_reference(spark, texts):
+    from dgraph_dbpedia_spark.operators.textstats import bm25_topk
+
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk(docs, ["spark", "data"], k=5).collect()
+    ]
+    want = ref_bm25(list(enumerate(texts)), ["spark", "data"], k=5)
+    assert got == want
+
+
+# ---- pack_offsets vs a host-side cumulative-sum reference
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_doc_texts, min_size=1, max_size=25))
+def test_pack_offsets_matches_reference(spark, texts):
+    from dgraph_dbpedia_spark.operators.sampling import pack_offsets
+    from dgraph_dbpedia_spark.functions.hashing import hash64_py
+
+    max_tokens, n_shards = 8, 3
+    got = {
+        r["doc_id"]: (r["shard"], r["start_tok"], r["end_tok"],
+                      r["first_pack"], r["last_pack"])
+        for r in pack_offsets(
+            spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"]),
+            max_tokens=max_tokens, n_shards=n_shards,
+        ).collect()
+    }
+    shards: dict[int, list[int]] = {}
+    for i, _ in enumerate(texts):
+        shards.setdefault(hash64_py(str(i)) % n_shards, []).append(i)
+    want = {}
+    for shard, ids in shards.items():
+        cursor = 0
+        for i in sorted(ids):
+            n_tok = len(texts[i].split())
+            end = cursor + n_tok
+            want[i] = (
+                shard, cursor, end,
+                cursor // max_tokens, max(end - 1, cursor) // max_tokens,
+            )
+            cursor = end
+    assert got == want
