@@ -716,6 +716,18 @@ def _q_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N topical BM25 probes in ONE plan (union-term tf projection +
+    stack unpivot + per-query top-k window)."""
+    from dgraph_dbpedia_spark.operators.textstats import bm25_topk_batch
+
+    return bm25_topk_batch(
+        _t(spark, sf_dir, "documents"),
+        {"qa": ["spark", "window", "hash"], "qb": ["merge", "join"]},
+        k=5,
+    )
+
+
 def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribution-style per-user interval join (batch twin of the
     watermarked stream-stream join in streaming/events.py): every click
@@ -938,6 +950,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_percentiles": _q_length_percentiles,
     "interval_join": _q_interval_join,
     "pack_offsets": _q_pack_offsets,
+    "bm25_topk_batch": _q_bm25_topk_batch,
     "embed_binary": _q_embed_binary,
     "extract_datatype": _q_extract_datatype,
     "typed_cleanup": _q_typed_cleanup,
@@ -1674,6 +1687,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    list_min(list_transform(windows, x -> {_sql_hash64('x')})) AS fp
             FROM w
+        """,
+        "bm25_topk_batch": f"""
+            WITH t AS (SELECT doc_id, {_SQL_TOKS_LOWER} AS toks FROM documents),
+            f AS (
+                SELECT doc_id, len(toks) AS dl,
+                       len(list_filter(toks, x -> x = 'hash')) AS tf_0,
+                       len(list_filter(toks, x -> x = 'join')) AS tf_1,
+                       len(list_filter(toks, x -> x = 'merge')) AS tf_2,
+                       len(list_filter(toks, x -> x = 'spark')) AS tf_3,
+                       len(list_filter(toks, x -> x = 'window')) AS tf_4
+                FROM t),
+            s AS (
+                SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+                       sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+                       sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+                       sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2,
+                       sum(CASE WHEN tf_3 > 0 THEN 1 ELSE 0 END) AS df_3,
+                       sum(CASE WHEN tf_4 > 0 THEN 1 ELSE 0 END) AS df_4
+                FROM f),
+            scored AS (
+                SELECT doc_id, 'qa' AS query_id,
+                       round(
+                           ln(1 + (n_docs - df_0 + 0.5::DOUBLE) / (df_0 + 0.5::DOUBLE))
+                             * (tf_0 * 2.2::DOUBLE) / (tf_0 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl))
+                         + ln(1 + (n_docs - df_3 + 0.5::DOUBLE) / (df_3 + 0.5::DOUBLE))
+                             * (tf_3 * 2.2::DOUBLE) / (tf_3 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl))
+                         + ln(1 + (n_docs - df_4 + 0.5::DOUBLE) / (df_4 + 0.5::DOUBLE))
+                             * (tf_4 * 2.2::DOUBLE) / (tf_4 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)),
+                       4) AS score
+                FROM f, s
+                UNION ALL
+                SELECT doc_id, 'qb' AS query_id,
+                       round(
+                           ln(1 + (n_docs - df_1 + 0.5::DOUBLE) / (df_1 + 0.5::DOUBLE))
+                             * (tf_1 * 2.2::DOUBLE) / (tf_1 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl))
+                         + ln(1 + (n_docs - df_2 + 0.5::DOUBLE) / (df_2 + 0.5::DOUBLE))
+                             * (tf_2 * 2.2::DOUBLE) / (tf_2 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)),
+                       4) AS score
+                FROM f, s)
+            SELECT query_id, doc_id, score FROM scored
+            WHERE score > 0
+            QUALIFY row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 5
         """,
         "pack_offsets": f"""
             WITH base AS (

@@ -129,7 +129,9 @@ def bm25_topk(
     over the token array) — no explode, no (doc, term) shuffle. The only
     exchange is a single 1-row global aggregate (N, avgdl, per-term df)
     broadcast back onto the scan, and the top-k is TakeOrdered, not a
-    global sort. Cost = one pruned (id, text) scan, at any scale.
+    global sort. Cost = two pruned (id, text) passes — one for the
+    corpus stats, one for scoring; a production deployment precomputes
+    the stats row once per corpus snapshot and scores in a single pass.
     """
     terms = sorted({t.lower() for t in query_terms})
     if not terms:
@@ -177,6 +179,108 @@ def bm25_topk(
         .where(F.col("score") > 0)
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
+    )
+
+
+def bm25_topk_batch(
+    df: DataFrame,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k for MANY keyword queries in one plan — corpus mining
+    runs hundreds of topical probes; issuing them as one job costs one
+    scan instead of one per query.
+
+    Returns ``(query_id, doc_id, score)``; per query, the ``k`` best
+    docs, score rounded to 4 decimals, ties broken by ``doc_id``.
+
+    100 TB shape: term frequencies for the UNION of all query terms are
+    computed natively per row (no explode of the corpus), the 1-row
+    global stats aggregate is broadcast back, per-query scores are
+    unpivoted with ``stack`` (rows = docs x queries with a hit, after
+    the score>0 filter), and the only real shuffle is the per-query
+    top-k window over that already-small hit set.
+    """
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    qterms = {
+        qid: sorted({t.lower() for t in terms}) for qid, terms in queries.items()
+    }
+    if any(not t for t in qterms.values()):
+        raise ValueError("every query needs at least one term")
+    union_terms = sorted({w for terms in qterms.values() for w in terms})
+    idx = {w: i for i, w in enumerate(union_terms)}
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    toks = F.col("__toks")
+
+    def _tf(w: str):
+        return F.size(F.filter(toks, lambda t: t == F.lit(w)))
+
+    feat = base.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[_tf(w).alias(f"__tf_{i}") for i, w in enumerate(union_terms)],
+    )
+    stats = feat.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.avg("dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            for i in range(len(union_terms))
+        ],
+    )
+    scored = feat.crossJoin(F.broadcast(stats))
+    n_docs = F.col("__n_docs")
+    norm = 1 - b + b * F.col("dl") / F.col("__avgdl")
+
+    def term_score(i: int):
+        return (
+            F.log(
+                1
+                + (n_docs - F.col(f"__df_{i}") + 0.5) / (F.col(f"__df_{i}") + 0.5)
+            )
+            * (F.col(f"__tf_{i}") * (k1 + 1))
+            / (F.col(f"__tf_{i}") + k1 * norm)
+        )
+
+    def query_score(terms: list[str]):
+        parts = [term_score(idx[w]) for w in terms]
+        return F.round(sum(parts[1:], parts[0]), 4)
+
+    # unpivot to (query_id, score) rows via stack: one projection, no
+    # join, no repeated scans
+    sel = scored.select(
+        "doc_id",
+        *[c for qid_i, qid in enumerate(sorted(qterms)) for c in (
+            F.lit(qid).alias(f"q{qid_i}"),
+            query_score(qterms[qid]).alias(f"s{qid_i}"),
+        )],
+    )
+    unpivoted = sel.select(
+        "doc_id",
+        F.expr(
+            f"stack({len(qterms)}, "
+            + ", ".join(f"q{i}, s{i}" for i in range(len(qterms)))
+            + ") as (query_id, score)"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        unpivoted.where(F.col("score") > 0)
+        .withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= k)
+        .select("query_id", "doc_id", "score")
     )
 
 

@@ -99,3 +99,35 @@ def test_bm25_empty_terms_raises(spark):
     docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         bm25_topk(docs, [])
+
+
+def test_bm25_batch_matches_single(spark):
+    from dgraph_dbpedia_spark.operators.textstats import bm25_topk, bm25_topk_batch
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark data joins"),
+            (2, "spark spark"),
+            (3, "data merge"),
+            (4, "noise only here"),
+        ],
+        ["doc_id", "text"],
+    )
+    qs = {"a": ["spark"], "b": ["data", "merge"]}
+    batch = bm25_topk_batch(docs, qs, k=3).collect()
+    for qid, terms in qs.items():
+        got = [(r["doc_id"], r["score"]) for r in batch if r["query_id"] == qid]
+        want = [
+            (r["doc_id"], r["score"]) for r in bm25_topk(docs, terms, k=3).collect()
+        ]
+        assert got == want, qid
+
+
+def test_bm25_batch_validates_input(spark):
+    from dgraph_dbpedia_spark.operators.textstats import bm25_topk_batch
+
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        bm25_topk_batch(docs, {})
+    with pytest.raises(ValueError):
+        bm25_topk_batch(docs, {"q": []})
