@@ -716,6 +716,18 @@ def _q_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination audit: training docs sharing a w-token
+    shingle with a held-out eval slice (every 50th doc). w=4 for the
+    synthetic corpus; production uses the standard 13-gram rule."""
+    from dgraph_dbpedia_spark.operators.dedup import contaminated_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    return contaminated_ids(corpus, bench, w=4)
+
+
 def _q_bm25_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N topical BM25 probes in ONE plan (union-term tf projection +
     stack unpivot + per-query top-k window)."""
@@ -951,6 +963,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_join": _q_interval_join,
     "pack_offsets": _q_pack_offsets,
     "bm25_topk_batch": _q_bm25_topk_batch,
+    "decontaminate": _q_decontaminate,
     "embed_binary": _q_embed_binary,
     "extract_datatype": _q_extract_datatype,
     "typed_cleanup": _q_typed_cleanup,
@@ -1687,6 +1700,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    list_min(list_transform(windows, x -> {_sql_hash64('x')})) AS fp
             FROM w
+        """,
+        "decontaminate": f"""
+            WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+            sh AS (
+                SELECT doc_id, unnest({_sql_shingles('tk', 4)}) AS s
+                FROM toks),
+            bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+            corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
+            SELECT DISTINCT doc_id FROM corpus SEMI JOIN bench USING (s)
         """,
         "bm25_topk_batch": f"""
             WITH t AS (SELECT doc_id, {_SQL_TOKS_LOWER} AS toks FROM documents),

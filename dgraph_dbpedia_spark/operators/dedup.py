@@ -657,3 +657,60 @@ def dedup_clusters_star(
             F.coalesce(F.col("root"), F.col(id_col)).alias("cluster_id"),
         )
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    w: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    fast: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination: drop every training document that
+    shares at least one ``w``-token shingle with the benchmark/eval set
+    (the standard 13-gram overlap rule used to keep test data out of
+    pretraining corpora). Returns the CLEAN subset of ``docs`` with all
+    original columns; pair with :func:`contaminated_ids` to audit what
+    was removed.
+
+    100 TB shape: the benchmark side is tiny relative to the corpus —
+    its distinct shingle hashes (one aggregate over the eval set) join
+    the exploded corpus shingles as a LEFT SEMI on an 8-byte key, then a
+    broadcast-able anti-join removes the flagged ids. No pairwise
+    comparison, no corpus self-join; the corpus is scanned once and the
+    shuffle carries (id, shingle-hash) pairs only.
+    """
+    flagged = contaminated_ids(
+        docs, benchmark, w, text_col, id_col, bench_text_col, fast
+    )
+    return docs.join(flagged, id_col, "left_anti")
+
+
+def contaminated_ids(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    w: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    fast: bool = False,
+) -> DataFrame:
+    """Ids of documents sharing >=1 ``w``-token shingle with the
+    benchmark set (see :func:`decontaminate`). Output: ``(doc_id,)``
+    distinct."""
+    bench_sh = (
+        _hashed_shingled(
+            benchmark.select(F.lit(0).alias("__bid"), F.col(bench_text_col)),
+            bench_text_col, "__bid", w, fast=fast,
+        )
+        .select(F.explode("sh").alias("h"))
+        .distinct()
+    )
+    corpus_sh = _hashed_shingled(docs, text_col, id_col, w, fast=fast).select(
+        F.col(id_col), F.explode("sh").alias("h")
+    )
+    return (
+        corpus_sh.join(bench_sh, "h", "left_semi").select(id_col).distinct()
+    )

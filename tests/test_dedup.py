@@ -171,3 +171,43 @@ def test_fast_hash_variants_same_shape_and_dups(spark):
     # near-dup docs agree on most bits, the unrelated doc doesn't
     ham = lambda a, b: bin(a ^ b).count("1")
     assert ham(sh1[1], sh1[2]) < ham(sh1[1], sh1[3])
+
+
+def test_decontaminate_removes_overlapping_docs(spark):
+    from dgraph_dbpedia_spark.operators.dedup import (
+        contaminated_ids,
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix words the quick brown fox jumps over suffix"),  # overlap
+            (2, "quick brown cat sleeps all day long today"),           # no 5-gram
+            (3, "totally unrelated content about spark plans"),
+            (4, "fox jumps over the lazy dog indeed"),                  # overlap
+        ],
+        ["doc_id", "text"],
+    )
+    flagged = {r["doc_id"] for r in contaminated_ids(docs, bench, w=5).collect()}
+    assert flagged == {1, 4}
+    clean = {r["doc_id"] for r in decontaminate(docs, bench, w=5).collect()}
+    assert clean == {2, 3}
+    # clean output keeps all original columns
+    assert decontaminate(docs, bench, w=5).columns == ["doc_id", "text"]
+
+
+def test_decontaminate_short_doc_whole_text_shingle(spark):
+    """Docs shorter than w form one whole-text shingle: a verbatim short
+    benchmark line is still caught."""
+    from dgraph_dbpedia_spark.operators.dedup import contaminated_ids
+
+    bench = spark.createDataFrame([(0, "two words")], ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(1, "two words"), (2, "other text")], ["doc_id", "text"]
+    )
+    flagged = {r["doc_id"] for r in contaminated_ids(docs, bench, w=13).collect()}
+    assert flagged == {1}
