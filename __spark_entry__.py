@@ -716,6 +716,17 @@ def _q_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic downsampling: acceptance
+    probability = min(n_chars/400, 1), coin = cross-engine id hash."""
+    from dgraph_dbpedia_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "w", F.least(F.col("n_chars") / 400.0, F.lit(1.0))
+    )
+    return weighted_sample(docs, "w").select("doc_id", "lang", "source")
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination audit: training docs sharing a w-token
     shingle with a held-out eval slice (every 50th doc). w=4 for the
@@ -964,6 +975,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_offsets": _q_pack_offsets,
     "bm25_topk_batch": _q_bm25_topk_batch,
     "decontaminate": _q_decontaminate,
+    "weighted_sample": _q_weighted_sample,
     "embed_binary": _q_embed_binary,
     "extract_datatype": _q_extract_datatype,
     "typed_cleanup": _q_typed_cleanup,
@@ -1700,6 +1712,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    list_min(list_transform(windows, x -> {_sql_hash64('x')})) AS fp
             FROM w
+        """,
+        "weighted_sample": f"""
+            SELECT doc_id, lang, source FROM documents
+            WHERE (({_sql_hash64('doc_id::VARCHAR', 1)} % 1000000) / 1000000.0::DOUBLE)
+                  < least(greatest(least(n_chars / 400.0::DOUBLE, 1.0::DOUBLE), 0.0::DOUBLE), 1.0::DOUBLE)
         """,
         "decontaminate": f"""
             WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),

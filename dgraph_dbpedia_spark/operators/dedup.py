@@ -9,6 +9,9 @@ Extension surface beyond the reference (SURVEY §7.8): the operators a
 - MinHash+LSH: k-seed signature -> banding -> bucket equi-join for
   candidates -> exact Jaccard verify on candidates only
 - SimHash:    60-bit sign fingerprint + banded hamming candidates
+- components: iterative min-label propagation (diameter-bound) and
+  large-star/small-star contraction (O(log^2 n), diameter-free)
+- decontamination: w-gram overlap semi-join against a benchmark set
 
 Hashing uses the cross-engine md5 scheme (functions/hashing.py) so
 every step is DuckDB-oracle-checkable.

@@ -103,3 +103,30 @@ def pack_offsets(
             (F.greatest(end - 1, end - F.col("n_tokens"))) / max_tokens
         ).cast("bigint").alias("last_pack"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 1,
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: keep each row with
+    probability equal to its ``weight_col`` value (clamped to [0, 1]) —
+    the quality-weighted downsampling step of corpus curation ("keep
+    high-quality docs, thin out the rest"), with NO RNG: the coin flip
+    is the cross-engine id hash mapped to [0, 1), so the same rows
+    survive on any engine, any partitioning, any run. Change ``seed``
+    for an independent draw.
+
+    Pure narrow filter — no shuffle, fully codegen, trivially
+    column-pruned; at 100 TB this is scan-speed.
+    """
+    u = (
+        F.pmod(
+            hash64(F.col(id_col).cast("string"), seed=seed), F.lit(1_000_000)
+        )
+        / 1_000_000.0
+    )
+    w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    return df.where(u < w)

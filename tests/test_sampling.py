@@ -83,3 +83,28 @@ def test_pack_offsets_deterministic_under_repartition(spark):
     a = sorted(map(tuple, pack_offsets(docs, 8, 2).collect()))
     b = sorted(map(tuple, pack_offsets(docs.repartition(7), 8, 2).collect()))
     assert a == b
+
+
+def test_weighted_sample_deterministic_and_monotone(spark):
+    from dgraph_dbpedia_spark.operators.sampling import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, 0.0 if i < 20 else (0.5 if i < 60 else 1.0)) for i in range(100)],
+        ["doc_id", "w"],
+    )
+    kept = {r["doc_id"] for r in weighted_sample(docs, "w").collect()}
+    # weight 0 -> never kept; weight 1 -> always kept
+    assert not kept & set(range(20))
+    assert set(range(60, 100)) <= kept
+    # weight 0.5 band: roughly half survive (deterministic, not exact)
+    mid = len(kept & set(range(20, 60)))
+    assert 10 <= mid <= 30
+    # identical under repartitioning and re-run
+    again = {
+        r["doc_id"] for r in weighted_sample(docs.repartition(7), "w").collect()
+    }
+    assert kept == again
+    # a different seed draws a different (but still deterministic) set
+    other = {r["doc_id"] for r in weighted_sample(docs, "w", seed=2).collect()}
+    assert set(range(60, 100)) <= other and not other & set(range(20))
+    assert (kept & set(range(20, 60))) != (other & set(range(20, 60)))
