@@ -518,8 +518,15 @@ def dedup_clusters(
     labels = docs.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
     ).localCheckpoint()
+    if max_iter < 0:
+        raise ValueError("max_iter must be >= 0")
     changed = -1
-    for _ in range(max_iter):
+    # max_iter bounds the number of LABEL-CHANGING rounds (the diameter
+    # bound); the +1 is the zero-change confirmation round, so a graph
+    # that converges in exactly max_iter rounds is accepted, not raised
+    # on (a round-6 review catch: the confirmation round used to eat one
+    # slot of the budget)
+    for _ in range(max_iter + 1):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
@@ -631,9 +638,21 @@ def dedup_clusters_star(
         ).collect()[0]
         return (row["n"], row["h"])
 
-    edges = canon(
-        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
-    ).localCheckpoint()
+    # restrict edges to ids actually present in docs: label propagation
+    # inherently ignores out-of-docs pair ids (labels exist only for doc
+    # rows), so the star contraction must too, or a stale pair set
+    # referencing a dropped doc could root a component at a non-doc id
+    # and the two operators' "identical contract" would diverge
+    ids = docs.select(F.col(id_col).alias("u")).distinct()
+    edges = (
+        canon(pairs.select(F.col("a").alias("u"), F.col("b").alias("v")))
+        .join(ids, "u", "left_semi")
+        .join(ids.withColumnRenamed("u", "v"), "v", "left_semi")
+        # USING-joins move the join key first — restore (u, v) order,
+        # the loop's unions are positional
+        .select("u", "v")
+        .localCheckpoint()
+    )
     prev = checksum(edges)
     converged = False
     for _ in range(max_iter):
@@ -650,14 +669,22 @@ def dedup_clusters_star(
             "the input pair set is likely unbounded or adversarial"
         )
     # converged edge set = star forest: u (child, u>v) -> v (root).
-    # Roots and singletons label themselves.
-    roots = edges.groupBy("u").agg(F.min("v").alias("root"))
+    # Roots and singletons label themselves. Name-based equi-join: the
+    # edges now share lineage with docs (via the id restriction), so a
+    # frame-qualified condition like docs[id] == roots["u"] can
+    # misresolve both sides to the same attribute (Spark's self-join
+    # ambiguity) and silently match nothing.
+    roots = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("__root"))
+        .select(F.col("u").alias(id_col), "__root")
+    )
     return (
         docs.select(F.col(id_col))
-        .join(roots, docs[id_col] == roots["u"], "left")
+        .join(roots, [id_col], "left")
         .select(
             F.col(id_col),
-            F.coalesce(F.col("root"), F.col(id_col)).alias("cluster_id"),
+            F.coalesce(F.col("__root"), F.col(id_col)).alias("cluster_id"),
         )
     )
 

@@ -76,8 +76,6 @@ def pack_offsets(
     shard hash is cross-engine checkable; swap ``fast=True``-style
     xxhash in production exactly as the dedup operators do.
     """
-    from pyspark.sql import Window
-
     from dgraph_dbpedia_spark.functions.hashing import hash64, tokens
 
     toks = F.size(tokens(F.col(text_col))).alias("n_tokens")
@@ -90,18 +88,28 @@ def pack_offsets(
     )
     w = Window.partitionBy("shard").orderBy("doc_id")
     end = F.sum("n_tokens").over(w)
-    return base.select(
+    offsets = base.select(
         "doc_id",
         "shard",
         "n_tokens",
         (end - F.col("n_tokens")).alias("start_tok"),
         end.alias("end_tok"),
-        F.floor((end - F.col("n_tokens")) / max_tokens).cast("bigint").alias("first_pack"),
+    )
+    # integer `div`, not floor(double /): double division loses
+    # exactness past 2^53 tokens per shard (same rule temporal.py
+    # applies to epoch nanos); offsets are non-negative so div == floor
+    return offsets.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "start_tok",
+        "end_tok",
+        F.expr(f"start_tok div {max_tokens}").alias("first_pack"),
         # exclusive end: a doc ending exactly on a boundary stays in the
         # previous pack; empty docs occupy no pack but keep first_pack
-        F.floor(
-            (F.greatest(end - 1, end - F.col("n_tokens"))) / max_tokens
-        ).cast("bigint").alias("last_pack"),
+        F.expr(
+            f"greatest(end_tok - 1, start_tok) div {max_tokens}"
+        ).alias("last_pack"),
     )
 
 

@@ -162,7 +162,8 @@ def percentile_stats(
     Returns one row per group with a rounded double column per
     percentile (default names ``p50, p90, p99``).
     """
-    names = names or [f"p{int(p * 100)}" for p in ps]
+    # round, not int(): int(0.29 * 100) float-truncates to 28
+    names = names or [f"p{round(p * 100)}" for p in ps]
     if len(names) != len(ps):
         raise ValueError("names must match ps")
     agg = (
@@ -170,11 +171,16 @@ def percentile_stats(
         if approx
         else F.percentile(value_col, F.array(*[F.lit(p) for p in ps]))
     )
-    grouped = df.groupBy(*group_cols).agg(agg.alias("__ps"))
+    # collision-proof temp alias (same hazard ADVICE r5 flagged for a
+    # fixed "__rn" in stratified_sample)
+    tmp = "__ps"
+    while tmp in group_cols:
+        tmp = "_" + tmp
+    grouped = df.groupBy(*group_cols).agg(agg.alias(tmp))
     return grouped.select(
         *group_cols,
         *[
-            F.round(F.col("__ps").getItem(i).cast("double"), 4).alias(n)
+            F.round(F.col(tmp).getItem(i).cast("double"), 4).alias(n)
             for i, n in enumerate(names)
         ],
     )

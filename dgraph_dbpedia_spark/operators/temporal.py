@@ -108,6 +108,17 @@ def asof_join(
         # first would hide the right side from the window frame
         out = u.withColumn("__m", _fill_forward(u, keys))
     else:
+        # the salted path slices on integer `div` arithmetic, so it
+        # requires an integral ts (the unsalted path accepts any
+        # orderable numeric). Fail loudly instead of emitting a long
+        # literal like `123.5L` that dies at SQL analysis.
+        ts_type = dict(u.dtypes)[ts_col]
+        if ts_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise TypeError(
+                f"salt_hot_keys requires an integral ts column; {ts_col} "
+                f"is {ts_type} — cast to epoch integers first or use the "
+                "unsalted path"
+            )
         # bounded 1-row aggregate: slice boundaries for the range split
         lo, hi = u.agg(F.min(ts_col), F.max(ts_col)).first()
         width = max(1, ((hi or 0) - (lo or 0)) // salt_hot_keys + 1)

@@ -136,6 +136,23 @@ def bm25_topk(
     terms = sorted({t.lower() for t in query_terms})
     if not terms:
         raise ValueError("query_terms must be non-empty")
+    scored, term_score = _bm25_scored(df, terms, text_col, id_col, k1, b)
+    parts = [term_score(i) for i in range(len(terms))]
+    score = F.round(sum(parts[1:], parts[0]), 4)
+    return (
+        scored.select("doc_id", score.alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def _bm25_scored(df, union_terms, text_col, id_col, k1, b):
+    """Shared BM25 core (single + batch): per-row native tf columns for
+    every term, the 1-row broadcast stats aggregate, and a
+    ``term_score(i) -> Column`` builder. ONE definition of the formula —
+    the single/batch operators and the shared DuckDB oracle stay
+    bit-aligned by construction."""
     base = df.select(
         F.col(id_col).alias("doc_id"),
         tokens(F.lower(F.col(text_col))).alias("__toks"),
@@ -151,35 +168,31 @@ def bm25_topk(
     feat = base.select(
         "doc_id",
         F.size(toks).alias("dl"),
-        *[_tf(w).alias(f"__tf_{i}") for i, w in enumerate(terms)],
+        *[_tf(w).alias(f"__tf_{i}") for i, w in enumerate(union_terms)],
     )
     stats = feat.agg(
         F.count(F.lit(1)).alias("__n_docs"),
         F.avg("dl").alias("__avgdl"),
         *[
             F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
-            for i in range(len(terms))
+            for i in range(len(union_terms))
         ],
     )
     scored = feat.crossJoin(F.broadcast(stats))
     n_docs = F.col("__n_docs")
     norm = 1 - b + b * F.col("dl") / F.col("__avgdl")
-    per_term = [
-        F.log(
-            1
-            + (n_docs - F.col(f"__df_{i}") + 0.5) / (F.col(f"__df_{i}") + 0.5)
+
+    def term_score(i: int):
+        return (
+            F.log(
+                1
+                + (n_docs - F.col(f"__df_{i}") + 0.5) / (F.col(f"__df_{i}") + 0.5)
+            )
+            * (F.col(f"__tf_{i}") * (k1 + 1))
+            / (F.col(f"__tf_{i}") + k1 * norm)
         )
-        * (F.col(f"__tf_{i}") * (k1 + 1))
-        / (F.col(f"__tf_{i}") + k1 * norm)
-        for i in range(len(terms))
-    ]
-    score = F.round(sum(per_term[1:], per_term[0]), 4)
-    return (
-        scored.select("doc_id", score.alias("score"))
-        .where(F.col("score") > 0)
-        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .limit(k)
-    )
+
+    return scored, term_score
 
 
 def bm25_topk_batch(
@@ -214,41 +227,7 @@ def bm25_topk_batch(
         raise ValueError("every query needs at least one term")
     union_terms = sorted({w for terms in qterms.values() for w in terms})
     idx = {w: i for i, w in enumerate(union_terms)}
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        tokens(F.lower(F.col(text_col))).alias("__toks"),
-    )
-    toks = F.col("__toks")
-
-    def _tf(w: str):
-        return F.size(F.filter(toks, lambda t: t == F.lit(w)))
-
-    feat = base.select(
-        "doc_id",
-        F.size(toks).alias("dl"),
-        *[_tf(w).alias(f"__tf_{i}") for i, w in enumerate(union_terms)],
-    )
-    stats = feat.agg(
-        F.count(F.lit(1)).alias("__n_docs"),
-        F.avg("dl").alias("__avgdl"),
-        *[
-            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
-            for i in range(len(union_terms))
-        ],
-    )
-    scored = feat.crossJoin(F.broadcast(stats))
-    n_docs = F.col("__n_docs")
-    norm = 1 - b + b * F.col("dl") / F.col("__avgdl")
-
-    def term_score(i: int):
-        return (
-            F.log(
-                1
-                + (n_docs - F.col(f"__df_{i}") + 0.5) / (F.col(f"__df_{i}") + 0.5)
-            )
-            * (F.col(f"__tf_{i}") * (k1 + 1))
-            / (F.col(f"__tf_{i}") + k1 * norm)
-        )
+    scored, term_score = _bm25_scored(df, union_terms, text_col, id_col, k1, b)
 
     def query_score(terms: list[str]):
         parts = [term_score(idx[w]) for w in terms]

@@ -316,7 +316,13 @@ def interval_join(
         out = out.where(F.col("event_type") == etype).select(
             F.col("event_id").alias(f"{prefix}_event_id"),
             F.col("user_id").alias(f"{prefix}_user_id"),
-            F.col("event_time").alias(f"{prefix}_et"),
+            # truncate to whole seconds: the contract (and the DuckDB
+            # oracle) is floor(epoch(ts)) comparisons — without this, a
+            # sub-second ts (the testdata is microsecond-precision)
+            # would make boundary pairs match on one engine only
+            F.timestamp_seconds(F.unix_timestamp("event_time")).alias(
+                f"{prefix}_et"
+            ),
         )
         if out.isStreaming:
             out = out.withWatermark(f"{prefix}_et", watermark)

@@ -211,3 +211,37 @@ def test_decontaminate_short_doc_whole_text_shingle(spark):
     )
     flagged = {r["doc_id"] for r in contaminated_ids(docs, bench, w=13).collect()}
     assert flagged == {1}
+
+
+def test_dedup_clusters_converges_in_exactly_max_iter(spark):
+    """A chain needing exactly max_iter change-rounds must be accepted
+    (the confirmation round doesn't consume the budget), and max_iter=0
+    works on edgeless graphs."""
+    from dgraph_dbpedia_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(4)], ["doc_id"])
+    chain = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["a", "b"])
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in dedup_clusters(docs, chain, max_iter=3).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0}
+    empty_pairs = spark.createDataFrame([], "a long, b long")
+    out0 = {r["doc_id"]: r["cluster_id"]
+            for r in dedup_clusters(docs, empty_pairs, max_iter=0).collect()}
+    assert out0 == {i: i for i in range(4)}
+
+
+def test_dedup_clusters_star_ignores_non_doc_pair_ids(spark):
+    """Stale pairs referencing ids absent from docs must not leak into
+    cluster ids (matches label propagation's behavior)."""
+    from dgraph_dbpedia_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    docs = spark.createDataFrame([(5,), (7,)], ["doc_id"])
+    pairs = spark.createDataFrame([(5, 7), (1, 5)], ["a", "b"])  # 1 not a doc
+    star = {r["doc_id"]: r["cluster_id"]
+            for r in dedup_clusters_star(docs, pairs).collect()}
+    prop = {r["doc_id"]: r["cluster_id"]
+            for r in dedup_clusters(docs, pairs).collect()}
+    assert star == prop == {5: 5, 7: 5}

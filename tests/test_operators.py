@@ -106,3 +106,11 @@ def test_percentile_stats_exact_and_approx(spark):
 
     with _pytest.raises(ValueError):
         percentile_stats(df, ["g"], "v", names=["only_one"])
+
+
+def test_percentile_stats_name_rounding(spark):
+    from dgraph_dbpedia_spark.operators.stats import percentile_stats
+
+    df = spark.createDataFrame([("a", v) for v in range(1, 11)], ["g", "v"])
+    cols = percentile_stats(df, ["g"], "v", ps=[0.29, 0.57]).columns
+    assert cols == ["g", "p29", "p57"]  # int() would give p28/p56

@@ -283,3 +283,26 @@ def test_interval_join_bounds_inclusive(spark):
     out = interval_join(df, df, "click", "view", 1800)
     got = {(r["r_event_id"], r["lag_s"]) for r in out.collect()}
     assert got == {(2, 1800), (3, 0)}
+
+
+def test_interval_join_subsecond_floor_semantics(spark):
+    """Microsecond timestamps must compare on floored whole seconds
+    (the oracle contract): a view 0.6s after a click but in the same
+    floored second still matches with lag 0."""
+    from dgraph_dbpedia_spark.streaming.events import interval_join
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        (1, base + 200_000 * us, 7, "click", 0.0, ""),
+        (2, base + 800_000 * us, 7, "view", 0.0, ""),   # later in same second
+        (3, base - 1_800_000_000 * us + 400_000 * us, 7, "view", 0.0, ""),
+        # ts floor = base-1800s exactly -> matches at the lookback edge
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {(r["r_event_id"], r["lag_s"]) for r in
+           interval_join(df, df, "click", "view", 1800).collect()}
+    assert out == {(2, 0), (3, 1800)}

@@ -169,3 +169,15 @@ def test_asof_plan_single_shuffle_no_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_salted_rejects_non_integral_ts(spark):
+    from dgraph_dbpedia_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 1.5)], ["k", "ts"])
+    right = spark.createDataFrame([(1, 1.0, "x")], ["k", "ts", "v"])
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="integral ts"):
+        asof_join(left, right, ["k"], "ts", payload_cols=["v"],
+                  salt_hot_keys=4).collect()
