@@ -41,7 +41,11 @@ def _norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # try_divide: a zero-norm vector (padding/missing embedding) yields
+    # NULL (ranked last under desc) instead of DIVIDE_BY_ZERO under
+    # Spark's default ANSI mode — a single zero vector in a 100 TB
+    # corpus must not kill the job
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def cosine_topk(
@@ -77,16 +81,21 @@ def plane_values(n_planes: int, dims: int) -> list[float]:
     ]
 
 
-@lru_cache(maxsize=None)
-def _plane_literal(n_planes: int, dims: int) -> Column:
-    """The flattened plane array as ONE SQL-parsed array literal.
+@lru_cache(maxsize=32)
+def _plane_sql(n_planes: int, dims: int) -> str:
+    """The flattened plane array as ONE SQL array-literal STRING.
     ``F.lit(<python list>)`` converts element-by-element over py4j —
     measured 0.84s of driver time for 8x64 planes, per call site; the
-    SQL string parses JVM-side in ~5ms. Memoized (pure expression,
-    reusable across plans) because every query/corpus pair builds the
-    same literal twice."""
+    SQL string parses JVM-side in ~5ms. The cache holds the string, not
+    the Column: a cached Column wraps a py4j handle tied to whichever
+    JVM gateway was alive at first call, which goes stale if the
+    session is stopped and rebuilt within the process."""
     vals = plane_values(n_planes, dims)
-    return F.expr("array(" + ",".join(repr(v) + "D" for v in vals) + ")")
+    return "array(" + ",".join(repr(v) + "D" for v in vals) + ")"
+
+
+def _plane_literal(n_planes: int, dims: int) -> Column:
+    return F.expr(_plane_sql(n_planes, dims))
 
 
 def hyperplane_signs_arrow(n_planes: int, dims: int):
@@ -340,19 +349,27 @@ def cosine_topk_arrow(
     Python stage (so not part of the JVM-only oracle surface).
 
     Same contract and tie-break as cosine_topk; results match to float
-    rounding."""
+    rounding. Zero-norm vectors yield NULL (ranked last), exactly like
+    the native twin's divide-by-zero — NaN would sort FIRST under desc
+    ordering and pollute every top-k."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DoubleType
 
-    q_vec = [float(x) for x in query.first()[0]]
+    q_vec = [float(x) for x in query.select(query_col).first()[0]]
 
     def score_batch(emb: pd.Series) -> pd.Series:
         q = np.asarray(q_vec, dtype=np.float64)
         qn = np.sqrt(q @ q)
         mat = np.asarray(emb.tolist(), dtype=np.float64)
-        sims = (mat @ q) / (np.sqrt((mat * mat).sum(axis=1)) * qn)
-        return pd.Series(np.round(sims, 4))
+        norms = np.sqrt((mat * mat).sum(axis=1)) * qn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.round((mat @ q) / norms, 4)
+        # nullable Float64: NaN/inf from zero norms become NULL in the
+        # Arrow transfer, matching the JVM twin's NULL-on-div-by-zero
+        out = pd.array(sims, dtype="Float64")
+        out[~np.isfinite(sims)] = pd.NA
+        return pd.Series(out)
 
     # real class objects (not string hints) in the signature: pyspark
     # resolves the eval type by inspecting the annotations
@@ -409,7 +426,7 @@ def ivf_assign(
     scored = F.transform(
         cent,
         lambda c: F.struct(
-            F.round(_dot(v, c["c"]) / (nv * c["nc"]), 6).alias("csim"),
+            F.round(F.try_divide(_dot(v, c["c"]), nv * c["nc"]), 6).alias("csim"),
             (-c["cid"]).alias("negcid"),
         ),
     )
@@ -442,10 +459,18 @@ def ivf_topk(
     and probing prunes partitions. Recall < 1 by construction; raise
     n_probe for recall, n_centroids for finer lists."""
     e = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("e"))
-    centroids = (
+    # materialize the centroid rows ONCE (bounded: n_centroids rows) and
+    # rebuild them as a local relation — the lazy orderBy+limit plan
+    # would otherwise run a full corpus takeOrdered twice (once inside
+    # ivf_assign's collect, once under the probes crossJoin)
+    cent_rows = (
         e.orderBy(id_col)
         .limit(n_centroids)
         .select(F.col(id_col).alias("cid"), F.col("e").alias("c"))
+        .collect()
+    )
+    centroids = df.sparkSession.createDataFrame(
+        cent_rows, "cid bigint, c array<double>"
     )
     lists = ivf_assign(e, centroids, id_col, "e")
 
@@ -499,12 +524,14 @@ def cosine_near_dup_pairs(
     ).persist()
     a = sk.select(F.col(id_col).alias("a"), F.col("e").alias("ea"), F.col("n").alias("na"), "bucket")
     b = sk.select(F.col(id_col).alias("b"), F.col("e").alias("eb"), F.col("n").alias("nb"), "bucket")
-    sim = F.round(_dot("ea", "eb") / (F.col("na") * F.col("nb")), 4)
+    sim = F.round(F.try_divide(_dot("ea", "eb"), F.col("na") * F.col("nb")), 4)
     out = (
         a.join(b, "bucket")
         .where(F.col("a") < F.col("b"))
         .select("a", "b", sim.alias("sim"))
         .where(F.col("sim") >= threshold)
-        .distinct()
+        # no distinct: each vector has exactly ONE bucket, so the
+        # bucket self-join emits every (a, b) pair at most once — a
+        # distinct here would be a full extra shuffle of the output
     )
     return tag_persisted(out, sk)

@@ -83,7 +83,14 @@ def asof_join(
         F.col(ts_col).alias("__ts"),
         *[F.col(c).alias(c) for c in payload_cols],
     )
-    r = right.select(
+    # SQL equality semantics: a NULL join key matches nothing, but
+    # Window.partitionBy groups nulls TOGETHER — drop null-key right
+    # rows so they can't fill forward onto null-key left rows (which
+    # still pass through with a null payload, like a left join)
+    null_key_free = right
+    for k in keys:
+        null_key_free = null_key_free.where(F.col(k).isNotNull())
+    r = null_key_free.select(
         *[F.col(k) for k in keys],
         F.col(ts_col),
         F.col(order_col).alias("__ord"),
@@ -191,7 +198,16 @@ def range_count_join(
 
     Bucket ids use integer ``div`` — epoch-nanos exceed 2^53, so a
     double division here would corrupt bucket boundaries.
+
+    ``radius`` must be >= 1: radius=0 would make the bucket expression
+    a silent NULL (div by zero) and every count 0; simultaneous-event
+    counting is a plain equi-join on ``(keys, ts)``, not a range join.
     """
+    if radius < 1:
+        raise ValueError(
+            "radius must be >= 1 (for exact-ts matches use an equi-join "
+            "on (keys, ts))"
+        )
     bucket = F.expr(f"{ts_col} div {radius}L")
     p = probe.select(
         F.col(probe_id),

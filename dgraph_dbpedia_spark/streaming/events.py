@@ -63,7 +63,10 @@ def event_time(df: DataFrame, col: str = "ts") -> F.Column:
     seconds-based sessionizer built on top."""
     dt = dict(df.dtypes).get(col)
     if dt == "bigint":
-        return F.timestamp_micros((F.col(col) / 1000).cast("long"))
+        # integer `div`, not /1000: epoch nanos (~1.7e18) exceed 2^53,
+        # so double division is off by up to 1us and can flip the
+        # derived second vs the exact epoch_seconds() below
+        return F.timestamp_micros(F.expr(f"`{col}` div 1000"))
     if dt == "timestamp_ntz":
         return F.timestamp_seconds(F.unix_timestamp(F.col(col)))
     return F.col(col)
@@ -187,50 +190,62 @@ def sessionize_batch(events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS) 
     )
 
 
-def _sessionize_group(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterable[pd.DataFrame]:
-    """applyInPandasWithState update function: maintains (next_session_id,
-    last_seen_s) per user, closes a session when the gap exceeds the
-    threshold or the state times out at the watermark."""
-    (user_id,) = key
-    if state.hasTimedOut:
+def _sessionize_group_fn(gap_seconds: int):
+    """Builds the applyInPandasWithState update function for a given
+    session gap, so the stream path honors the same ``gap_seconds``
+    knob as :func:`sessionize_batch` (a hardcoded module constant here
+    would silently diverge the twins at any non-default gap)."""
+
+    def _sessionize_group(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                sid, n, start_s, last_s = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    [[user_id, sid, n, start_s, last_s]],
+                    columns=["user_id", "session_id", "n_events", "start_s", "end_s"],
+                )
+            return
+
+        rows = pd.concat(list(pdfs)).sort_values("ts_s")
         if state.exists:
             sid, n, start_s, last_s = state.get
-            state.remove()
+        else:
+            sid, n, start_s, last_s = 0, 0, None, None
+
+        out = []
+        for ts_s in rows["ts_s"]:
+            ts_s = int(ts_s)
+            if last_s is None or ts_s - last_s > gap_seconds:
+                if n > 0:
+                    out.append([user_id, sid, n, start_s, last_s])
+                sid, n, start_s = sid + 1, 0, ts_s
+            n += 1
+            last_s = ts_s
+        state.update((sid, n, start_s, last_s))
+        state.setTimeoutTimestamp(last_s * 1000 + gap_seconds * 1000)
+        if out:
             yield pd.DataFrame(
-                [[user_id, sid, n, start_s, last_s]],
+                out,
                 columns=["user_id", "session_id", "n_events", "start_s", "end_s"],
             )
-        return
 
-    rows = pd.concat(list(pdfs)).sort_values("ts_s")
-    if state.exists:
-        sid, n, start_s, last_s = state.get
-    else:
-        sid, n, start_s, last_s = 0, 0, None, None
-
-    out = []
-    for ts_s in rows["ts_s"]:
-        ts_s = int(ts_s)
-        if last_s is None or ts_s - last_s > SESSION_GAP_SECONDS:
-            if n > 0:
-                out.append([user_id, sid, n, start_s, last_s])
-            sid, n, start_s = sid + 1, 0, ts_s
-        n += 1
-        last_s = ts_s
-    state.update((sid, n, start_s, last_s))
-    state.setTimeoutTimestamp(last_s * 1000 + SESSION_GAP_SECONDS * 1000)
-    if out:
-        yield pd.DataFrame(
-            out, columns=["user_id", "session_id", "n_events", "start_s", "end_s"]
-        )
+    return _sessionize_group
 
 
-def sessionize_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+def sessionize_stream(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    gap_seconds: int = SESSION_GAP_SECONDS,
+) -> DataFrame:
     """Custom stateful operator: streaming sessionization keyed by user
     via applyInPandasWithState (arbitrary state + event-time timeout).
-    Emits a row per *closed* session."""
+    Emits a row per *closed* session. ``gap_seconds`` matches
+    :func:`sessionize_batch`'s parameter — the twins stay comparable at
+    any gap."""
     df = events
     if "event_time" not in df.columns:
         df = df.withColumn("event_time", event_time(df))
@@ -241,7 +256,7 @@ def sessionize_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame
         df.select("user_id", "event_id", "ts_s", "event_time")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _sessionize_group,
+            _sessionize_group_fn(gap_seconds),
             outputStructType=_SESSION_OUTPUT,
             stateStructType="sid int, n long, start_s long, last_s long",
             outputMode="append",
@@ -267,13 +282,16 @@ def dedup_events(
     determinism matters (the oracle query does exactly that)."""
     keys = keys or ["event_id"]
     df = events
+    if not df.isStreaming:
+        # the batch twin needs no event_time — adding one would change
+        # the output schema vs the input (oracle diffs would see an
+        # extra column)
+        return df.dropDuplicates(keys)
     if "event_time" not in df.columns:
         df = df.withColumn("event_time", event_time(df))
-    if df.isStreaming:
-        return df.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
-            keys
-        )
-    return df.dropDuplicates(keys)
+    return df.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
 
 
 def enrich_events(

@@ -264,3 +264,77 @@ def test_lsh_single_probe_subset_of_multiprobe(spark):
     assert one <= four
     with pytest.raises(ValueError, match="multi-probe"):
         lsh_bucketed_topk(corpus, q, k=5, use_arrow=False, n_probes=2)
+
+
+def test_cosine_topk_arrow_query_col_and_zero_norm(spark):
+    """The arrow twin must honor query_col on multi-column query frames
+    and rank zero-norm vectors last (NULL), like the native twin."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_arrow,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    query = spark.createDataFrame(
+        [(99, [1.0, 0.0])], ["qid", "q"]  # vector NOT the first column
+    )
+    got = cosine_topk_arrow(emb, query, k=3, query_col="q").collect()
+    want = cosine_topk(emb, query, k=3, query_col="q").collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+    # zero-norm vector is last with NULL sim on both paths
+    assert got[-1]["vec_id"] == 3 and got[-1]["sim"] is None
+    assert want[-1]["sim"] is None
+
+
+def test_sessionize_stream_honors_gap(spark, tmp_path):
+    """Non-default gap_seconds produces the same sessions as the batch
+    twin at that gap."""
+    import datetime as dt
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from dgraph_dbpedia_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    for i, off in enumerate([0, 100, 800, 900, 5000]):
+        rows.append((i, base + dt.timedelta(seconds=off), 1, "click", 0.0, ""))
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    d = tmp_path / "gap_events"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "part-0.parquet"))
+
+    stream = read_events_stream(spark, str(d))
+    run_to_memory(
+        sessionize_stream(stream, gap_seconds=600), "gap_sessions", "append"
+    )
+    got = {
+        (r["session_id"], r["n_events"])
+        for r in spark.table("gap_sessions").collect()
+    }
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    want_all = sessionize_batch(batch, gap_seconds=600).collect()
+    # the stream emits CLOSED sessions; with gap 600 the first session
+    # is events at 0/100 (closed by the 800 event? no - gap 700 > 600),
+    # second is 800/900, the 5000 event's session stays open at EOF
+    assert (1, 2) in got or (0, 2) in got  # first closed session has 2 events
+    want_counts = sorted(r["n_events"] for r in want_all)
+    assert want_counts == [1, 2, 2]

@@ -181,3 +181,28 @@ def test_asof_salted_rejects_non_integral_ts(spark):
     with _pytest.raises(TypeError, match="integral ts"):
         asof_join(left, right, ["k"], "ts", payload_cols=["v"],
                   salt_hot_keys=4).collect()
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """SQL equality semantics: NULL keys match nothing; null-key left
+    rows still appear with a null payload."""
+    from dgraph_dbpedia_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(None, 10), (1, 10)], "k int, ts long"
+    )
+    right = spark.createDataFrame(
+        [(None, 5, "ghost"), (1, 5, "real")], "k int, ts long, v string"
+    )
+    out = {r["k"]: r["matched_v"] for r in
+           asof_join(left, right, ["k"], "ts", payload_cols=["v"]).collect()}
+    assert out == {None: None, 1: "real"}
+
+
+def test_range_count_join_rejects_zero_radius(spark):
+    from dgraph_dbpedia_spark.operators.temporal import range_count_join
+    import pytest as _pytest
+
+    probe = spark.createDataFrame([(1, 1, 100)], "event_id long, k int, ts long")
+    with _pytest.raises(ValueError, match="radius"):
+        range_count_join(probe, probe, ["k"], "ts", radius=0)
