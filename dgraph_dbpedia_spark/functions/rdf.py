@@ -123,7 +123,11 @@ def geo_to_geojson(v: Column) -> Column:
     swap to [lon, lat] -> to_json(struct('Point', coordinates)) ->
     re-embed as a quoted literal with inner quotes escaped.
     """
-    coords = F.split(F.regexp_replace(v, '"', ""), " ").cast("array<float>")
+    # try_cast: one malformed georss literal (non-numeric token) must
+    # yield a null coordinate, not a CAST_INVALID_INPUT job failure
+    # under Spark's default ANSI mode — matching the reference's
+    # non-ANSI null-on-bad-cast behavior
+    coords = F.split(F.regexp_replace(v, '"', ""), " ").try_cast("array<float>")
     lonlat = F.array(coords.getItem(1), coords.getItem(0))
     geojson = F.to_json(F.struct(F.lit("Point").alias("type"), lonlat.alias("coordinates")))
     return F.concat(F.lit('"'), F.regexp_replace(geojson, '"', '\\\\"'), F.lit('"'))

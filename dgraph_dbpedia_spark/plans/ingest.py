@@ -91,7 +91,12 @@ def ingest(
         )
         result = IngestResult(dataset, parquet_path)
         if print_stats:
-            result.stats = dataset_counts(spark.read.parquet(parquet_path))
+            # read back through the schema-aware reader: a dataset with
+            # zero rows under the selected languages writes a
+            # _SUCCESS-only dir, where schema inference would raise
+            from dgraph_dbpedia_spark.sources.parquet import read_triples_parquet
+
+            result.stats = dataset_counts(read_triples_parquet(spark, parquet_path))
         return result
 
     if parallelism <= 1:

@@ -356,6 +356,13 @@ def write_rdf(
         # at least ceil(n / ROWS_PER_RDF_FILE) so huge sinks split into
         # right-sized gzip files instead of 32 giant ones.
         n = df.count()
+        if not n:
+            # honor overwrite semantics on the empty path too: a rerun
+            # into the same out dir must not leave a PREVIOUS run's
+            # files to be read back as this run's (empty) result
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
         if n:
             parallel = spark.sparkContext.defaultParallelism
             n_parts = max(
@@ -481,8 +488,10 @@ def transform(
         if cfg.top_infobox_properties_per_lang:
             k = cfg.top_infobox_properties_per_lang
             stats_frames[f"top {k} infobox_properties"] = infobox_triples
+        stats_counts: dict[str, int] = {}
         for name, frame in stats_frames.items():
             c = dataset_counts(frame)
+            stats_counts[name] = c["triples"]
             print(
                 f"{name}: {c['triples']:,} triples, {c['nodes']:,} nodes, "
                 f"{c['predicates']:,} predicates"
@@ -622,6 +631,12 @@ def transform(
             }
         xid_future = None
         if cfg.externalise_uris:
+            # NOTE (reference parity): infobox URI-typed OBJECTS are
+            # blank-node-rewritten by clean_infobox but deliberately NOT
+            # in this list — the reference's externalIds takes only
+            # infoboxTriples.select($"s") (DbpediaDgraphSparkApp.scala:
+            # 374-389), so those blank nodes carry no <xid> there either;
+            # we mirror that exactly rather than "fix" the upstream.
             xid_inputs = [
                 label_triples.select("s", "lang"),
                 infobox_triples.select("s", "lang"),
@@ -655,9 +670,15 @@ def transform(
 
     if cfg.print_stats:
         # reference denominator is the top-k-FILTERED infobox count
-        # (DbpediaDgraphSparkApp.scala:449), not the raw input count
+        # (DbpediaDgraphSparkApp.scala:449), not the raw input count.
+        # Reuse the count the stats loop above already computed for
+        # exactly this frame — re-running it here was a second full
+        # scan + semi-join over the largest dataset at the end of the
+        # pipeline.
+        k = cfg.top_infobox_properties_per_lang
+        denom_key = f"top {k} infobox_properties" if k else "infobox_properties"
         coverage = outputs["infobox_properties"].count() * 100 // max(
-            infobox_triples.count(), 1
+            stats_counts[denom_key], 1
         )
         print(f"cleaned-up infoboxes cover {coverage}% of original rows")
         from dgraph_dbpedia_spark.observability import collect_spill_metrics

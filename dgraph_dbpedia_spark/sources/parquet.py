@@ -25,7 +25,12 @@ def read_triples_parquet(
 ) -> DataFrame:
     if not os.path.exists(path):
         return spark.createDataFrame([], TRIPLE_SCHEMA)
-    df = spark.read.parquet(path)
+    # explicit schema, not inference: an empty dataset under the
+    # selected languages writes a _SUCCESS-only dir, and schema
+    # inference on it raises UNABLE_TO_INFER_SCHEMA — the exact case
+    # this S4 fallback exists to tolerate. The known schema also skips
+    # a footer-read job on the happy path.
+    df = spark.read.schema(TRIPLE_SCHEMA).parquet(path)
     if languages:
         # partition-column filter -> directory pruning, no data read for
         # unselected languages

@@ -115,3 +115,53 @@ def test_ttl_filter_pushdown(spark, tmp_path):
     df = read_ttl(spark, str(p), lang="en")
     plan = _plan(df)
     assert "Exchange" not in plan  # pure scan+project, no shuffle
+
+
+def test_read_triples_parquet_success_only_dir(spark, tmp_path):
+    """A dataset empty under the selected languages writes a
+    _SUCCESS-only dir; the S4 fallback must return an empty typed frame,
+    not raise UNABLE_TO_INFER_SCHEMA."""
+    from dgraph_dbpedia_spark.model import TRIPLE_SCHEMA
+    from dgraph_dbpedia_spark.sources.parquet import read_triples_parquet
+    from dgraph_dbpedia_spark.sources.writers import write_partitioned_by
+
+    p = str(tmp_path / "empty.parquet")
+    write_partitioned_by(
+        spark.createDataFrame([], TRIPLE_SCHEMA),
+        partition_cols=["lang"],
+        more_file_cols=["s"],
+        sort_cols=["p", "o"],
+        path=p,
+    )
+    df = read_triples_parquet(spark, p)
+    assert df.count() == 0
+    assert df.columns == ["s", "p", "o", "lang"]
+
+
+def test_geo_to_geojson_malformed_literal_yields_nulls(spark):
+    """One malformed georss literal must not kill the job under ANSI
+    mode (reference behavior: null coordinates)."""
+    from dgraph_dbpedia_spark.functions.rdf import geo_to_geojson
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [('"52.52 13.40"',), ('"52.52 north-ish"',)], ["o"]
+    )
+    rows = df.select(geo_to_geojson(F.col("o")).alias("g")).collect()
+    assert "52.52" in rows[0]["g"]
+    assert rows[1]["g"] is not None  # produced, not crashed
+
+
+def test_write_rdf_empty_frame_clears_stale_output(spark, tmp_path):
+    """Re-running a sink with an empty frame must remove the previous
+    run's files (overwrite semantics), not report them as this run's."""
+    from dgraph_dbpedia_spark.model import TRIPLE_SCHEMA
+    from dgraph_dbpedia_spark.plans.transform import write_rdf
+
+    out = str(tmp_path / "sink.rdf")
+    full = spark.createDataFrame(
+        [("<a>", "<p>", "<b>", "en")], ["s", "p", "o", "lang"]
+    )
+    assert write_rdf(spark, full, out).count() == 1
+    empty = spark.createDataFrame([], TRIPLE_SCHEMA)
+    assert write_rdf(spark, empty, out).count() == 0
