@@ -506,6 +506,14 @@ def dedup_clusters(
     algorithm (Kiveris et al., "Connected Components in MapReduce and
     Beyond", SoCC'14), which contracts chains in O(log^2 n) rounds —
     the documented upgrade path if a corpus ever trips the cap.
+
+    ONE job per round: the round result is ``persist()``-ed and the
+    convergence count doubles as its materialization (an eager
+    localCheckpoint + count ran TWO jobs per round — the r6 bench
+    doubling). Lineage is compacted to a checkpoint every 8 rounds
+    (plans otherwise grow one join per round) and once at exit, so the
+    returned frame is checkpoint-rooted and every per-round cache is
+    released before returning.
     """
     # undirected: propagate labels both ways along every pair
     edges = (
@@ -521,22 +529,23 @@ def dedup_clusters(
     if max_iter < 0:
         raise ValueError("max_iter must be >= 0")
     changed = -1
+    live = None  # the current round's persisted frame
     # max_iter bounds the number of LABEL-CHANGING rounds (the diameter
     # bound); the +1 is the zero-change confirmation round, so a graph
     # that converges in exactly max_iter rounds is accepted, not raised
     # on (a round-6 review catch: the confirmation round used to eat one
     # slot of the budget)
-    for _ in range(max_iter + 1):
+    for i in range(max_iter + 1):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
         # the per-row changed flag rides along in the SAME pass, so the
-        # convergence check is a scan-count of the checkpointed result —
-        # not the extra join-per-round it used to be (one fewer shuffle
-        # per iteration; the flag column is projected away before the
-        # next round's join)
+        # convergence check is a scan-count of the cached result — not
+        # the extra join-per-round it used to be (one fewer shuffle per
+        # iteration; the flag column is projected away before the next
+        # round's join)
         new_min = F.least(
             F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
         )
@@ -547,23 +556,38 @@ def dedup_clusters(
                 new_min.alias("new_label"),
                 (new_min < F.col("label")).alias("chg"),
             )
-            .localCheckpoint()
+            .persist()
         )
+        # count() materializes the persist AND answers convergence in
+        # the same job; only then is the previous round's cache safe to
+        # drop (the join above read from it)
         changed = with_flag.where(F.col("chg")).count()
+        if live is not None:
+            live.unpersist()
+        live = with_flag
         labels = with_flag.select("id", F.col("new_label").alias("label"))
+        if (i + 1) % 8 == 0:
+            labels = labels.localCheckpoint()
+            live.unpersist()
+            live = None
         if changed == 0:
             break
     edges.unpersist()
     if changed != 0:
+        if live is not None:
+            live.unpersist()
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iter} rounds "
             f"({changed} labels still changing): component diameter "
             "exceeds max_iter — raise it, or switch to a "
             "large-star/small-star contraction for chain-shaped graphs"
         )
-    return labels.select(
+    out = labels.select(
         F.col("id").alias(id_col), F.col("label").alias("cluster_id")
-    )
+    ).localCheckpoint()
+    if live is not None:
+        live.unpersist()
+    return out
 
 
 def dedup_clusters_star(
@@ -655,13 +679,28 @@ def dedup_clusters_star(
     )
     prev = checksum(edges)
     converged = False
-    for _ in range(max_iter):
-        edges = canon(small_star(large_star(edges))).localCheckpoint()
-        cur = checksum(edges)
+    live = None  # the current round's persisted edge set
+    # one job per round: persist + the checksum aggregate materializes
+    # it (localCheckpoint + checksum was two); lineage compacts to a
+    # checkpoint every 4 rounds and once at exit
+    for i in range(max_iter):
+        new_edges = canon(small_star(large_star(edges))).persist()
+        cur = checksum(new_edges)
+        if live is not None:
+            live.unpersist()
+        live = new_edges
+        edges = new_edges
         if cur == prev:
             converged = True
             break
         prev = cur
+        if (i + 1) % 4 == 0:
+            edges = edges.localCheckpoint()
+            live.unpersist()
+            live = None
+    edges = edges.localCheckpoint() if live is not None else edges
+    if live is not None:
+        live.unpersist()
     if not converged and max_iter > 0:
         raise RuntimeError(
             f"dedup_clusters_star did not converge in {max_iter} rounds — "

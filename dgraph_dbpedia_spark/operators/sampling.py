@@ -78,6 +78,14 @@ def pack_offsets(
     """
     from dgraph_dbpedia_spark.functions.hashing import hash64, tokens
 
+    # same loud guard range_count_join applies to radius: a zero/negative
+    # divisor would otherwise yield silent NULL pack/shard ids via
+    # `div 0` / `pmod(h, 0)`
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+
     toks = F.size(tokens(F.col(text_col))).alias("n_tokens")
     base = df.select(
         F.col(id_col).alias("doc_id"),

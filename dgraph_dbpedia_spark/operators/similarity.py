@@ -381,6 +381,47 @@ def cosine_topk_arrow(
     return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
 
 
+def _centroid_row(centroids: DataFrame) -> DataFrame:
+    """Fold a bounded ``(cid, c)`` centroid frame into ONE row holding
+    an array-of-structs column ``_cent`` = ``[(cid, c, nc)]``, with the
+    norm precomputed by the same sequential ``aggregate`` fold as
+    :func:`_norm` (bit-equal csim downstream). Broadcasting this single
+    row is how the assignment stays shuffle-free without shipping the
+    centroids as a giant SQL literal (the previous approach: a
+    ~1000-double expression tree that was slow to plan and trips a
+    Spark 4.1 binding bug — INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND — when
+    the left-semi probe join reuses it after other queries ran in the
+    session)."""
+    return centroids.agg(
+        F.collect_list(
+            F.struct(F.col("cid"), F.col("c"), _norm("c").alias("nc"))
+        ).alias("_cent")
+    )
+
+
+def _nearest_sorted(vec: Column, nv: Column) -> Column:
+    """``_cent`` scored against ``vec``: array of ``(negsim, cid)``
+    structs sorted ascending, i.e. best centroid first (sim desc, cid
+    asc — any orderable cid type, no negation of the id needed). NULL
+    csim (zero-norm vector) is coalesced to -2.0, below any cosine, so
+    degenerate vectors rank last exactly like the oracle's NULLS LAST.
+    """
+    return F.array_sort(
+        F.transform(
+            F.col("_cent"),
+            lambda c: F.struct(
+                (
+                    -F.coalesce(
+                        F.round(F.try_divide(_dot(vec, c["c"]), nv * c["nc"]), 6),
+                        F.lit(-2.0),
+                    )
+                ).alias("negsim"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
@@ -389,52 +430,26 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign every vector to its nearest centroid by cosine (the IVF
     inverted lists). Deterministic tie-break: round(sim, 6) desc, then
-    centroid id asc. Returns ``(id, vec, cid)``.
+    centroid id asc. Returns ``(id, vec, cid)``; an empty centroid
+    frame yields NULL cids (never a crash — a data-dependent raise is
+    unacceptable mid-job at scale).
 
-    ZERO-shuffle assignment: the centroid set is bounded (n_centroids
-    rows), so it is collected once and shipped as an array-of-structs
-    literal; the nearest centroid is a per-row ``array_max`` over
-    ``transform(centroids, c -> struct(csim, -cid))`` — a single
-    Project, no Exchange between the scan and the assignment. (The
-    previous crossJoin + row_number() materialized |df| x |centroids|
-    rows and shuffled them by vector id — the dominant IVF-build cost at
-    scale.) Tie-break via the struct's second field: max(-cid) = min
-    cid. Centroid norms are precomputed host-side with the same
-    sequential float order as the ``aggregate`` fold, so csim bits match
-    the previous plan and the DuckDB oracle."""
-    import math
-
-    rows = centroids.select(F.col("cid"), F.col("c")).collect()
-    if not rows:
-        raise ValueError("ivf_assign: empty centroid frame")
-    parts = []
-    for r in rows:
-        vec = [float(x) for x in r["c"]]
-        acc = 0.0  # sequential fold, same order as _norm's aggregate
-        for x in vec:
-            acc = acc + x * x
-        nc = math.sqrt(acc)
-        arr = ",".join(repr(x) + "D" for x in vec)
-        parts.append(
-            f"named_struct('cid', {int(r['cid'])}L, 'nc', {nc!r}D, "
-            f"'c', array({arr}))"
-        )
-    cent = F.expr("array(" + ",".join(parts) + ")")
-
+    SHUFFLE-FREE over the corpus: the bounded centroid set is folded to
+    one array-of-structs row (:func:`_centroid_row`) and broadcast; the
+    nearest centroid is ``array_sort(transform(...))[0]`` — a single
+    projection between scan and output, no Exchange of ``df``, no
+    driver collect, and the centroid/id types are whatever the input
+    frames carry. (The previous crossJoin + row_number() materialized
+    |df| x |centroids| rows and shuffled them by vector id — the
+    dominant IVF-build cost at scale.)"""
     v = F.col("_v")
     nv = F.col("_nv")
-    scored = F.transform(
-        cent,
-        lambda c: F.struct(
-            F.round(F.try_divide(_dot(v, c["c"]), nv * c["nc"]), 6).alias("csim"),
-            (-c["cid"]).alias("negcid"),
-        ),
-    )
+    best = F.element_at(_nearest_sorted(v, nv), 1)["cid"]
     return (
         df.withColumn("_v", F.col(vec_col))
         .withColumn("_nv", _norm("_v"))
-        .withColumn("_best", F.array_max(scored))
-        .select(F.col(id_col), F.col(vec_col), (-F.col("_best")["negcid"]).alias("cid"))
+        .crossJoin(F.broadcast(_centroid_row(centroids)))
+        .select(F.col(id_col), F.col(vec_col), best.alias("cid"))
     )
 
 
@@ -453,38 +468,42 @@ def ivf_topk(
     assignment, query probes its ``n_probe`` nearest lists, exact cosine
     re-rank inside the probed lists only.
 
+    SINGLE corpus pass: the broadcast row carries the centroid array,
+    the query vector AND the query's probe list (top ``n_probe``
+    centroids by csim, computed once in the 1-row subtree), so
+    assignment, probe filtering, and the exact re-rank all fuse into one
+    projection + TakeOrdered over the scan. The only other corpus read
+    is the seed TakeOrdered inside the broadcast subtree (bounded
+    output, map-side top-n). No driver collect anywhere.
+
     The scale path vs brute force: the full scan is replaced by reading
     ~n_probe/n_centroids of the data; the inverted lists are an
-    equi-join key, so storage can be bucketed/partitioned by ``cid``
-    and probing prunes partitions. Recall < 1 by construction; raise
-    n_probe for recall, n_centroids for finer lists."""
+    equi-join key, so a SERVED index materializes :func:`ivf_assign`
+    bucketed/partitioned by ``cid`` once and probing prunes partitions.
+    Recall < 1 by construction; raise n_probe for recall, n_centroids
+    for finer lists."""
     e = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("e"))
-    # materialize the centroid rows ONCE (bounded: n_centroids rows) and
-    # rebuild them as a local relation — the lazy orderBy+limit plan
-    # would otherwise run a full corpus takeOrdered twice (once inside
-    # ivf_assign's collect, once under the probes crossJoin)
-    cent_rows = (
+    centroids = (
         e.orderBy(id_col)
         .limit(n_centroids)
         .select(F.col(id_col).alias("cid"), F.col("e").alias("c"))
-        .collect()
     )
-    centroids = df.sparkSession.createDataFrame(
-        cent_rows, "cid bigint, c array<double>"
-    )
-    lists = ivf_assign(e, centroids, id_col, "e")
-
     q = query.select(F.col(query_col).cast("array<double>").alias("q"))
-    probes = (
-        centroids.crossJoin(F.broadcast(q))
-        .select("cid", F.round(cosine("c", "q"), 6).alias("csim"))
-        .orderBy(F.col("csim").desc(), F.col("cid"))
-        .limit(n_probe)
-        .select("cid")
+    # one broadcast row: centroid array + query + its probe-list cids
+    probes = F.transform(
+        F.slice(_nearest_sorted(F.col("q"), _norm("q")), 1, n_probe),
+        lambda s: s["cid"],
     )
-    cand = lists.join(F.broadcast(probes), "cid", "left_semi")
-    scored = cand.crossJoin(F.broadcast(q)).select(
-        F.col(id_col), F.round(cosine("e", "q"), 4).alias("sim")
+    b = _centroid_row(centroids).crossJoin(q).select(
+        "_cent", "q", probes.alias("_probes")
+    )
+    best = F.element_at(_nearest_sorted(F.col("_v"), F.col("_nv")), 1)["cid"]
+    scored = (
+        e.withColumn("_v", F.col("e"))
+        .withColumn("_nv", _norm("_v"))
+        .crossJoin(F.broadcast(b))
+        .where(F.array_contains(F.col("_probes"), best))
+        .select(F.col(id_col), F.round(cosine("e", "q"), 4).alias("sim"))
     )
     return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
 

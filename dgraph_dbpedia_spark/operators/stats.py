@@ -166,6 +166,11 @@ def percentile_stats(
     names = names or [f"p{round(p * 100)}" for p in ps]
     if len(names) != len(ps):
         raise ValueError("names must match ps")
+    clash = set(names) & set(group_cols)
+    if clash:
+        raise ValueError(
+            f"percentile names collide with group columns: {sorted(clash)}"
+        )
     agg = (
         F.percentile_approx(value_col, list(ps), 10_000)
         if approx

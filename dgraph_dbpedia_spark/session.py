@@ -61,10 +61,13 @@ def build_session(
             "spark.hadoop.zlib.compress.level",
             os.environ.get("SPARK_GRAFT_GZIP_LEVEL", "BEST_SPEED"),
         )
-        # scan-split size: smaller splits = more parallel scan tasks on
-        # modest single-dataset inputs (a 500 MB parquet gives only ~4
-        # tasks at the 128 MB default — underutilizes 32 cores in the
-        # dims phase before any shuffle exists to re-balance)
+        # scan-split size: the default intentionally matches Spark's
+        # built-in 128 MB — smaller splits were MEASURED WORSE at scale
+        # (32 MB: 2x slower at 168M triples, BENCH_SCALE.md — more scan
+        # tasks means more concurrent sort streams per heap). The setting
+        # exists only as an override hook for memory-constrained
+        # clusters, where halved spill may win; re-measure at the target
+        # scale before changing it.
         .config(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"),

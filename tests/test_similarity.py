@@ -103,9 +103,11 @@ def test_hyperplane_signs_arrow_pinned_equal_to_native(spark):
 
 
 def test_ivf_assign_no_shuffle(spark, vectors):
-    """The assignment is a pure projection over a broadcast centroid
-    literal — no Exchange may appear between scan and argmax (the old
-    crossJoin+window shape shuffled |df| x |centroids| rows)."""
+    """The assignment is a pure projection over a broadcast 1-row
+    centroid fold — no hash/range repartitioning of the corpus may
+    appear (the old crossJoin+window shape shuffled |df| x |centroids|
+    rows). A BroadcastExchange and the bounded centroid fold's
+    SinglePartition exchange are the point, not a violation."""
     from dgraph_dbpedia_spark.operators.similarity import ivf_assign
 
     e = vectors.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
@@ -116,7 +118,8 @@ def test_ivf_assign_no_shuffle(spark, vectors):
     )
     asg = ivf_assign(e, cent)
     plan = asg._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
     got = {r["vec_id"]: r["cid"] for r in asg.collect()}
     # 0 and its near-duplicate 1 are the centroids; orthogonal 2 and
     # 45-degree 4 are nearer to 1's direction than... verify argmax is
