@@ -761,6 +761,17 @@ def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_join(events, events, "click", "view", 1800)
 
 
+def _q_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer interval join: every click appears; clicks with no
+    view by the same user in the preceding 30 minutes carry NULL
+    r_event_id/lag_s (the "unattributed conversions" view). Oracled by
+    a LEFT JOIN with the range predicate in the ON clause."""
+    from dgraph_dbpedia_spark.streaming.events import interval_join_outer
+
+    events = _t(spark, sf_dir, "events")
+    return interval_join_outer(events, events, "click", "view", 1800)
+
+
 def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword-relevance top-k (corpus topical-subset mining);
     zero-shuffle per-term tf, one broadcast 1-row stats aggregate."""
@@ -803,6 +814,48 @@ def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb.where(F.col("vec_id") > 0), query, k=5, n_centroids=16, n_probe=2
     )
+
+
+_IVF_INDEX_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _q_ivf_ann_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-path IVF: the inverted lists are MATERIALIZED once per
+    session (ivf_assign written partitioned by cid) and every probe
+    reads only its n_probe list partitions — the literal cid IN (...)
+    predicate partition-prunes at the scan (asserted by pytest
+    test_ivf_served_partition_prunes). Same centroids/probes/re-rank as
+    ivf_ann_topk, so it shares that oracle's semantics."""
+    import os
+    import tempfile
+
+    from dgraph_dbpedia_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk_served,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.where(F.col("vec_id") > 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cached = _IVF_INDEX_CACHE.get(sf_dir)
+    if cached is None or not os.path.isdir(cached[0]):
+        root = tempfile.mkdtemp(prefix="sparkgraft-ivf-index-")
+        cent = (
+            e.orderBy("vec_id")
+            .limit(16)
+            .select(F.col("vec_id").alias("cid"), F.col("e").alias("c"))
+        )
+        cent.write.mode("overwrite").parquet(f"{root}/centroids")
+        ivf_assign(e, cent, id_col="vec_id", vec_col="e").write.mode(
+            "overwrite"
+        ).partitionBy("cid").parquet(f"{root}/assigned")
+        cached = (f"{root}/assigned", f"{root}/centroids")
+        _IVF_INDEX_CACHE[sf_dir] = cached
+    assigned = spark.read.parquet(cached[0])
+    centroids = spark.read.parquet(cached[1])
+    query = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("q"))
+    return ivf_topk_served(assigned, centroids, query, k=5, n_probe=2)
 
 
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -968,7 +1021,10 @@ def _q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and 12 long-stable, pytest-covered queries (green driver rows in
 # r01-r05) rotated out.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # changed or new this round — first in line for driver rows
+    # changed or new this round (r8) — first in line for driver rows
+    "interval_join_outer": _q_interval_join_outer,
+    "ivf_ann_topk_served": _q_ivf_ann_topk_served,
+    # r7 window continues
     "bm25_topk": _q_bm25_topk,
     "length_percentiles": _q_length_percentiles,
     "interval_join": _q_interval_join,
@@ -1799,6 +1855,16 @@ def oracle_sql() -> dict[str, str]:
               AND floor(epoch(r.ts)) <= floor(epoch(l.ts))
               AND floor(epoch(r.ts)) >= floor(epoch(l.ts)) - 1800
         """,
+        "interval_join_outer": """
+            SELECT l.event_id AS l_event_id, r.event_id AS r_event_id,
+                   l.user_id,
+                   (floor(epoch(l.ts)) - floor(epoch(r.ts)))::BIGINT AS lag_s
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+              ON l.user_id = r.user_id
+             AND floor(epoch(r.ts)) <= floor(epoch(l.ts))
+             AND floor(epoch(r.ts)) >= floor(epoch(l.ts)) - 1800
+        """,
         "length_percentiles": """
             SELECT lang,
                    round(quantile_cont(n_chars, 0.5), 4) AS p50,
@@ -1841,6 +1907,9 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_topk": _sql_lsh_ann_topk(),
         "lsh_ann_topk_batch": _sql_lsh_ann_topk_batch(),
         "ivf_ann_topk": _sql_ivf_topk(),
+        # identical semantics (same seed centroids, probes, re-rank) —
+        # the served variant differs only in WHERE the lists live
+        "ivf_ann_topk_served": _sql_ivf_topk(),
         "cosine_near_dup": _sql_cosine_near_dup(),
         "sliding_window": """
             WITH e AS (

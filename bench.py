@@ -1,7 +1,10 @@
 """Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print TWO JSON
+lines: first the full detail {"metric": ..., "value": total_sec,
+"unit": "sec", "queries": {name: sec}, "sf": ..., "pipelines": ...},
+then a COMPACT summary (totals + pipelines + 5 slowest queries) as the
+LAST line — the driver keeps only a bounded stdout tail and parses the
+final line, and the 70-query detail line overflows that window.
 
 Each query is executed with a `noop`-format write so EVERY output column
 is evaluated — a plain count() lets Catalyst prune the projection and
@@ -109,15 +112,32 @@ def main() -> None:
         pipelines = bench_pipelines(sf)
 
     total = round(sum(timings.values()), 3)
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "action": "noop_write_all_columns",  # r2: was count(); count() let Catalyst prune projection-only queries
+        "queries": timings,
+        "sf": sf,
+        "pipelines": pipelines,
+    }
+    # full per-query detail on its own (long) line first...
+    print(json.dumps(detail))
+    # ...then a COMPACT summary as the LAST line: the driver records a
+    # bounded stdout tail (2000 chars) and json-parses the final line;
+    # the detail line with 70 query timings overflows that window and
+    # left BENCH_r06/r07 "parsed": null. Totals + pipelines + the five
+    # slowest queries fit in ~700 chars with room to spare.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "action": "noop_write_all_columns",  # r2: was count(); count() let Catalyst prune projection-only queries
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "slowest": slowest,
                 "pipelines": pipelines,
             }
         )

@@ -474,6 +474,7 @@ def dedup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph: assign every
     document the MINIMUM doc id reachable through pairs — the cluster
@@ -507,13 +508,15 @@ def dedup_clusters(
     Beyond", SoCC'14), which contracts chains in O(log^2 n) rounds —
     the documented upgrade path if a corpus ever trips the cap.
 
-    ONE job per round: the round result is ``persist()``-ed and the
-    convergence count doubles as its materialization (an eager
-    localCheckpoint + count ran TWO jobs per round — the r6 bench
-    doubling). Lineage is compacted to a checkpoint every 8 rounds
-    (plans otherwise grow one join per round) and once at exit, so the
-    returned frame is checkpoint-rooted and every per-round cache is
-    released before returning.
+    Per-round lineage control (``checkpoint_every``): the default of 1
+    eagerly ``localCheckpoint``-s every round — two cheap jobs, but each
+    round plans against a depth-1 lineage. Measured same-session at
+    sf0.1 (BENCH_SCALE.md r8): 2.7-3.4 s vs 3.6-4.1 s for the r7
+    persist-per-round + checkpoint-every-8 scheme — the single
+    materialization job it saved was cheaper than the growing join-tree
+    re-planning it paid. ``checkpoint_every > 1`` restores the persist
+    scheme (checkpoint every N rounds; 0 = only at exit) for inputs
+    where double-materializing a round's labels is too expensive.
     """
     # undirected: propagate labels both ways along every pair
     edges = (
@@ -549,24 +552,33 @@ def dedup_clusters(
         new_min = F.least(
             F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
         )
-        with_flag = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
-            .select(
-                "id",
-                new_min.alias("new_label"),
-                (new_min < F.col("label")).alias("chg"),
-            )
-            .persist()
+        with_flag = labels.join(
+            neighbor_min, labels["id"] == neighbor_min["src"], "left"
+        ).select(
+            "id",
+            new_min.alias("new_label"),
+            (new_min < F.col("label")).alias("chg"),
         )
-        # count() materializes the persist AND answers convergence in
-        # the same job; only then is the previous round's cache safe to
-        # drop (the join above read from it)
-        changed = with_flag.where(F.col("chg")).count()
-        if live is not None:
-            live.unpersist()
-        live = with_flag
+        if checkpoint_every == 1:
+            # eager checkpoint per round: two cheap jobs but depth-1
+            # lineage every round (see dedup_clusters_star — measured
+            # faster than persist + sparse checkpoints at sf0.1)
+            with_flag = with_flag.localCheckpoint()
+            changed = with_flag.where(F.col("chg")).count()
+            if live is not None:
+                live.unpersist()
+            live = None
+        else:
+            with_flag = with_flag.persist()
+            # count() materializes the persist AND answers convergence
+            # in the same job; only then is the previous round's cache
+            # safe to drop (the join above read from it)
+            changed = with_flag.where(F.col("chg")).count()
+            if live is not None:
+                live.unpersist()
+            live = with_flag
         labels = with_flag.select("id", F.col("new_label").alias("label"))
-        if (i + 1) % 8 == 0:
+        if checkpoint_every > 1 and (i + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint()
             live.unpersist()
             live = None
@@ -584,8 +596,12 @@ def dedup_clusters(
         )
     out = labels.select(
         F.col("id").alias(id_col), F.col("label").alias("cluster_id")
-    ).localCheckpoint()
+    )
     if live is not None:
+        # decouple the result from the per-round cache before releasing
+        # it; when labels is already checkpoint-rooted (live is None)
+        # the extra exit materialization would be pure waste
+        out = out.localCheckpoint()
         live.unpersist()
     return out
 
@@ -595,6 +611,7 @@ def dedup_clusters_star(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 50,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -680,33 +697,57 @@ def dedup_clusters_star(
     prev = checksum(edges)
     converged = False
     live = None  # the current round's persisted edge set
-    # one job per round: persist + the checksum aggregate materializes
-    # it (localCheckpoint + checksum was two); lineage compacts to a
-    # checkpoint every 4 rounds and once at exit
+    # checkpoint_every=1 (default): eager localCheckpoint per round —
+    # two cheap jobs/round but every round plans against a depth-1
+    # lineage. Measured (same-session A/B, sf0.1, BENCH_SCALE.md): 3.07s
+    # vs 3.92-3.96s for the r7 persist+sparse-checkpoint scheme at any
+    # cadence (4/8/never) — the "one job per round" persist fusion LOST
+    # because each un-truncated round re-plans a growing join tree, and
+    # that planning cost exceeds the extra materialization of the small
+    # contracted edge set. checkpoint_every>1 keeps the persist scheme
+    # (checkpoint every N rounds; 0 = only at exit) for graphs where a
+    # round's edge set is too large to double-materialize.
     for i in range(max_iter):
-        new_edges = canon(small_star(large_star(edges))).persist()
-        cur = checksum(new_edges)
-        if live is not None:
-            live.unpersist()
-        live = new_edges
-        edges = new_edges
+        contracted = canon(small_star(large_star(edges)))
+        if checkpoint_every == 1:
+            # per-round eager checkpoint, no persist: the checkpoint IS
+            # the materialization; the checksum is a cheap scan of the
+            # checkpointed blocks and every round plans against a
+            # lineage of depth one
+            new_edges = contracted.localCheckpoint()
+            cur = checksum(new_edges)
+            if live is not None:
+                live.unpersist()
+            live = None
+            edges = new_edges
+        else:
+            new_edges = contracted.persist()
+            cur = checksum(new_edges)
+            if live is not None:
+                live.unpersist()
+            live = new_edges
+            edges = new_edges
         if cur == prev:
             converged = True
             break
         prev = cur
-        if (i + 1) % 4 == 0:
+        if checkpoint_every > 1 and (i + 1) % checkpoint_every == 0:
             edges = edges.localCheckpoint()
             live.unpersist()
             live = None
-    edges = edges.localCheckpoint() if live is not None else edges
-    if live is not None:
-        live.unpersist()
     if not converged and max_iter > 0:
+        # raise BEFORE the exit compaction: the failure path must not
+        # pay a full localCheckpoint materialization job first
+        if live is not None:
+            live.unpersist()
         raise RuntimeError(
             f"dedup_clusters_star did not converge in {max_iter} rounds — "
             "this exceeds the O(log^2 n) bound for any realistic graph; "
             "the input pair set is likely unbounded or adversarial"
         )
+    edges = edges.localCheckpoint() if live is not None else edges
+    if live is not None:
+        live.unpersist()
     # converged edge set = star forest: u (child, u>v) -> v (root).
     # Roots and singletons label themselves. Name-based equi-join: the
     # edges now share lineage with docs (via the id restriction), so a

@@ -444,7 +444,10 @@ def ivf_assign(
     dominant IVF-build cost at scale.)"""
     v = F.col("_v")
     nv = F.col("_nv")
-    best = F.element_at(_nearest_sorted(v, nv), 1)["cid"]
+    # F.get (0-based) yields NULL on an empty array; element_at(arr, 1)
+    # raises INVALID_ARRAY_INDEX_IN_ELEMENT_AT under Spark 4's default
+    # ANSI mode, which would be a mid-job crash on an empty centroid set
+    best = F.get(_nearest_sorted(v, nv), 0)["cid"]
     return (
         df.withColumn("_v", F.col(vec_col))
         .withColumn("_nv", _norm("_v"))
@@ -462,6 +465,7 @@ def ivf_topk(
     query_col: str = "q",
     n_centroids: int = 16,
     n_probe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: deterministic seed centroids (the
     ``n_centroids`` lowest-id vectors), one-pass nearest-centroid
@@ -481,13 +485,23 @@ def ivf_topk(
     equi-join key, so a SERVED index materializes :func:`ivf_assign`
     bucketed/partitioned by ``cid`` once and probing prunes partitions.
     Recall < 1 by construction; raise n_probe for recall, n_centroids
-    for finer lists."""
+    for finer lists.
+
+    ``centroids`` (optional ``(cid, c)`` frame) skips the seed
+    TakeOrdered and uses a precomputed/trained centroid set — the
+    build-once half of the serve path (see :func:`ivf_topk_served` for
+    the other half, probing materialized inverted lists)."""
     e = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("e"))
-    centroids = (
-        e.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col("e").alias("c"))
-    )
+    if centroids is None:
+        centroids = (
+            e.orderBy(id_col)
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("cid"), F.col("e").alias("c"))
+        )
+    else:
+        centroids = centroids.select(
+            "cid", F.col("c").cast("array<double>").alias("c")
+        )
     q = query.select(F.col(query_col).cast("array<double>").alias("q"))
     # one broadcast row: centroid array + query + its probe-list cids
     probes = F.transform(
@@ -497,13 +511,66 @@ def ivf_topk(
     b = _centroid_row(centroids).crossJoin(q).select(
         "_cent", "q", probes.alias("_probes")
     )
-    best = F.element_at(_nearest_sorted(F.col("_v"), F.col("_nv")), 1)["cid"]
+    # F.get, not element_at: NULL (row filtered out), never an ANSI
+    # INVALID_ARRAY_INDEX crash, when the centroid array is empty
+    best = F.get(_nearest_sorted(F.col("_v"), F.col("_nv")), 0)["cid"]
     scored = (
         e.withColumn("_v", F.col("e"))
         .withColumn("_nv", _norm("_v"))
         .crossJoin(F.broadcast(b))
         .where(F.array_contains(F.col("_probes"), best))
         .select(F.col(id_col), F.round(cosine("e", "q"), 4).alias("sim"))
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
+def ivf_topk_served(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    query_col: str = "q",
+    n_probe: int = 2,
+) -> DataFrame:
+    """Serve-path IVF probe against a MATERIALIZED index: ``assigned``
+    is :func:`ivf_assign` output ``(id, vec, cid)`` written out once —
+    partitioned or bucketed by ``cid`` (:mod:`..sources.bucketed`) —
+    and ``centroids`` is the bounded ``(cid, c)`` frame it was built
+    with. Per query: score the query against the centroid fold, collect
+    the ``n_probe`` probe cids (a BOUNDED driver read — n_probe ints
+    from one row, the X6 pattern, NOT a data collect), and filter the
+    lists with a literal ``cid IN (...)`` predicate. The literal is the
+    point: against a cid-partitioned/bucketed layout it becomes a
+    partition/bucket PRUNE at the scan, so a probe reads ~n_probe /
+    n_centroids of the index instead of scanning the corpus — the
+    difference between :func:`ivf_topk` (one full pass per query, right
+    for one-shot jobs) and an index you probe many times.
+
+    Empty centroid frame -> empty result (no crash), matching
+    :func:`ivf_assign`'s NULL-cid contract."""
+    q = query.select(F.col(query_col).cast("array<double>").alias("q"))
+    probe_rows = (
+        _centroid_row(centroids)
+        .crossJoin(q)
+        .select(
+            F.transform(
+                F.slice(_nearest_sorted(F.col("q"), _norm("q")), 1, n_probe),
+                lambda s: s["cid"],
+            ).alias("_probes")
+        )
+        .collect()
+    )
+    probes = list(probe_rows[0]["_probes"]) if probe_rows else []
+    if not probes:
+        return assigned.where(F.lit(False)).select(
+            F.col(id_col), F.lit(None).cast("double").alias("sim")
+        )
+    scored = (
+        assigned.where(F.col("cid").isin(probes))
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col), F.round(cosine(vec_col, "q"), 4).alias("sim"))
     )
     return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
 

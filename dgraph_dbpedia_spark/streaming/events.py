@@ -312,16 +312,23 @@ def interval_join(
     right_type: str = "view",
     lookback_seconds: int = 1800,
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Per-user event-time interval join: each LEFT event (e.g. a click)
     matched to every RIGHT event (e.g. a view) by the same user in the
     preceding ``lookback_seconds`` (inclusive; right at-or-before left)
     — the attribution join of an event pipeline. Works on two streaming
-    frames (Spark's watermarked stream-stream inner join: both sides'
-    state is evicted once the watermark passes the time-range bound) and
-    on batch frames (watermarks are skipped; the same equi-join on
-    ``user_id`` plus a range filter, a hash join at any scale — never a
-    cartesian).
+    frames (Spark's watermarked stream-stream join: both sides' state is
+    evicted once the watermark passes the time-range bound) and on batch
+    frames (watermarks are skipped; the same equi-join on ``user_id``
+    plus a range filter, a hash join at any scale — never a cartesian).
+
+    ``how="left_outer"`` keeps unattributed LEFT events with NULL
+    ``r_event_id``/``lag_s`` (see :func:`interval_join_outer`). In
+    streaming mode those null rows are emitted only once the watermark
+    passes a left event's lookback bound — a tail event whose bound the
+    final watermark never crosses stays in state and is not emitted,
+    the documented semantics of Spark's watermarked outer joins.
 
     Output: ``(l_event_id, r_event_id, user_id, lag_s)`` with
     ``lag_s = left - right`` in truncated epoch seconds, matching the
@@ -353,11 +360,37 @@ def interval_join(
         & (r["r_et"] <= l["l_et"])
         & (r["r_et"] >= l["l_et"] - F.expr(f"INTERVAL {lookback_seconds} SECONDS"))
     )
-    return l.join(r, cond).select(
+    return l.join(r, cond, how).select(
         "l_event_id",
         "r_event_id",
         F.col("l_user_id").alias("user_id"),
+        # unmatched left rows (outer mode): r_et is NULL -> lag_s NULL
         (F.unix_timestamp("l_et") - F.unix_timestamp("r_et")).alias("lag_s"),
+    )
+
+
+def interval_join_outer(
+    left_events: DataFrame,
+    right_events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "view",
+    lookback_seconds: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Left-outer :func:`interval_join`: every LEFT event appears at
+    least once; events with no RIGHT match in the lookback window carry
+    NULL ``r_event_id``/``lag_s`` — the "unattributed conversions" view
+    of the attribution join. Streaming caveat inherited from Spark's
+    watermarked left-outer join: a null row is emitted only after the
+    watermark passes the left event's join bound."""
+    return interval_join(
+        left_events,
+        right_events,
+        left_type,
+        right_type,
+        lookback_seconds,
+        watermark,
+        how="left_outer",
     )
 
 

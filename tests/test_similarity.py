@@ -127,6 +127,70 @@ def test_ivf_assign_no_shuffle(spark, vectors):
     assert got[0] == 0 and got[1] == 1
 
 
+def test_ivf_served_partition_prunes_and_matches_inline(spark, vectors, query, tmp_path):
+    """Serve path: inverted lists written partitionBy(cid) + literal
+    cid IN (...) probe filter => the scan reads ONLY the probed list
+    partitions (partition pruning visible in the physical plan), and
+    the result equals the inline ivf_topk with the same centroids."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        ivf_topk_served,
+    )
+
+    e = vectors.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    cent = (
+        e.orderBy("vec_id")
+        .limit(2)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("c"))
+    )
+    root = str(tmp_path / "ivf")
+    cent.write.parquet(f"{root}/centroids")
+    ivf_assign(e, cent).write.partitionBy("cid").parquet(f"{root}/assigned")
+    assigned = spark.read.parquet(f"{root}/assigned")
+    centroids = spark.read.parquet(f"{root}/centroids")
+    out = ivf_topk_served(assigned, centroids, query, k=3, n_probe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the cid predicate must be a partition filter at the scan, not a
+    # post-scan Filter over the full corpus
+    assert "PartitionFilters: [" in plan and "cid" in plan.split("PartitionFilters:")[1][:120]
+    inline = ivf_topk(vectors, query, k=3, n_centroids=2, n_probe=1)
+    assert [
+        (r["vec_id"], r["sim"]) for r in out.collect()
+    ] == [(r["vec_id"], r["sim"]) for r in inline.collect()]
+
+
+def test_ivf_served_empty_centroids_empty_result(spark, vectors, query):
+    from dgraph_dbpedia_spark.operators.similarity import ivf_topk_served
+
+    e = vectors.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    cent = e.where(F.lit(False)).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("c")
+    )
+    assigned = e.withColumn("cid", F.lit(None).cast("long"))
+    out = ivf_topk_served(assigned, cent, query, k=3)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "sim"]
+
+
+def test_ivf_assign_empty_centroids_yields_null_cids(spark, vectors):
+    """Docstring contract: an empty centroid frame yields NULL cids,
+    never a crash. Regression: element_at(arr, 1) on the empty
+    collect_list array raised INVALID_ARRAY_INDEX_IN_ELEMENT_AT under
+    Spark 4's default ANSI mode — exactly the mid-job crash the
+    single-pass rewrite claimed to eliminate."""
+    from dgraph_dbpedia_spark.operators.similarity import ivf_assign
+
+    e = vectors.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    cent = (
+        e.where(F.lit(False))
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("c"))
+    )
+    rows = ivf_assign(e, cent).collect()
+    assert len(rows) == vectors.count()
+    assert all(r["cid"] is None for r in rows)
+
+
 def test_lsh_topk_many_per_query_k_and_exclusions(spark, vectors):
     """Batch ANN: <=k rows per query, candidates only from shared
     buckets, descending sim within each query."""

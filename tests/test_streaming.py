@@ -285,6 +285,62 @@ def test_interval_join_bounds_inclusive(spark):
     assert got == {(2, 1800), (3, 0)}
 
 
+def test_interval_join_outer_batch_keeps_unmatched_left(spark):
+    """Left-outer: every click appears; no view in the lookback window
+    -> NULL r_event_id/lag_s; matched clicks carry the same rows as the
+    inner join."""
+    from dgraph_dbpedia_spark.streaming.events import (
+        interval_join,
+        interval_join_outer,
+    )
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 7, "click", 0.0, ""),                              # matched
+        (2, base - dt.timedelta(seconds=600), 7, "view", 0.0, ""),
+        (3, base, 8, "click", 0.0, ""),                              # no view
+        (4, base + dt.timedelta(seconds=1), 8, "view", 0.0, ""),     # after
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    outer = interval_join_outer(df, df, "click", "view", 1800)
+    got = {(r["l_event_id"], r["r_event_id"], r["lag_s"]) for r in outer.collect()}
+    assert got == {(1, 2, 600), (3, None, None)}
+    inner = interval_join(df, df, "click", "view", 1800)
+    assert outer.where(F.col("r_event_id").isNotNull()).exceptAll(inner).count() == 0
+
+
+def test_interval_join_outer_stream_subset_of_batch(
+    spark, multi_file_events_dir, events_batch
+):
+    """Streaming left-outer interval join: the matched rows equal the
+    batch twin's exactly; null (unattributed) rows are emitted only
+    once the watermark passes a left event's bound, so the emitted null
+    set is a SUBSET of the batch twin's null rows — Spark's documented
+    watermarked outer-join semantics, not data loss (the full sweep's
+    batch twin is the oracle-exact row set)."""
+    from dgraph_dbpedia_spark.streaming.events import interval_join_outer
+
+    ls = read_events_stream(spark, multi_file_events_dir, max_files_per_trigger=1)
+    rs = read_events_stream(spark, multi_file_events_dir, max_files_per_trigger=1)
+    run_to_memory(
+        interval_join_outer(ls, rs, "click", "view", 1800),
+        "ss_interval_outer",
+        "append",
+    )
+    got = spark.table("ss_interval_outer")
+    want = interval_join_outer(events_batch, events_batch, "click", "view", 1800)
+    got_matched = got.where(F.col("r_event_id").isNotNull())
+    want_matched = want.where(F.col("r_event_id").isNotNull())
+    assert got_matched.count() == want_matched.count() > 0
+    assert got_matched.exceptAll(want_matched).count() == 0
+    got_nulls = got.where(F.col("r_event_id").isNull())
+    want_nulls = want.where(F.col("r_event_id").isNull())
+    assert got_nulls.exceptAll(want_nulls).count() == 0
+
+
 def test_interval_join_subsecond_floor_semantics(spark):
     """Microsecond timestamps must compare on floored whole seconds
     (the oracle contract): a view 0.6s after a click but in the same

@@ -44,18 +44,25 @@ def bench_pipelines(spark, sf: float) -> dict[str, float]:
         ttl_root = f"{work}/ttl"
         generate_ttl_corpus(spark, ttl_root, n_subjects)
 
-        # steady-state throughput: run each pipeline `iters` times and
-        # take the fastest — a single sample right after heavy unrelated
-        # work (page-cache eviction, cold JIT) measured up to 2.6x slower
-        # than the same pipeline seconds later, which is machine state,
-        # not plan quality
+        # steady-state throughput: one untimed WARM-UP run (JIT, codegen
+        # cache, sink committers, page cache for the ttl corpus), then
+        # `iters` timed runs, best-of. A single sample right after heavy
+        # unrelated work (page-cache eviction, cold JIT) measured up to
+        # 2.6x slower than the same pipeline seconds later — machine
+        # state, not plan quality — and best-of-2 WITHOUT a warm-up
+        # still recorded a 1.5x ingest swing between r6 and r7. All
+        # samples are reported so a noisy run is visible in the artifact.
         iters = int(os.environ.get("SPARK_GRAFT_PIPELINE_ITERS", "2"))
+        warmup = os.environ.get("SPARK_GRAFT_PIPELINE_WARMUP", "1") != "0"
 
-        ingest_s = float("inf")
-        for _ in range(iters):
+        ingest_samples: list[float] = []
+        for i in range(iters + (1 if warmup else 0)):
             start = time.perf_counter()
             results = ingest(spark, ttl_root, f"{work}/parquet", print_stats=False)
-            ingest_s = min(ingest_s, time.perf_counter() - start)
+            took = time.perf_counter() - start
+            if not (warmup and i == 0):
+                ingest_samples.append(round(took, 3))
+        ingest_s = min(ingest_samples)
         in_triples = sum(
             spark.read.parquet(r.path).count() for r in results
         )
@@ -67,13 +74,16 @@ def bench_pipelines(spark, sf: float) -> dict[str, float]:
             top_infobox_properties_per_lang=100,
             print_stats=False,
         )
-        transform_s = float("inf")
-        for _ in range(iters):
+        transform_samples: list[float] = []
+        for i in range(iters + (1 if warmup else 0)):
             start = time.perf_counter()
             outputs = transform(
                 spark, f"{work}/parquet", f"{work}/rdf", languages=list(LANGS), cfg=cfg
             )
-            transform_s = min(transform_s, time.perf_counter() - start)
+            took = time.perf_counter() - start
+            if not (warmup and i == 0):
+                transform_samples.append(round(took, 3))
+        transform_s = min(transform_samples)
         out_triples = sum(df.count() for df in outputs.values())
 
         def tree_bytes(root: str) -> int:
@@ -93,9 +103,11 @@ def bench_pipelines(spark, sf: float) -> dict[str, float]:
         return {
             "subjects": n_subjects,
             "ingest_sec": round(ingest_s, 3),
+            "ingest_samples": ingest_samples,
             "ingest_triples": in_triples,
             "ingest_triples_per_sec": round(in_triples / ingest_s),
             "transform_sec": round(transform_s, 3),
+            "transform_samples": transform_samples,
             "transform_out_triples": out_triples,
             "transform_triples_per_sec": round(in_triples / transform_s),
             # footprint comparables: BASELINE parquet 42 GB / RDF.gz 21 GB

@@ -7,6 +7,7 @@ sink, plan+execute timed). Usage:
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 import time
@@ -18,15 +19,21 @@ from dgraph_dbpedia_spark.session import build_session
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    iters = 3
-    for a in sys.argv[1:]:
-        if a.startswith("--iters="):
-            iters = int(a.split("=", 1)[1])
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("names", nargs="+", help="queries() entry names to time")
+    parser.add_argument("--iters", type=int, default=3)
+    ns = parser.parse_args()
+    args, iters = ns.names, ns.iters
+    qs_all = entry_mod.queries()
+    unknown = [n for n in args if n not in qs_all]
+    if unknown:
+        parser.error(
+            f"unknown queries: {unknown}; available: {sorted(qs_all)}"
+        )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = build_session(app_name="profile")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = entry_mod.queries()
+    qs = qs_all
     # warm-up (mirrors bench.py)
     from pyspark.sql import functions as F
 
