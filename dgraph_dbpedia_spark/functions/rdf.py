@@ -77,9 +77,25 @@ def coerce_datatype(t: Column) -> Column:
 
 def typed_triples(df: DataFrame) -> DataFrame:
     """triples(s,p,o,lang) -> typed triples(s,p,v,t,lang) with coerced t
-    (DbpediaDgraphSparkApp.scala:196-203)."""
+    (DbpediaDgraphSparkApp.scala:196-203).
+
+    The (v, t) pair is produced through ``inline(array(struct(v, t)))``
+    — a one-row Generate — instead of two sibling projection columns:
+    the v and t expression trees share the ``rtrim``/``substring_index``
+    work on ``o``, and as plain projections Catalyst's CollapseProject
+    re-inlines and DUPLICATES that work per column (codegen
+    subexpression elimination does not reach inside the CaseWhen
+    branches). The Generate is a collapse barrier, so the shared
+    subtree evaluates once per row: measured 1.33 -> 0.46 s on the
+    typed_cleanup query at sf0.1 (same-session A/B; a struct column
+    extracted in the same select re-inlines and stays at 1.37 s)."""
     v, t = extract_datatype(F.col("o"))
-    return df.select("s", "p", v.alias("v"), coerce_datatype(t).alias("t"), "lang")
+    return df.select(
+        "s",
+        "p",
+        F.inline(F.array(F.struct(v.alias("v"), t.alias("_rawt")))),
+        "lang",
+    ).select("s", "p", "v", coerce_datatype(F.col("_rawt")).alias("t"), "lang")
 
 
 def blank_node(uri: Column) -> Column:
