@@ -831,21 +831,41 @@ def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_INDEX_CACHE: dict[str, tuple[str, str]] = {}
+def _ivf_index_root(sf_dir: str) -> str:
+    """Stable on-disk location for the served-IVF index of one dataset:
+    keyed by (sf_dir, embeddings mtime) so a rebuilt testdata set gets a
+    fresh index, while every process serving the SAME data — driver
+    correctness run, bench, local sweep — reuses one build instead of
+    each leaking a corpus-sized tempdir. Bounded: one dir per dataset
+    generation."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        mtime = int(os.path.getmtime(src))
+    except OSError:
+        mtime = 0
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}@{mtime}".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"sparkgraft-ivf-index-{key}")
 
 
 def _q_ivf_ann_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serve-path IVF: the inverted lists are MATERIALIZED once per
-    session (ivf_assign written partitioned by cid) and every probe
-    reads only its n_probe list partitions — the literal cid IN (...)
-    predicate partition-prunes at the scan (asserted by pytest
+    dataset (ivf_assign written partitioned by cid; _SUCCESS-validated,
+    reused across processes) and every probe reads only its n_probe
+    list partitions — the literal cid IN (...) predicate
+    partition-prunes at the scan (asserted by pytest
     test_ivf_served_partition_prunes). Same centroids/probes/re-rank as
-    ivf_ann_topk, so it shares that oracle's semantics."""
+    ivf_ann_topk, so it shares that oracle's semantics. bench.py
+    pre-builds the index in its warm-up so the timed number is the
+    probe, not the one-time build."""
     import os
-    import tempfile
 
     from dgraph_dbpedia_spark.operators.similarity import (
         ivf_assign,
+        ivf_seed_centroids,
         ivf_topk_served,
     )
 
@@ -853,22 +873,19 @@ def _q_ivf_ann_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.where(F.col("vec_id") > 0).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    cached = _IVF_INDEX_CACHE.get(sf_dir)
-    if cached is None or not os.path.isdir(cached[0]):
-        root = tempfile.mkdtemp(prefix="sparkgraft-ivf-index-")
-        cent = (
-            e.orderBy("vec_id")
-            .limit(16)
-            .select(F.col("vec_id").alias("cid"), F.col("e").alias("c"))
-        )
+    root = _ivf_index_root(sf_dir)
+    complete = all(
+        os.path.isfile(os.path.join(root, part, "_SUCCESS"))
+        for part in ("centroids", "assigned")
+    )
+    if not complete:
+        cent = ivf_seed_centroids(e, 16)
         cent.write.mode("overwrite").parquet(f"{root}/centroids")
         ivf_assign(e, cent, id_col="vec_id", vec_col="e").write.mode(
             "overwrite"
         ).partitionBy("cid").parquet(f"{root}/assigned")
-        cached = (f"{root}/assigned", f"{root}/centroids")
-        _IVF_INDEX_CACHE[sf_dir] = cached
-    assigned = spark.read.parquet(cached[0])
-    centroids = spark.read.parquet(cached[1])
+    assigned = spark.read.parquet(f"{root}/assigned")
+    centroids = spark.read.parquet(f"{root}/centroids")
     query = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("q"))
     return ivf_topk_served(assigned, centroids, query, k=5, n_probe=2)
 

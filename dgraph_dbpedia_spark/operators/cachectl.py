@@ -40,3 +40,22 @@ def release(result: DataFrame) -> int:
         f.unpersist()
     setattr(result, _ATTR, [])
     return len(frames)
+
+
+def release_local_checkpoint(df: DataFrame) -> bool:
+    """Deterministically free a ``localCheckpoint()``-ed frame's blocks.
+
+    ``DataFrame.unpersist`` does not reach them (they live on the
+    checkpointed RDD inside the plan's ``LogicalRDD``, not in the SQL
+    cache manager), so without this they linger until the driver GC
+    notices the dropped reference — at scale an iterative algorithm
+    checkpointing per round would hold every round's frame
+    simultaneously. Only call once NOTHING will read ``df`` again: the
+    blocks ARE the data (local checkpoints have no lineage to recompute
+    from). Returns False if the internal accessor is unavailable (the
+    blocks then fall back to GC-based ContextCleaner release)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        return True
+    except Exception:
+        return False

@@ -531,8 +531,15 @@ def dedup_clusters(
     ).localCheckpoint()
     if max_iter < 0:
         raise ValueError("max_iter must be >= 0")
+    from dgraph_dbpedia_spark.operators.cachectl import release_local_checkpoint
+
     changed = -1
     live = None  # the current round's persisted frame
+    # the newest checkpointed frame; once a NEWER checkpoint has
+    # materialized nothing can read it again, so its blocks are freed
+    # deterministically (DataFrame.unpersist does not reach them, and
+    # waiting for driver GC would hold every round's frame at once)
+    last_cp = labels
     # max_iter bounds the number of LABEL-CHANGING rounds (the diameter
     # bound); the +1 is the zero-change confirmation round, so a graph
     # that converges in exactly max_iter rounds is accepted, not raised
@@ -565,9 +572,9 @@ def dedup_clusters(
             # faster than persist + sparse checkpoints at sf0.1)
             with_flag = with_flag.localCheckpoint()
             changed = with_flag.where(F.col("chg")).count()
-            if live is not None:
-                live.unpersist()
-            live = None
+            if last_cp is not None:
+                release_local_checkpoint(last_cp)
+            last_cp = with_flag
         else:
             with_flag = with_flag.persist()
             # count() materializes the persist AND answers convergence
@@ -582,12 +589,17 @@ def dedup_clusters(
             labels = labels.localCheckpoint()
             live.unpersist()
             live = None
+            if last_cp is not None:
+                release_local_checkpoint(last_cp)
+            last_cp = labels
         if changed == 0:
             break
     edges.unpersist()
     if changed != 0:
         if live is not None:
             live.unpersist()
+        if last_cp is not None:
+            release_local_checkpoint(last_cp)
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iter} rounds "
             f"({changed} labels still changing): component diameter "
@@ -600,9 +612,12 @@ def dedup_clusters(
     if live is not None:
         # decouple the result from the per-round cache before releasing
         # it; when labels is already checkpoint-rooted (live is None)
-        # the extra exit materialization would be pure waste
+        # the returned frame is backed by last_cp itself — no extra
+        # materialization, and last_cp must stay alive for the caller
         out = out.localCheckpoint()
         live.unpersist()
+        if last_cp is not None:
+            release_local_checkpoint(last_cp)
     return out
 
 
@@ -696,7 +711,10 @@ def dedup_clusters_star(
     )
     prev = checksum(edges)
     converged = False
+    from dgraph_dbpedia_spark.operators.cachectl import release_local_checkpoint
+
     live = None  # the current round's persisted edge set
+    last_cp = edges  # newest checkpointed frame; freed once superseded
     # checkpoint_every=1 (default): eager localCheckpoint per round —
     # two cheap jobs/round but every round plans against a depth-1
     # lineage. Measured (same-session A/B, sf0.1, BENCH_SCALE.md): 3.07s
@@ -716,9 +734,9 @@ def dedup_clusters_star(
             # lineage of depth one
             new_edges = contracted.localCheckpoint()
             cur = checksum(new_edges)
-            if live is not None:
-                live.unpersist()
-            live = None
+            if last_cp is not None:
+                release_local_checkpoint(last_cp)
+            last_cp = new_edges
             edges = new_edges
         else:
             new_edges = contracted.persist()
@@ -735,19 +753,29 @@ def dedup_clusters_star(
             edges = edges.localCheckpoint()
             live.unpersist()
             live = None
+            if last_cp is not None:
+                release_local_checkpoint(last_cp)
+            last_cp = edges
     if not converged and max_iter > 0:
         # raise BEFORE the exit compaction: the failure path must not
         # pay a full localCheckpoint materialization job first
         if live is not None:
             live.unpersist()
+        if last_cp is not None:
+            release_local_checkpoint(last_cp)
         raise RuntimeError(
             f"dedup_clusters_star did not converge in {max_iter} rounds — "
             "this exceeds the O(log^2 n) bound for any realistic graph; "
             "the input pair set is likely unbounded or adversarial"
         )
-    edges = edges.localCheckpoint() if live is not None else edges
     if live is not None:
+        # persist mode: decouple the result from the round cache, then
+        # free both the cache and the superseded checkpoint. In eager
+        # mode edges IS last_cp and stays alive backing the result.
+        edges = edges.localCheckpoint()
         live.unpersist()
+        if last_cp is not None:
+            release_local_checkpoint(last_cp)
     # converged edge set = star forest: u (child, u>v) -> v (root).
     # Roots and singletons label themselves. Name-based equi-join: the
     # edges now share lineage with docs (via the id restriction), so a

@@ -456,6 +456,23 @@ def ivf_assign(
     )
 
 
+def ivf_seed_centroids(
+    e: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+) -> DataFrame:
+    """Deterministic seed centroids — the ``n_centroids`` lowest-id
+    vectors as ``(cid, c)``. The single source of the seed rule shared
+    by :func:`ivf_topk` and index-build callers (the DuckDB oracle's
+    ``cent`` CTE mirrors exactly this)."""
+    return (
+        e.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c"))
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query: DataFrame,
@@ -493,11 +510,7 @@ def ivf_topk(
     the other half, probing materialized inverted lists)."""
     e = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("e"))
     if centroids is None:
-        centroids = (
-            e.orderBy(id_col)
-            .limit(n_centroids)
-            .select(F.col(id_col).alias("cid"), F.col("e").alias("c"))
-        )
+        centroids = ivf_seed_centroids(e, n_centroids, id_col=id_col, vec_col="e")
     else:
         centroids = centroids.select(
             "cid", F.col("c").cast("array<double>").alias("c")
@@ -549,7 +562,10 @@ def ivf_topk_served(
     for one-shot jobs) and an index you probe many times.
 
     Empty centroid frame -> empty result (no crash), matching
-    :func:`ivf_assign`'s NULL-cid contract."""
+    :func:`ivf_assign`'s NULL-cid contract. The query frame must hold
+    exactly ONE vector (the X6 bounded-collect contract); a multi-row
+    frame raises rather than silently mixing every query's similarities
+    into one unlabeled top-k."""
     q = query.select(F.col(query_col).cast("array<double>").alias("q"))
     probe_rows = (
         _centroid_row(centroids)
@@ -562,6 +578,12 @@ def ivf_topk_served(
         )
         .collect()
     )
+    if len(probe_rows) > 1:
+        raise ValueError(
+            f"ivf_topk_served expects exactly one query vector, got "
+            f"{len(probe_rows)} rows — batch probing needs one call per "
+            "query (each probes a different set of list partitions)"
+        )
     probes = list(probe_rows[0]["_probes"]) if probe_rows else []
     if not probes:
         return assigned.where(F.lit(False)).select(

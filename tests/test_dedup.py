@@ -245,3 +245,42 @@ def test_dedup_clusters_star_ignores_non_doc_pair_ids(spark):
     prop = {r["doc_id"]: r["cluster_id"]
             for r in dedup_clusters(docs, pairs).collect()}
     assert star == prop == {5: 5, 7: 5}
+
+
+def _n_cached_rdds(spark) -> int:
+    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+
+def test_release_local_checkpoint_frees_blocks(spark):
+    """cachectl.release_local_checkpoint must deterministically drop a
+    localCheckpoint'd frame's storage blocks (DataFrame.unpersist does
+    not reach them)."""
+    from dgraph_dbpedia_spark.operators.cachectl import release_local_checkpoint
+
+    before = _n_cached_rdds(spark)
+    cp = spark.range(1000).selectExpr("id", "id * 2 AS y").localCheckpoint()
+    cp.count()
+    assert _n_cached_rdds(spark) == before + 1
+    assert release_local_checkpoint(cp)
+    assert _n_cached_rdds(spark) == before
+
+
+def test_dedup_clusters_rounds_release_checkpoints(spark):
+    """Eager per-round checkpointing must not accumulate one cached
+    frame per round: a 10-node chain runs ~9 label-propagation rounds
+    (and several star rounds), yet at most the final result-backing
+    checkpoint may remain cached afterwards."""
+    from dgraph_dbpedia_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["a", "b"]
+    )
+    for op in (dedup_clusters, dedup_clusters_star):
+        before = _n_cached_rdds(spark)
+        out = op(docs, chain)
+        assert {r["cluster_id"] for r in out.collect()} == {0}
+        assert _n_cached_rdds(spark) - before <= 1, op.__name__

@@ -160,6 +160,41 @@ def test_ivf_served_partition_prunes_and_matches_inline(spark, vectors, query, t
     ] == [(r["vec_id"], r["sim"]) for r in inline.collect()]
 
 
+def test_ivf_topk_accepts_precomputed_centroids(spark, vectors, query):
+    """ivf_topk(centroids=...) must reproduce the default seed path when
+    handed the same frame ivf_seed_centroids builds — the build-once
+    half of the serve path."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        ivf_seed_centroids,
+        ivf_topk,
+    )
+
+    e = vectors.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    cent = ivf_seed_centroids(e, 2)
+    got = ivf_topk(vectors, query, k=3, n_centroids=2, n_probe=1, centroids=cent)
+    want = ivf_topk(vectors, query, k=3, n_centroids=2, n_probe=1)
+    assert [(r["vec_id"], r["sim"]) for r in got.collect()] == [
+        (r["vec_id"], r["sim"]) for r in want.collect()
+    ]
+
+
+def test_ivf_served_rejects_multi_row_query(spark, vectors):
+    """A multi-row query frame must raise loudly — each query probes a
+    different list set, so mixing them into one unlabeled top-k would
+    silently return garbage."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        ivf_seed_centroids,
+        ivf_topk_served,
+    )
+
+    e = vectors.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    cent = ivf_seed_centroids(e, 2)
+    assigned = e.withColumn("cid", F.lit(0).cast("long"))
+    two_queries = vectors.limit(2).select(F.col("embedding").alias("q"))
+    with pytest.raises(ValueError, match="exactly one query vector"):
+        ivf_topk_served(assigned, cent, two_queries, k=3)
+
+
 def test_ivf_served_empty_centroids_empty_result(spark, vectors, query):
     from dgraph_dbpedia_spark.operators.similarity import ivf_topk_served
 

@@ -39,6 +39,13 @@ def bench_pipelines(spark, sf: float) -> dict[str, float]:
     # stops dominating — throughput at 60k subjects understated the
     # pipeline by >2x (r1 verdict)
     n_subjects = int(os.environ.get("SPARK_GRAFT_BENCH_SUBJECTS", int(6_000_000 * sf)))
+    # validate the knob BEFORE paying for corpus generation
+    iters = int(os.environ.get("SPARK_GRAFT_PIPELINE_ITERS", "2"))
+    if iters < 1:
+        raise ValueError(
+            "SPARK_GRAFT_PIPELINE_ITERS must be >= 1 (set "
+            "SPARK_GRAFT_PIPELINE=0 in bench.py to skip the section)"
+        )
     work = tempfile.mkdtemp(prefix="sparkgraft-bench-")
     try:
         ttl_root = f"{work}/ttl"
@@ -52,7 +59,6 @@ def bench_pipelines(spark, sf: float) -> dict[str, float]:
         # state, not plan quality — and best-of-2 WITHOUT a warm-up
         # still recorded a 1.5x ingest swing between r6 and r7. All
         # samples are reported so a noisy run is visible in the artifact.
-        iters = int(os.environ.get("SPARK_GRAFT_PIPELINE_ITERS", "2"))
         warmup = os.environ.get("SPARK_GRAFT_PIPELINE_WARMUP", "1") != "0"
 
         ingest_samples: list[float] = []
