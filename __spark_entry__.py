@@ -890,6 +890,23 @@ def _q_ivf_ann_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_served(assigned, centroids, query, k=5, n_probe=2)
 
 
+def _q_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means refinement of the IVF centroids (2 iterations, 8
+    centroids over the full embeddings table): assignment is the
+    broadcast-fold corpus projection, the per-dimension means are a
+    partially-aggregable (cid, pos) avg. Components round to 4 decimals
+    per iteration on BOTH engines, so the DuckDB oracle replays the
+    identical training run. Output projects the centroid array to
+    scalar columns (driver canonicalizer cannot sort list columns)."""
+    from dgraph_dbpedia_spark.operators.similarity import ivf_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = ivf_train(emb, n_centroids=8, n_iter=2)
+    return cent.select(
+        "cid", *[F.col("c").getItem(i).alias(f"c_{i}") for i in range(64)]
+    )
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dgraph_dbpedia_spark.operators.multimodal import (
         attach_binary,
@@ -1056,6 +1073,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # changed or new this round (r8) — first in line for driver rows
     "interval_join_outer": _q_interval_join_outer,
     "ivf_ann_topk_served": _q_ivf_ann_topk_served,
+    "ivf_train": _q_ivf_train,
     # r7 window continues
     "bm25_topk": _q_bm25_topk,
     "length_percentiles": _q_length_percentiles,
@@ -1273,6 +1291,42 @@ def _sql_cosine(a: str, b: str, digits: int = 4) -> str:
         f"round(list_dot_product({a}, {b}) / "
         f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), {digits})"
     )
+
+
+def _sql_ivf_train(n_centroids: int = 8, n_iter: int = 2, dims: int = 64, nd: int = 4) -> str:
+    """Replay ivf_train in DuckDB: per iteration, nearest-centroid
+    assignment (same round-6 cosine + cid tie-break as the Spark fold)
+    then per-dimension means rounded to ``nd`` — identical rounded
+    inputs make every subsequent assignment bit-equal across engines.
+    COALESCE keeps an empty cluster's previous centroid, matching the
+    operator's fallback."""
+    # + 0 folds IEEE negative zero to +0.0 (the Spark side does the same)
+    mean_list = ", ".join(
+        f"(round(avg(v[{i}]), {nd}) + 0)::DOUBLE" for i in range(1, dims + 1)
+    )
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"cent0 AS (SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT {n_centroids})",
+    ]
+    for k in range(1, n_iter + 1):
+        ctes.append(f"""asg{k} AS (
+            SELECT vec_id, v, cid FROM (
+                SELECT e.vec_id, e.v, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_sql_cosine('e.v', 'c.c', 6)} DESC,
+                                    c.cid ASC) AS rn
+                FROM e CROSS JOIN cent{k - 1} c) x
+            WHERE rn = 1)""")
+        ctes.append(
+            f"mean{k} AS (SELECT cid, list_value({mean_list}) AS c2 "
+            f"FROM asg{k} GROUP BY cid)"
+        )
+        ctes.append(f"""cent{k} AS (
+            SELECT p.cid, COALESCE(m.c2, p.c) AS c
+            FROM cent{k - 1} p LEFT JOIN mean{k} m USING (cid))""")
+    out_cols = ", ".join(f"c[{i + 1}] AS c_{i}" for i in range(dims))
+    return f"WITH {', '.join(ctes)} SELECT cid, {out_cols} FROM cent{n_iter}"
 
 
 def _sql_ivf_topk(k: int = 5, n_centroids: int = 16, n_probe: int = 2) -> str:
@@ -1942,6 +1996,7 @@ def oracle_sql() -> dict[str, str]:
         # identical semantics (same seed centroids, probes, re-rank) —
         # the served variant differs only in WHERE the lists live
         "ivf_ann_topk_served": _sql_ivf_topk(),
+        "ivf_train": _sql_ivf_train(),
         "cosine_near_dup": _sql_cosine_near_dup(),
         "sliding_window": """
             WITH e AS (

@@ -87,6 +87,19 @@ def main() -> None:
         .mode("overwrite")
         .save()
     )
+    # warm the Python/Arrow worker pool too: the first pandas_udf in a
+    # session pays worker fork + Arrow init (~1.5 s measured — the
+    # embed_binary cold/warm delta), a per-SESSION cost that would
+    # otherwise land on whichever Arrow-backed query runs first
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm_arrow(s):
+        return s * 2
+
+    _warm.select(_warm_arrow(_F.length("text"))).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     # pre-build the served-IVF index (a one-time, reused-on-disk build):
     # the build runs eagerly during query CONSTRUCTION, so invoking the

@@ -537,6 +537,73 @@ def ivf_topk(
     return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
 
 
+def ivf_train(
+    df: DataFrame,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 4,
+) -> DataFrame:
+    """Lloyd k-means refinement of the deterministic seed centroids —
+    the build-time upgrade over :func:`ivf_seed_centroids` (lowest-id
+    seeds are arbitrary; refined centroids cut each probe's list
+    imbalance and raise recall at the same ``n_probe``). Returns
+    ``(cid, c)`` with ``cid`` keeping the seed identity.
+
+    Per iteration, two scale-safe passes:
+
+    1. assignment — :func:`ivf_assign`'s broadcast centroid fold, a
+       pure projection over the corpus scan (no shuffle of ``df``);
+    2. new centroids — ``posexplode`` to ``(cid, pos, val)`` and
+       ``avg`` grouped by ``(cid, pos)``: avg is partially aggregable,
+       so the shuffle carries only ``n_centroids x dims`` rows per map
+       partition, never the corpus. The per-dimension means fold back
+       to an array with an ordered ``collect_list`` over the
+       dimension-sized group.
+
+    Components are rounded to ``round_decimals`` each iteration — that
+    makes the trained centroids (and therefore every downstream
+    assignment) bit-reproducible across engines and partitionings,
+    which is what lets a DuckDB oracle replay the whole training run. A
+    centroid whose list goes empty keeps its previous position (the
+    ``coalesce`` fallback — never a NULL centroid). Each iteration's
+    centroid frame is eagerly localCheckpoint-ed so the next broadcast
+    fold embeds an 8-row local relation, not the previous iteration's
+    full corpus-aggregation plan, with superseded checkpoints released
+    deterministically."""
+    from dgraph_dbpedia_spark.operators.cachectl import release_local_checkpoint
+
+    e = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("e"))
+    cent = ivf_seed_centroids(e, n_centroids, id_col=id_col, vec_col="e")
+    cent = cent.localCheckpoint()
+    last_cp = cent
+    for _ in range(n_iter):
+        asg = ivf_assign(e, cent, id_col=id_col, vec_col="e")
+        means = (
+            asg.select("cid", F.posexplode("e").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    # + 0.0 folds IEEE negative zero to +0.0 (engines
+                    # disagree on round(-0.00001, 4)'s sign bit)
+                    lambda s: F.round(s["m"], round_decimals) + F.lit(0.0),
+                ).alias("c2")
+            )
+        )
+        cent = (
+            cent.join(means, "cid", "left")
+            .select("cid", F.coalesce("c2", "c").alias("c"))
+            .localCheckpoint()
+        )
+        release_local_checkpoint(last_cp)
+        last_cp = cent
+    return cent
+
+
 def ivf_topk_served(
     assigned: DataFrame,
     centroids: DataFrame,
