@@ -1074,6 +1074,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_join_outer": _q_interval_join_outer,
     "ivf_ann_topk_served": _q_ivf_ann_topk_served,
     "ivf_train": _q_ivf_train,
+    "ivf_ann_topk": _q_ivf_ann_topk,
+    "repetition_score": _q_repetition_score,
     # r7 window continues
     "bm25_topk": _q_bm25_topk,
     "length_percentiles": _q_length_percentiles,
@@ -1125,7 +1127,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts_bpe": _q_token_counts_bpe,
     "lsh_ann_topk": _q_lsh_ann_topk,
     "lsh_ann_topk_batch": _q_lsh_ann_topk_batch,
-    "ivf_ann_topk": _q_ivf_ann_topk,
     "cosine_near_dup": _q_cosine_near_dup,
     "sliding_window": _q_sliding_window,
     "sessionize": _q_sessionize,
@@ -1149,7 +1150,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": _q_quality_score,
     "fingerprint": _q_fingerprint,
     "clean_text": _q_clean_text,
-    "repetition_score": _q_repetition_score,
 }
 
 

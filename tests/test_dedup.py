@@ -247,22 +247,31 @@ def test_dedup_clusters_star_ignores_non_doc_pair_ids(spark):
     assert star == prop == {5: 5, 7: 5}
 
 
+def _cached_rdd_ids(spark) -> set[int]:
+    return {
+        i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+
+
 def _n_cached_rdds(spark) -> int:
-    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    return len(_cached_rdd_ids(spark))
 
 
 def test_release_local_checkpoint_frees_blocks(spark):
     """cachectl.release_local_checkpoint must deterministically drop a
     localCheckpoint'd frame's storage blocks (DataFrame.unpersist does
-    not reach them)."""
+    not reach them). Tracks the specific RDD id — a global count would
+    race with ContextCleaner GC-releasing other tests' leftover
+    blocks."""
     from dgraph_dbpedia_spark.operators.cachectl import release_local_checkpoint
 
-    before = _n_cached_rdds(spark)
+    before = _cached_rdd_ids(spark)
     cp = spark.range(1000).selectExpr("id", "id * 2 AS y").localCheckpoint()
     cp.count()
-    assert _n_cached_rdds(spark) == before + 1
+    new_ids = _cached_rdd_ids(spark) - before
+    assert len(new_ids) == 1
     assert release_local_checkpoint(cp)
-    assert _n_cached_rdds(spark) == before
+    assert not (new_ids & _cached_rdd_ids(spark))
 
 
 def test_dedup_clusters_rounds_release_checkpoints(spark):
