@@ -849,6 +849,12 @@ def contaminated_ids(
     corpus_sh = _hashed_shingled(docs, text_col, id_col, w, fast=fast).select(
         F.col(id_col), F.explode("sh").alias("h")
     )
+    # explicit broadcast: the eval set's distinct shingle hashes are
+    # bounded (benchmarks are small by construction), so the semi-join
+    # must never shuffle the exploded corpus on h — without the hint
+    # that decision is left to AQE's estimate of a post-aggregate size
     return (
-        corpus_sh.join(bench_sh, "h", "left_semi").select(id_col).distinct()
+        corpus_sh.join(F.broadcast(bench_sh), "h", "left_semi")
+        .select(id_col)
+        .distinct()
     )
