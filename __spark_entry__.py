@@ -907,6 +907,21 @@ def _q_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_ann_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end trained ANN: Lloyd-refined centroids (1 iteration, 8
+    centroids, trained on the full table) feed ivf_topk's centroids
+    parameter; probe/re-rank semantics identical to ivf_ann_topk. The
+    oracle replays the training chain then the probe."""
+    from dgraph_dbpedia_spark.operators.similarity import ivf_topk, ivf_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = ivf_train(emb, n_centroids=8, n_iter=1)
+    query = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("q"))
+    return ivf_topk(
+        emb.where(F.col("vec_id") > 0), query, k=5, n_probe=2, centroids=cent
+    )
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dgraph_dbpedia_spark.operators.multimodal import (
         attach_binary,
@@ -1074,6 +1089,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_join_outer": _q_interval_join_outer,
     "ivf_ann_topk_served": _q_ivf_ann_topk_served,
     "ivf_train": _q_ivf_train,
+    "ivf_ann_topk_trained": _q_ivf_ann_topk_trained,
     "ivf_ann_topk": _q_ivf_ann_topk,
     "repetition_score": _q_repetition_score,
     # r7 window continues
@@ -1293,13 +1309,14 @@ def _sql_cosine(a: str, b: str, digits: int = 4) -> str:
     )
 
 
-def _sql_ivf_train(n_centroids: int = 8, n_iter: int = 2, dims: int = 64, nd: int = 4) -> str:
-    """Replay ivf_train in DuckDB: per iteration, nearest-centroid
-    assignment (same round-6 cosine + cid tie-break as the Spark fold)
-    then per-dimension means rounded to ``nd`` — identical rounded
-    inputs make every subsequent assignment bit-equal across engines.
-    COALESCE keeps an empty cluster's previous centroid, matching the
-    operator's fallback."""
+def _ivf_train_ctes(n_centroids: int, n_iter: int, dims: int, nd: int) -> list[str]:
+    """CTE chain replaying ivf_train in DuckDB: per iteration,
+    nearest-centroid assignment (same round-6 cosine + cid tie-break as
+    the Spark fold) then per-dimension means rounded to ``nd`` —
+    identical rounded inputs make every subsequent assignment bit-equal
+    across engines. COALESCE keeps an empty cluster's previous
+    centroid, matching the operator's fallback. The trained centroids
+    end up in ``cent{n_iter}``."""
     # + 0 folds IEEE negative zero to +0.0 (the Spark side does the same)
     mean_list = ", ".join(
         f"(round(avg(v[{i}]), {nd}) + 0)::DOUBLE" for i in range(1, dims + 1)
@@ -1325,8 +1342,51 @@ def _sql_ivf_train(n_centroids: int = 8, n_iter: int = 2, dims: int = 64, nd: in
         ctes.append(f"""cent{k} AS (
             SELECT p.cid, COALESCE(m.c2, p.c) AS c
             FROM cent{k - 1} p LEFT JOIN mean{k} m USING (cid))""")
+    return ctes
+
+
+def _sql_ivf_train(n_centroids: int = 8, n_iter: int = 2, dims: int = 64, nd: int = 4) -> str:
+    ctes = _ivf_train_ctes(n_centroids, n_iter, dims, nd)
     out_cols = ", ".join(f"c[{i + 1}] AS c_{i}" for i in range(dims))
     return f"WITH {', '.join(ctes)} SELECT cid, {out_cols} FROM cent{n_iter}"
+
+
+def _sql_ivf_topk_trained(
+    k: int = 5,
+    n_centroids: int = 8,
+    n_iter: int = 1,
+    n_probe: int = 2,
+    dims: int = 64,
+    nd: int = 4,
+) -> str:
+    """Trained-centroid IVF probe: the _ivf_train_ctes chain feeds the
+    same assignment/probe/re-rank shape as _sql_ivf_topk, over the
+    vec_id > 0 corpus with vec_id 0's embedding as the query."""
+    ctes = _ivf_train_ctes(n_centroids, n_iter, dims, nd)
+    ctes.append("corpus AS (SELECT vec_id, v FROM e WHERE vec_id > 0)")
+    ctes.append(
+        "q AS (SELECT embedding::DOUBLE[] AS q FROM embeddings "
+        "ORDER BY vec_id LIMIT 1)"
+    )
+    ctes.append(f"""asgq AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT corpus.vec_id, corpus.v, c.cid,
+                   row_number() OVER (
+                       PARTITION BY corpus.vec_id
+                       ORDER BY {_sql_cosine('corpus.v', 'c.c', 6)} DESC,
+                                c.cid ASC) AS rn
+            FROM corpus CROSS JOIN cent{n_iter} c) x
+        WHERE rn = 1)""")
+    ctes.append(f"""probes AS (
+        SELECT cid FROM (
+            SELECT cid, {_sql_cosine('c', 'q', 6)} AS csim
+            FROM cent{n_iter} CROSS JOIN q
+            ORDER BY csim DESC, cid LIMIT {n_probe}) y)""")
+    return f"""WITH {', '.join(ctes)}
+        SELECT a.vec_id, {_sql_cosine('a.v', 'q.q')} AS sim
+        FROM asgq a SEMI JOIN probes p ON a.cid = p.cid
+        CROSS JOIN q
+        ORDER BY sim DESC, a.vec_id LIMIT {k}"""
 
 
 def _sql_ivf_topk(k: int = 5, n_centroids: int = 16, n_probe: int = 2) -> str:
@@ -1997,6 +2057,7 @@ def oracle_sql() -> dict[str, str]:
         # the served variant differs only in WHERE the lists live
         "ivf_ann_topk_served": _sql_ivf_topk(),
         "ivf_train": _sql_ivf_train(),
+        "ivf_ann_topk_trained": _sql_ivf_topk_trained(),
         "cosine_near_dup": _sql_cosine_near_dup(),
         "sliding_window": """
             WITH e AS (

@@ -567,11 +567,22 @@ def dedup_clusters(
             (new_min < F.col("label")).alias("chg"),
         )
         if checkpoint_every == 1:
-            # eager checkpoint per round: two cheap jobs but depth-1
-            # lineage every round (see dedup_clusters_star — measured
-            # faster than persist + sparse checkpoints at sf0.1)
-            with_flag = with_flag.localCheckpoint()
-            changed = with_flag.where(F.col("chg")).count()
+            # eager checkpoint per round, ONE job per round: the
+            # convergence count rides the checkpoint materialization as
+            # an observe() metric (a CollectMetrics node costs nothing
+            # extra), and every round plans against a depth-1 lineage —
+            # this beat both persist+count (growing plans) and
+            # checkpoint+separate-count (two jobs) in the r8 A/Bs
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            with_flag = with_flag.observe(
+                obs,
+                F.coalesce(
+                    F.sum(F.col("chg").cast("long")), F.lit(0)
+                ).alias("changed"),
+            ).localCheckpoint()
+            changed = int(obs.get["changed"])
             if last_cp is not None:
                 release_local_checkpoint(last_cp)
             last_cp = with_flag
@@ -699,7 +710,10 @@ def dedup_clusters_star(
     # rows), so the star contraction must too, or a stale pair set
     # referencing a dropped doc could root a component at a non-doc id
     # and the two operators' "identical contract" would diverge
+    from pyspark.sql import Observation
+
     ids = docs.select(F.col(id_col).alias("u")).distinct()
+    obs0 = Observation()
     edges = (
         canon(pairs.select(F.col("a").alias("u"), F.col("b").alias("v")))
         .join(ids, "u", "left_semi")
@@ -707,9 +721,15 @@ def dedup_clusters_star(
         # USING-joins move the join key first — restore (u, v) order,
         # the loop's unions are positional
         .select("u", "v")
+        .observe(
+            obs0,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        )
         .localCheckpoint()
     )
-    prev = checksum(edges)
+    got0 = obs0.get
+    prev = (got0["n"], got0["h"])
     converged = False
     from dgraph_dbpedia_spark.operators.cachectl import release_local_checkpoint
 
@@ -728,12 +748,20 @@ def dedup_clusters_star(
     for i in range(max_iter):
         contracted = canon(small_star(large_star(edges)))
         if checkpoint_every == 1:
-            # per-round eager checkpoint, no persist: the checkpoint IS
-            # the materialization; the checksum is a cheap scan of the
-            # checkpointed blocks and every round plans against a
+            # per-round eager checkpoint, ONE job per round: the
+            # convergence checksum rides the checkpoint materialization
+            # as observe() metrics, and every round plans against a
             # lineage of depth one
-            new_edges = contracted.localCheckpoint()
-            cur = checksum(new_edges)
+            obs = Observation()
+            new_edges = contracted.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)
+                ).alias("h"),
+            ).localCheckpoint()
+            got = obs.get
+            cur = (got["n"], got["h"])
             if last_cp is not None:
                 release_local_checkpoint(last_cp)
             last_cp = new_edges
