@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import pandas as pd  # module-level: pandas_udf type hints must resolve
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from dgraph_dbpedia_spark.functions.hashing import hash64, shingles, tokens
@@ -509,14 +509,16 @@ def dedup_clusters(
     the documented upgrade path if a corpus ever trips the cap.
 
     Per-round lineage control (``checkpoint_every``): the default of 1
-    eagerly ``localCheckpoint``-s every round — two cheap jobs, but each
-    round plans against a depth-1 lineage. Measured same-session at
-    sf0.1 (BENCH_SCALE.md r8): 2.7-3.4 s vs 3.6-4.1 s for the r7
-    persist-per-round + checkpoint-every-8 scheme — the single
-    materialization job it saved was cheaper than the growing join-tree
-    re-planning it paid. ``checkpoint_every > 1`` restores the persist
-    scheme (checkpoint every N rounds; 0 = only at exit) for inputs
-    where double-materializing a round's labels is too expensive.
+    eagerly ``localCheckpoint``-s every round — ONE job per round (the
+    convergence count rides the checkpoint materialization as an
+    ``observe()`` metric) and each round plans against a depth-1
+    lineage. Measured same-session at sf0.1 (BENCH_SCALE.md r8):
+    2.7 s vs 3.6-4.1 s for the r7 persist-per-round +
+    checkpoint-every-8 scheme — the materialization job it saved was
+    cheaper than the growing join-tree re-planning it paid.
+    ``checkpoint_every > 1`` restores the persist scheme (checkpoint
+    every N rounds; 0 = only at exit) for inputs where
+    double-materializing a round's labels is too expensive.
     """
     # undirected: propagate labels both ways along every pair
     edges = (
@@ -573,8 +575,6 @@ def dedup_clusters(
             # extra), and every round plans against a depth-1 lineage —
             # this beat both persist+count (growing plans) and
             # checkpoint+separate-count (two jobs) in the r8 A/Bs
-            from pyspark.sql import Observation
-
             obs = Observation()
             with_flag = with_flag.observe(
                 obs,
@@ -698,11 +698,19 @@ def dedup_clusters_star(
         selfs = mins.select("u", F.col("m").alias("v"))
         return rehung.union(selfs)
 
-    def checksum(e: DataFrame) -> tuple:
-        row = e.agg(
+    def checksum_metrics() -> tuple[Column, Column]:
+        # ONE definition of the order-insensitive edge-set checksum
+        # (count + coalesced bit_xor of xxhash64(u, v)), consumed by
+        # the persist-path aggregate AND both observe() sites — the
+        # eager/persist convergence comparison stays bit-identical by
+        # construction
+        return (
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
-        ).collect()[0]
+        )
+
+    def checksum(e: DataFrame) -> tuple:
+        row = e.agg(*checksum_metrics()).collect()[0]
         return (row["n"], row["h"])
 
     # restrict edges to ids actually present in docs: label propagation
@@ -710,7 +718,6 @@ def dedup_clusters_star(
     # rows), so the star contraction must too, or a stale pair set
     # referencing a dropped doc could root a component at a non-doc id
     # and the two operators' "identical contract" would diverge
-    from pyspark.sql import Observation
 
     ids = docs.select(F.col(id_col).alias("u")).distinct()
     obs0 = Observation()
@@ -721,11 +728,7 @@ def dedup_clusters_star(
         # USING-joins move the join key first — restore (u, v) order,
         # the loop's unions are positional
         .select("u", "v")
-        .observe(
-            obs0,
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
-        )
+        .observe(obs0, *checksum_metrics())
         .localCheckpoint()
     )
     got0 = obs0.get
@@ -735,13 +738,15 @@ def dedup_clusters_star(
 
     live = None  # the current round's persisted edge set
     last_cp = edges  # newest checkpointed frame; freed once superseded
-    # checkpoint_every=1 (default): eager localCheckpoint per round —
-    # two cheap jobs/round but every round plans against a depth-1
-    # lineage. Measured (same-session A/B, sf0.1, BENCH_SCALE.md): 3.07s
+    # checkpoint_every=1 (default): eager localCheckpoint per round,
+    # ONE job per round (the convergence checksum rides the checkpoint
+    # job as observe() metrics), and every round plans against a
+    # depth-1 lineage. Measured (same-session A/Bs, sf0.1,
+    # BENCH_SCALE.md r8): 2.86s fused vs 3.07s checkpoint+separate-scan
     # vs 3.92-3.96s for the r7 persist+sparse-checkpoint scheme at any
-    # cadence (4/8/never) — the "one job per round" persist fusion LOST
-    # because each un-truncated round re-plans a growing join tree, and
-    # that planning cost exceeds the extra materialization of the small
+    # cadence (4/8/never) — the persist scheme LOST because each
+    # un-truncated round re-plans a growing join tree, and that
+    # planning cost exceeds the extra materialization of the small
     # contracted edge set. checkpoint_every>1 keeps the persist scheme
     # (checkpoint every N rounds; 0 = only at exit) for graphs where a
     # round's edge set is too large to double-materialize.
@@ -754,11 +759,7 @@ def dedup_clusters_star(
             # lineage of depth one
             obs = Observation()
             new_edges = contracted.observe(
-                obs,
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(
-                    F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)
-                ).alias("h"),
+                obs, *checksum_metrics()
             ).localCheckpoint()
             got = obs.get
             cur = (got["n"], got["h"])
