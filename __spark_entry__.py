@@ -1208,9 +1208,14 @@ def _sql_shingles(toks: str, w: int) -> str:
 
 def _sql_minhash_base(w: int, k: int) -> str:
     """CTE producing (doc_id, sh, sig_00..sig_NN) from documents, where
-    ``sh`` is the md5-hashed shingle set and the signature lanes are the
+    ``sh`` is the rolling-hashed shingle set (per-token md5 → rotate-xor
+    fold, functions/hashing.py r9) and the signature lanes are the
     Carter-Wegman family of operators/dedup.minhash_signatures:
     ``(a_i * (h mod p) + b_i) mod p``, p = 2^31-1."""
+    from dgraph_dbpedia_spark.functions.hashing import (
+        rolling_shingle_hashes_sql,
+        token_hashes_sql,
+    )
     from dgraph_dbpedia_spark.operators.dedup import MERSENNE31, minhash_lane_coeffs
 
     sig_cols = ",\n       ".join(
@@ -1219,11 +1224,11 @@ def _sql_minhash_base(w: int, k: int) -> str:
         for i, (a, b) in enumerate(minhash_lane_coeffs(k))
     )
     return f"""
+        th AS (
+            SELECT doc_id, {token_hashes_sql(_SQL_TOKS)} AS th FROM documents),
         sh AS (
-            SELECT doc_id,
-                   list_transform({_sql_shingles(_SQL_TOKS, w)},
-                                  s -> {_sql_hash64('s')}) AS sh
-            FROM documents),
+            SELECT doc_id, {rolling_shingle_hashes_sql('th', w)} AS sh
+            FROM th),
         hbase AS (
             SELECT doc_id, sh,
                    list_transform(sh, h -> h % {MERSENNE31}) AS hb

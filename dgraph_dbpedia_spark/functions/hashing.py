@@ -80,3 +80,76 @@ def shingles_sql(toks_expr: str, w: int) -> str:
         f"range(1, greatest(len({toks_expr}) - {w - 1}, 1) + 1), "
         f"i -> array_to_string(list_slice({toks_expr}, i, i + {w - 1}), ' ')))"
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling shingle hashing: hash each TOKEN once, then combine w token-hashes
+# per shingle with an order-sensitive integer mix. Bytes digested drop ~w×
+# vs hashing each w-token concatenated string (w=13 for decontamination),
+# and every step stays a native Catalyst expression AND is replicable in
+# DuckDB SQL (`rolling_shingle_hashes_sql`) — so the oracle contract holds.
+#
+# The mix is a rotate-xor fold over 60-bit values:
+#     h_0 = 0;  h = rotl60(h, 7) XOR token_hash
+# Token j of an L-token shingle lands rotated by 7*(L-1-j) mod 60; since
+# gcd(7, 60) = 1 those rotations are distinct for all L <= 60, so the fold
+# is order-sensitive for any realistic w. All values stay in [0, 2^60)
+# (non-negative), so <<, >>, & behave identically in Spark and DuckDB and
+# nothing can overflow a signed int64.
+
+MASK60 = (1 << 60) - 1
+_M53 = (1 << 53) - 1  # low 60-7 bits: the part that survives a left-rot by 7
+
+
+def _rotl60(x: Column) -> Column:
+    """Rotate a value in [0, 2^60) left by 7 within 60 bits."""
+    return F.shiftleft(x.bitwiseAND(F.lit(_M53)), 7) + F.shiftrightunsigned(x, 53)
+
+
+def token_hashes(toks: Column, fast: bool = False) -> Column:
+    """Per-token 60-bit hashes (one digest per token — the only byte
+    hashing in the rolling-shingle path). The &MASK60 is a no-op for the
+    md5 path (already < 2^60) but folds the fast xxhash64 path's full
+    signed-64 range into the same non-negative domain."""
+    return F.transform(toks, lambda t: hash64(t, fast=fast).bitwiseAND(F.lit(MASK60)))
+
+
+def rolling_shingle_hashes(toks_h: Column, w: int) -> Column:
+    """Distinct w-token shingle hashes from per-token hashes, via the
+    rotate-xor fold. Mirrors :func:`shingles` semantics: documents
+    shorter than ``w`` tokens produce one shingle of all their tokens;
+    an empty document folds to the single hash 0 (the SQL twin's
+    empty-list CASE matches)."""
+    n = F.greatest(F.size(toks_h) - (w - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.aggregate(
+                F.slice(toks_h, i, w),
+                F.lit(0).cast("bigint"),
+                lambda acc, t: _rotl60(acc).bitwiseXOR(t),
+            ),
+        )
+    )
+
+
+def token_hashes_sql(toks_expr: str) -> str:
+    """DuckDB twin of :func:`token_hashes` (md5 path)."""
+    return (
+        f"list_transform({toks_expr}, "
+        f"t -> ('0x' || substring(md5(t), 1, 15))::BIGINT & {MASK60})"
+    )
+
+
+def rolling_shingle_hashes_sql(toks_h_expr: str, w: int) -> str:
+    """DuckDB twin of :func:`rolling_shingle_hashes`. `list_reduce`
+    seeds with the first element — identical to the init-0 fold because
+    rotl60(0)^t0 = t0 — and errors on an empty list, hence the CASE
+    (matching Spark's aggregate-over-empty = init = 0)."""
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({toks_h_expr}) - {w - 1}, 1) + 1), "
+        f"i -> CASE WHEN len({toks_h_expr}) = 0 THEN 0 ELSE "
+        f"list_reduce(list_slice({toks_h_expr}, i, i + {w - 1}), "
+        f"(acc, t) -> xor(((acc & {_M53}) << 7) + (acc >> 53), t)) END))"
+    )

@@ -31,7 +31,12 @@ import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
-from dgraph_dbpedia_spark.functions.hashing import hash64, shingles, tokens
+from dgraph_dbpedia_spark.functions.hashing import (
+    hash64,
+    rolling_shingle_hashes,
+    token_hashes,
+    tokens,
+)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -40,24 +45,39 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.groupBy(F.md5(text_col).alias("fp")).agg(F.min(id_col).alias(id_col))
 
 
-def _shingled(df: DataFrame, text_col: str, id_col: str, w: int) -> DataFrame:
-    # two-step select: materialize the token array as a bound column
-    # before shingling — a lambda over an unbound expression re-evaluates
-    # the whole tokenize subtree per loop iteration (O(len^2) per doc)
-    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
-    return toks.select(F.col(id_col), shingles(F.col("toks"), w).alias("sh"))
-
-
 def _hashed_shingled(
     df: DataFrame, text_col: str, id_col: str, w: int, fast: bool = False
 ) -> DataFrame:
     """Shingle sets as int64 hashes: 8-byte join/intersect keys instead
-    of multi-word strings. Distinctness is preserved (60-bit md5-derived
-    hashes; collision probability is negligible at any realistic doc
-    size), shuffle volume drops by the average shingle length."""
-    sh = _shingled(df, text_col, id_col, w)
-    return sh.select(
-        F.col(id_col), F.transform("sh", lambda s: hash64(s, fast=fast)).alias("sh")
+    of multi-word strings. Distinctness is preserved (60-bit hashes;
+    collision probability is negligible at any realistic doc size),
+    shuffle volume drops by the average shingle length.
+
+    Rolling scheme (r9): each TOKEN is digested once, then the w
+    token-hashes per shingle combine via the order-sensitive rotate-xor
+    fold (functions/hashing.py). Bytes hashed drop ~w× vs digesting each
+    concatenated w-token string (w=13 for decontamination), and the fold
+    is DuckDB-replicable so hash-value-dependent oracles (minhash) still
+    hold. Two-step select: bind the token-hash array as a column before
+    shingling, else the per-shingle lambda re-evaluates the whole
+    tokenize+hash subtree per position (the CollapseProject trap).
+
+    ``sh`` is emitted through an ``inline(array(struct(...)))`` barrier:
+    when a consumer explodes it, ``InferFiltersFromGenerate`` infers a
+    ``size(sh) > 0`` filter whose pushed-down form inlines the WHOLE
+    fold expression a second time — measured 13.6 s vs 0.9 s at sf0.1
+    w=13. Behind the barrier ``sh`` is a generated attribute, so the
+    inferred filter tests the materialized array instead of re-deriving
+    it (and the barrier's own inferred filter constant-folds:
+    size(array(struct)) = 1)."""
+    toks_h = df.select(
+        F.col(id_col), token_hashes(tokens(F.col(text_col)), fast=fast).alias("th")
+    )
+    return toks_h.select(
+        F.col(id_col),
+        F.inline(
+            F.array(F.struct(rolling_shingle_hashes(F.col("th"), w).alias("sh")))
+        ),
     )
 
 

@@ -293,3 +293,77 @@ def test_dedup_clusters_rounds_release_checkpoints(spark):
         out = op(docs, chain)
         assert {r["cluster_id"] for r in out.collect()} == {0}
         assert _n_cached_rdds(spark) - before <= 1, op.__name__
+
+
+def test_rolling_shingle_hash_duckdb_bit_equal(spark):
+    """The r9 rolling shingle hash (per-token md5 -> rotate-xor fold,
+    functions/hashing.py) must be bit-identical in Spark and DuckDB —
+    the minhash oracle recomputes signature values from these hashes.
+    Covers the edge semantics: empty doc (-> single hash 0), doc shorter
+    than w (one whole-text shingle), repeated tokens (order-sensitive
+    fold must NOT cancel), and a long doc."""
+    import duckdb
+
+    from dgraph_dbpedia_spark.functions.hashing import (
+        rolling_shingle_hashes_sql,
+        token_hashes_sql,
+        tokens_sql,
+    )
+    from dgraph_dbpedia_spark.operators.dedup import _hashed_shingled
+
+    docs = [
+        ("a", "the quick brown fox jumps over the lazy dog"),
+        ("b", "one two"),
+        ("c", ""),
+        ("d", "solo"),
+        ("e", "rep rep rep rep rep rep"),
+        ("f", " ".join(f"tok{i % 7}" for i in range(50))),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for w in (3, 13):
+        got = {
+            r["doc_id"]: sorted(r["sh"])
+            for r in _hashed_shingled(df, "text", "doc_id", w).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT * FROM (VALUES "
+            + ",".join(f"('{i}','{t}')" for i, t in docs)
+            + ") v(doc_id, text)"
+        )
+        th = token_hashes_sql(tokens_sql("text"))
+        want = {
+            r[0]: r[1]
+            for r in con.execute(
+                f"WITH t AS (SELECT doc_id, {th} AS th FROM documents) "
+                f"SELECT doc_id, list_sort({rolling_shingle_hashes_sql('th', w)}) "
+                f"FROM t"
+            ).fetchall()
+        }
+        con.close()
+        assert got == want, f"w={w}"
+    # order sensitivity: swapping two tokens must change the shingle hash
+    pair = spark.createDataFrame(
+        [("x", "alpha beta gamma"), ("y", "beta alpha gamma")], ["doc_id", "text"]
+    )
+    sh = {r["doc_id"]: r["sh"] for r in _hashed_shingled(pair, "text", "doc_id", 3).collect()}
+    assert sh["x"] != sh["y"]
+
+
+def test_shingle_explode_no_refolded_filter(spark):
+    """InferFiltersFromGenerate regression guard: exploding the shingle
+    array must not re-derive the rotate-xor fold inside an inferred
+    size()>0 filter (measured 13.6 s vs 0.9 s at sf0.1 w=13 — the
+    inline(array(struct)) barrier in _hashed_shingled prevents it). Any
+    Filter in the optimized plan must reference the generated attribute,
+    never contain the fold (aggregate/transform) expression."""
+    from dgraph_dbpedia_spark.operators.dedup import _hashed_shingled
+
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    exploded = _hashed_shingled(df, "text", "doc_id", 3).select(
+        "doc_id", F.explode("sh").alias("h")
+    )
+    plan = exploded._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if line.strip().startswith(("Filter", "+- Filter", ":- Filter")) or "Filter (" in line:
+            assert "aggregate(" not in line and "transform(" not in line, line
