@@ -831,13 +831,18 @@ def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_INDEX_FORMAT = "v2-seed16"  # bump when build params / layout change
+
+
 def _ivf_index_root(sf_dir: str) -> str:
     """Stable on-disk location for the served-IVF index of one dataset:
-    keyed by (sf_dir, embeddings mtime) so a rebuilt testdata set gets a
-    fresh index, while every process serving the SAME data — driver
-    correctness run, bench, local sweep — reuses one build instead of
-    each leaking a corpus-sized tempdir. Bounded: one dir per dataset
-    generation."""
+    keyed by (sf_dir, embeddings mtime, build params + format version)
+    so a rebuilt testdata set OR a changed index recipe gets a fresh
+    path (a stale-layout index can never be silently reused), while
+    every process serving the SAME data — driver correctness run,
+    bench, local sweep — reuses one build instead of each leaking a
+    corpus-sized tempdir. Bounded: one dir per dataset generation per
+    format."""
     import hashlib
     import os
     import tempfile
@@ -847,8 +852,45 @@ def _ivf_index_root(sf_dir: str) -> str:
         mtime = int(os.path.getmtime(src))
     except OSError:
         mtime = 0
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}@{mtime}".encode()).hexdigest()[:12]
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}@{mtime}@{_IVF_INDEX_FORMAT}".encode()
+    ).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"sparkgraft-ivf-index-{key}")
+
+
+def _build_ivf_index_atomic(spark: SparkSession, e, root: str) -> None:
+    """Build the served index into a process-private temp dir and
+    os.rename it into place: concurrent builders each complete a whole
+    index and the rename is last-wins-atomic, so a reader can never see
+    a half-written or interleaved index (ADVICE r8). Loser directories
+    are cleaned up; a builder that loses the race just uses the
+    winner's index."""
+    import os
+    import shutil
+    import tempfile
+
+    from dgraph_dbpedia_spark.operators.similarity import (
+        ivf_assign,
+        ivf_seed_centroids,
+    )
+
+    staging = tempfile.mkdtemp(
+        prefix="sparkgraft-ivf-build-", dir=os.path.dirname(root) or None
+    )
+    try:
+        cent = ivf_seed_centroids(e, 16)
+        cent.write.mode("overwrite").parquet(f"{staging}/centroids")
+        ivf_assign(e, cent, id_col="vec_id", vec_col="e").write.mode(
+            "overwrite"
+        ).partitionBy("cid").parquet(f"{staging}/assigned")
+        try:
+            os.rename(staging, root)
+        except OSError:
+            # another builder won the rename race — use theirs
+            shutil.rmtree(staging, ignore_errors=True)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
 
 
 def _q_ivf_ann_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -861,13 +903,18 @@ def _q_ivf_ann_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_ann_topk, so it shares that oracle's semantics. bench.py
     pre-builds the index in its warm-up so the timed number is the
     probe, not the one-time build."""
-    import os
+    from dgraph_dbpedia_spark.operators.similarity import ivf_topk_served
 
-    from dgraph_dbpedia_spark.operators.similarity import (
-        ivf_assign,
-        ivf_seed_centroids,
-        ivf_topk_served,
-    )
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = _served_ivf_index(spark, sf_dir)
+    query = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("q"))
+    return ivf_topk_served(assigned, centroids, query, k=5, n_probe=2)
+
+
+def _served_ivf_index(spark: SparkSession, sf_dir: str):
+    """(assigned, centroids) frames of the materialized served-IVF
+    index for ``sf_dir``, building it atomically on first use."""
+    import os
 
     emb = _t(spark, sf_dir, "embeddings")
     e = emb.where(F.col("vec_id") > 0).select(
@@ -879,15 +926,27 @@ def _q_ivf_ann_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         for part in ("centroids", "assigned")
     )
     if not complete:
-        cent = ivf_seed_centroids(e, 16)
-        cent.write.mode("overwrite").parquet(f"{root}/centroids")
-        ivf_assign(e, cent, id_col="vec_id", vec_col="e").write.mode(
-            "overwrite"
-        ).partitionBy("cid").parquet(f"{root}/assigned")
-    assigned = spark.read.parquet(f"{root}/assigned")
-    centroids = spark.read.parquet(f"{root}/centroids")
-    query = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("q"))
-    return ivf_topk_served(assigned, centroids, query, k=5, n_probe=2)
+        _build_ivf_index_atomic(spark, e, root)
+    return spark.read.parquet(f"{root}/assigned"), spark.read.parquet(
+        f"{root}/centroids"
+    )
+
+
+def _q_ivf_ann_topk_served_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch serve-path IVF (r9): three query vectors probe the SAME
+    materialized index in one plan — per-query probe lists from the
+    broadcast centroid fold, ONE literal cid IN (union of probes)
+    partition-pruned scan of the lists, then a per-qid window top-k
+    (the served twin of lsh_ann_topk_batch). Pytest
+    test_ivf_served_many_partition_prunes asserts the scan prune."""
+    from dgraph_dbpedia_spark.operators.similarity import ivf_topk_served_many
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = _served_ivf_index(spark, sf_dir)
+    qs = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q")
+    )
+    return ivf_topk_served_many(assigned, centroids, qs, k=5, n_probe=2)
 
 
 def _q_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1085,9 +1144,18 @@ def _q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and 12 long-stable, pytest-covered queries (green driver rows in
 # r01-r05) rotated out.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # changed or new this round (r8) — first in line for driver rows
-    "interval_join_outer": _q_interval_join_outer,
+    # changed or new this round (r9) — first in line for driver rows:
+    # the rolling-shingle-hash family (shared _hashed_shingled), the
+    # batch serve-path probe, and the rekeyed served index
+    "ivf_ann_topk_served_batch": _q_ivf_ann_topk_served_batch,
     "ivf_ann_topk_served": _q_ivf_ann_topk_served,
+    "decontaminate": _q_decontaminate,
+    "ngram_jaccard_pairs": _q_ngram_jaccard,
+    "minhash_signatures": _q_minhash_signatures,
+    "minhash_pairs": _q_minhash_pairs,
+    "near_dup_filter": _q_near_dup_filter,
+    # r8 window continues
+    "interval_join_outer": _q_interval_join_outer,
     "ivf_train": _q_ivf_train,
     "ivf_ann_topk_trained": _q_ivf_ann_topk_trained,
     "ivf_ann_topk": _q_ivf_ann_topk,
@@ -1098,7 +1166,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_join": _q_interval_join,
     "pack_offsets": _q_pack_offsets,
     "bm25_topk_batch": _q_bm25_topk_batch,
-    "decontaminate": _q_decontaminate,
     "weighted_sample": _q_weighted_sample,
     "embed_binary": _q_embed_binary,
     "extract_datatype": _q_extract_datatype,
@@ -1133,12 +1200,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup / similarity / text / streaming / temporal / multimodal
     "dedup_exact": _q_dedup_exact,
     "cosine_topk": _q_cosine_topk,
-    "ngram_jaccard_pairs": _q_ngram_jaccard,
-    "minhash_signatures": _q_minhash_signatures,
-    "minhash_pairs": _q_minhash_pairs,
     "simhash": _q_simhash,
     "simhash_near_dup": _q_simhash_near_dup,
-    "near_dup_filter": _q_near_dup_filter,
     "salted_group_counts": _q_salted_group_counts,
     "token_counts_bpe": _q_token_counts_bpe,
     "lsh_ann_topk": _q_lsh_ann_topk,
@@ -1422,6 +1485,51 @@ def _sql_ivf_topk(k: int = 5, n_centroids: int = 16, n_probe: int = 2) -> str:
         FROM asg a SEMI JOIN probes p ON a.cid = p.cid
         CROSS JOIN q
         ORDER BY sim DESC, a.vec_id LIMIT {k}
+    """
+
+
+def _sql_ivf_topk_served_batch(
+    k: int = 5, n_centroids: int = 16, n_probe: int = 2, n_queries: int = 3
+) -> str:
+    """Batch twin of _sql_ivf_topk: per-qid probe lists (row_number over
+    the centroid cross join) and a per-qid window top-k; same corpus /
+    seed-centroid / rounding contract as the single-query oracle."""
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id > 0),
+        cent AS (
+            SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT {n_centroids}),
+        q AS (
+            SELECT vec_id AS qid, embedding::DOUBLE[] AS q FROM embeddings
+            ORDER BY vec_id LIMIT {n_queries}),
+        asg AS (
+            SELECT vec_id, v, cid FROM (
+                SELECT e.vec_id, e.v, cent.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_sql_cosine('e.v', 'cent.c', 6)} DESC,
+                                    cent.cid ASC) AS rn
+                FROM e CROSS JOIN cent) x
+            WHERE rn = 1),
+        probes AS (
+            SELECT qid, cid FROM (
+                SELECT q.qid, cent.cid,
+                       row_number() OVER (
+                           PARTITION BY q.qid
+                           ORDER BY {_sql_cosine('cent.c', 'q.q', 6)} DESC,
+                                    cent.cid ASC) AS rn
+                FROM cent CROSS JOIN q) y
+            WHERE rn <= {n_probe})
+        SELECT qid, vec_id, sim FROM (
+            SELECT p.qid, a.vec_id, {_sql_cosine('a.v', 'q.q')} AS sim,
+                   row_number() OVER (
+                       PARTITION BY p.qid
+                       ORDER BY {_sql_cosine('a.v', 'q.q')} DESC,
+                                a.vec_id) AS rn
+            FROM asg a JOIN probes p ON a.cid = p.cid
+            JOIN q ON q.qid = p.qid) t
+        WHERE rn <= {k}
     """
 
 
@@ -2061,6 +2169,7 @@ def oracle_sql() -> dict[str, str]:
         # identical semantics (same seed centroids, probes, re-rank) —
         # the served variant differs only in WHERE the lists live
         "ivf_ann_topk_served": _sql_ivf_topk(),
+        "ivf_ann_topk_served_batch": _sql_ivf_topk_served_batch(),
         "ivf_train": _sql_ivf_train(),
         "ivf_ann_topk_trained": _sql_ivf_topk_trained(),
         "cosine_near_dup": _sql_cosine_near_dup(),

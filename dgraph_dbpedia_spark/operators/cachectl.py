@@ -53,9 +53,28 @@ def release_local_checkpoint(df: DataFrame) -> bool:
     simultaneously. Only call once NOTHING will read ``df`` again: the
     blocks ARE the data (local checkpoints have no lineage to recompute
     from). Returns False if the internal accessor is unavailable (the
-    blocks then fall back to GC-based ContextCleaner release)."""
+    blocks then fall back to GC-based ContextCleaner release) — call
+    sites may keep ignoring the return value, but the first fallback is
+    logged loudly so a Spark upgrade that breaks the py4j path surfaces
+    in any run's output, not only via the pytest that pins block
+    release (ADVICE r8)."""
+    global _warned_release_fallback
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
         return True
     except Exception:
+        if not _warned_release_fallback:
+            _warned_release_fallback = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "release_local_checkpoint: internal RDD accessor "
+                "unavailable on this Spark build — checkpoint blocks "
+                "now fall back to GC-based ContextCleaner release "
+                "(iterative operators may hold more storage than the "
+                "deterministic-release design intends)"
+            )
         return False
+
+
+_warned_release_fallback = False

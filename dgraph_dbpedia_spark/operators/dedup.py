@@ -869,10 +869,17 @@ def decontaminate(
     comparison, no corpus self-join; the corpus is scanned once and the
     shuffle carries (id, shingle-hash) pairs only.
     """
+    from dgraph_dbpedia_spark.operators.cachectl import (
+        persisted_frames,
+        tag_persisted,
+    )
+
     flagged = contaminated_ids(
         docs, benchmark, w, text_col, id_col, bench_text_col, fast
     )
-    return docs.join(flagged, id_col, "left_anti")
+    out = docs.join(flagged, id_col, "left_anti")
+    # propagate the benchmark hash-set persist handle to OUR caller
+    return tag_persisted(out, *persisted_frames(flagged))
 
 
 def contaminated_ids(
@@ -883,10 +890,25 @@ def contaminated_ids(
     id_col: str = "doc_id",
     bench_text_col: str = "text",
     fast: bool = False,
+    bench_broadcast_cap: int | None = 20_000_000,
 ) -> DataFrame:
     """Ids of documents sharing >=1 ``w``-token shingle with the
     benchmark set (see :func:`decontaminate`). Output: ``(doc_id,)``
-    distinct."""
+    distinct.
+
+    The eval set's distinct shingle hashes should broadcast (benchmarks
+    are small by construction, and the hint keeps the exploded corpus
+    from ever shuffling on ``h``) — but an unexpectedly large benchmark
+    must degrade to a shuffle join, not a driver/executor OOM from a
+    forced broadcast. ``bench_broadcast_cap`` is that gate: the hash set
+    is persisted and counted (a job over the SMALL side only), and the
+    hint applies only at or below the cap (default 2e7 hashes ~ 160 MB
+    of int64s). ``None`` skips the count and always broadcasts (the
+    pre-r9 behavior, for callers that know their eval set). The result
+    carries the persisted hash-set handle — release with
+    :func:`..cachectl.release` after materializing."""
+    from dgraph_dbpedia_spark.operators.cachectl import tag_persisted
+
     bench_sh = (
         _hashed_shingled(
             benchmark.select(F.lit(0).alias("__bid"), F.col(bench_text_col)),
@@ -895,15 +917,19 @@ def contaminated_ids(
         .select(F.explode("sh").alias("h"))
         .distinct()
     )
+    persisted: list[DataFrame] = []
+    if bench_broadcast_cap is None:
+        right = F.broadcast(bench_sh)
+    else:
+        bench_sh = bench_sh.persist()
+        persisted.append(bench_sh)
+        right = (
+            F.broadcast(bench_sh)
+            if bench_sh.count() <= bench_broadcast_cap
+            else bench_sh
+        )
     corpus_sh = _hashed_shingled(docs, text_col, id_col, w, fast=fast).select(
         F.col(id_col), F.explode("sh").alias("h")
     )
-    # explicit broadcast: the eval set's distinct shingle hashes are
-    # bounded (benchmarks are small by construction), so the semi-join
-    # must never shuffle the exploded corpus on h — without the hint
-    # that decision is left to AQE's estimate of a post-aggregate size
-    return (
-        corpus_sh.join(F.broadcast(bench_sh), "h", "left_semi")
-        .select(id_col)
-        .distinct()
-    )
+    out = corpus_sh.join(right, "h", "left_semi").select(id_col).distinct()
+    return tag_persisted(out, *persisted)

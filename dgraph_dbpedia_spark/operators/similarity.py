@@ -664,6 +664,90 @@ def ivf_topk_served(
     return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
 
 
+def ivf_topk_served_many(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    qid_col: str = "qid",
+    query_col: str = "q",
+    n_probe: int = 2,
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """Batch probe of a MATERIALIZED IVF index: N query vectors against
+    :func:`ivf_assign` output written partitioned/bucketed by ``cid``.
+    Returns ``(qid, id, sim)`` with <= k rows per query — the served
+    twin of :func:`lsh_bucketed_topk_many`, and the production shape
+    :func:`ivf_topk_served` deliberately refuses (it raises on a
+    multi-row query frame).
+
+    Plan shape: every query scores against the broadcast centroid fold
+    (one 1-row-per-query projection, no corpus access); the UNION of
+    all probe cids is collected — a BOUNDED driver read of at most
+    ``|queries| * n_probe`` ints (the X6 pattern, never vector data) —
+    and becomes ONE literal ``cid IN (...)`` predicate, so the single
+    scan of the index partition-prunes to the union of probed lists.
+    The (qid, cid) probe pairs then equi-join the pruned lists
+    (broadcast — the query side is bounded by construction), each query
+    scoring exactly its own probed lists, and a per-qid window keeps
+    the top k. Each corpus vector lives in exactly one list and the
+    probe cids per query are distinct, so no candidate is scored twice
+    and no distinct pass is needed.
+
+    ``max_queries`` bounds the driver-side probe collect: a query frame
+    larger than that raises loudly instead of degrading into an
+    unbounded collect (split the batch, or fall back to scan-side
+    assignment via :func:`ivf_topk` per shard)."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(qid_col),
+        F.col(query_col).cast("array<double>").alias("q"),
+    )
+    probes = F.transform(
+        F.slice(_nearest_sorted(F.col("q"), _norm("q")), 1, n_probe),
+        lambda s: s["cid"],
+    )
+    qp = q.crossJoin(F.broadcast(_centroid_row(centroids))).select(
+        F.col(qid_col), F.col("q"), probes.alias("_probes")
+    )
+    # bounded collect (X6): qids + probe cids only, capped by max_queries
+    probe_rows = qp.select(qid_col, "_probes").limit(max_queries + 1).collect()
+    if len(probe_rows) > max_queries:
+        raise ValueError(
+            f"ivf_topk_served_many got more than max_queries={max_queries} "
+            "query vectors — the per-query probe collect is bounded by "
+            "contract; split the batch or raise max_queries explicitly"
+        )
+    union_cids = sorted({c for r in probe_rows for c in r["_probes"]})
+    if not union_cids:
+        return assigned.where(F.lit(False)).crossJoin(
+            qp.select(qid_col).where(F.lit(False))
+        ).select(
+            F.col(qid_col), F.col(id_col), F.lit(None).cast("double").alias("sim")
+        )
+    pq = qp.select(F.col(qid_col), F.col("q"), F.explode("_probes").alias("cid"))
+    scored = (
+        # literal IN: partition/bucket PRUNE at the scan (plan-asserted
+        # by pytest), then the bounded (qid, cid, q) frame broadcasts
+        assigned.where(F.col("cid").isin(union_cids))
+        .join(F.broadcast(pq), "cid")
+        .select(
+            F.col(qid_col),
+            F.col(id_col),
+            F.round(cosine(vec_col, "q"), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(qid_col, id_col, "sim")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

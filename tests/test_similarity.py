@@ -478,3 +478,150 @@ def test_sessionize_stream_honors_gap(spark, tmp_path):
     assert (1, 2) in got or (0, 2) in got  # first closed session has 2 events
     want_counts = sorted(r["n_events"] for r in want_all)
     assert want_counts == [1, 2, 2]
+
+
+def test_ivf_served_many_partition_prunes_and_matches_single(spark, vectors, tmp_path):
+    """Batch serve path (r9): N queries against one materialized index.
+    The single scan must partition-prune to the UNION of probed cids
+    (literal cid IN (...) visible as a PartitionFilter), and each qid's
+    rows must equal the single-query ivf_topk_served result for the
+    same query vector."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk_served,
+        ivf_topk_served_many,
+    )
+
+    e = vectors.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    cent = (
+        e.orderBy("vec_id")
+        .limit(2)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("c"))
+    )
+    root = str(tmp_path / "ivf")
+    cent.write.parquet(f"{root}/centroids")
+    ivf_assign(e, cent).write.partitionBy("cid").parquet(f"{root}/assigned")
+    assigned = spark.read.parquet(f"{root}/assigned")
+    centroids = spark.read.parquet(f"{root}/centroids")
+    qs = vectors.where(F.col("vec_id").isin([0, 2])).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q")
+    )
+    out = ivf_topk_served_many(assigned, centroids, qs, k=3, n_probe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "PartitionFilters: [" in plan
+        and "cid" in plan.split("PartitionFilters:")[1][:120]
+    )
+    got = {
+        qid: [(r["vec_id"], r["sim"]) for r in rows]
+        for qid, rows in (
+            (qid, sorted(
+                (r for r in out.collect() if r["qid"] == qid),
+                key=lambda r: (-r["sim"], r["vec_id"]),
+            ))
+            for qid in (0, 2)
+        )
+    }
+    for qid in (0, 2):
+        q1 = vectors.where(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("q")
+        )
+        want = [
+            (r["vec_id"], r["sim"])
+            for r in ivf_topk_served(assigned, centroids, q1, k=3, n_probe=1).collect()
+        ]
+        assert got[qid] == want, qid
+
+
+def test_ivf_served_many_bounded_collect_guard(spark, vectors, tmp_path):
+    """The per-query probe collect is bounded by contract: a query frame
+    larger than max_queries raises instead of silently collecting an
+    unbounded driver list."""
+    import pytest as _pytest
+
+    from dgraph_dbpedia_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk_served_many,
+    )
+
+    e = vectors.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    cent = e.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("c")
+    )
+    assigned = ivf_assign(e, cent)
+    qs = vectors.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("q"))
+    with _pytest.raises(ValueError, match="max_queries"):
+        ivf_topk_served_many(assigned, cent, qs, k=2, n_probe=1, max_queries=2)
+
+
+def test_ivf_served_many_empty_centroids_empty_result(spark, vectors):
+    """Empty centroid frame -> empty (qid, id, sim) result, matching the
+    single-query serve path's no-crash contract."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk_served_many,
+    )
+
+    e = vectors.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    empty_cent = e.where(F.lit(False)).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("c")
+    )
+    assigned = ivf_assign(e, empty_cent)
+    qs = vectors.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q")
+    )
+    out = ivf_topk_served_many(assigned, empty_cent, qs, k=2, n_probe=1)
+    assert out.columns == ["qid", "vec_id", "sim"]
+    assert out.count() == 0
+
+
+def test_ivf_trained_recall_beats_seed(spark):
+    """Lloyd-trained centroids must RAISE recall over the lowest-id seed
+    centroids at the same n_probe — the claim ivf_train's docstring
+    makes, pinned on the planted-neighbor fixture (50 cluster centers x
+    10 noisy copies, the regime IVF exists for; the seeds are the 16
+    lowest ids = copies of just 2 clusters, so probing 2 of 16 seed
+    lists misses most clusters). Measured: seed 0.783, trained 0.950
+    mean recall@10 at n_probe=2 — floor pinned at 0.9 with trained >=
+    seed (training is deterministic: fixed data, rounded components)."""
+    import numpy as np
+
+    from dgraph_dbpedia_spark.operators.similarity import (
+        cosine_topk,
+        ivf_seed_centroids,
+        ivf_topk,
+        ivf_train,
+    )
+
+    rng = np.random.default_rng(7)
+    bases = rng.normal(size=(50, 64))
+    x = np.repeat(bases, 10, axis=0) + 0.15 * rng.normal(size=(500, 64))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    e = df.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    seed = ivf_seed_centroids(e, 16).localCheckpoint()
+    trained = ivf_train(df, n_centroids=16, n_iter=2).localCheckpoint()
+    recall_seed, recall_trained = [], []
+    for qi in (0, 87, 174, 261, 348, 435):
+        q = df.where(F.col("vec_id") == qi).select(F.col("embedding").alias("q"))
+        corpus = df.where(F.col("vec_id") != qi)
+        exact = {r[0] for r in cosine_topk(corpus, q, k=10).collect()}
+        s = {
+            r[0]
+            for r in ivf_topk(corpus, q, k=10, n_probe=2, centroids=seed).collect()
+        }
+        t = {
+            r[0]
+            for r in ivf_topk(
+                corpus, q, k=10, n_probe=2, centroids=trained
+            ).collect()
+        }
+        recall_seed.append(len(exact & s) / 10)
+        recall_trained.append(len(exact & t) / 10)
+    df.unpersist()
+    mean_seed = sum(recall_seed) / len(recall_seed)
+    mean_trained = sum(recall_trained) / len(recall_trained)
+    assert mean_trained >= 0.9, recall_trained
+    assert mean_trained >= mean_seed, (recall_trained, recall_seed)

@@ -16,6 +16,29 @@ from dgraph_dbpedia_spark.streaming.events import (
 )
 
 
+@pytest.fixture(autouse=True)
+def _isolate_streams(spark):
+    """Order-independence guard (ADVICE r8): one shared SparkSession
+    runs every module, and a memory-sink temp view plus any
+    still-active stream from one test can interfere with the next
+    (observed as a rare sessionize flake when run after the similarity
+    suite). Stop every active stream and drop the memory-sink views a
+    test registered before the next test starts."""
+    before = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+    yield
+    for q in spark.streams.active:
+        try:
+            q.stop()
+        except Exception:
+            pass
+    for t in spark.catalog.listTables():
+        if t.isTemporary and t.name not in before:
+            try:
+                spark.catalog.dropTempView(t.name)
+            except Exception:
+                pass
+
+
 @pytest.fixture(scope="module")
 def events_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("events_stream")
