@@ -537,8 +537,14 @@ def dedup_clusters(
     checkpoint-every-8 scheme — the materialization job it saved was
     cheaper than the growing join-tree re-planning it paid.
     ``checkpoint_every > 1`` restores the persist scheme (checkpoint
-    every N rounds; 0 = only at exit) for inputs where
-    double-materializing a round's labels is too expensive.
+    every N rounds; 0 = only at exit) — kept only as an escape hatch.
+    The r8 hypothesis that it wins for labels too large to
+    double-materialize was REFUTED by the r9 scale A/B
+    (BENCH_SCALE.md): on a diameter-9 chain graph the persist scheme
+    re-plans a join tree that grows with every un-truncated round
+    (~20x slower at 100k nodes: 99-110 s vs 5-13 s eager), while the
+    eager scheme handled 2M nodes in ~11 s. Lineage growth — not frame
+    size — is the dominant cost at every measured scale.
     """
     # undirected: propagate labels both ways along every pair
     edges = (
@@ -767,9 +773,16 @@ def dedup_clusters_star(
     # cadence (4/8/never) — the persist scheme LOST because each
     # un-truncated round re-plans a growing join tree, and that
     # planning cost exceeds the extra materialization of the small
-    # contracted edge set. checkpoint_every>1 keeps the persist scheme
-    # (checkpoint every N rounds; 0 = only at exit) for graphs where a
-    # round's edge set is too large to double-materialize.
+    # contracted edge set. The r8 hypothesis that the trade reverses
+    # for frames too large to double-materialize was REFUTED at scale
+    # (BENCH_SCALE.md r9): each star round references the edge frame
+    # several times, so the un-truncated logical tree grows
+    # EXPONENTIALLY in rounds-since-checkpoint — on a diameter-9 chain
+    # graph the persist scheme failed to finish 10k nodes in 9 min
+    # while eager did 2M nodes in ~11 s. checkpoint_every>1 (persist
+    # every N rounds; 0 = only at exit) remains only as an
+    # escape hatch for few-round regimes; never use it on graphs that
+    # need more than ~4 rounds.
     for i in range(max_iter):
         contracted = canon(small_star(large_star(edges)))
         if checkpoint_every == 1:
