@@ -858,13 +858,24 @@ def _ivf_index_root(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"sparkgraft-ivf-index-{key}")
 
 
-def _build_ivf_index_atomic(spark: SparkSession, e, root: str) -> None:
+def _ivf_index_complete(root: str) -> bool:
+    import os
+
+    return all(
+        os.path.isfile(os.path.join(root, part, "_SUCCESS"))
+        for part in ("centroids", "assigned")
+    )
+
+
+def _build_ivf_index_atomic(e, root: str) -> None:
     """Build the served index into a process-private temp dir and
     os.rename it into place: concurrent builders each complete a whole
-    index and the rename is last-wins-atomic, so a reader can never see
-    a half-written or interleaved index (ADVICE r8). Loser directories
-    are cleaned up; a builder that loses the race just uses the
-    winner's index."""
+    index and the rename is atomic, so a reader can never see a
+    half-written or interleaved index (ADVICE r8). A failed rename is
+    only treated as "another builder won" if the target is actually
+    COMPLETE — a stale partial root (e.g. a /tmp reaper ate part of an
+    aged index) is removed and the rename retried, so incomplete state
+    self-heals instead of being read forever."""
     import os
     import shutil
     import tempfile
@@ -883,11 +894,21 @@ def _build_ivf_index_atomic(spark: SparkSession, e, root: str) -> None:
         ivf_assign(e, cent, id_col="vec_id", vec_col="e").write.mode(
             "overwrite"
         ).partitionBy("cid").parquet(f"{staging}/assigned")
-        try:
-            os.rename(staging, root)
-        except OSError:
-            # another builder won the rename race — use theirs
-            shutil.rmtree(staging, ignore_errors=True)
+        for _ in range(2):
+            try:
+                os.rename(staging, root)
+                return
+            except OSError:
+                if _ivf_index_complete(root):
+                    # a concurrent builder won with a whole index
+                    shutil.rmtree(staging, ignore_errors=True)
+                    return
+                # stale/partial target: clear it and retry the rename
+                shutil.rmtree(root, ignore_errors=True)
+        raise RuntimeError(
+            f"could not install IVF index at {root}: target neither "
+            "renameable nor complete after retry"
+        )
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
@@ -914,19 +935,13 @@ def _q_ivf_ann_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _served_ivf_index(spark: SparkSession, sf_dir: str):
     """(assigned, centroids) frames of the materialized served-IVF
     index for ``sf_dir``, building it atomically on first use."""
-    import os
-
     emb = _t(spark, sf_dir, "embeddings")
     e = emb.where(F.col("vec_id") > 0).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     root = _ivf_index_root(sf_dir)
-    complete = all(
-        os.path.isfile(os.path.join(root, part, "_SUCCESS"))
-        for part in ("centroids", "assigned")
-    )
-    if not complete:
-        _build_ivf_index_atomic(spark, e, root)
+    if not _ivf_index_complete(root):
+        _build_ivf_index_atomic(e, root)
     return spark.read.parquet(f"{root}/assigned"), spark.read.parquet(
         f"{root}/centroids"
     )
@@ -1261,12 +1276,11 @@ _SQL_TOKS_LOWER = (
 )
 
 
-def _sql_shingles(toks: str, w: int) -> str:
-    return (
-        f"list_distinct(list_transform("
-        f"range(1, greatest(len({toks}) - {w - 1}, 1) + 1), "
-        f"i -> array_to_string(list_slice({toks}, i, i + {w - 1}), ' ')))"
-    )
+# single definition of the string-shingle oracle form (hash-agnostic
+# oracles join on shingle equality, so string == 60-bit-hash semantics)
+from dgraph_dbpedia_spark.functions.hashing import (  # noqa: E402
+    shingles_sql as _sql_shingles,
+)
 
 
 def _sql_minhash_base(w: int, k: int) -> str:

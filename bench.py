@@ -101,15 +101,17 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # pre-build the served-IVF index (a one-time, reused-on-disk build):
-    # the build runs eagerly during query CONSTRUCTION, so invoking the
-    # callable here keeps the two corpus-write jobs out of the timed
-    # pass — the recorded number is the partition-pruned probe the
-    # query name advertises
-    qs = entry_mod.queries()
-    if "ivf_ann_topk_served" in qs:
-        qs["ivf_ann_topk_served"](spark, sf_dir)
+    # pre-build the served-IVF index (a one-time, reused-on-disk build)
+    # so every serve-path query times the partition-pruned probe, not
+    # the two corpus-write build jobs. Calls the index mechanism
+    # directly — NOT a query name — so the warm-up survives any future
+    # rotation of the serve-path queries out of the registry
+    try:
+        entry_mod._served_ivf_index(spark, sf_dir)
+    except Exception:
+        pass  # no embeddings table at this sf_dir: nothing to pre-build
 
+    qs = entry_mod.queries()
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         start = time.perf_counter()

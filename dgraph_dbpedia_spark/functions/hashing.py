@@ -59,22 +59,13 @@ def tokens_sql(expr: str) -> str:
     return f"list_filter(regexp_split_to_array(trim({expr}), '\\s+'), t -> t != '')"
 
 
-def shingles(toks: Column, w: int) -> Column:
-    """w-token shingles, distinct, as strings joined by a single space.
-
-    Documents shorter than ``w`` tokens produce one shingle of all their
-    tokens (so they still participate in dedup).
-    """
-    n = F.greatest(F.size(toks) - (w - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, w)),
-        )
-    )
-
-
 def shingles_sql(toks_expr: str, w: int) -> str:
+    """DuckDB string shingles (w tokens joined by a space, distinct;
+    docs shorter than ``w`` produce one whole-text shingle). Spark-side
+    shingling is hash-native (:func:`rolling_shingle_hashes` below) —
+    this string form survives for the hash-AGNOSTIC oracles
+    (ngram-Jaccard, decontamination), which join on shingle equality,
+    where string equality and 60-bit-hash equality coincide."""
     return (
         f"list_distinct(list_transform("
         f"range(1, greatest(len({toks_expr}) - {w - 1}, 1) + 1), "
@@ -116,7 +107,7 @@ def token_hashes(toks: Column, fast: bool = False) -> Column:
 
 def rolling_shingle_hashes(toks_h: Column, w: int) -> Column:
     """Distinct w-token shingle hashes from per-token hashes, via the
-    rotate-xor fold. Mirrors :func:`shingles` semantics: documents
+    rotate-xor fold. Mirrors :func:`shingles_sql` semantics: documents
     shorter than ``w`` tokens produce one shingle of all their tokens;
     an empty document folds to the single hash 0 (the SQL twin's
     empty-list CASE matches)."""
@@ -134,11 +125,10 @@ def rolling_shingle_hashes(toks_h: Column, w: int) -> Column:
 
 
 def token_hashes_sql(toks_expr: str) -> str:
-    """DuckDB twin of :func:`token_hashes` (md5 path)."""
-    return (
-        f"list_transform({toks_expr}, "
-        f"t -> ('0x' || substring(md5(t), 1, 15))::BIGINT & {MASK60})"
-    )
+    """DuckDB twin of :func:`token_hashes` (md5 path). Built on
+    :func:`hash64_sql` so the digest recipe has exactly one
+    definition per engine."""
+    return f"list_transform({toks_expr}, t -> {hash64_sql('t')} & {MASK60})"
 
 
 def rolling_shingle_hashes_sql(toks_h_expr: str, w: int) -> str:

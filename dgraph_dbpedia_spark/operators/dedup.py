@@ -882,17 +882,10 @@ def decontaminate(
     comparison, no corpus self-join; the corpus is scanned once and the
     shuffle carries (id, shingle-hash) pairs only.
     """
-    from dgraph_dbpedia_spark.operators.cachectl import (
-        persisted_frames,
-        tag_persisted,
-    )
-
     flagged = contaminated_ids(
         docs, benchmark, w, text_col, id_col, bench_text_col, fast
     )
-    out = docs.join(flagged, id_col, "left_anti")
-    # propagate the benchmark hash-set persist handle to OUR caller
-    return tag_persisted(out, *persisted_frames(flagged))
+    return docs.join(flagged, id_col, "left_anti")
 
 
 def contaminated_ids(
@@ -913,15 +906,17 @@ def contaminated_ids(
     are small by construction, and the hint keeps the exploded corpus
     from ever shuffling on ``h``) — but an unexpectedly large benchmark
     must degrade to a shuffle join, not a driver/executor OOM from a
-    forced broadcast. ``bench_broadcast_cap`` is that gate: the hash set
-    is persisted and counted (a job over the SMALL side only), and the
-    hint applies only at or below the cap (default 2e7 hashes ~ 160 MB
-    of int64s). ``None`` skips the count and always broadcasts (the
-    pre-r9 behavior, for callers that know their eval set). The result
-    carries the persisted hash-set handle — release with
-    :func:`..cachectl.release` after materializing."""
-    from dgraph_dbpedia_spark.operators.cachectl import tag_persisted
-
+    forced broadcast. ``bench_broadcast_cap`` is that gate: the hash
+    set is counted up front (an eager job over the SMALL side only —
+    the one place this function touches the cluster at construction
+    time), and the hint applies only at or below the cap (default 2e7
+    hashes ~ 160 MB of int64s). The gated path computes the benchmark
+    shingle set twice (once for the count, once inside the join) —
+    deliberately NOT persisted: the recompute is bounded by the eval
+    set's size while a persist handle that every caller must remember
+    to release is a leak in a shared session. ``None`` skips the count
+    and always broadcasts (the pre-r9 behavior, zero eager work, for
+    callers that know their eval set)."""
     bench_sh = (
         _hashed_shingled(
             benchmark.select(F.lit(0).alias("__bid"), F.col(bench_text_col)),
@@ -930,19 +925,11 @@ def contaminated_ids(
         .select(F.explode("sh").alias("h"))
         .distinct()
     )
-    persisted: list[DataFrame] = []
-    if bench_broadcast_cap is None:
+    if bench_broadcast_cap is None or bench_sh.count() <= bench_broadcast_cap:
         right = F.broadcast(bench_sh)
     else:
-        bench_sh = bench_sh.persist()
-        persisted.append(bench_sh)
-        right = (
-            F.broadcast(bench_sh)
-            if bench_sh.count() <= bench_broadcast_cap
-            else bench_sh
-        )
+        right = bench_sh
     corpus_sh = _hashed_shingled(docs, text_col, id_col, w, fast=fast).select(
         F.col(id_col), F.explode("sh").alias("h")
     )
-    out = corpus_sh.join(right, "h", "left_semi").select(id_col).distinct()
-    return tag_persisted(out, *persisted)
+    return corpus_sh.join(right, "h", "left_semi").select(id_col).distinct()

@@ -710,11 +710,22 @@ def ivf_topk_served_many(
         F.slice(_nearest_sorted(F.col("q"), _norm("q")), 1, n_probe),
         lambda s: s["cid"],
     )
-    qp = q.crossJoin(F.broadcast(_centroid_row(centroids))).select(
-        F.col(qid_col), F.col("q"), probes.alias("_probes")
+    # localCheckpoint BEFORE deriving both consumers: the probe collect
+    # below and the (qid, cid, q) join frame in the returned plan must
+    # see the SAME materialization — a non-deterministic query source
+    # (sample, limit without order) re-executed per consumer could
+    # otherwise probe cids absent from the collected union, silently
+    # dropping those queries' candidates. The checkpoint is bounded by
+    # the max_queries cap applied first; its blocks are GC-released by
+    # the ContextCleaner once the result frame is dropped.
+    qp = (
+        q.crossJoin(F.broadcast(_centroid_row(centroids)))
+        .select(F.col(qid_col), F.col("q"), probes.alias("_probes"))
+        .limit(max_queries + 1)
+        .localCheckpoint()
     )
     # bounded collect (X6): qids + probe cids only, capped by max_queries
-    probe_rows = qp.select(qid_col, "_probes").limit(max_queries + 1).collect()
+    probe_rows = qp.select(qid_col, "_probes").collect()
     if len(probe_rows) > max_queries:
         raise ValueError(
             f"ivf_topk_served_many got more than max_queries={max_queries} "
