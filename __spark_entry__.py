@@ -622,6 +622,19 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb.where(F.col("vec_id") > 0), query, k=5)
 
 
+def _q_quantized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantized brute-force cosine top-k (r9): per-dim
+    max-abs scales calibrated on the corpus, corpus + query quantized to
+    array<tinyint> (1 byte/dim — the 4-8x scan-IO cut at 100 TB),
+    integer-dot cosine, TakeOrdered. floor-based quantization makes
+    every quantized value bit-replayable in the DuckDB oracle."""
+    from dgraph_dbpedia_spark.operators.similarity import quantized_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("q"))
+    return quantized_cosine_topk(emb.where(F.col("vec_id") > 0), query, k=5)
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dgraph_dbpedia_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1163,6 +1176,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the rolling-shingle-hash family (shared _hashed_shingled), the
     # batch serve-path probe, and the rekeyed served index
     "ivf_ann_topk_served_batch": _q_ivf_ann_topk_served_batch,
+    "quantized_ann_topk": _q_quantized_ann_topk,
     "ivf_ann_topk_served": _q_ivf_ann_topk_served,
     "decontaminate": _q_decontaminate,
     "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -1544,6 +1558,49 @@ def _sql_ivf_topk_served_batch(
             FROM asg a JOIN probes p ON a.cid = p.cid
             JOIN q ON q.qid = p.qid) t
         WHERE rn <= {k}
+    """
+
+
+def _sql_quantized_topk(k: int = 5) -> str:
+    """Replays quantized_cosine_topk exactly: per-dim max-abs scales on
+    the corpus (vec_id > 0), floor-based int8 quantization clamped to
+    [-127, 127] for corpus AND query, integer-dot cosine rounded 4."""
+    q8 = (
+        "greatest(least(floor({v}[i] / st.scales[i] * 127 + 0.5), 127), -127)"
+        "::BIGINT"
+    )
+
+    def quant(v):
+        return (
+            f"list_transform(range(1, len({v}) + 1), i -> {q8.format(v=v)})"
+        )
+
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id > 0),
+        pe AS (
+            SELECT pos, max(abs(x)) AS m
+            FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos
+                  FROM e)
+            GROUP BY pos),
+        st AS (
+            SELECT list_transform(list(m ORDER BY pos),
+                                  x -> greatest(x, 1e-12)) AS scales
+            FROM pe),
+        qv AS (
+            SELECT embedding::DOUBLE[] AS v FROM embeddings
+            ORDER BY vec_id LIMIT 1),
+        qq AS (SELECT {quant('v')} AS qq FROM qv CROSS JOIN st),
+        c AS (
+            SELECT vec_id, {quant('v')} AS qe
+            FROM e CROSS JOIN st)
+        SELECT vec_id,
+               round(list_dot_product(qe, qq) /
+                     (sqrt(list_dot_product(qe, qe)) *
+                      sqrt(list_dot_product(qq, qq))), 4) AS sim
+        FROM c CROSS JOIN qq
+        ORDER BY sim DESC, vec_id LIMIT {k}
     """
 
 
@@ -2184,6 +2241,7 @@ def oracle_sql() -> dict[str, str]:
         # the served variant differs only in WHERE the lists live
         "ivf_ann_topk_served": _sql_ivf_topk(),
         "ivf_ann_topk_served_batch": _sql_ivf_topk_served_batch(),
+        "quantized_ann_topk": _sql_quantized_topk(),
         "ivf_train": _sql_ivf_train(),
         "ivf_ann_topk_trained": _sql_ivf_topk_trained(),
         "cosine_near_dup": _sql_cosine_near_dup(),
