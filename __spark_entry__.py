@@ -622,6 +622,18 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb.where(F.col("vec_id") > 0), query, k=5)
 
 
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-corpus paragraph dedup (r9): first occurrence of
+    every repeated paragraph survives (min (doc_id, pos) via a
+    partially-aggregable struct-min — skew-safe on boilerplate), docs
+    reassembled in order. The synthetic corpus has no newlines, so the
+    frequent token ' a ' serves as the paragraph separator — same
+    left-to-right non-overlapping split semantics in both engines."""
+    from dgraph_dbpedia_spark.operators.dedup import paragraph_dedup
+
+    return paragraph_dedup(_t(spark, sf_dir, "documents"), sep=" a ")
+
+
 def _q_quantized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar-quantized brute-force cosine top-k (r9): per-dim
     max-abs scales calibrated on the corpus, corpus + query quantized to
@@ -1177,6 +1189,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # batch serve-path probe, and the rekeyed served index
     "ivf_ann_topk_served_batch": _q_ivf_ann_topk_served_batch,
     "quantized_ann_topk": _q_quantized_ann_topk,
+    "paragraph_dedup": _q_paragraph_dedup,
     "ivf_ann_topk_served": _q_ivf_ann_topk_served,
     "decontaminate": _q_decontaminate,
     "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -2242,6 +2255,25 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_topk_served": _sql_ivf_topk(),
         "ivf_ann_topk_served_batch": _sql_ivf_topk_served_batch(),
         "quantized_ann_topk": _sql_quantized_topk(),
+        "paragraph_dedup": """
+            WITH p0 AS (
+                SELECT doc_id, string_split(text, ' a ') AS ps FROM documents),
+            p AS (
+                SELECT doc_id, unnest(ps) AS para,
+                       generate_subscripts(ps, 1) AS pos
+                FROM p0),
+            f AS (SELECT doc_id, pos, para FROM p WHERE trim(para) <> ''),
+            sel AS (
+                SELECT doc_id, pos, para,
+                       row_number() OVER (
+                           PARTITION BY para ORDER BY doc_id, pos) AS rn
+                FROM f),
+            agg AS (
+                SELECT doc_id, string_agg(para, ' a ' ORDER BY pos) AS text
+                FROM sel WHERE rn = 1 GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(a.text, '') AS text
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
         "ivf_train": _sql_ivf_train(),
         "ivf_ann_topk_trained": _sql_ivf_topk_trained(),
         "cosine_near_dup": _sql_cosine_near_dup(),

@@ -859,6 +859,80 @@ def dedup_clusters_star(
     )
 
 
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    sep_regex: str | None = None,
+) -> DataFrame:
+    """Cross-corpus paragraph-level exact dedup (the C4-style rule):
+    every repeated paragraph keeps only its FIRST occurrence — lowest
+    ``(doc_id, position)`` corpus-wide — and each document is
+    reassembled from its surviving paragraphs in original order
+    (``sep``-joined; a document whose every paragraph was seen earlier
+    comes back as the empty string, not a dropped row). Returns
+    ``(id, text)`` for ALL input documents.
+
+    Boilerplate paragraphs (headers, footers, license blocks) are the
+    canonical target: document-level dedup never fires on documents
+    that differ only outside the boilerplate, paragraph-level removes
+    exactly the repeats.
+
+    ``sep_regex`` overrides the split pattern when the display
+    separator differs from the split rule (defaults to the literal
+    ``sep``). Whitespace-only paragraphs are dropped outright (they
+    carry no content and would otherwise all collapse onto the corpus's
+    first blank).
+
+    Scale shape: first-occurrence selection is ``min(struct(id, pos))``
+    grouped by paragraph fingerprint — partially aggregable, so a
+    boilerplate paragraph repeated in millions of documents combines
+    map-side instead of flooding one window partition (the row_number
+    formulation would hot-key exactly on the paragraphs this operator
+    exists to remove). Reassembly is one groupBy(id) of the surviving
+    paragraphs. Two shuffles total (fp, id), both on bounded keys; no
+    UDFs, no collect."""
+    paras = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep_regex or sep)).alias(
+                "pos", "para"
+            ),
+        )
+        .where(F.trim("para") != "")
+        .select(
+            F.col(id_col), "pos", "para", F.md5(F.col("para")).alias("fp")
+        )
+    )
+    firsts = paras.groupBy("fp").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first")
+    )
+    kept = paras.join(
+        firsts,
+        (paras["fp"] == firsts["fp"])
+        & (paras[id_col] == firsts["first"][id_col])
+        & (paras["pos"] == firsts["first"]["pos"]),
+        "left_semi",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+        )
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -367,3 +367,40 @@ def test_shingle_explode_no_refolded_filter(spark):
     for line in plan.splitlines():
         if line.strip().startswith(("Filter", "+- Filter", ":- Filter")) or "Filter (" in line:
             assert "aggregate(" not in line and "transform(" not in line, line
+
+
+def test_paragraph_dedup_first_occurrence_survives(spark):
+    """C4-style paragraph dedup: a boilerplate paragraph repeated
+    across docs survives only at its lowest (doc_id, pos); docs are
+    reassembled in original paragraph order; a doc whose every
+    paragraph was seen earlier returns as an empty string (the row is
+    kept); whitespace-only paragraphs are dropped outright."""
+    from dgraph_dbpedia_spark.operators.dedup import paragraph_dedup
+
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (1, f"unique alpha\n\n{boiler}\n\nunique beta"),
+        (2, f"{boiler}\n\nfresh content here"),   # loses the boilerplate
+        (3, boiler),                              # nothing left
+        (4, "   \n\nreal paragraph"),             # whitespace para dropped
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["text"] for r in paragraph_dedup(docs).collect()}
+    assert got == {
+        1: f"unique alpha\n\n{boiler}\n\nunique beta",
+        2: "fresh content here",
+        3: "",
+        4: "real paragraph",
+    }
+
+
+def test_paragraph_dedup_within_doc_repeat(spark):
+    """A paragraph repeated INSIDE one document also keeps only the
+    first occurrence (position-level rule, not doc-level)."""
+    from dgraph_dbpedia_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "x\n\ny\n\nx"), (2, "z")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["text"] for r in paragraph_dedup(docs).collect()}
+    assert got == {1: "x\n\ny", 2: "z"}
