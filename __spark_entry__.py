@@ -622,6 +622,15 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb.where(F.col("vec_id") > 0), query, k=5)
 
 
+def _q_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus 3-grams by document frequency (r9) — the
+    boilerplate-discovery probe; partial-aggregable count, TakeOrdered,
+    deterministic tie-break on the ngram string."""
+    from dgraph_dbpedia_spark.operators.textstats import frequent_ngrams
+
+    return frequent_ngrams(_t(spark, sf_dir, "documents"), n=3, k=20)
+
+
 def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style cross-corpus paragraph dedup (r9): first occurrence of
     every repeated paragraph survives (min (doc_id, pos) via a
@@ -1190,6 +1199,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_ann_topk_served_batch": _q_ivf_ann_topk_served_batch,
     "quantized_ann_topk": _q_quantized_ann_topk,
     "paragraph_dedup": _q_paragraph_dedup,
+    "frequent_ngrams": _q_frequent_ngrams,
     "ivf_ann_topk_served": _q_ivf_ann_topk_served,
     "decontaminate": _q_decontaminate,
     "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -2255,6 +2265,20 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_topk_served": _sql_ivf_topk(),
         "ivf_ann_topk_served_batch": _sql_ivf_topk_served_batch(),
         "quantized_ann_topk": _sql_quantized_topk(),
+        "frequent_ngrams": f"""
+            WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+            g AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(toks) - 2, 1) + 1),
+                           i -> array_to_string(
+                               list_slice(toks, i, i + 2), ' ')))) AS ngram
+                FROM t)
+            SELECT ngram, count(*) AS n_docs
+            FROM g WHERE ngram <> ''
+            GROUP BY ngram HAVING count(*) >= 2
+            ORDER BY n_docs DESC, ngram LIMIT 20
+        """,
         "paragraph_dedup": """
             WITH p0 AS (
                 SELECT doc_id, string_split(text, ' a ') AS ps FROM documents),

@@ -285,3 +285,54 @@ def fingerprint(
     )
     fp = F.array_min(F.transform(windows, lambda w: hash64(w)))
     return df.select(F.col(id_col), fp.alias("fp"))
+
+
+def frequent_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    distinct_per_doc: bool = True,
+    min_count: int = 2,
+) -> DataFrame:
+    """Top-k most frequent token n-grams across the corpus — the
+    boilerplate-discovery probe that feeds :func:`..dedup.paragraph_dedup`
+    / ``max_shingle_freq`` tuning. Returns ``(ngram, n_docs)`` ordered by
+    count desc (ties broken by ngram asc, so top-k is deterministic).
+
+    ``distinct_per_doc=True`` (default) counts DOCUMENT frequency (an
+    n-gram repeated inside one doc counts once — the boilerplate
+    signal); ``False`` counts raw occurrences.
+
+    Scale shape: explode n-grams -> groupBy count -> TakeOrdered. The
+    count is partially aggregable, so a stop-phrase present in every
+    document combines map-side instead of hot-keying the shuffle, and
+    ``min_count`` drops the long singleton tail before the final top-k
+    ordering. One shuffle, bounded by distinct-ngram cardinality; the
+    full distinct-ngram set is never collected or sorted globally
+    (TakeOrdered keeps k per partition)."""
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    n_sh = F.greatest(F.size("toks") - (n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+    )
+    if distinct_per_doc:
+        grams = F.array_distinct(grams)
+    # inline(array(struct)) barrier: exploding a non-foldable computed
+    # array trips InferFiltersFromGenerate into re-deriving the whole
+    # gram expression inside a pushed filter (the 15x trap measured on
+    # the shingle fold, BENCH_SCALE.md r9)
+    exploded = (
+        toks.select(F.inline(F.array(F.struct(grams.alias("grams")))))
+        .select(F.explode("grams").alias("ngram"))
+        .where(F.col("ngram") != "")
+    )
+    return (
+        exploded.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_count)
+        .orderBy(F.col("n_docs").desc(), F.col("ngram"))
+        .limit(k)
+    )

@@ -131,3 +131,51 @@ def test_bm25_batch_validates_input(spark):
         bm25_topk_batch(docs, {})
     with pytest.raises(ValueError):
         bm25_topk_batch(docs, {"q": []})
+
+
+def test_frequent_ngrams_doc_frequency_and_determinism(spark):
+    """Top-k n-grams: document frequency by default (in-doc repeats
+    count once), raw occurrences with distinct_per_doc=False,
+    min_count prunes singletons, and the (count desc, ngram asc)
+    tie-break makes the top-k deterministic."""
+    from dgraph_dbpedia_spark.operators.textstats import frequent_ngrams
+
+    boiler = "all rights reserved"
+    rows = [
+        (1, f"alpha beta gamma {boiler}"),
+        (2, f"delta epsilon zeta {boiler}"),
+        (3, f"{boiler} and {boiler}"),   # repeated in-doc: counts once
+        (4, "unique words only here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [(r["ngram"], r["n_docs"]) for r in frequent_ngrams(docs, n=3, k=5).collect()]
+    assert got[0] == (boiler, 3)
+    assert all(c >= 2 for _, c in got)
+    raw = {r["ngram"]: r["n_docs"] for r in
+           frequent_ngrams(docs, n=3, k=5, distinct_per_doc=False).collect()}
+    assert raw[boiler] == 4  # doc 3 contributes twice
+    # deterministic ordering within equal counts
+    counts = [c for _, c in got]
+    assert counts == sorted(counts, reverse=True)
+    grams_at = [g for g, c in got if c == 2]
+    assert grams_at == sorted(grams_at)
+
+
+def test_frequent_ngrams_no_refolded_filter(spark):
+    """The gram explode must sit behind the inline barrier — no Filter
+    in the optimized plan may contain the gram-building expression
+    (the InferFiltersFromGenerate trap, BENCH_SCALE.md r9)."""
+    from pyspark.sql import functions as F
+
+    from dgraph_dbpedia_spark.operators.textstats import frequent_ngrams
+
+    docs = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    plan = (
+        frequent_ngrams(docs, n=3, k=5)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "Filter" in line:
+            assert "transform(" not in line and "concat_ws" not in line, line
