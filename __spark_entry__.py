@@ -622,6 +622,15 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb.where(F.col("vec_id") > 0), query, k=5)
 
 
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule gate (r9): per-doc rule features + composite
+    keep over EVERY row (filtering is the caller's .where so rejections
+    stay auditable). Single native projection, no shuffle."""
+    from dgraph_dbpedia_spark.operators.textstats import gopher_quality_filter
+
+    return gopher_quality_filter(_t(spark, sf_dir, "documents"))
+
+
 def _q_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 corpus 3-grams by document frequency (r9) — the
     boilerplate-discovery probe; partial-aggregable count, TakeOrdered,
@@ -1200,6 +1209,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantized_ann_topk": _q_quantized_ann_topk,
     "paragraph_dedup": _q_paragraph_dedup,
     "frequent_ngrams": _q_frequent_ngrams,
+    "gopher_quality": _q_gopher_quality,
     "ivf_ann_topk_served": _q_ivf_ann_topk_served,
     "decontaminate": _q_decontaminate,
     "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -2265,6 +2275,28 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_topk_served": _sql_ivf_topk(),
         "ivf_ann_topk_served_batch": _sql_ivf_topk_served_batch(),
         "quantized_ann_topk": _sql_quantized_topk(),
+        "gopher_quality": f"""
+            WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+            f AS (
+                SELECT doc_id,
+                       len(toks) AS n_words,
+                       round(coalesce(list_sum(list_transform(toks,
+                                 w -> length(w))), 0)
+                             / greatest(len(toks), 1), 4) AS mean_word_len,
+                       round(len(list_filter(toks,
+                                 w -> regexp_matches(w, '[A-Za-z]')))
+                             / greatest(len(toks), 1), 4) AS alpha_word_ratio,
+                       len(list_intersect(toks,
+                           ['the','of','and','to','in','a','is','that','for','it'])
+                       ) AS n_stopwords
+                FROM t)
+            SELECT doc_id, n_words, mean_word_len, alpha_word_ratio,
+                   n_stopwords,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND alpha_word_ratio >= 0.8 AND n_stopwords >= 2) AS keep
+            FROM f
+        """,
         "frequent_ngrams": f"""
             WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
             g AS (

@@ -336,3 +336,62 @@ def frequent_ngrams(
         .orderBy(F.col("n_docs").desc(), F.col("ngram"))
         .limit(k)
     )
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021, §A1.1):
+    per-document rule flags plus the composite ``keep``. Returns
+    ``(id, n_words, mean_word_len, alpha_word_ratio, n_stopwords,
+    keep)`` for EVERY input row — filtering is the caller's
+    ``.where("keep")`` so rejected docs remain auditable (which rule
+    fired is recoverable from the feature columns).
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [min, max]; fraction of words containing at least one alphabetic
+    character >= min_alpha_word_ratio; at least ``min_stopwords``
+    distinct common stopwords present (the "real prose" test).
+    The line/bullet/ellipsis rules of the paper need line structure the
+    ingest corpus may not carry — they belong in a pre-split pass.
+
+    Pure native projection: one pass, no shuffle, no UDF; mean word
+    length is over WORD lengths (not chars/words — whitespace runs
+    would skew it), computed with a single aggregate over the token
+    array."""
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    t = F.col("__toks")
+    n_words = F.size(t)
+    sum_len = F.aggregate(
+        t, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+    )
+    mean_len = F.round(sum_len / F.greatest(n_words, F.lit(1)), 4)
+    n_alpha = F.size(F.filter(t, lambda w: w.rlike("[A-Za-z]")))
+    alpha_ratio = F.round(n_alpha / F.greatest(n_words, F.lit(1)), 4)
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(t, en_stop))
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len)
+        & (alpha_ratio >= min_alpha_word_ratio)
+        & (n_stop >= min_stopwords)
+    )
+    return base.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        n_stop.alias("n_stopwords"),
+        keep.alias("keep"),
+    )

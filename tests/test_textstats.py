@@ -179,3 +179,26 @@ def test_frequent_ngrams_no_refolded_filter(spark):
     for line in plan.splitlines():
         if "Filter" in line:
             assert "transform(" not in line and "concat_ws" not in line, line
+
+
+def test_gopher_quality_filter_rules(spark):
+    """Each Gopher rule fires independently and the composite keep is
+    their conjunction; every input row is returned (audit contract)."""
+    from dgraph_dbpedia_spark.operators.textstats import gopher_quality_filter
+
+    good = "the quick brown fox is one of the finest animals that a person can meet for it"
+    rows = [
+        (1, " ".join([good] * 4)),                 # 64 words, prose -> keep
+        (2, "short text"),                          # too few words
+        (3, " ".join(["x"] * 60)),                  # mean word len 1 -> drop
+        (4, " ".join(["1234"] * 60)),               # no alpha words, no stopwords
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in gopher_quality_filter(docs).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1]["keep"] is True
+    assert got[2]["keep"] is False and got[2]["n_words"] == 2
+    assert got[3]["keep"] is False and got[3]["mean_word_len"] == 1.0
+    assert got[4]["keep"] is False and got[4]["alpha_word_ratio"] == 0.0
+    assert got[4]["n_stopwords"] == 0
+    assert got[1]["n_stopwords"] >= 2
