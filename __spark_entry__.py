@@ -2286,7 +2286,7 @@ def oracle_sql() -> dict[str, str]:
                        round(len(list_filter(toks,
                                  w -> regexp_matches(w, '[A-Za-z]')))
                              / greatest(len(toks), 1), 4) AS alpha_word_ratio,
-                       len(list_intersect(toks,
+                       len(list_intersect(list_transform(toks, w -> lower(w)),
                            ['the','of','and','to','in','a','is','that','for','it'])
                        ) AS n_stopwords
                 FROM t)

@@ -880,10 +880,14 @@ def paragraph_dedup(
     exactly the repeats.
 
     ``sep_regex`` overrides the split pattern when the display
-    separator differs from the split rule (defaults to the literal
-    ``sep``). Whitespace-only paragraphs are dropped outright (they
-    carry no content and would otherwise all collapse onto the corpus's
-    first blank).
+    separator differs from the split rule; when omitted, ``sep`` is
+    regex-ESCAPED before reaching the splitter, so a separator like
+    ``"..."`` or ``"* * *"`` splits on the literal characters (an
+    unescaped pass-through would shred every doc — dot matches
+    anything — and diverge from the literal-split oracle).
+    Whitespace-only paragraphs are dropped outright (they carry no
+    content and would otherwise all collapse onto the corpus's first
+    blank).
 
     Scale shape: first-occurrence selection is ``min(struct(id, pos))``
     grouped by paragraph fingerprint — partially aggregable, so a
@@ -893,10 +897,21 @@ def paragraph_dedup(
     exists to remove). Reassembly is one groupBy(id) of the surviving
     paragraphs. Two shuffles total (fp, id), both on bounded keys; no
     UDFs, no collect."""
+    import re as _re
+
+    from dgraph_dbpedia_spark.operators.cachectl import tag_persisted
+
+    pattern = sep_regex if sep_regex is not None else _re.escape(sep)
+    # persisted: the paragraph frame feeds BOTH the first-occurrence
+    # aggregate and the semi-join probe side — without it the
+    # split/explode/md5 of the whole corpus runs twice (no cross-branch
+    # subplan sharing; same rationale as the shingle persist above).
+    # The result carries the handle — release via cachectl after
+    # materializing.
     paras = (
         docs.select(
             F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), sep_regex or sep)).alias(
+            F.posexplode(F.split(F.col(text_col), pattern)).alias(
                 "pos", "para"
             ),
         )
@@ -904,6 +919,7 @@ def paragraph_dedup(
         .select(
             F.col(id_col), "pos", "para", F.md5(F.col("para")).alias("fp")
         )
+        .persist()
     )
     firsts = paras.groupBy("fp").agg(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first")
@@ -924,13 +940,14 @@ def paragraph_dedup(
             sep,
         ).alias(text_col)
     )
-    return (
+    out = (
         docs.select(F.col(id_col))
         .join(rebuilt, id_col, "left")
         .select(
             F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
         )
     )
+    return tag_persisted(out, paras)
 
 
 def decontaminate(

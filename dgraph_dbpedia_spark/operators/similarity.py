@@ -854,12 +854,17 @@ def quantized_cosine_topk(
     For repeated serving, materialize :func:`quantize_embeddings` once
     and probe that (compose with the IVF serve path)."""
     scales = quantization_scales(df, vec_col)
+    # query norm computed ONCE in the broadcast 1-row frame — inside
+    # the per-row projection it would fold the query vector again for
+    # every corpus row
     qq = (
         query.select(F.col(query_col).cast("array<double>").alias("qv"))
         .crossJoin(F.broadcast(scales))
+        .select(F.zip_with("qv", "scales", _q8).alias("qq"), F.col("scales"))
         .select(
-            F.zip_with("qv", "scales", _q8).alias("qq"),
+            F.col("qq"),
             F.col("scales"),
+            F.sqrt(_int_dot("qq", "qq")).alias("qnorm"),
         )
     )
     qe = df.crossJoin(F.broadcast(qq)).select(
@@ -868,11 +873,12 @@ def quantized_cosine_topk(
             F.col(vec_col).cast("array<double>"), F.col("scales"), _q8
         ).alias("qe"),
         F.col("qq"),
+        F.col("qnorm"),
     )
     sim = F.round(
         F.try_divide(
             _int_dot("qe", "qq"),
-            F.sqrt(_int_dot("qe", "qe")) * F.sqrt(_int_dot("qq", "qq")),
+            F.sqrt(_int_dot("qe", "qe")) * F.col("qnorm"),
         ),
         4,
     )

@@ -303,7 +303,10 @@ def frequent_ngrams(
 
     ``distinct_per_doc=True`` (default) counts DOCUMENT frequency (an
     n-gram repeated inside one doc counts once — the boilerplate
-    signal); ``False`` counts raw occurrences.
+    signal); ``False`` counts raw occurrences. Documents shorter than
+    ``n`` tokens contribute ONE whole-text pseudo-n-gram (the package's
+    shingle convention — short boilerplate like a bare "Login" doc
+    still surfaces, but note it ranks among the true n-grams).
 
     Scale shape: explode n-grams -> groupBy count -> TakeOrdered. The
     count is partially aggregable, so a stop-phrase present in every
@@ -359,7 +362,9 @@ def gopher_quality_filter(
     Rules: word count in [min_words, max_words]; mean word length in
     [min, max]; fraction of words containing at least one alphabetic
     character >= min_alpha_word_ratio; at least ``min_stopwords``
-    distinct common stopwords present (the "real prose" test).
+    distinct common stopwords present (the "real prose" test —
+    case-INSENSITIVE, like :func:`language_id`: a title-cased header
+    "The ... It Is" still counts its stopwords).
     The line/bullet/ellipsis rules of the paper need line structure the
     ingest corpus may not carry — they belong in a pre-split pass.
 
@@ -378,7 +383,9 @@ def gopher_quality_filter(
     n_alpha = F.size(F.filter(t, lambda w: w.rlike("[A-Za-z]")))
     alpha_ratio = F.round(n_alpha / F.greatest(n_words, F.lit(1)), 4)
     en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    n_stop = F.size(F.array_intersect(t, en_stop))
+    n_stop = F.size(
+        F.array_intersect(F.transform(t, lambda w: F.lower(w)), en_stop)
+    )
     keep = (
         (n_words >= min_words)
         & (n_words <= max_words)

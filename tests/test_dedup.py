@@ -404,3 +404,16 @@ def test_paragraph_dedup_within_doc_repeat(spark):
     )
     got = {r["doc_id"]: r["text"] for r in paragraph_dedup(docs).collect()}
     assert got == {1: "x\n\ny", 2: "z"}
+
+
+def test_paragraph_dedup_literal_separator_with_regex_metachars(spark):
+    """sep is treated as a LITERAL string (regex-escaped before the
+    splitter): '...' must split on three dots, not on any-3-chars."""
+    from dgraph_dbpedia_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "first part...second part"), (2, "second part...third")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["text"] for r in paragraph_dedup(docs, sep="...").collect()}
+    assert got == {1: "first part...second part", 2: "third"}

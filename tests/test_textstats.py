@@ -165,8 +165,6 @@ def test_frequent_ngrams_no_refolded_filter(spark):
     """The gram explode must sit behind the inline barrier — no Filter
     in the optimized plan may contain the gram-building expression
     (the InferFiltersFromGenerate trap, BENCH_SCALE.md r9)."""
-    from pyspark.sql import functions as F
-
     from dgraph_dbpedia_spark.operators.textstats import frequent_ngrams
 
     docs = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
