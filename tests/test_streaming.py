@@ -177,9 +177,19 @@ def multi_file_events_dir(tmp_path_factory):
     t = t.sort_by([("ts", "ascending")])
     d = tmp_path_factory.mktemp("events_multi")
     n = t.num_rows // 4
+    base = 1_700_000_000  # any fixed past epoch
     for i in range(4):
         chunk = t.slice(i * n, n if i < 3 else t.num_rows - 3 * n)
-        pq.write_table(chunk, os.path.join(str(d), f"part-{i}.parquet"))
+        path = os.path.join(str(d), f"part-{i}.parquet")
+        pq.write_table(chunk, path)
+        # strictly increasing mtimes: FileStreamSource orders files by
+        # modification time and breaks TIES nondeterministically — four
+        # files written back-to-back share an mtime, so under load a
+        # later-time file could form an earlier micro-batch, advance
+        # the watermark past the skipped file's events, and close
+        # sessions with partial stats (the observed rare flake in
+        # test_multifile_sessionize_closes_only_batch_sessions)
+        os.utime(path, (base + i, base + i))
     return str(d)
 
 
