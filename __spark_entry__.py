@@ -622,6 +622,24 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb.where(F.col("vec_id") > 0), query, k=5)
 
 
+def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus dedup (r9): minhash pairs -> connected
+    components -> one min-id representative per cluster, original
+    columns preserved — the transitive-closure-correct twin of
+    near_dup_filter's greedy rule."""
+    from dgraph_dbpedia_spark.operators.cachectl import release
+    from dgraph_dbpedia_spark.operators.dedup import (
+        dedup_corpus,
+        minhash_dedup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, w=3, k=16, bands=4, threshold=0.4)
+    out = dedup_corpus(docs, pairs).select("doc_id", "lang", "source")
+    release(pairs)
+    return out
+
+
 def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule gate (r9): per-doc rule features + composite
     keep over EVERY row (filtering is the caller's .where so rejections
@@ -1210,6 +1228,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paragraph_dedup": _q_paragraph_dedup,
     "frequent_ngrams": _q_frequent_ngrams,
     "gopher_quality": _q_gopher_quality,
+    "dedup_corpus": _q_dedup_corpus,
     "ivf_ann_topk_served": _q_ivf_ann_topk_served,
     "decontaminate": _q_decontaminate,
     "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -2503,4 +2522,11 @@ def oracle_sql() -> dict[str, str]:
     d["asof_join_salted"] = d["asof_join"]
     # star contraction has the identical output contract — same oracle
     d["dedup_clusters_star"] = d["dedup_clusters"]
+    # corpus dedup = keep docs that are their own cluster representative
+    d["dedup_corpus"] = f"""
+        WITH comp AS ({d['dedup_clusters']})
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d SEMI JOIN comp
+          ON d.doc_id = comp.doc_id AND comp.cluster_id = d.doc_id
+    """
     return d

@@ -859,6 +859,27 @@ def dedup_clusters_star(
     )
 
 
+def dedup_corpus(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end corpus dedup: keep exactly ONE representative (the
+    min-id member) per connected near-duplicate cluster, all original
+    columns preserved. ``pairs`` is any (a, b) near-dup pair frame
+    (:func:`minhash_dedup_pairs`, :func:`ngram_jaccard_pairs`, ...).
+
+    This is the transitive-closure-correct version of
+    :func:`near_dup_filter` (greedy pairwise keep-lowest under-deletes
+    on chains): components come from :func:`dedup_clusters`, then a
+    broadcast-able left-semi join keeps the docs whose id IS their
+    cluster id. Singletons are their own cluster, so untouched docs
+    always survive."""
+    clusters = dedup_clusters(docs.select(F.col(id_col)), pairs, id_col=id_col)
+    reps = clusters.where(F.col("cluster_id") == F.col(id_col)).select(id_col)
+    return docs.join(reps, id_col, "left_semi")
+
+
 def paragraph_dedup(
     docs: DataFrame,
     text_col: str = "text",

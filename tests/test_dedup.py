@@ -417,3 +417,19 @@ def test_paragraph_dedup_literal_separator_with_regex_metachars(spark):
     )
     got = {r["doc_id"]: r["text"] for r in paragraph_dedup(docs, sep="...").collect()}
     assert got == {1: "first part...second part", 2: "third"}
+
+
+def test_dedup_corpus_transitive_chain(spark):
+    """dedup_corpus keeps exactly one min-id representative per
+    CONNECTED cluster (a~b, b~c without a~c still collapses to a) and
+    preserves all original columns; singletons survive untouched."""
+    from dgraph_dbpedia_spark.operators.dedup import dedup_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en") for i in (1, 2, 3, 9)],
+        ["doc_id", "text", "lang"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["a", "b"])
+    out = dedup_corpus(docs, pairs)
+    assert out.columns == ["doc_id", "text", "lang"]
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 9]
