@@ -1218,7 +1218,10 @@ def _q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (r6): queries are rotated INTO the window each round until all have
 # earned a driver row; the r5 tail (11 queries) is now in the window,
 # and 12 long-stable, pytest-covered queries (green driver rows in
-# r01-r05) rotated out.
+# r01-r05) rotated out. r9: adding dedup_corpus at the head pushes
+# node_lang_filter (position 51) out of the window — a DELIBERATE
+# rotation: it has green driver rows r01-r08, pytest coverage
+# (test_functions), and its code is untouched this round.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # changed or new this round (r9) — first in line for driver rows:
     # the rolling-shingle-hash family (shared _hashed_shingled), the

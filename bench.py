@@ -116,27 +116,28 @@ def main() -> None:
     # pays JIT/codegen that would otherwise land on whichever
     # shingle-family query runs first (decontaminate measured 2.4 s
     # cold vs 1.0 s warm — the same untimed-warm-up rationale as the
-    # pipeline section)
-    try:
-        from dgraph_dbpedia_spark.operators.cachectl import release
-        from dgraph_dbpedia_spark.operators.dedup import ngram_jaccard_pairs
+    # pipeline section). Unguarded on purpose: documents.parquet was
+    # already read above, so any exception here is a real defect and a
+    # silently-dead warm-up would corrupt the timings it exists for.
+    from dgraph_dbpedia_spark.operators.cachectl import release
+    from dgraph_dbpedia_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
 
-        _docs64 = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(64)
-        _w = ngram_jaccard_pairs(_docs64, w=3, threshold=0.9)
-        _w.write.format("noop").mode("overwrite").save()
-        release(_w)
-        # ...and the iterative checkpoint loop (localCheckpoint +
-        # observe() machinery), which otherwise lands on whichever
-        # connected-components query runs first
-        from dgraph_dbpedia_spark.operators.dedup import dedup_clusters
+    _w = ngram_jaccard_pairs(_warm.limit(64), w=3, threshold=0.9)
+    _w.write.format("noop").mode("overwrite").save()
+    release(_w)
 
-        _nodes = spark.range(4).selectExpr("id AS doc_id")
-        _pairs = spark.range(3).selectExpr("id AS a", "id + 1 AS b")
-        dedup_clusters(_nodes, _pairs).write.format("noop").mode(
-            "overwrite"
-        ).save()
-    except Exception:
-        pass  # no documents table at this sf_dir
+    # ...and the iterative checkpoint loop (localCheckpoint +
+    # observe() machinery), which otherwise lands on whichever
+    # connected-components query runs first. Needs no input table, so
+    # it is independent of the shingle warm-up above.
+    _nodes = spark.range(4).selectExpr("id AS doc_id")
+    _pairs = spark.range(3).selectExpr("id AS a", "id + 1 AS b")
+    dedup_clusters(_nodes, _pairs).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}

@@ -26,6 +26,8 @@ discrimination and everything to skew).
 
 from __future__ import annotations
 
+from typing import Callable
+
 import pandas as pd  # module-level: pandas_udf type hints must resolve
 
 from pyspark.sql import Column, DataFrame, Observation
@@ -863,6 +865,8 @@ def dedup_corpus(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    clusterer: Callable[..., DataFrame] | None = None,
+    **cluster_kwargs,
 ) -> DataFrame:
     """End-to-end corpus dedup: keep exactly ONE representative (the
     min-id member) per connected near-duplicate cluster, all original
@@ -874,8 +878,18 @@ def dedup_corpus(
     on chains): components come from :func:`dedup_clusters`, then a
     broadcast-able left-semi join keeps the docs whose id IS their
     cluster id. Singletons are their own cluster, so untouched docs
-    always survive."""
-    clusters = dedup_clusters(docs.select(F.col(id_col)), pairs, id_col=id_col)
+    always survive.
+
+    ``clusterer`` selects the component algorithm (default
+    :func:`dedup_clusters`; pass :func:`dedup_clusters_star` for
+    long-diameter chain graphs — the propagation clusterer raises once
+    component diameter exceeds its ``max_iter``); ``cluster_kwargs``
+    (``max_iter``, ``checkpoint_every``) pass through to it."""
+    if clusterer is None:
+        clusterer = dedup_clusters
+    clusters = clusterer(
+        docs.select(F.col(id_col)), pairs, id_col=id_col, **cluster_kwargs
+    )
     reps = clusters.where(F.col("cluster_id") == F.col(id_col)).select(id_col)
     return docs.join(reps, id_col, "left_semi")
 

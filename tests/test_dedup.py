@@ -433,3 +433,28 @@ def test_dedup_corpus_transitive_chain(spark):
     out = dedup_corpus(docs, pairs)
     assert out.columns == ["doc_id", "text", "lang"]
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 9]
+
+
+def test_dedup_corpus_clusterer_passthrough(spark):
+    """The clusterer/kwargs passthrough reaches the component step: the
+    star clusterer with a generous max_iter collapses a chain whose
+    diameter exceeds the propagation default, and an explicit tiny
+    max_iter raises — proving the kwarg is forwarded, not dropped."""
+    import pytest
+
+    from dgraph_dbpedia_spark.operators.dedup import (
+        dedup_clusters_star,
+        dedup_corpus,
+    )
+
+    n = 30  # chain 0-1-...-29: diameter 29 > dedup_clusters default 25
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(n)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["a", "b"]
+    )
+    out = dedup_corpus(docs, pairs, clusterer=dedup_clusters_star)
+    assert sorted(r["doc_id"] for r in out.collect()) == [0]
+    with pytest.raises(RuntimeError):
+        dedup_corpus(docs, pairs, max_iter=2).collect()
