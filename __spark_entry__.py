@@ -640,6 +640,33 @@ def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (r9, arXiv:2303.09540): nearest-centroid assignment
+    (broadcast fold) -> within-cluster cosine pairs (cid equi-join,
+    never all-pairs) -> connected-component min-id survivors. Scalar
+    output columns only — the driver canonicalizer can't sort the
+    embedding list column."""
+    from dgraph_dbpedia_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, threshold=0.40, n_centroids=16)
+    return out.select("vec_id", "label")
+
+
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sampling (r9): per-source keep
+    probabilities via a literal map + the RNG-free id-hash coin;
+    exercises full-keep, partial, zero, and default-weight domains."""
+    from dgraph_dbpedia_spark.operators.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs,
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0},
+        default_weight=0.1,
+    ).select("doc_id", "lang", "source")
+
+
 def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule gate (r9): per-doc rule features + composite
     keep over EVERY row (filtering is the caller's .where so rejections
@@ -1218,15 +1245,18 @@ def _q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (r6): queries are rotated INTO the window each round until all have
 # earned a driver row; the r5 tail (11 queries) is now in the window,
 # and 12 long-stable, pytest-covered queries (green driver rows in
-# r01-r05) rotated out. r9: adding dedup_corpus at the head pushes
-# node_lang_filter (position 51) out of the window — a DELIBERATE
-# rotation: it has green driver rows r01-r08, pytest coverage
-# (test_functions), and its code is untouched this round.
+# r01-r05) rotated out. r9: adding dedup_corpus, semantic_dedup and
+# mixture_sample at the head pushes node_lang_filter, rdf_lines and
+# schema_derivation (positions 51-53) out of the window — a DELIBERATE
+# rotation: all three have green driver rows r01-r08, pytest coverage,
+# and their code is untouched this round.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # changed or new this round (r9) — first in line for driver rows:
     # the rolling-shingle-hash family (shared _hashed_shingled), the
     # batch serve-path probe, and the rekeyed served index
     "ivf_ann_topk_served_batch": _q_ivf_ann_topk_served_batch,
+    "semantic_dedup": _q_semantic_dedup,
+    "mixture_sample": _q_mixture_sample,
     "quantized_ann_topk": _q_quantized_ann_topk,
     "paragraph_dedup": _q_paragraph_dedup,
     "frequent_ngrams": _q_frequent_ngrams,
@@ -2506,6 +2536,46 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": """
             SELECT doc_id, lang, source FROM documents
             WHERE substring(md5(doc_id::VARCHAR), 1, 2) < '20'
+        """,
+        "semantic_dedup": f"""
+            WITH RECURSIVE
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cent AS (
+                SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT 16),
+            asg AS (
+                SELECT vec_id, v, cid FROM (
+                    SELECT e.vec_id, e.v, cent.cid,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY {_sql_cosine('e.v', 'cent.c', 6)} DESC,
+                                        cent.cid ASC) AS rn
+                    FROM e CROSS JOIN cent) x
+                WHERE rn = 1),
+            spairs AS (
+                SELECT a.vec_id AS a, b.vec_id AS b
+                FROM asg a JOIN asg b
+                  ON a.cid = b.cid AND a.vec_id < b.vec_id
+                WHERE {_sql_cosine('a.v', 'b.v', 6)} >= 0.40::DOUBLE),
+            sedges AS (
+                SELECT a AS src, b AS dst FROM spairs
+                UNION SELECT b AS src, a AS dst FROM spairs),
+            sreach AS (
+                SELECT vec_id AS id, vec_id AS r FROM e
+                UNION
+                SELECT sreach.id, sedges.dst AS r
+                FROM sreach JOIN sedges ON sreach.r = sedges.src),
+            scomp AS (SELECT id, MIN(r) AS rep FROM sreach GROUP BY id)
+            SELECT emb.vec_id, emb.label FROM embeddings emb
+            SEMI JOIN scomp
+              ON emb.vec_id = scomp.id AND scomp.rep = emb.vec_id
+        """,
+        "mixture_sample": f"""
+            SELECT doc_id, lang, source FROM documents
+            WHERE (({_sql_hash64('doc_id::VARCHAR', 1)} % 1000000) / 1000000.0::DOUBLE)
+                  < least(greatest((CASE source
+                        WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                        WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.0
+                        ELSE 0.1 END)::DOUBLE, 0.0::DOUBLE), 1.0::DOUBLE)
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE

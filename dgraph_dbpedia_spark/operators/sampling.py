@@ -146,3 +146,54 @@ def weighted_sample(
     )
     w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
     return df.where(u < w)
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 0.0,
+    seed: int = 1,
+) -> DataFrame:
+    """Deterministic corpus mixing: downsample every domain to its
+    target keep-probability — the data-mixture step of pretraining
+    curation ("wiki at full rate, web at a quarter"), domain weights
+    applied as RNG-free Bernoulli keeps (DoReMi-style reweighting,
+    realized by subsampling rather than repetition).
+
+    The bounded ``domain -> weight`` map becomes a literal map lookup
+    (no join, no shuffle); the coin is :func:`weighted_sample`'s
+    cross-engine id hash, so the SAME rows survive on any engine,
+    any partitioning, any run — change ``seed`` for an independent
+    draw. Domains absent from ``weights`` keep ``default_weight``
+    (0.0 = drop unknown domains). Pure narrow filter: scan-speed at
+    100 TB, and the domain/weight filter is codegen'd into the scan
+    stage."""
+    if not weights:
+        raise ValueError("weights must be a non-empty domain -> weight map")
+    for d, w in weights.items():
+        if not 0.0 <= float(w) <= 1.0:
+            raise ValueError(f"weight for {d!r} must be in [0, 1], got {w}")
+    if not 0.0 <= float(default_weight) <= 1.0:
+        raise ValueError(
+            f"default_weight must be in [0, 1], got {default_weight}"
+        )
+    # pick a weight column name that cannot clobber caller data (the
+    # stratified_sample "__rn" rule)
+    wc = "__w"
+    while wc in df.columns:
+        wc = "_" + wc
+    m = F.create_map(
+        *[F.lit(x) for kv in sorted(weights.items()) for x in kv]
+    )
+    # try_element_at: a domain missing from the map is the DOCUMENTED
+    # default case, not an error — plain element_at raises under
+    # Spark 4's default ANSI mode
+    keep_p = F.coalesce(
+        F.try_element_at(m, F.col(domain_col).cast("string")),
+        F.lit(float(default_weight)),
+    )
+    return weighted_sample(
+        df.withColumn(wc, keep_p), wc, id_col=id_col, seed=seed
+    ).drop(wc)

@@ -935,3 +935,105 @@ def cosine_near_dup_pairs(
         # distinct here would be a full extra shuffle of the output
     )
     return tag_persisted(out, sk)
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    centroids: DataFrame | None = None,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Within-cluster semantic near-duplicate pairs — the SemDeDup
+    scheme (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", arXiv:2303.09540):
+    every vector is assigned to its nearest centroid by cosine
+    (:func:`ivf_assign` — a broadcast centroid fold, NO corpus
+    shuffle), then cosine similarity is computed only INSIDE each
+    cluster via an equi-join on ``cid``. Returns ``(a, b, sim)`` with
+    ``round(sim, 6) >= threshold`` and ``a < b``.
+
+    Never all-pairs: pair cost is bounded by the largest cluster
+    (sum of cluster_size² vs corpus²). ``n_centroids`` is the
+    quadratic dial — k ~ sqrt(n) keeps expected cluster size ~sqrt(n);
+    a skewed hot centroid is split by AQE's skew-join handling of the
+    sort-merge, and cluster balance improves by passing
+    :func:`ivf_train`-ed ``centroids`` instead of the deterministic
+    seed default (:func:`ivf_seed_centroids`). Cross-cluster near-dups
+    are missed BY DESIGN — that is the paper's approximation; lower
+    ``n_centroids`` trades pair cost for recall.
+
+    The result carries a persisted assignment handle (it feeds both
+    self-join sides) — release with
+    :func:`dgraph_dbpedia_spark.operators.cachectl.release` after
+    materializing."""
+    from dgraph_dbpedia_spark.operators.cachectl import tag_persisted
+
+    e = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_e")
+    )
+    if centroids is None:
+        centroids = ivf_seed_centroids(
+            e, n_centroids, id_col=id_col, vec_col="_e"
+        )
+    # persisted: assignment + norm feed both self-join sides — without
+    # it the centroid-fold scoring runs twice (no cross-branch sharing)
+    sk = ivf_assign(e, centroids, id_col=id_col, vec_col="_e").withColumn(
+        "_n", _norm("_e")
+    ).persist()
+    a = sk.select(
+        F.col(id_col).alias("a"),
+        F.col("_e").alias("ea"),
+        F.col("_n").alias("na"),
+        "cid",
+    )
+    b = sk.select(
+        F.col(id_col).alias("b"),
+        F.col("_e").alias("eb"),
+        F.col("_n").alias("nb"),
+        "cid",
+    )
+    sim = F.round(F.try_divide(_dot("ea", "eb"), F.col("na") * F.col("nb")), 6)
+    out = (
+        a.join(b, "cid")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", sim.alias("sim"))
+        .where(F.col("sim") >= threshold)
+        # no distinct: each vector has exactly ONE nearest centroid, so
+        # the cid self-join emits every (a, b) pair at most once
+    )
+    return tag_persisted(out, sk)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    centroids: DataFrame | None = None,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **cluster_kwargs,
+) -> DataFrame:
+    """End-to-end semantic dedup: keep ONE representative (the min-id
+    member) per connected component of the within-cluster near-dup
+    pair graph, all original columns preserved —
+    :func:`semantic_dedup_pairs` composed with
+    :func:`dgraph_dbpedia_spark.operators.dedup.dedup_corpus` (which
+    accepts ``clusterer``/``max_iter`` passthroughs via
+    ``cluster_kwargs``). Singletons and sub-threshold vectors always
+    survive."""
+    from dgraph_dbpedia_spark.operators.cachectl import release
+    from dgraph_dbpedia_spark.operators.dedup import dedup_corpus
+
+    pairs = semantic_dedup_pairs(
+        df, threshold, centroids, n_centroids, id_col, vec_col
+    )
+    # dedup_corpus eagerly materializes the component labels into a
+    # checkpoint-rooted frame, so the pair sketch can be released as
+    # soon as it returns (same pattern as _q_dedup_corpus)
+    out = dedup_corpus(
+        df, pairs.select("a", "b"), id_col=id_col, **cluster_kwargs
+    )
+    release(pairs)
+    return out

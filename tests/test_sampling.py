@@ -108,3 +108,46 @@ def test_weighted_sample_deterministic_and_monotone(spark):
     other = {r["doc_id"] for r in weighted_sample(docs, "w", seed=2).collect()}
     assert set(range(60, 100)) <= other and not other & set(range(20))
     assert (kept & set(range(20, 60))) != (other & set(range(20, 60)))
+
+
+def test_mixture_sample_weights_and_default(spark):
+    """Weight-1 domains keep every row, weight-0 domains drop every
+    row, unmapped domains get default_weight; survival is a pure
+    function of doc_id (stable under repartitioning)."""
+    from dgraph_dbpedia_spark.operators.sampling import mixture_sample
+
+    docs = spark.createDataFrame(
+        [
+            (i, "a" if i % 3 == 0 else ("b" if i % 3 == 1 else "z"))
+            for i in range(300)
+        ],
+        ["doc_id", "source"],
+    )
+    out = mixture_sample(docs, {"a": 1.0, "b": 0.0}, default_weight=0.5)
+    by = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by.get("a") == 100
+    assert "b" not in by
+    assert 20 <= by.get("z", 0) < 100
+    again = mixture_sample(
+        docs.repartition(7), {"a": 1.0, "b": 0.0}, default_weight=0.5
+    )
+    assert {r["doc_id"] for r in again.collect()} == {
+        r["doc_id"] for r in out.collect()
+    }
+
+
+def test_mixture_sample_validates(spark):
+    import pytest
+
+    from dgraph_dbpedia_spark.operators.sampling import mixture_sample
+
+    docs = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+    with pytest.raises(ValueError):
+        mixture_sample(docs, {})
+    with pytest.raises(ValueError):
+        mixture_sample(docs, {"a": 1.5})
+    with pytest.raises(ValueError):
+        mixture_sample(docs, {"a": 0.5}, default_weight=-0.1)

@@ -685,3 +685,54 @@ def test_quantize_foreign_scales_clamps_not_crashes(spark):
     )
     row = quantize_embeddings(wild, scales).collect()[0]
     assert row["qe"] == [127, -127]
+
+
+def test_semantic_dedup_planted(spark):
+    """SemDeDup contract: within-cluster near-dups collapse to the
+    min-id representative; a high-cosine pair split across clusters
+    survives intact (the paper's documented approximation); singletons
+    pass through; the pair join is an equi-join, never a cartesian."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.01]),
+            (2, [1.0, 0.02]),
+            (4, [1.0, 0.0]),
+            (3, [0.01, 1.0]),
+            # cosine(5,6) ~ 0.99964 >= threshold, but they assign to
+            # DIFFERENT centroids -> never compared, both survive
+            (5, [0.71, 0.704]),
+            (6, [0.704, 0.71]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    cent = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.0, 1.0])], ["cid", "c"]
+    )
+    pairs = semantic_dedup_pairs(emb, threshold=0.999, centroids=cent)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert got == {(1, 2), (1, 4), (2, 4)}
+    out = semantic_dedup(emb, threshold=0.999, centroids=cent)
+    assert out.columns == ["vec_id", "embedding"]
+    assert sorted(r["vec_id"] for r in out.collect()) == [1, 3, 5, 6]
+
+
+def test_semantic_dedup_seed_centroid_default(spark):
+    """Without explicit centroids the deterministic seed rule applies
+    and every sub-threshold vector survives untouched."""
+    from dgraph_dbpedia_spark.operators.similarity import semantic_dedup
+
+    # slopes i/1 are pairwise distinct, so no two vectors are collinear
+    # and every cosine stays below the near-1 threshold
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i)]) for i in range(8)],
+        ["vec_id", "embedding"],
+    )
+    out = semantic_dedup(emb, threshold=0.9999999, n_centroids=3)
+    assert sorted(r["vec_id"] for r in out.collect()) == list(range(8))
