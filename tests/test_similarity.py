@@ -736,3 +736,22 @@ def test_semantic_dedup_seed_centroid_default(spark):
     )
     out = semantic_dedup(emb, threshold=0.9999999, n_centroids=3)
     assert sorted(r["vec_id"] for r in out.collect()) == list(range(8))
+
+
+def test_semantic_dedup_accepts_trained_centroids(spark):
+    """ivf_train output (cid, c) plugs straight into semantic_dedup's
+    centroids parameter — the balanced-cluster upgrade path the
+    docstring promises — and still collapses planted duplicates."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        ivf_train,
+        semantic_dedup,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.01]), (2, [1.0, 0.02]), (3, [0.01, 1.0]), (4, [0.02, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    e = emb.selectExpr("vec_id", "cast(embedding as array<double>) AS _e")
+    cent = ivf_train(e, n_centroids=2, n_iter=1, id_col="vec_id", vec_col="_e")
+    out = semantic_dedup(emb, threshold=0.999, centroids=cent)
+    assert sorted(r["vec_id"] for r in out.collect()) == [1, 3]
