@@ -640,6 +640,24 @@ def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over the minhash near-dup components
+    (r9): the duplicate-rate report of a curation run — n_clusters /
+    n_docs / n_dropped per cluster size."""
+    from dgraph_dbpedia_spark.operators.cachectl import release
+    from dgraph_dbpedia_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_report,
+        minhash_dedup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, w=3, k=16, bands=4, threshold=0.4)
+    clusters = dedup_clusters(docs.select("doc_id"), pairs)
+    release(pairs)
+    return dedup_report(clusters)
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (r9, arXiv:2303.09540): nearest-centroid assignment
     (broadcast fold) -> within-cluster cosine pairs (cid equi-join,
@@ -1245,11 +1263,12 @@ def _q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (r6): queries are rotated INTO the window each round until all have
 # earned a driver row; the r5 tail (11 queries) is now in the window,
 # and 12 long-stable, pytest-covered queries (green driver rows in
-# r01-r05) rotated out. r9: adding dedup_corpus, semantic_dedup and
-# mixture_sample at the head pushes node_lang_filter, rdf_lines and
-# schema_derivation (positions 51-53) out of the window — a DELIBERATE
-# rotation: all three have green driver rows r01-r08, pytest coverage,
-# and their code is untouched this round.
+# r01-r05) rotated out. r9: adding dedup_corpus, semantic_dedup,
+# mixture_sample and dedup_report at the head pushes window_tumbling,
+# schema_derivation, rdf_lines and node_lang_filter (positions 51-54)
+# out of the window — a DELIBERATE rotation: all four have green
+# driver rows r01-r08, pytest coverage, and their code is untouched
+# this round.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # changed or new this round (r9) — first in line for driver rows:
     # the rolling-shingle-hash family (shared _hashed_shingled), the
@@ -1257,6 +1276,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_ann_topk_served_batch": _q_ivf_ann_topk_served_batch,
     "semantic_dedup": _q_semantic_dedup,
     "mixture_sample": _q_mixture_sample,
+    "dedup_report": _q_dedup_report,
     "quantized_ann_topk": _q_quantized_ann_topk,
     "paragraph_dedup": _q_paragraph_dedup,
     "frequent_ngrams": _q_frequent_ngrams,
@@ -2595,6 +2615,17 @@ def oracle_sql() -> dict[str, str]:
     d["asof_join_salted"] = d["asof_join"]
     # star contraction has the identical output contract — same oracle
     d["dedup_clusters_star"] = d["dedup_clusters"]
+    # cluster-size histogram over the same component labeling
+    d["dedup_report"] = f"""
+        WITH comp AS ({d['dedup_clusters']}),
+        sizes AS (
+            SELECT cluster_id, count(*) AS cluster_size
+            FROM comp GROUP BY cluster_id)
+        SELECT cluster_size, count(*) AS n_clusters,
+               cluster_size * count(*) AS n_docs,
+               (cluster_size - 1) * count(*) AS n_dropped
+        FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+    """
     # corpus dedup = keep docs that are their own cluster representative
     d["dedup_corpus"] = f"""
         WITH comp AS ({d['dedup_clusters']})

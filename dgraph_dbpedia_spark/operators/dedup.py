@@ -1083,3 +1083,35 @@ def contaminated_ids(
         F.col(id_col), F.explode("sh").alias("h")
     )
     return corpus_sh.join(right, "h", "left_semi").select(id_col).distinct()
+
+
+def dedup_report(clusters: DataFrame) -> DataFrame:
+    """Cluster-size histogram of a ``(id, cluster_id)`` component
+    labeling (:func:`dedup_clusters` / :func:`dedup_clusters_star`
+    output): one row per cluster SIZE with the number of clusters of
+    that size, the docs they hold, and the docs a min-id dedup would
+    drop — the before/after report every curation run wants next to
+    its dedup pass (duplicate rate = sum(n_dropped) / sum(n_docs)).
+
+    100 TB shape: two partially-aggregable groupBys (docs ->
+    cluster sizes -> histogram), both map-side combinable; the output
+    is bounded by the LARGEST cluster size, so it is always tiny.
+    ``n_docs``/``n_dropped`` are derived arithmetically from the
+    histogram rather than re-aggregated — one less pass over the
+    per-cluster frame."""
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias(
+                "n_dropped"
+            ),
+        )
+        .orderBy("cluster_size")
+    )

@@ -458,3 +458,16 @@ def test_dedup_corpus_clusterer_passthrough(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == [0]
     with pytest.raises(RuntimeError):
         dedup_corpus(docs, pairs, max_iter=2).collect()
+
+
+def test_dedup_report_histogram(spark):
+    """One row per cluster size; n_docs / n_dropped derived per the
+    min-id dedup rule (size-1 dropped per cluster)."""
+    from dgraph_dbpedia_spark.operators.dedup import dedup_report
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9), (10, 10), (20, 20), (21, 20)],
+        ["doc_id", "cluster_id"],
+    )
+    got = [tuple(r) for r in dedup_report(clusters).collect()]
+    assert got == [(1, 2, 2, 0), (2, 1, 2, 1), (3, 1, 3, 2)]
