@@ -427,10 +427,12 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "e",
+    norm_col: str | None = None,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid by cosine (the IVF
     inverted lists). Deterministic tie-break: round(sim, 6) desc, then
-    centroid id asc. Returns ``(id, vec, cid)``; an empty centroid
+    centroid id asc. Returns ``(id, vec, cid)`` — plus the per-row
+    vector norm as ``norm_col`` when requested; an empty centroid
     frame yields NULL cids (never a crash — a data-dependent raise is
     unacceptable mid-job at scale).
 
@@ -448,11 +450,19 @@ def ivf_assign(
     # raises INVALID_ARRAY_INDEX_IN_ELEMENT_AT under Spark 4's default
     # ANSI mode, which would be a mid-job crash on an empty centroid set
     best = F.get(_nearest_sorted(v, nv), 0)["cid"]
+    # norm_col: expose the per-row norm the assignment already computed
+    # (it sits below the broadcast join, so this is an attribute
+    # reference, not a re-evaluated fold) — callers that need norms
+    # downstream (semantic_dedup_pairs) would otherwise pay a second
+    # O(dims) aggregate per row
+    sel = [F.col(id_col), F.col(vec_col), best.alias("cid")]
+    if norm_col is not None:
+        sel.append(nv.alias(norm_col))
     return (
         df.withColumn("_v", F.col(vec_col))
         .withColumn("_nv", _norm("_v"))
         .crossJoin(F.broadcast(_centroid_row(centroids)))
-        .select(F.col(id_col), F.col(vec_col), best.alias("cid"))
+        .select(*sel)
     )
 
 
@@ -977,10 +987,18 @@ def semantic_dedup_pairs(
         centroids = ivf_seed_centroids(
             e, n_centroids, id_col=id_col, vec_col="_e"
         )
+    else:
+        # all-double scoring for caller-supplied centroids too (the
+        # ivf_topk contract): a float-typed c column would flip
+        # near-tie assignments vs the oracle's DOUBLE[] math
+        centroids = centroids.select(
+            F.col("cid"), F.col("c").cast("array<double>").alias("c")
+        )
     # persisted: assignment + norm feed both self-join sides — without
-    # it the centroid-fold scoring runs twice (no cross-branch sharing)
-    sk = ivf_assign(e, centroids, id_col=id_col, vec_col="_e").withColumn(
-        "_n", _norm("_e")
+    # it the centroid-fold scoring runs twice (no cross-branch sharing).
+    # norm_col reuses the norm the assignment fold already computed.
+    sk = ivf_assign(
+        e, centroids, id_col=id_col, vec_col="_e", norm_col="_n"
     ).persist()
     a = sk.select(
         F.col(id_col).alias("a"),
@@ -1031,9 +1049,14 @@ def semantic_dedup(
     )
     # dedup_corpus eagerly materializes the component labels into a
     # checkpoint-rooted frame, so the pair sketch can be released as
-    # soon as it returns (same pattern as _q_dedup_corpus)
-    out = dedup_corpus(
-        df, pairs.select("a", "b"), id_col=id_col, **cluster_kwargs
-    )
-    release(pairs)
+    # soon as it returns (same pattern as _q_dedup_corpus); finally:
+    # a non-convergence RuntimeError is a documented recoverable
+    # condition (retry with clusterer=dedup_clusters_star), and the
+    # corpus-sized assignment cache must not outlive the failure
+    try:
+        out = dedup_corpus(
+            df, pairs.select("a", "b"), id_col=id_col, **cluster_kwargs
+        )
+    finally:
+        release(pairs)
     return out
