@@ -640,6 +640,20 @@ def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (r9): batch = doc_id % 4 == 0 deduped against
+    existing = the rest — cross-corpus banded kill (existing wins),
+    then within-batch components among the survivors."""
+    from dgraph_dbpedia_spark.operators.dedup import dedup_increment
+
+    docs = _t(spark, sf_dir, "documents")
+    existing = docs.where(F.col("doc_id") % 4 != 0)
+    batch = docs.where(F.col("doc_id") % 4 == 0)
+    return dedup_increment(
+        existing, batch, w=3, k=16, bands=4, threshold=0.4
+    ).select("doc_id", "lang", "source")
+
+
 def _q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-size histogram over the minhash near-dup components
     (r9): the duplicate-rate report of a curation run — n_clusters /
@@ -1264,11 +1278,11 @@ def _q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 # earned a driver row; the r5 tail (11 queries) is now in the window,
 # and 12 long-stable, pytest-covered queries (green driver rows in
 # r01-r05) rotated out. r9: adding dedup_corpus, semantic_dedup,
-# mixture_sample and dedup_report at the head pushes window_tumbling,
-# schema_derivation, rdf_lines and node_lang_filter (positions 51-54)
-# out of the window — a DELIBERATE rotation: all four have green
-# driver rows r01-r08, pytest coverage, and their code is untouched
-# this round.
+# mixture_sample, dedup_report and dedup_increment at the head pushes
+# ttl_parse, window_tumbling, schema_derivation, rdf_lines and
+# node_lang_filter (positions 51-55) out of the window — a DELIBERATE
+# rotation: all five have green driver rows r01-r08, pytest coverage,
+# and their code is untouched this round.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # changed or new this round (r9) — first in line for driver rows:
     # the rolling-shingle-hash family (shared _hashed_shingled), the
@@ -1277,6 +1291,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": _q_semantic_dedup,
     "mixture_sample": _q_mixture_sample,
     "dedup_report": _q_dedup_report,
+    "dedup_increment": _q_dedup_increment,
     "quantized_ann_topk": _q_quantized_ann_topk,
     "paragraph_dedup": _q_paragraph_dedup,
     "frequent_ngrams": _q_frequent_ngrams,
@@ -1459,6 +1474,63 @@ def _sql_minhash_pairs(w: int = 3, k: int = 16, bands: int = 4, threshold: float
         WHERE round(len(list_intersect(sh_a, sh_b)) /
                     (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))),
                     6) >= {threshold}
+    """
+
+
+def _sql_dedup_increment(
+    w: int = 3, k: int = 16, bands: int = 4, threshold: float = 0.4
+) -> str:
+    """Replay dedup_increment: batch = doc_id % 4 == 0 vs existing =
+    the rest. Same minhash base + banding as _sql_minhash_pairs; the
+    cross kill and the within-batch pair set are both band-join +
+    exact-Jaccard verified; components via the recursive CTE over the
+    CLEAN batch docs only (killed docs never bridge)."""
+    rows = k // bands
+
+    def jacc(a: str, b: str) -> str:
+        return (
+            f"round(len(list_intersect({a}, {b})) / "
+            f"(len({a}) + len({b}) - len(list_intersect({a}, {b}))), 6)"
+        )
+
+    band_selects = " UNION ALL ".join(
+        f"""SELECT doc_id, sh, {b} AS band, {_sql_hash64(
+            " || ',' || ".join(f"sig_{b * rows + r:02d}::VARCHAR" for r in range(rows))
+        )} AS bucket FROM sig"""
+        for b in range(bands)
+    )
+    return f"""
+        WITH RECURSIVE {_sql_minhash_base(w, k)},
+        ibands AS ({band_selects}),
+        killed AS (
+            SELECT DISTINCT x.doc_id AS nb
+            FROM ibands x JOIN ibands y
+              ON x.band = y.band AND x.bucket = y.bucket
+            WHERE x.doc_id % 4 = 0 AND y.doc_id % 4 != 0
+              AND {jacc('x.sh', 'y.sh')} >= {threshold}),
+        clean AS (
+            SELECT doc_id FROM documents
+            WHERE doc_id % 4 = 0
+              AND doc_id NOT IN (SELECT nb FROM killed)),
+        bpairs AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM ibands x JOIN ibands y
+              ON x.band = y.band AND x.bucket = y.bucket
+                 AND x.doc_id < y.doc_id
+            WHERE x.doc_id IN (SELECT doc_id FROM clean)
+              AND y.doc_id IN (SELECT doc_id FROM clean)
+              AND {jacc('x.sh', 'y.sh')} >= {threshold}),
+        iedges AS (
+            SELECT a AS src, b AS dst FROM bpairs
+            UNION SELECT b AS src, a AS dst FROM bpairs),
+        ireach AS (
+            SELECT doc_id AS id, doc_id AS r FROM clean
+            UNION
+            SELECT ireach.id, iedges.dst AS r
+            FROM ireach JOIN iedges ON ireach.r = iedges.src),
+        icomp AS (SELECT id, MIN(r) AS rep FROM ireach GROUP BY id)
+        SELECT d.doc_id, d.lang, d.source FROM documents d
+        SEMI JOIN icomp ON d.doc_id = icomp.id AND icomp.rep = d.doc_id
     """
 
 
@@ -2557,6 +2629,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source FROM documents
             WHERE substring(md5(doc_id::VARCHAR), 1, 2) < '20'
         """,
+        "dedup_increment": _sql_dedup_increment(),
         "semantic_dedup": f"""
             WITH RECURSIVE
             e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -262,19 +262,16 @@ def _signatures_from_hashed(sh: DataFrame, id_col: str, k: int) -> DataFrame:
     return base.select(F.col(id_col), sig.alias("sig"))
 
 
-def minhash_lsh_candidates(
+def _lsh_buckets(
     signatures: DataFrame,
-    id_col: str = "doc_id",
-    bands: int = 4,
-    rows_per_band: int = 4,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
     fast: bool = False,
 ) -> DataFrame:
-    """LSH banding: documents agreeing on all rows of any band become a
-    candidate pair. Returns distinct ``(a, b)`` with a < b.
-
-    One explode (doc x bands) + one groupBy-join on (band, bucket-hash):
-    shuffle volume = #docs * #bands, never O(n^2).
-    """
+    """Explode a signature frame into its ``(id, band, bucket)`` LSH
+    bucket memberships — the shared banding step of the within-corpus
+    candidate self-join and the cross-corpus increment join."""
     band_hashes = F.array(
         *[
             hash64(
@@ -290,9 +287,25 @@ def minhash_lsh_candidates(
             for b in range(bands)
         ]
     )
-    buckets = signatures.select(
+    return signatures.select(
         F.col(id_col), F.posexplode(band_hashes).alias("band", "bucket")
     )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    fast: bool = False,
+) -> DataFrame:
+    """LSH banding: documents agreeing on all rows of any band become a
+    candidate pair. Returns distinct ``(a, b)`` with a < b.
+
+    One explode (doc x bands) + one groupBy-join on (band, bucket-hash):
+    shuffle volume = #docs * #bands, never O(n^2).
+    """
+    buckets = _lsh_buckets(signatures, id_col, bands, rows_per_band, fast)
     a = buckets.select(F.col(id_col).alias("a"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("b"), "band", "bucket")
     return (
@@ -301,6 +314,18 @@ def minhash_lsh_candidates(
         .select("a", "b")
         .distinct()
     )
+
+
+def _sigs_from_hashed(
+    sh: DataFrame, id_col: str, k: int, use_arrow: bool
+) -> DataFrame:
+    """``(id, sig)`` from a hashed-shingle frame, selecting the Arrow
+    lane kernel or the native fold (bit-identical by construction)."""
+    if use_arrow:
+        return sh.select(
+            F.col(id_col), _minhash_lanes_arrow(k)(F.col("sh")).alias("sig")
+        )
+    return _signatures_from_hashed(sh, id_col, k)
 
 
 def minhash_dedup_pairs(
@@ -324,12 +349,7 @@ def minhash_dedup_pairs(
     rows_per_band = k // bands
     # ONE shingle-hashing pass feeds signatures AND the verify step
     sh = _hashed_shingled(df, text_col, id_col, w, fast).persist()
-    if use_arrow:
-        sigs = sh.select(
-            F.col(id_col), _minhash_lanes_arrow(k)(F.col("sh")).alias("sig")
-        )
-    else:
-        sigs = _signatures_from_hashed(sh, id_col, k)
+    sigs = _sigs_from_hashed(sh, id_col, k, use_arrow)
     cands = minhash_lsh_candidates(sigs, id_col, bands, rows_per_band, fast)
     sa = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
@@ -1115,3 +1135,114 @@ def dedup_report(clusters: DataFrame) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+def dedup_increment(
+    existing: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    fast: bool = False,
+    use_arrow: bool = True,
+    **cluster_kwargs,
+) -> DataFrame:
+    """Incremental corpus dedup — the production shape of a GROWING
+    corpus: dedup a new ``batch`` against an already-deduped
+    ``existing`` corpus WITHOUT re-clustering the whole corpus.
+    Returns the batch rows safe to append (all original columns):
+
+    1. cross-corpus kill — a batch doc whose exact shingle Jaccard
+       with ANY existing doc reaches ``threshold`` is dropped; the
+       existing copy always wins (ids never decide across corpora);
+    2. within-batch dedup of the remainder — banded candidates among
+       surviving batch docs, :func:`dedup_corpus` min-id survivors.
+       Killed docs do NOT bridge batch components: two clean batch
+       docs that are each near a KILLED batch doc but not near each
+       other stay separate components and both survive (the killed
+       doc's content is represented by the existing corpus, not by
+       merging its batch neighbors).
+
+    Scale shape: MinHash signatures + LSH banding on BOTH sides, the
+    cross check is a (band, bucket) equi-join — |existing| x |batch| is
+    never materialized and the existing corpus is scanned once, never
+    re-clustered. One shingle-hashing pass per side feeds signatures
+    AND both exact-Jaccard verify steps; the batch bucket frame is
+    persisted because it feeds the cross join and both self-join
+    sides. The result carries the persisted handles — release with
+    :func:`dgraph_dbpedia_spark.operators.cachectl.release` after
+    materializing."""
+    from dgraph_dbpedia_spark.operators.cachectl import tag_persisted
+
+    rows_per_band = k // bands
+    sh_e = _hashed_shingled(existing, text_col, id_col, w, fast).persist()
+    sh_b = _hashed_shingled(batch, text_col, id_col, w, fast).persist()
+    bk_e = _lsh_buckets(
+        _sigs_from_hashed(sh_e, id_col, k, use_arrow),
+        id_col, bands, rows_per_band, fast,
+    )
+    bk_b = _lsh_buckets(
+        _sigs_from_hashed(sh_b, id_col, k, use_arrow),
+        id_col, bands, rows_per_band, fast,
+    ).persist()
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jacc = F.round(inter / union, 6)
+
+    # step 1: banded cross candidates, exact-Jaccard verified
+    cross = (
+        bk_b.select(F.col(id_col).alias("a"), "band", "bucket")
+        .join(bk_e.select(F.col(id_col).alias("b"), "band", "bucket"),
+              ["band", "bucket"])
+        .select("a", "b")
+        .distinct()
+    )
+    killed = (
+        cross.join(
+            sh_b.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a")),
+            "a",
+        )
+        .join(
+            sh_e.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b")),
+            "b",
+        )
+        .where(jacc >= threshold)
+        .select("a")
+        .distinct()
+    )
+    clean = batch.join(
+        killed.withColumnRenamed("a", id_col), id_col, "left_anti"
+    )
+
+    # step 2: within-batch pairs from the SAME buckets/shingles;
+    # restricting endpoints to clean docs afterwards equals computing
+    # pairs on clean directly (pair membership is pairwise)
+    bcand = (
+        bk_b.select(F.col(id_col).alias("a"), "band", "bucket")
+        .join(bk_b.select(F.col(id_col).alias("b"), "band", "bucket"),
+              ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    clean_ids = clean.select(F.col(id_col))
+    bpairs = (
+        bcand.join(
+            sh_b.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a")),
+            "a",
+        )
+        .join(
+            sh_b.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b")),
+            "b",
+        )
+        .where(jacc >= threshold)
+        .select("a", "b")
+        .join(clean_ids.withColumnRenamed(id_col, "a"), "a", "left_semi")
+        .join(clean_ids.withColumnRenamed(id_col, "b"), "b", "left_semi")
+    )
+    out = dedup_corpus(clean, bpairs, id_col=id_col, **cluster_kwargs)
+    return tag_persisted(out, sh_e, sh_b, bk_b)

@@ -471,3 +471,55 @@ def test_dedup_report_histogram(spark):
     )
     got = [tuple(r) for r in dedup_report(clusters).collect()]
     assert got == [(1, 2, 2, 0), (2, 1, 2, 1), (3, 1, 3, 2)]
+
+
+def test_dedup_increment_planted(spark):
+    """Existing wins across corpora (the batch dup is dropped even
+    though its id differs); within-batch dups collapse to min id;
+    clean docs pass with all columns."""
+    from dgraph_dbpedia_spark.operators.cachectl import release
+    from dgraph_dbpedia_spark.operators.dedup import dedup_increment
+
+    existing = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta eta theta"),
+            (101, "one two three four five six seven eight nine"),
+            (102, "one two three four five six seven eight nine"),
+            (103, "totally different words appear here in this doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = dedup_increment(existing, batch, w=3, k=16, bands=8, threshold=0.5)
+    assert out.columns == ["doc_id", "text"]
+    assert sorted(r["doc_id"] for r in out.collect()) == [101, 103]
+    release(out)
+
+
+def test_dedup_increment_killed_doc_does_not_bridge(spark):
+    """A clean batch doc near a KILLED batch doc survives as its own
+    component: the killed doc's pairs are excluded from the batch
+    graph, so it can neither merge nor root surviving docs."""
+    from dgraph_dbpedia_spark.operators.cachectl import release
+    from dgraph_dbpedia_spark.operators.dedup import dedup_increment
+
+    existing = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            # J vs existing = 4/12 = 0.33 >= 0.3 -> killed
+            (100, "a b c d e f u v w x"),
+            # J vs 100 = 4/12 = 0.33 (shares the u v w x region), but
+            # J vs existing = 0 -> clean; must survive as a singleton
+            # even though its only near-dup evidence points at 100
+            (101, "e f u v w x y z m n"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = dedup_increment(existing, batch, w=3, k=16, bands=16, threshold=0.3)
+    assert sorted(r["doc_id"] for r in out.collect()) == [101]
+    release(out)
