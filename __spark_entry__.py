@@ -640,6 +640,20 @@ def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus fuzzy join (r9): every (batch doc, existing doc)
+    pair with shingle Jaccard >= 0.4 — the attribution twin of
+    dedup_increment's kill step (same split, same banding)."""
+    from dgraph_dbpedia_spark.operators.dedup import minhash_join
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_join(
+        docs.where(F.col("doc_id") % 4 == 0),
+        docs.where(F.col("doc_id") % 4 != 0),
+        w=3, k=16, bands=4, threshold=0.4,
+    )
+
+
 def _q_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup (r9): batch = doc_id % 4 == 0 deduped against
     existing = the rest — cross-corpus banded kill (existing wins),
@@ -1278,11 +1292,12 @@ def _q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 # earned a driver row; the r5 tail (11 queries) is now in the window,
 # and 12 long-stable, pytest-covered queries (green driver rows in
 # r01-r05) rotated out. r9: adding dedup_corpus, semantic_dedup,
-# mixture_sample, dedup_report and dedup_increment at the head pushes
-# ttl_parse, window_tumbling, schema_derivation, rdf_lines and
-# node_lang_filter (positions 51-55) out of the window — a DELIBERATE
-# rotation: all five have green driver rows r01-r08, pytest coverage,
-# and their code is untouched this round.
+# mixture_sample, dedup_report, dedup_increment and minhash_join at
+# the head pushes geo_geojson, ttl_parse, window_tumbling,
+# schema_derivation, rdf_lines and node_lang_filter (positions 51-56)
+# out of the window — a DELIBERATE rotation: all six have green driver
+# rows r01-r08, pytest coverage, and their code is untouched this
+# round.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # changed or new this round (r9) — first in line for driver rows:
     # the rolling-shingle-hash family (shared _hashed_shingled), the
@@ -1292,6 +1307,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample": _q_mixture_sample,
     "dedup_report": _q_dedup_report,
     "dedup_increment": _q_dedup_increment,
+    "minhash_join": _q_minhash_join,
     "quantized_ann_topk": _q_quantized_ann_topk,
     "paragraph_dedup": _q_paragraph_dedup,
     "frequent_ngrams": _q_frequent_ngrams,
@@ -1466,6 +1482,38 @@ def _sql_minhash_pairs(w: int = 3, k: int = 16, bands: int = 4, threshold: float
             SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sh AS sh_a, y.sh AS sh_b
             FROM bands x JOIN bands y
               ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+        SELECT a, b,
+               round(len(list_intersect(sh_a, sh_b)) /
+                     (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))),
+                     6) AS jaccard
+        FROM cand
+        WHERE round(len(list_intersect(sh_a, sh_b)) /
+                    (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))),
+                    6) >= {threshold}
+    """
+
+
+def _sql_minhash_join(
+    w: int = 3, k: int = 16, bands: int = 4, threshold: float = 0.4
+) -> str:
+    """Replay minhash_join on the dedup_increment split (batch =
+    doc_id % 4 == 0 on the left, existing on the right)."""
+    rows = k // bands
+    band_selects = " UNION ALL ".join(
+        f"""SELECT doc_id, sh, {b} AS band, {_sql_hash64(
+            " || ',' || ".join(f"sig_{b * rows + r:02d}::VARCHAR" for r in range(rows))
+        )} AS bucket FROM sig"""
+        for b in range(bands)
+    )
+    return f"""
+        WITH {_sql_minhash_base(w, k)},
+        jbands AS ({band_selects}),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                   x.sh AS sh_a, y.sh AS sh_b
+            FROM jbands x JOIN jbands y
+              ON x.band = y.band AND x.bucket = y.bucket
+            WHERE x.doc_id % 4 = 0 AND y.doc_id % 4 != 0)
         SELECT a, b,
                round(len(list_intersect(sh_a, sh_b)) /
                      (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))),
@@ -2630,6 +2678,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE substring(md5(doc_id::VARCHAR), 1, 2) < '20'
         """,
         "dedup_increment": _sql_dedup_increment(),
+        "minhash_join": _sql_minhash_join(),
         "semantic_dedup": f"""
             WITH RECURSIVE
             e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1253,3 +1253,64 @@ def dedup_increment(
     )
     out = dedup_corpus(clean, bpairs, id_col=id_col, **cluster_kwargs)
     return tag_persisted(out, sh_e, sh_b, bk_b, killed)
+
+
+def minhash_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    fast: bool = False,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Fuzzy similarity JOIN across two corpora: every ``(a, b,
+    jaccard)`` with ``a`` from ``left``, ``b`` from ``right`` and exact
+    shingle Jaccard >= ``threshold`` — the attribution twin of
+    :func:`dedup_increment`'s kill step (WHICH right doc matched each
+    left doc, with the score, instead of only who to drop).
+
+    Scale shape: MinHash+LSH banding on both sides, candidates via the
+    (band, bucket) equi-join, exact verify on candidates only —
+    |left| x |right| is never materialized. One shingle pass per side
+    feeds signatures and the verify; both are persisted (each feeds
+    banding + verify) and ride the result's release handle."""
+    from dgraph_dbpedia_spark.operators.cachectl import tag_persisted
+
+    rows_per_band = k // bands
+    sh_l = _hashed_shingled(left, text_col, id_col, w, fast).persist()
+    sh_r = _hashed_shingled(right, text_col, id_col, w, fast).persist()
+    bk_l = _lsh_buckets(
+        _sigs_from_hashed(sh_l, id_col, k, use_arrow),
+        id_col, bands, rows_per_band, fast,
+    )
+    bk_r = _lsh_buckets(
+        _sigs_from_hashed(sh_r, id_col, k, use_arrow),
+        id_col, bands, rows_per_band, fast,
+    )
+    cands = (
+        bk_l.select(F.col(id_col).alias("a"), "band", "bucket")
+        .join(bk_r.select(F.col(id_col).alias("b"), "band", "bucket"),
+              ["band", "bucket"])
+        .select("a", "b")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    out = (
+        cands.join(
+            sh_l.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a")),
+            "a",
+        )
+        .join(
+            sh_r.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b")),
+            "b",
+        )
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return tag_persisted(out, sh_l, sh_r)

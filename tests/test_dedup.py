@@ -523,3 +523,33 @@ def test_dedup_increment_killed_doc_does_not_bridge(spark):
     out = dedup_increment(existing, batch, w=3, k=16, bands=16, threshold=0.3)
     assert sorted(r["doc_id"] for r in out.collect()) == [101]
     release(out)
+
+
+def test_minhash_join_cross_corpus(spark):
+    """Pairs flow left -> right only (no within-corpus pairs), exact
+    duplicates score 1.0, unrelated docs never meet."""
+    from dgraph_dbpedia_spark.operators.cachectl import release
+    from dgraph_dbpedia_spark.operators.dedup import minhash_join
+
+    left = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta eta theta"),
+            (101, "one two three four five six seven eight nine"),
+        ],
+        ["doc_id", "text"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "totally different words appear here in this doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = minhash_join(left, right, w=3, k=16, bands=8, threshold=0.3)
+    got = {(r["a"], r["b"]): r["jaccard"] for r in out.collect()}
+    assert got[(100, 1)] == 1.0
+    assert (100, 2) in got and 0.3 <= got[(100, 2)] < 1.0
+    assert all(a in (100, 101) and b in (1, 2, 3) for a, b in got)
+    assert (101, 3) not in got
+    release(out)
