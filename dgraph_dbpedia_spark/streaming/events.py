@@ -407,3 +407,101 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_near_dup_batch(
+    batch: DataFrame,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    fast: bool = False,
+) -> DataFrame:
+    """Micro-batch NEAR-duplicate filter for document streams — the
+    ``foreachBatch`` body of a streaming near-dup pipeline.
+
+    WHY not a pure streaming operator: banded SimHash near-dup needs a
+    per-doc aggregation AFTER the per-bucket stateful step (a doc is a
+    dup if ANY of its 4 bands matched a prior doc), and Spark rejects
+    that chain outright — probed on 4.1: applyInPandasWithState
+    followed by groupBy(doc) raises
+    STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION in append mode and the
+    global-watermark "correctness issue" AnalysisException in update
+    mode. Exact streaming dedup (:func:`dedup_events`) stays a pure
+    stateful operator; near-dup uses the supported production pattern:
+    foreachBatch with explicit on-disk state.
+
+    Per micro-batch: (1) drop docs within ``max_hamming`` of any
+    previously-seen doc — banded (chunk, value) equi-join against the
+    state table, never all-pairs; (2) within-batch greedy min-id
+    near-dup filter; (3) append survivors' ``(id, simhash)`` to the
+    state table. Returns the surviving rows, localCheckpoint-ed BEFORE
+    the state append so the returned frame cannot observe its own
+    batch's state rows.
+
+    Replay caveat (at-least-once foreachBatch): state append and the
+    caller's sink write are not atomic. On micro-batch replay,
+    already-registered survivors are suppressed as their own
+    duplicates — the benign direction for dedup (no duplicate ever
+    escapes; a crash between state and sink write loses that batch
+    from the sink). Key the state layout by batchId if loss matters.
+
+    Scale shape: state grows by survivors only and is read once per
+    batch; the cross join is banded; within-batch work is
+    micro-batch-sized."""
+    from dgraph_dbpedia_spark.operators.cachectl import release
+    from dgraph_dbpedia_spark.operators.dedup import (
+        near_dup_filter,
+        simhash,
+        simhash_near_dup_pairs,
+    )
+
+    spark = batch.sparkSession
+
+    def chunks(sim_col):
+        return F.array(
+            *[
+                F.shiftright(sim_col, c * 15).bitwiseAND(F.lit((1 << 15) - 1))
+                for c in range(4)
+            ]
+        )
+
+    sh = simhash(batch, text_col, id_col, fast).persist()
+    try:
+        state = spark.read.parquet(state_dir)
+        has_state = True
+    except Exception:
+        has_state = False
+    if has_state:
+        bb = sh.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.posexplode(chunks(F.col("simhash"))).alias("chunk", "val"),
+        )
+        sb = state.select(
+            F.col("simhash").alias("sim_s"),
+            F.posexplode(chunks(F.col("simhash"))).alias("chunk", "val"),
+        )
+        dup_ids = (
+            bb.join(sb, ["chunk", "val"])
+            .where(
+                F.bit_count(F.col("simhash").bitwiseXOR(F.col("sim_s")))
+                <= max_hamming
+            )
+            .select(F.col(id_col))
+            .distinct()
+        )
+        clean = batch.join(dup_ids, id_col, "left_anti")
+    else:
+        clean = batch
+    pairs = simhash_near_dup_pairs(clean, text_col, id_col, max_hamming, fast)
+    survivors = near_dup_filter(clean, pairs, id_col).localCheckpoint()
+    release(pairs)
+    (
+        sh.join(survivors.select(F.col(id_col)), id_col, "left_semi")
+        .select(F.col(id_col), F.col("simhash"))
+        .write.mode("append")
+        .parquet(state_dir)
+    )
+    sh.unpersist()
+    return survivors

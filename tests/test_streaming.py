@@ -395,3 +395,76 @@ def test_interval_join_subsecond_floor_semantics(spark):
     out = {(r["r_event_id"], r["lag_s"]) for r in
            interval_join(df, df, "click", "view", 1800).collect()}
     assert out == {(2, 0), (3, 1800)}
+
+
+def test_stream_near_dup_batch_state(spark, tmp_path):
+    """Cross-batch near-dups are dropped against on-disk state,
+    within-batch dups keep the min id, and state grows by survivors
+    only."""
+    from dgraph_dbpedia_spark.streaming.events import stream_near_dup_batch
+
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "completely different text about spark query engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    s1 = stream_near_dup_batch(b1, state)
+    assert sorted(r["doc_id"] for r in s1.collect()) == [1, 3]
+    b2 = spark.createDataFrame(
+        [
+            # near-dup (hamming 0) of doc 1 from the PREVIOUS batch
+            (10, "the quick brown fox jumps over the lazy dog today"),
+            (11, "novel words that appeared in no earlier micro batch"),
+        ],
+        ["doc_id", "text"],
+    )
+    s2 = stream_near_dup_batch(b2, state)
+    assert sorted(r["doc_id"] for r in s2.collect()) == [11]
+    reg = spark.read.parquet(state)
+    assert sorted(r["doc_id"] for r in reg.collect()) == [1, 3, 11]
+
+
+def test_stream_near_dup_foreach_batch_end_to_end(spark, tmp_path):
+    """Wired into writeStream.foreachBatch over two single-file
+    micro-batches: sink receives exactly the survivors the manual
+    two-call sequence produces."""
+    import os
+
+    from dgraph_dbpedia_spark.streaming.events import stream_near_dup_batch
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state2")
+    sink = str(tmp_path / "sink")
+    rows1 = [(1, "alpha beta gamma delta epsilon zeta eta theta")]
+    rows2 = [
+        (10, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+        (11, "fresh unseen sentence with wholly new vocabulary"),
+    ]
+    for i, rows in enumerate([rows1, rows2]):
+        path = f"{src}/f{i}"
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(path)
+        base = 1_600_000_000
+        for f in os.listdir(path):
+            os.utime(f"{path}/{f}", (base + i, base + i))
+        os.utime(path, (base + i, base + i))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, _bid: stream_near_dup_batch(df, state)
+            .write.mode("append")
+            .parquet(sink)
+        )
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(r["doc_id"] for r in spark.read.parquet(sink).collect()) == [1, 11]
