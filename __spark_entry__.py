@@ -1467,14 +1467,22 @@ def _sql_minhash_base(w: int, k: int) -> str:
     """
 
 
-def _sql_minhash_pairs(w: int = 3, k: int = 16, bands: int = 4, threshold: float = 0.4) -> str:
+def _sql_band_selects(k: int, bands: int) -> str:
+    """The banding UNION ALL over the ``sig`` CTE — ONE definition for
+    every minhash oracle (pairs / join / increment); the bucket-hash
+    layout must stay bit-identical across them or an edit in one spot
+    silently diverges the oracles from the shared Spark banding."""
     rows = k // bands
-    band_selects = " UNION ALL ".join(
+    return " UNION ALL ".join(
         f"""SELECT doc_id, sh, {b} AS band, {_sql_hash64(
             " || ',' || ".join(f"sig_{b * rows + r:02d}::VARCHAR" for r in range(rows))
         )} AS bucket FROM sig"""
         for b in range(bands)
     )
+
+
+def _sql_minhash_pairs(w: int = 3, k: int = 16, bands: int = 4, threshold: float = 0.4) -> str:
+    band_selects = _sql_band_selects(k, bands)
     return f"""
         WITH {_sql_minhash_base(w, k)},
         bands AS ({band_selects}),
@@ -1498,13 +1506,7 @@ def _sql_minhash_join(
 ) -> str:
     """Replay minhash_join on the dedup_increment split (batch =
     doc_id % 4 == 0 on the left, existing on the right)."""
-    rows = k // bands
-    band_selects = " UNION ALL ".join(
-        f"""SELECT doc_id, sh, {b} AS band, {_sql_hash64(
-            " || ',' || ".join(f"sig_{b * rows + r:02d}::VARCHAR" for r in range(rows))
-        )} AS bucket FROM sig"""
-        for b in range(bands)
-    )
+    band_selects = _sql_band_selects(k, bands)
     return f"""
         WITH {_sql_minhash_base(w, k)},
         jbands AS ({band_selects}),
@@ -1533,7 +1535,6 @@ def _sql_dedup_increment(
     cross kill and the within-batch pair set are both band-join +
     exact-Jaccard verified; components via the recursive CTE over the
     CLEAN batch docs only (killed docs never bridge)."""
-    rows = k // bands
 
     def jacc(a: str, b: str) -> str:
         return (
@@ -1541,12 +1542,7 @@ def _sql_dedup_increment(
             f"(len({a}) + len({b}) - len(list_intersect({a}, {b}))), 6)"
         )
 
-    band_selects = " UNION ALL ".join(
-        f"""SELECT doc_id, sh, {b} AS band, {_sql_hash64(
-            " || ',' || ".join(f"sig_{b * rows + r:02d}::VARCHAR" for r in range(rows))
-        )} AS bucket FROM sig"""
-        for b in range(bands)
-    )
+    band_selects = _sql_band_selects(k, bands)
     return f"""
         WITH RECURSIVE {_sql_minhash_base(w, k)},
         ibands AS ({band_selects}),

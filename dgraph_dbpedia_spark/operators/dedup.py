@@ -448,6 +448,65 @@ def simhash(
     )
 
 
+def _simhash_chunks(sim: Column) -> Column:
+    """The 4 x 15-bit band values of a 60-bit simhash — the single
+    definition shared by the self-join pairs and the streaming state
+    join (a layout edit in one place keeps every consumer and the
+    pigeonhole guarantee consistent)."""
+    return F.array(
+        *[
+            F.shiftright(sim, c * 15).bitwiseAND(F.lit((1 << 15) - 1))
+            for c in range(4)
+        ]
+    )
+
+
+def simhash_banded_pairs(
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs from a precomputed ``(id, simhash)`` frame —
+    banding on the 4 x 15-bit chunks, hamming verify on bucket
+    collisions only. Callers that already hold fingerprints
+    (:func:`streaming.events.stream_near_dup_batch`) skip a second
+    simhash fold; :func:`simhash_near_dup_pairs` wraps this for raw
+    text. Returns ``(a, b, hamming)``.
+
+    ``max_hamming`` must be <= 3: the pigeonhole guarantee (some chunk
+    agrees exactly) only holds for 3 differing bits over 4 chunks — a
+    larger radius would SILENTLY lose pairs whose diff bits span all
+    four chunks, so it raises instead."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming must be in [0, 3] (4-band pigeonhole bound), "
+            f"got {max_hamming}; more distance needs a wider banding "
+            "scheme, not a larger radius on this one"
+        )
+    buckets = fingerprints.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(_simhash_chunks(F.col("simhash"))).alias("chunk", "val"),
+    )
+    a = buckets.select(
+        F.col(id_col).alias("a"), F.col("simhash").alias("sim_a"), "chunk", "val"
+    )
+    b = buckets.select(
+        F.col(id_col).alias("b"), F.col("simhash").alias("sim_b"), "chunk", "val"
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    # hamming filter BEFORE the dedup-distinct: the filter is a cheap
+    # per-row bit_count on the join output, while distinct is a shuffle —
+    # order matters at scale (candidates >> survivors)
+    return (
+        a.join(b, ["chunk", "val"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -461,6 +520,7 @@ def simhash_near_dup_pairs(
     agrees exactly on at least one chunk (pigeonhole), so candidate
     generation is an equi-join on (chunk-index, chunk-value) — no
     all-pairs comparison. Returns ``(a, b, hamming)``.
+    ``max_hamming > 3`` raises (see :func:`simhash_banded_pairs`).
 
     The fingerprint frame is persisted: it feeds both sides of the
     self-join, and without the persist Catalyst recomputes the full
@@ -469,33 +529,12 @@ def simhash_near_dup_pairs(
     """
     from dgraph_dbpedia_spark.operators.cachectl import tag_persisted
 
+    if not 0 <= max_hamming <= 3:  # validate BEFORE marking any persist
+        raise ValueError(
+            f"max_hamming must be in [0, 3], got {max_hamming}"
+        )
     sh = simhash(df, text_col, id_col, fast).persist()
-    chunks = F.array(
-        *[
-            F.shiftright(F.col("simhash"), c * 15).bitwiseAND(F.lit((1 << 15) - 1))
-            for c in range(4)
-        ]
-    )
-    buckets = sh.select(
-        F.col(id_col), F.col("simhash"), F.posexplode(chunks).alias("chunk", "val")
-    )
-    a = buckets.select(
-        F.col(id_col).alias("a"), F.col("simhash").alias("sim_a"), "chunk", "val"
-    )
-    b = buckets.select(
-        F.col(id_col).alias("b"), F.col("simhash").alias("sim_b"), "chunk", "val"
-    )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    # hamming filter BEFORE the dedup-distinct: the filter is a cheap
-    # per-row bit_count on the join output, while distinct is a shuffle —
-    # order matters at scale (candidates >> survivors)
-    out = (
-        a.join(b, ["chunk", "val"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b", hamming.alias("hamming"))
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
+    out = simhash_banded_pairs(sh, id_col, max_hamming)
     return tag_persisted(out, sh)
 
 
@@ -1237,8 +1276,14 @@ def dedup_increment(
         .distinct()
     )
     clean_ids = clean.select(F.col(id_col))
+    # clean-endpoint restriction BEFORE the exact-Jaccard verify: on a
+    # heavily-overlapping re-ingest most candidates touch a killed doc,
+    # and intersecting their full shingle arrays only to discard the
+    # pair afterwards is pure waste (killed/clean are already known)
     bpairs = (
-        bcand.join(
+        bcand.join(clean_ids.withColumnRenamed(id_col, "a"), "a", "left_semi")
+        .join(clean_ids.withColumnRenamed(id_col, "b"), "b", "left_semi")
+        .join(
             sh_b.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a")),
             "a",
         )
@@ -1248,10 +1293,17 @@ def dedup_increment(
         )
         .where(jacc >= threshold)
         .select("a", "b")
-        .join(clean_ids.withColumnRenamed(id_col, "a"), "a", "left_semi")
-        .join(clean_ids.withColumnRenamed(id_col, "b"), "b", "left_semi")
     )
-    out = dedup_corpus(clean, bpairs, id_col=id_col, **cluster_kwargs)
+    try:
+        out = dedup_corpus(clean, bpairs, id_col=id_col, **cluster_kwargs)
+    except Exception:
+        # the eager clusterer raised (e.g. diameter > max_iter, the
+        # documented retry-with-star condition): there is no result to
+        # carry the release handles, so drop the caches here — the
+        # same leak semantic_dedup's finally fixes
+        for f in (sh_e, sh_b, bk_b, killed):
+            f.unpersist()
+        raise
     return tag_persisted(out, sh_e, sh_b, bk_b, killed)
 
 

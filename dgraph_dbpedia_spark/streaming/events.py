@@ -449,59 +449,82 @@ def stream_near_dup_batch(
     Scale shape: state grows by survivors only and is read once per
     batch; the cross join is banded; within-batch work is
     micro-batch-sized."""
-    from dgraph_dbpedia_spark.operators.cachectl import release
+    from pyspark.errors import AnalysisException
+
     from dgraph_dbpedia_spark.operators.dedup import (
+        _simhash_chunks,
         near_dup_filter,
         simhash,
-        simhash_near_dup_pairs,
+        simhash_banded_pairs,
     )
 
+    if not 0 <= max_hamming <= 3:  # the 4-band pigeonhole bound;
+        # validate before marking any persist
+        raise ValueError(
+            f"max_hamming must be in [0, 3], got {max_hamming}"
+        )
     spark = batch.sparkSession
-
-    def chunks(sim_col):
-        return F.array(
-            *[
-                F.shiftright(sim_col, c * 15).bitwiseAND(F.lit((1 << 15) - 1))
-                for c in range(4)
-            ]
-        )
-
+    # the batch fingerprints feed the state join, both within-batch
+    # pair sides (via the anti-join view), and the state append — ONE
+    # simhash fold per micro-batch, cached for all four consumers
     sh = simhash(batch, text_col, id_col, fast).persist()
+    dup_ids = None
     try:
-        state = spark.read.parquet(state_dir)
-        has_state = True
-    except Exception:
-        has_state = False
-    if has_state:
-        bb = sh.select(
-            F.col(id_col),
-            F.col("simhash"),
-            F.posexplode(chunks(F.col("simhash"))).alias("chunk", "val"),
-        )
-        sb = state.select(
-            F.col("simhash").alias("sim_s"),
-            F.posexplode(chunks(F.col("simhash"))).alias("chunk", "val"),
-        )
-        dup_ids = (
-            bb.join(sb, ["chunk", "val"])
-            .where(
-                F.bit_count(F.col("simhash").bitwiseXOR(F.col("sim_s")))
-                <= max_hamming
+        try:
+            state = spark.read.parquet(state_dir)
+            has_state = True
+        except AnalysisException as e:
+            # ONLY path-not-found (the first micro-batch) may be
+            # swallowed — a corrupt/unreadable EXISTING state must fail
+            # the batch loudly, or near-dups of registered docs would
+            # silently reach both the sink and the state table
+            msg = str(e)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                raise
+            has_state = False
+        if has_state:
+            bb = sh.select(
+                F.col(id_col),
+                F.col("simhash"),
+                F.posexplode(_simhash_chunks(F.col("simhash"))).alias(
+                    "chunk", "val"
+                ),
             )
-            .select(F.col(id_col))
-            .distinct()
+            sb = state.select(
+                F.col("simhash").alias("sim_s"),
+                F.posexplode(_simhash_chunks(F.col("simhash"))).alias(
+                    "chunk", "val"
+                ),
+            )
+            # persisted: dup_ids gates the survivor rows AND both pair
+            # sides — uncached it would replay the state join per branch
+            dup_ids = (
+                bb.join(sb, ["chunk", "val"])
+                .where(
+                    F.bit_count(F.col("simhash").bitwiseXOR(F.col("sim_s")))
+                    <= max_hamming
+                )
+                .select(F.col(id_col))
+                .distinct()
+                .persist()
+            )
+            clean = batch.join(dup_ids, id_col, "left_anti")
+            clean_sh = sh.join(dup_ids, id_col, "left_anti")
+        else:
+            clean = batch
+            clean_sh = sh
+        pairs = simhash_banded_pairs(clean_sh, id_col, max_hamming)
+        survivors = near_dup_filter(clean, pairs, id_col).localCheckpoint()
+        (
+            sh.join(survivors.select(F.col(id_col)), id_col, "left_semi")
+            .select(F.col(id_col), F.col("simhash"))
+            .write.mode("append")
+            .parquet(state_dir)
         )
-        clean = batch.join(dup_ids, id_col, "left_anti")
-    else:
-        clean = batch
-    pairs = simhash_near_dup_pairs(clean, text_col, id_col, max_hamming, fast)
-    survivors = near_dup_filter(clean, pairs, id_col).localCheckpoint()
-    release(pairs)
-    (
-        sh.join(survivors.select(F.col(id_col)), id_col, "left_semi")
-        .select(F.col(id_col), F.col("simhash"))
-        .write.mode("append")
-        .parquet(state_dir)
-    )
-    sh.unpersist()
-    return survivors
+        return survivors
+    finally:
+        # exception-safe: a failed localCheckpoint/state write on a
+        # retried micro-batch must not leak a cached frame per attempt
+        sh.unpersist()
+        if dup_ids is not None:
+            dup_ids.unpersist()

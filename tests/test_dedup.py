@@ -122,9 +122,13 @@ def test_simhash_hamming(spark, docs):
 
 def test_simhash_near_dup_pairs(spark, docs):
     pairs = {(r["a"], r["b"]): r["hamming"] for r in
-             simhash_near_dup_pairs(docs, max_hamming=10).collect()}
+             simhash_near_dup_pairs(docs, max_hamming=3).collect()}
     assert pairs[(1, 2)] == 0
     assert (1, 4) not in pairs
+    # radius beyond the 4-band pigeonhole bound raises instead of
+    # silently losing recall
+    with pytest.raises(ValueError):
+        simhash_near_dup_pairs(docs, max_hamming=10)
 
 
 def test_no_python_udf_in_plans(spark, docs):
