@@ -35,6 +35,11 @@ _PYTHON_OK = {
     "minhash_signatures",  # Arrow lane kernel (bit-equal, pinned)
     "minhash_pairs",
     "near_dup_filter",
+    # same Arrow lane kernel; unlike dedup_corpus/semantic_dedup (whose
+    # component step runs eagerly, so their RETURNED plan is already
+    # Python-free) these return the lazy banded-join frame itself
+    "minhash_join",
+    "dedup_increment",
 }
 
 
