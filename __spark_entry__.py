@@ -640,6 +640,26 @@ def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (r9): 32-token windows every 24 tokens
+    over every document's token stream — native sequence/posexplode/
+    slice, no UDF, no shuffle."""
+    from dgraph_dbpedia_spark.operators.sampling import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained unigram surprisal score (r9): corpus-fit add-1
+    model, mean bits/token per doc; model joined on the token key,
+    never broadcast."""
+    from dgraph_dbpedia_spark.operators.textstats import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob(docs)
+
+
 def _q_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus fuzzy join (r9): every (batch doc, existing doc)
     pair with shingle Jaccard >= 0.4 — the attribution twin of
@@ -1291,13 +1311,14 @@ def _q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (r6): queries are rotated INTO the window each round until all have
 # earned a driver row; the r5 tail (11 queries) is now in the window,
 # and 12 long-stable, pytest-covered queries (green driver rows in
-# r01-r05) rotated out. r9: adding dedup_corpus, semantic_dedup,
-# mixture_sample, dedup_report, dedup_increment and minhash_join at
-# the head pushes geo_geojson, ttl_parse, window_tumbling,
-# schema_derivation, rdf_lines and node_lang_filter (positions 51-56)
-# out of the window — a DELIBERATE rotation: all six have green driver
-# rows r01-r08, pytest coverage, and their code is untouched this
-# round.
+# r01-r05) rotated out. r9: the eight new queries at the head
+# (dedup_corpus, semantic_dedup, mixture_sample, dedup_report,
+# dedup_increment, minhash_join, chunk_documents, unigram_logprob)
+# push majority_semi_join, stats_full_outer_fold, geo_geojson,
+# ttl_parse, window_tumbling, schema_derivation, rdf_lines and
+# node_lang_filter (positions 51-58) out of the window — a DELIBERATE
+# rotation: all eight have green driver rows r01-r08, pytest
+# coverage, and their code is untouched this round.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # changed or new this round (r9) — first in line for driver rows:
     # the rolling-shingle-hash family (shared _hashed_shingled), the
@@ -1308,6 +1329,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_report": _q_dedup_report,
     "dedup_increment": _q_dedup_increment,
     "minhash_join": _q_minhash_join,
+    "chunk_documents": _q_chunk_documents,
+    "unigram_logprob": _q_unigram_logprob,
     "quantized_ann_topk": _q_quantized_ann_topk,
     "paragraph_dedup": _q_paragraph_dedup,
     "frequent_ngrams": _q_frequent_ngrams,
@@ -2675,6 +2698,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_increment": _sql_dedup_increment(),
         "minhash_join": _sql_minhash_join(),
+        "chunk_documents": f"""
+            WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+            s AS (
+                SELECT doc_id, toks,
+                       unnest(range(0, greatest(len(toks) - 8, 1), 24))
+                           AS start
+                FROM t WHERE len(toks) > 0)
+            SELECT doc_id,
+                   (start // 24)::INT AS chunk_idx,
+                   len(toks[start + 1 : start + 32]) AS n_tokens,
+                   array_to_string(toks[start + 1 : start + 32], ' ')
+                       AS chunk_text
+            FROM s
+        """,
+        "unigram_logprob": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents),
+            model AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+            sc AS (
+                SELECT sum(c) AS total, count(*) AS vocab FROM model),
+            scored AS (
+                SELECT t.doc_id, count(*) AS n_tokens,
+                       round(avg(-log2(
+                           (m.c + 1.0::DOUBLE) /
+                           (sc.total + 1.0::DOUBLE * sc.vocab))), 4)
+                           AS bits_per_token
+                FROM tok t JOIN model m USING (tok) CROSS JOIN sc
+                GROUP BY t.doc_id)
+            SELECT d.doc_id,
+                   coalesce(s.n_tokens, 0) AS n_tokens,
+                   s.bits_per_token
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        """,
         "semantic_dedup": f"""
             WITH RECURSIVE
             e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -197,3 +197,67 @@ def mixture_sample(
     return weighted_sample(
         df.withColumn(wc, keep_p), wc, id_col=id_col, seed=seed
     ).drop(wc)
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG-indexing /
+    context-window twin of :func:`pack_offsets` (which packs ACROSS
+    docs; this splits WITHIN them, never mixing documents). Each doc's
+    whitespace token stream becomes windows of ``chunk_tokens`` every
+    ``chunk_tokens - overlap`` positions; the final window may be
+    short, but every window past the first contributes at least one
+    token its predecessor did not (a trailing window that is a pure
+    suffix of the previous one is NOT emitted — windows start only
+    while ``start + overlap < n_tokens``). Returns ``(id, chunk_idx,
+    n_tokens, chunk_text)``; empty documents produce no chunks.
+
+    Pure per-row plan: sequence() over window starts + posexplode +
+    slice + array_join — no UDF, no shuffle; at 100 TB this is
+    scan-speed with output amplification ~1/(1 - overlap/chunk_tokens).
+    """
+    from dgraph_dbpedia_spark.functions.hashing import tokens
+
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
+    stride = chunk_tokens - overlap
+    toked = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    n = F.size("__toks")
+    # sequence() raises on (0, -1) bounds, so the empty-doc case gets
+    # an explicit empty array (posexplode then emits no rows for it);
+    # the stop bound n - overlap - 1 enforces start + overlap < n (no
+    # pure-suffix trailing window), clamped to 0 so short docs still
+    # get their single window
+    starts = F.when(
+        n > 0,
+        F.sequence(
+            F.lit(0),
+            F.greatest(n - F.lit(overlap + 1), F.lit(0)),
+            F.lit(stride),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
+    return (
+        toked.select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.posexplode(starts).alias("chunk_idx", "__start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx"),
+            F.size(chunk).alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )

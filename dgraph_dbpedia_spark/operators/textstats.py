@@ -402,3 +402,61 @@ def gopher_quality_filter(
         n_stop.alias("n_stopwords"),
         keep.alias("keep"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """LM-perplexity quality proxy WITHOUT an external model (the
+    CCNet idea, self-trained): fit a unigram model on the corpus
+    itself (token -> count, add-k smoothed), then score every document
+    by its mean token surprisal in bits. Natural prose full of common
+    tokens scores low; rare-token soup (mojibake, id dumps, exotic
+    boilerplate) scores high — filter with ``.where("bits_per_token >
+    cutoff")`` or feed :func:`~dgraph_dbpedia_spark.operators.sampling.
+    weighted_sample`. Returns ``(id, n_tokens, bits_per_token)``
+    (empty docs: 0 tokens, NULL bits).
+
+    p(t) = (count(t) + k) / (total + k * |V|); bits = -log2 p.
+
+    100 TB shape: the model is ONE partial-aggregable groupBy over
+    exploded tokens; scoring re-joins docs to the model ON THE TOKEN
+    KEY — the vocabulary is never collected or broadcast (corpus-scale
+    vocab exceeds any driver/executor), and both shuffles are bounded
+    by total token count. The two global scalars (total, |V|) ride a
+    broadcast 1-row crossJoin, the X6 pattern."""
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    toked = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    model = toked.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    scalars = model.agg(
+        F.sum("c").alias("__total"), F.count(F.lit(1)).alias("__vocab")
+    )
+    bits = -F.log2(
+        (F.col("c") + F.lit(float(smoothing)))
+        / (F.col("__total") + F.lit(float(smoothing)) * F.col("__vocab"))
+    )
+    scored = (
+        toked.join(model, "tok")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(bits), 4).alias("bits_per_token"),
+        )
+    )
+    # left join: documents with zero tokens still get a row
+    return (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.col("bits_per_token"),
+        )
+    )

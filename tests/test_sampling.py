@@ -151,3 +151,30 @@ def test_mixture_sample_validates(spark):
         mixture_sample(docs, {"a": 1.5})
     with pytest.raises(ValueError):
         mixture_sample(docs, {"a": 0.5}, default_weight=-0.1)
+
+
+def test_chunk_documents_windows(spark):
+    """Windows advance by chunk_tokens - overlap; the final window may
+    be short; empty docs produce no chunks; bounds validated."""
+    import pytest
+
+    from dgraph_dbpedia_spark.operators.sampling import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6"), (2, ""), (3, "only three tokens")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(docs, chunk_tokens=4, overlap=2).collect()
+    }
+    assert got == {
+        (1, 0): (4, "t0 t1 t2 t3"),
+        (1, 1): (4, "t2 t3 t4 t5"),
+        (1, 2): (3, "t4 t5 t6"),
+        (3, 0): (3, "only three tokens"),
+    }
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=0)

@@ -200,3 +200,24 @@ def test_gopher_quality_filter_rules(spark):
     assert got[4]["keep"] is False and got[4]["alpha_word_ratio"] == 0.0
     assert got[4]["n_stopwords"] == 0
     assert got[1]["n_stopwords"] >= 2
+
+
+def test_unigram_logprob_orders_rarity(spark):
+    """Docs made of corpus-common tokens score fewer bits/token than
+    rare-token docs; empty docs keep a row with NULL bits."""
+    import pytest
+
+    from dgraph_dbpedia_spark.operators.textstats import unigram_logprob
+
+    common = "the the the the the the the the"
+    docs = spark.createDataFrame(
+        [(1, common), (2, common), (3, common), (4, "zyx wvu tsr qpo"),
+         (5, "")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    assert got[1]["bits_per_token"] < got[4]["bits_per_token"]
+    assert got[5]["n_tokens"] == 0 and got[5]["bits_per_token"] is None
+    assert got[4]["n_tokens"] == 4
+    with pytest.raises(ValueError):
+        unigram_logprob(docs, smoothing=0)
