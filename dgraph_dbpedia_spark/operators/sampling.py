@@ -24,7 +24,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from dgraph_dbpedia_spark.functions.hashing import hash64
+from dgraph_dbpedia_spark.functions.hashing import hash64, tokens
 
 
 def stratified_sample(
@@ -76,8 +76,6 @@ def pack_offsets(
     shard hash is cross-engine checkable; swap ``fast=True``-style
     xxhash in production exactly as the dedup operators do.
     """
-    from dgraph_dbpedia_spark.functions.hashing import hash64, tokens
-
     # same loud guard range_count_join applies to radius: a zero/negative
     # divisor would otherwise yield silent NULL pack/shard ids via
     # `div 0` / `pmod(h, 0)`
@@ -221,8 +219,6 @@ def chunk_documents(
     slice + array_join — no UDF, no shuffle; at 100 TB this is
     scan-speed with output amplification ~1/(1 - overlap/chunk_tokens).
     """
-    from dgraph_dbpedia_spark.functions.hashing import tokens
-
     if chunk_tokens < 1:
         raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
     if not 0 <= overlap < chunk_tokens:

@@ -416,9 +416,10 @@ def unigram_logprob(
     by its mean token surprisal in bits. Natural prose full of common
     tokens scores low; rare-token soup (mojibake, id dumps, exotic
     boilerplate) scores high — filter with ``.where("bits_per_token >
-    cutoff")`` or feed :func:`~dgraph_dbpedia_spark.operators.sampling.
-    weighted_sample`. Returns ``(id, n_tokens, bits_per_token)``
-    (empty docs: 0 tokens, NULL bits).
+    cutoff")`` or feed
+    :func:`~dgraph_dbpedia_spark.operators.sampling.weighted_sample`.
+    Returns ``(id, n_tokens, bits_per_token)`` (empty docs: 0 tokens,
+    NULL bits).
 
     p(t) = (count(t) + k) / (total + k * |V|); bits = -log2 p.
 
