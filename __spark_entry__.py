@@ -1009,7 +1009,27 @@ def _ivf_index_root(sf_dir: str) -> str:
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}@{mtime}@{_IVF_INDEX_FORMAT}".encode()
     ).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"sparkgraft-ivf-index-{key}")
+    root = os.path.join(tempfile.gettempdir(), f"sparkgraft-ivf-index-{key}")
+    # best-effort sweep of ABANDONED generations: every mtime/format
+    # bump re-keys the dir and would otherwise leave the previous
+    # corpus-sized index tree in tempdir forever. Age-gated (>7 days)
+    # so a sibling process serving a DIFFERENT live dataset (its key
+    # differs by design) can never lose its index mid-read — only
+    # generations no run has rebuilt in a week are swept.
+    import glob
+    import shutil
+    import time as _time
+
+    cutoff = _time.time() - 7 * 86400
+    for old in glob.glob(
+        os.path.join(tempfile.gettempdir(), "sparkgraft-ivf-index-*")
+    ):
+        try:
+            if old != root and os.path.getmtime(old) < cutoff:
+                shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass  # raced with a concurrent sweep: already gone
+    return root
 
 
 def _ivf_index_complete(root: str) -> bool:
@@ -2719,10 +2739,15 @@ def oracle_sql() -> dict[str, str]:
             sc AS (
                 SELECT sum(c) AS total, count(*) AS vocab FROM model),
             scored AS (
+                -- sorted sequential fold, NOT avg(): bit-matches the
+                -- Spark side's sort_array + aggregate regardless of
+                -- either engine's row order
                 SELECT t.doc_id, count(*) AS n_tokens,
-                       round(avg(-log2(
-                           (m.c + 1.0::DOUBLE) /
-                           (sc.total + 1.0::DOUBLE * sc.vocab))), 4)
+                       round(list_reduce(
+                           list_sort(list(-log2(
+                               (m.c + 1.0::DOUBLE) /
+                               (sc.total + 1.0::DOUBLE * sc.vocab)))),
+                           (a, b) -> a + b) / count(*), 4)
                            AS bits_per_token
                 FROM tok t JOIN model m USING (tok) CROSS JOIN sc
                 GROUP BY t.doc_id)

@@ -105,11 +105,13 @@ def main() -> None:
     # so every serve-path query times the partition-pruned probe, not
     # the two corpus-write build jobs. Calls the index mechanism
     # directly — NOT a query name — so the warm-up survives any future
-    # rotation of the serve-path queries out of the registry
-    try:
-        entry_mod._served_ivf_index(spark, sf_dir)
-    except Exception:
-        pass  # no embeddings table at this sf_dir: nothing to pre-build
+    # rotation of the serve-path queries out of the registry.
+    # Unguarded on purpose (same policy as the warm-ups below): a
+    # build failure here would otherwise be silently absorbed into the
+    # timed serve-path queries, and a missing embeddings table fails
+    # the timed loop anyway — the only exceptions a guard could catch
+    # are real defects
+    entry_mod._served_ivf_index(spark, sf_dir)
 
     # warm the shingle/self-join/window codepaths on a 64-doc slice:
     # the first higher-order-fold + pair-join + rank-window in a session

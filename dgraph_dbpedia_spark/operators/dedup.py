@@ -572,7 +572,14 @@ def dedup_clusters(
     set only (nodes appearing in at least one pair); untouched docs
     never enter the loop and are completed as self-labeled singletons
     by one final left-join (r9 — at a ~1% near-dup rate the per-round
-    frame shrinks ~100x vs looping over the whole corpus). Per round,
+    frame shrinks ~100x vs looping over the whole corpus). CONTRACT:
+    ``docs`` must be deterministic under re-evaluation (any scan,
+    filter, or join is; an unseeded ``.sample()`` / unordered
+    ``.limit()`` is not) — the returned frame lazily re-scans ``docs``
+    in the completion join rather than re-materializing the full
+    corpus, which is the point of the touched-universe design; labels
+    themselves are checkpoint-rooted. Wrap a nondeterministic source
+    in ``localCheckpoint()`` before calling. Per round,
     one edges-by-labels equi-join plus a groupBy-min — both shuffles
     are on the doc-id key, so AQE coalesces them and skew is bounded
     by max component degree. Rounds = graph DIAMETER, and LSH-banded near-dup
@@ -967,7 +974,13 @@ def dedup_corpus(
     :func:`dedup_clusters`; pass :func:`dedup_clusters_star` for
     long-diameter chain graphs — the propagation clusterer raises once
     component diameter exceeds its ``max_iter``); ``cluster_kwargs``
-    (``max_iter``, ``checkpoint_every``) pass through to it."""
+    (``max_iter``, ``checkpoint_every``) pass through to it.
+
+    ``docs`` must be deterministic under re-evaluation (the
+    :func:`dedup_clusters` contract): the result scans ``docs`` lazily
+    in both the completion join and the representative semi-join
+    instead of materializing the corpus. Wrap a nondeterministic
+    source in ``localCheckpoint()`` first."""
     if clusterer is None:
         clusterer = dedup_clusters
     clusters = clusterer(

@@ -423,18 +423,30 @@ def unigram_logprob(
 
     p(t) = (count(t) + k) / (total + k * |V|); bits = -log2 p.
 
-    100 TB shape: the model is ONE partial-aggregable groupBy over
-    exploded tokens; scoring re-joins docs to the model ON THE TOKEN
-    KEY — the vocabulary is never collected or broadcast (corpus-scale
-    vocab exceeds any driver/executor), and both shuffles are bounded
-    by total token count. The two global scalars (total, |V|) ride a
-    broadcast 1-row crossJoin, the X6 pattern."""
+    100 TB shape: the model is a partial-aggregable groupBy over
+    exploded tokens, PERSISTED because it feeds both the scalar
+    aggregate and the score join (no cross-branch subplan sharing —
+    unpersisted, the corpus-wide explode+groupBy would run per
+    branch); scoring re-joins docs to the model ON THE TOKEN KEY — the
+    vocabulary is never collected or broadcast (corpus-scale vocab
+    exceeds any driver/executor), and both shuffles are bounded by
+    total token count. The two global scalars (total, |V|) ride a
+    broadcast 1-row crossJoin, the X6 pattern. The result carries the
+    model's release handle (cachectl.release after materializing).
+
+    Determinism: the per-doc mean folds the SORTED per-token bits
+    sequentially (sort_array + aggregate), not F.avg — a plain float
+    avg sums in post-shuffle row order, and float addition is
+    non-associative, so the rounded 4th decimal could flip between
+    runs or versus the oracle's own summation order."""
+    from dgraph_dbpedia_spark.operators.cachectl import tag_persisted
+
     if smoothing <= 0:
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
     toked = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     )
-    model = toked.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    model = toked.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
     scalars = model.agg(
         F.sum("c").alias("__total"), F.count(F.lit(1)).alias("__vocab")
     )
@@ -448,11 +460,20 @@ def unigram_logprob(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(bits), 4).alias("bits_per_token"),
+            F.sort_array(F.collect_list(bits)).alias("__bits"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.round(
+                F.aggregate("__bits", F.lit(0.0), lambda a, x: a + x)
+                / F.col("n_tokens"),
+                4,
+            ).alias("bits_per_token"),
         )
     )
     # left join: documents with zero tokens still get a row
-    return (
+    out = (
         df.select(F.col(id_col))
         .join(scored, id_col, "left")
         .select(
@@ -461,3 +482,4 @@ def unigram_logprob(
             F.col("bits_per_token"),
         )
     )
+    return tag_persisted(out, model)

@@ -477,9 +477,25 @@ def stream_near_dup_batch(
             # ONLY path-not-found (the first micro-batch) may be
             # swallowed — a corrupt/unreadable EXISTING state must fail
             # the batch loudly, or near-dups of registered docs would
-            # silently reach both the sink and the state table
+            # silently reach both the sink and the state table. Match
+            # the stable error CLASS first (getCondition, falling back
+            # to the deprecated getErrorClass); the message substrings
+            # are only a last resort for builds predating error classes
+            cond = None
+            for attr in ("getCondition", "getErrorClass"):
+                fn = getattr(e, attr, None)
+                if fn is not None:
+                    try:
+                        cond = fn()
+                    except Exception:
+                        cond = None
+                    if cond:
+                        break
             msg = str(e)
-            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            if cond != "PATH_NOT_FOUND" and not (
+                cond is None
+                and ("PATH_NOT_FOUND" in msg or "Path does not exist" in msg)
+            ):
                 raise
             has_state = False
         if has_state:
