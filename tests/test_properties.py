@@ -172,3 +172,97 @@ def test_pack_offsets_matches_reference(spark, texts):
             )
             cursor = end
     assert got == want
+
+
+_chunk_tokens = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=4),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(_chunk_tokens, min_size=1, max_size=10),
+    st.integers(min_value=1, max_value=8),
+    st.data(),
+)
+def test_chunk_documents_properties(spark, token_lists, chunk_tokens, data):
+    """Host-checkable invariants of the sliding-window chunker:
+    every token position is covered by at least one chunk; chunk 0
+    starts at 0 and consecutive chunks advance by exactly
+    chunk_tokens - overlap; every chunk except the last is full-size;
+    concatenating each chunk's unseen suffix reconstructs the doc."""
+    from dgraph_dbpedia_spark.operators.sampling import chunk_documents
+
+    overlap = data.draw(st.integers(min_value=0, max_value=chunk_tokens - 1))
+    stride = chunk_tokens - overlap
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_lists)],
+        ["doc_id", "text"],
+    )
+    rows = chunk_documents(
+        docs, chunk_tokens=chunk_tokens, overlap=overlap
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, toks in enumerate(token_lists):
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_idx"])
+        if not toks:
+            assert chunks == []
+            continue
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        # full coverage + exact stride + reconstruction
+        rebuilt: list[str] = []
+        for j, c in enumerate(chunks):
+            start = j * stride
+            want = toks[start : start + chunk_tokens]
+            got_toks = c["chunk_text"].split(" ") if c["chunk_text"] else []
+            assert got_toks == want
+            assert c["n_tokens"] == len(want)
+            rebuilt.extend(want[len(rebuilt) - start :])
+        assert rebuilt == toks
+        # no chunk beyond the stop rule, none missing before it
+        n = len(toks)
+        expected_starts = [0] + [
+            s for s in range(stride, n, stride) if s + overlap < n
+        ]
+        assert len(chunks) == len(expected_starts)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.sampled_from(["a", "b", "c"]), min_size=30, max_size=120
+    ),
+    st.data(),
+)
+def test_mixture_sample_rate_matches_weight(spark, domains, data):
+    """The realized keep set is exactly the per-row hash rule — verified
+    host-side by replaying weighted_sample's documented coin."""
+    from dgraph_dbpedia_spark.functions.hashing import hash64_py
+    from dgraph_dbpedia_spark.operators.sampling import mixture_sample
+
+    w = {
+        "a": data.draw(st.sampled_from([0.0, 0.3, 1.0])),
+        "b": data.draw(st.sampled_from([0.0, 0.5, 1.0])),
+    }
+    default = 0.25
+    docs = spark.createDataFrame(
+        list(enumerate(domains)), ["doc_id", "source"]
+    )
+    got = {
+        r["doc_id"]
+        for r in mixture_sample(docs, w, default_weight=default).collect()
+    }
+    # hash64 seed=1 replayed host-side: same coin, same survivors
+    def coin(doc_id: int) -> float:
+        return (hash64_py(str(doc_id), seed=1) % 1_000_000) / 1_000_000.0
+
+    want = {
+        i
+        for i, d in enumerate(domains)
+        if coin(i) < w.get(d, default)
+    }
+    assert got == want
