@@ -640,6 +640,36 @@ def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (r9): disjoint named splits
+    by the cross-engine id-hash coin against cumulative thresholds."""
+    from dgraph_dbpedia_spark.operators.sampling import split_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return split_corpus(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+def _sql_split_corpus() -> str:
+    """Replay split_corpus's CASE chain with the EXACT cumulative
+    float thresholds the Spark side accumulates (0.8 + 0.1 is
+    0.9000000000000001 in IEEE — repr round-trips it)."""
+    whens = []
+    cum = 0.0
+    for name, frac in (("train", 0.8), ("val", 0.1), ("test", 0.1)):
+        cum += frac
+        whens.append(f"WHEN u < {cum!r}::DOUBLE THEN '{name}'")
+    return f"""
+        WITH u AS (
+            SELECT doc_id,
+                   (({_sql_hash64('doc_id::VARCHAR', 1)} % 1000000)
+                    / 1000000.0::DOUBLE) AS u
+            FROM documents)
+        SELECT doc_id, CASE {' '.join(whens)} END AS split FROM u
+    """
+
+
 def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking (r9): 32-token windows every 24 tokens
     over every document's token stream — native sequence/posexplode/
@@ -1331,14 +1361,15 @@ def _q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (r6): queries are rotated INTO the window each round until all have
 # earned a driver row; the r5 tail (11 queries) is now in the window,
 # and 12 long-stable, pytest-covered queries (green driver rows in
-# r01-r05) rotated out. r9: the eight new queries at the head
+# r01-r05) rotated out. r9: the nine new queries at the head
 # (dedup_corpus, semantic_dedup, mixture_sample, dedup_report,
-# dedup_increment, minhash_join, chunk_documents, unigram_logprob)
-# push majority_semi_join, stats_full_outer_fold, geo_geojson,
-# ttl_parse, window_tumbling, schema_derivation, rdf_lines and
-# node_lang_filter (positions 51-58) out of the window — a DELIBERATE
-# rotation: all eight have green driver rows r01-r08, pytest
-# coverage, and their code is untouched this round.
+# dedup_increment, minhash_join, chunk_documents, unigram_logprob,
+# split_corpus) push majority_props_per_event_type,
+# majority_semi_join, stats_full_outer_fold, geo_geojson, ttl_parse,
+# window_tumbling, schema_derivation, rdf_lines and node_lang_filter
+# (positions 51-59) out of the window — a DELIBERATE rotation: all
+# nine have green driver rows r01-r08, pytest coverage, and their
+# code is untouched this round.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # changed or new this round (r9) — first in line for driver rows:
     # the rolling-shingle-hash family (shared _hashed_shingled), the
@@ -1351,6 +1382,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_join": _q_minhash_join,
     "chunk_documents": _q_chunk_documents,
     "unigram_logprob": _q_unigram_logprob,
+    "split_corpus": _q_split_corpus,
     "quantized_ann_topk": _q_quantized_ann_topk,
     "paragraph_dedup": _q_paragraph_dedup,
     "frequent_ngrams": _q_frequent_ngrams,
@@ -2718,6 +2750,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_increment": _sql_dedup_increment(),
         "minhash_join": _sql_minhash_join(),
+        "split_corpus": _sql_split_corpus(),
         "chunk_documents": f"""
             WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
             s AS (

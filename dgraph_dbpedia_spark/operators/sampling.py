@@ -257,3 +257,53 @@ def chunk_documents(
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+def split_corpus(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 1,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint corpus split (train/val/test): every row
+    lands in exactly one named split, decided by the cross-engine
+    id-hash coin against cumulative fraction thresholds in the dict's
+    insertion order — so the SAME doc is in the SAME split on any
+    engine, any partitioning, any run, and splits never leak into each
+    other across re-runs (the property eval hygiene depends on).
+    ``seed`` re-deals the whole assignment. Fractions must each be in
+    [0, 1] and sum to <= 1 (+1e-9 tolerance); when they sum to less,
+    the remainder of rows gets a NULL split (an explicit holdout the
+    caller can drop or name).
+
+    Pure narrow projection — no shuffle, codegen'd into the scan."""
+    if not fractions:
+        raise ValueError("fractions must be a non-empty split -> fraction map")
+    total = 0.0
+    for name, frac in fractions.items():
+        if not 0.0 <= float(frac) <= 1.0:
+            raise ValueError(
+                f"fraction for {name!r} must be in [0, 1], got {frac}"
+            )
+        total += float(frac)
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total}, must be <= 1")
+    u = (
+        F.pmod(
+            hash64(F.col(id_col).cast("string"), seed=seed), F.lit(1_000_000)
+        )
+        / 1_000_000.0
+    )
+    expr = F.lit(None).cast("string")
+    cum = 0.0
+    cases: list[tuple[float, str]] = []
+    for name, frac in fractions.items():
+        cum += float(frac)
+        cases.append((cum, name))
+    # build the CASE chain from the LAST threshold down so the first
+    # (smallest) threshold ends up outermost — F.when chains evaluate
+    # outermost-first, and u < c1 must win over u < c2 > c1
+    for cum_v, name in reversed(cases):
+        expr = F.when(u < F.lit(cum_v), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)

@@ -178,3 +178,39 @@ def test_chunk_documents_windows(spark):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=0)
+
+
+def test_split_corpus_disjoint_and_deterministic(spark):
+    """Every row lands in exactly one split; assignment is stable
+    under repartitioning; partial fractions leave a NULL holdout;
+    bounds validated."""
+    import pytest
+
+    from dgraph_dbpedia_spark.operators.sampling import split_corpus
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(400)], ["doc_id"]
+    )
+    out = split_corpus(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = out.collect()
+    assert len(rows) == 400
+    assert all(r["split"] in ("train", "val", "test") for r in rows)
+    by = {r["doc_id"]: r["split"] for r in rows}
+    again = {
+        r["doc_id"]: r["split"]
+        for r in split_corpus(
+            docs.repartition(7), {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    assert by == again
+    # rough proportions (hash-uniform over 400 ids)
+    n_train = sum(1 for s in by.values() if s == "train")
+    assert 280 <= n_train <= 360
+    hold = split_corpus(docs, {"train": 0.5}).where("split IS NULL").count()
+    assert 150 <= hold <= 250
+    with pytest.raises(ValueError):
+        split_corpus(docs, {})
+    with pytest.raises(ValueError):
+        split_corpus(docs, {"a": 0.7, "b": 0.4})
+    with pytest.raises(ValueError):
+        split_corpus(docs, {"a": -0.1})
