@@ -1361,10 +1361,11 @@ def _q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (r6): queries are rotated INTO the window each round until all have
 # earned a driver row; the r5 tail (11 queries) is now in the window,
 # and 12 long-stable, pytest-covered queries (green driver rows in
-# r01-r05) rotated out. r9: the nine new queries at the head
+# r01-r05) rotated out. r9: nine new queries joined the window
 # (dedup_corpus, semantic_dedup, mixture_sample, dedup_report,
 # dedup_increment, minhash_join, chunk_documents, unigram_logprob,
-# split_corpus) push majority_props_per_event_type,
+# split_corpus — interleaved with the rolling-hash family near the
+# head, not literally positions 1-9), pushing majority_props_per_event_type,
 # majority_semi_join, stats_full_outer_fold, geo_geojson, ttl_parse,
 # window_tumbling, schema_derivation, rdf_lines and node_lang_filter
 # (positions 51-59) out of the window — a DELIBERATE rotation: all

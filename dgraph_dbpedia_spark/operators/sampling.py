@@ -119,6 +119,20 @@ def pack_offsets(
     )
 
 
+def _unit_coin(id_col: str, seed: int) -> F.Column:
+    """The cross-engine [0, 1) coin every sampler shares — the 60-bit
+    md5 id hash mapped through mod 1e6. ONE definition: weighted_sample
+    (and mixture_sample through it) and split_corpus must never
+    desynchronize from each other or from the host-side / DuckDB
+    replays that document exactly this formula."""
+    return (
+        F.pmod(
+            hash64(F.col(id_col).cast("string"), seed=seed), F.lit(1_000_000)
+        )
+        / 1_000_000.0
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,
@@ -136,14 +150,8 @@ def weighted_sample(
     Pure narrow filter — no shuffle, fully codegen, trivially
     column-pruned; at 100 TB this is scan-speed.
     """
-    u = (
-        F.pmod(
-            hash64(F.col(id_col).cast("string"), seed=seed), F.lit(1_000_000)
-        )
-        / 1_000_000.0
-    )
     w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
-    return df.where(u < w)
+    return df.where(_unit_coin(id_col, seed) < w)
 
 
 def mixture_sample(
@@ -289,21 +297,27 @@ def split_corpus(
         total += float(frac)
     if total > 1.0 + 1e-9:
         raise ValueError(f"fractions sum to {total}, must be <= 1")
-    u = (
-        F.pmod(
-            hash64(F.col(id_col).cast("string"), seed=seed), F.lit(1_000_000)
-        )
-        / 1_000_000.0
-    )
-    expr = F.lit(None).cast("string")
+    # the coin lands in a collision-guarded temp column so the hash is
+    # evaluated ONCE per row, not once per WHEN predicate (nested CASE
+    # branches defeat subexpression elimination — the CollapseProject
+    # duplicate-eval class)
+    u_col = "__u"
+    while u_col in df.columns:
+        u_col = "_" + u_col
+    expr = None
     cum = 0.0
-    cases: list[tuple[float, str]] = []
     for name, frac in fractions.items():
         cum += float(frac)
-        cases.append((cum, name))
-    # build the CASE chain from the LAST threshold down so the first
-    # (smallest) threshold ends up outermost — F.when chains evaluate
-    # outermost-first, and u < c1 must win over u < c2 > c1
-    for cum_v, name in reversed(cases):
-        expr = F.when(u < F.lit(cum_v), F.lit(name)).otherwise(expr)
-    return df.withColumn(split_col, expr)
+        cond = F.col(u_col) < F.lit(cum)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    # no .otherwise(): rows past the last threshold keep the NULL
+    # holdout the docstring promises
+    return (
+        df.withColumn(u_col, _unit_coin(id_col, seed))
+        .withColumn(split_col, expr)
+        .drop(u_col)
+    )
