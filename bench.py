@@ -192,6 +192,15 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "slowest": slowest,
+                # per-query times are single-shot (warm process, warmed
+                # codepaths, but ONE timed run each — a best-of-n per
+                # query would need release+rerun semantics the streaming
+                # memory-sink queries don't support); cross-run deltas
+                # within the documented +-20-30% machine-state band
+                # (BENCH_SCALE.md) are noise, not regressions. The
+                # pipeline numbers ARE damped (warm-up + best-of-3,
+                # samples recorded).
+                "query_timing": "single-shot; +-20-30% machine-state band",
                 "pipelines": pipelines,
             }
         )
