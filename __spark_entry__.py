@@ -640,6 +640,18 @@ def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib redundancy signal (r9): per-doc DEFLATE ratio via the
+    Arrow lane. DuckDB cannot express DEFLATE, so the oracle is a
+    host-computed VALUES table (_sql_compression_ratio — plumbing and
+    determinism check, honestly scoped); planted orderings are pinned
+    by pytest."""
+    from dgraph_dbpedia_spark.operators.textclean import compression_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    return compression_ratio(docs)
+
+
 def _q_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (r9): disjoint named splits
     by the cross-engine id-hash coin against cumulative thresholds."""
@@ -649,6 +661,49 @@ def _q_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_corpus(
         docs, {"train": 0.8, "val": 0.1, "test": 0.1}
     ).select("doc_id", "split")
+
+
+def _sql_compression_ratio(
+    sf_dir: str = "/root/testdata/sf0.01", level: int = 6
+) -> str | None:
+    """Host-side VALUES oracle for the zlib query: byte-level DEFLATE
+    is not expressible in DuckDB SQL, so the expected rows are computed
+    HERE (duckdb parquet read + stdlib zlib) and embedded as literals.
+    Honest scope: both sides ultimately call the same zlib, so this
+    pins the Spark-side PLUMBING — ids, UTF-8 encoding, octet lengths,
+    rounding, empty/NULL handling — and cross-run determinism, not the
+    compressor itself. Returns None (-> the driver's weaker rows-only
+    check) if the fixed sf0.01 corpus can't be read at generation
+    time."""
+    try:
+        import zlib
+
+        import duckdb as _duck
+
+        rows = _duck.sql(
+            f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+            "ORDER BY doc_id"
+        ).fetchall()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    vals = []
+    for i, t in rows:
+        if t is None:
+            vals.append(f"({i}, NULL, NULL)")
+            continue
+        b = t.encode("utf-8")
+        if not b:
+            vals.append(f"({i}, 0, NULL)")
+            continue
+        r = round(len(zlib.compress(b, level)) / len(b), 4)
+        vals.append(f"({i}, {len(b)}, {r!r})")
+    return f"""
+        SELECT doc_id::BIGINT AS doc_id, n_bytes::INT AS n_bytes,
+               ratio::DOUBLE AS ratio
+        FROM (VALUES {', '.join(vals)}) AS t(doc_id, n_bytes, ratio)
+    """
 
 
 def _sql_split_corpus() -> str:
@@ -1361,16 +1416,17 @@ def _q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (r6): queries are rotated INTO the window each round until all have
 # earned a driver row; the r5 tail (11 queries) is now in the window,
 # and 12 long-stable, pytest-covered queries (green driver rows in
-# r01-r05) rotated out. r9: nine new queries joined the window
+# r01-r05) rotated out. r9: ten new queries joined the window
 # (dedup_corpus, semantic_dedup, mixture_sample, dedup_report,
 # dedup_increment, minhash_join, chunk_documents, unigram_logprob,
-# split_corpus — interleaved with the rolling-hash family near the
-# head, not literally positions 1-9), pushing majority_props_per_event_type,
-# majority_semi_join, stats_full_outer_fold, geo_geojson, ttl_parse,
-# window_tumbling, schema_derivation, rdf_lines and node_lang_filter
-# (positions 51-59) out of the window — a DELIBERATE rotation: all
-# nine have green driver rows r01-r08, pytest coverage, and their
-# code is untouched this round.
+# split_corpus, compression_ratio — interleaved with the rolling-hash
+# family near the head, not literally positions 1-10), pushing
+# topk_semi_join, majority_props_per_event_type, majority_semi_join,
+# stats_full_outer_fold, geo_geojson, ttl_parse, window_tumbling,
+# schema_derivation, rdf_lines and node_lang_filter (positions 51-60)
+# out of the window — a DELIBERATE rotation: all ten have green
+# driver rows r01-r08, pytest coverage, and their code is untouched
+# this round.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # changed or new this round (r9) — first in line for driver rows:
     # the rolling-shingle-hash family (shared _hashed_shingled), the
@@ -1384,6 +1440,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": _q_chunk_documents,
     "unigram_logprob": _q_unigram_logprob,
     "split_corpus": _q_split_corpus,
+    "compression_ratio": _q_compression_ratio,
     "quantized_ann_topk": _q_quantized_ann_topk,
     "paragraph_dedup": _q_paragraph_dedup,
     "frequent_ngrams": _q_frequent_ngrams,
@@ -2752,6 +2809,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_increment": _sql_dedup_increment(),
         "minhash_join": _sql_minhash_join(),
         "split_corpus": _sql_split_corpus(),
+        "compression_ratio": _sql_compression_ratio(),
         "chunk_documents": f"""
             WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
             s AS (
@@ -2866,4 +2924,8 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d SEMI JOIN comp
           ON d.doc_id = comp.doc_id AND comp.cluster_id = d.doc_id
     """
-    return d
+    # a generator that could not build its oracle (compression_ratio
+    # when the fixed corpus is unreadable) returns None — drop the key
+    # so the driver records its documented weaker rows-only check
+    # instead of executing None
+    return {k: v for k, v in d.items() if v is not None}

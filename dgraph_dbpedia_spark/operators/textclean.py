@@ -15,6 +15,8 @@ verbatim in the DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -127,3 +129,53 @@ def hash_sample(
     threshold = f"{rate_num:02x}"
     byte_hex = F.substring(F.md5(F.col(key_col).cast("string")), 1, 2)
     return df.where(byte_hex < F.lit(threshold))
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """zlib (DEFLATE) compression ratio per document — the classic
+    redundancy signal of web-corpus curation: templated/boilerplate
+    text compresses far below natural prose, and high-entropy noise
+    (mojibake, base64 blobs) barely compresses at all; filter both
+    tails. Returns ``(id, n_bytes, ratio)`` with ``ratio`` =
+    compressed/original bytes rounded to 4 (tiny docs can exceed 1.0 —
+    the DEFLATE header dominates); empty/NULL docs get a NULL ratio.
+
+    One of the few DELIBERATE Python-lane operators (the multimodal
+    kernels' lane): byte-level DEFLATE is not expressible in native
+    SQL functions, so this runs as an Arrow-batched pandas UDF over
+    stdlib zlib — per-row only, no shuffle, and fully deterministic
+    (zlib output length at a fixed level is a pure function of the
+    input bytes), so results are stable across runs and partitionings
+    even though no DuckDB oracle can replay it (the driver records the
+    weaker rows-only check for its query; the pytest pins planted
+    orderings and determinism instead)."""
+    if not 1 <= int(level) <= 9:
+        raise ValueError(f"level must be in [1, 9], got {level}")
+    from pyspark.sql.functions import pandas_udf
+
+    lvl = int(level)
+
+    @pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            b = t.encode("utf-8")
+            if not b:
+                return None
+            return round(len(zlib.compress(b, lvl)) / len(b), 4)
+
+        return s.map(one)
+
+    return df.select(
+        F.col(id_col),
+        F.octet_length(F.col(text_col)).alias("n_bytes"),
+        _ratio(F.col(text_col)).alias("ratio"),
+    )

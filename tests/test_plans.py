@@ -40,6 +40,7 @@ _PYTHON_OK = {
     # Python-free) these return the lazy banded-join frame itself
     "minhash_join",
     "dedup_increment",
+    "compression_ratio",  # deliberate Arrow lane: stdlib zlib DEFLATE
 }
 
 

@@ -131,3 +131,48 @@ def test_dedup_clusters_star_long_chain_log_rounds(spark):
     rows = out.collect()
     assert len(rows) == n
     assert set(r["cluster_id"] for r in rows) == {0}
+
+
+def test_compression_ratio_orders_redundancy(spark):
+    """Repetitive text compresses below natural prose, which
+    compresses below high-entropy noise; empty/NULL docs keep a row
+    with NULL ratio; the signal is deterministic under repartitioning;
+    level bounds validated."""
+    import pytest
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from dgraph_dbpedia_spark.operators.textclean import compression_ratio
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 200),
+            (2, "the quick brown fox jumps over a lazy dog while "
+                "zephyrs vex him quite badly " * 10),
+            (3, "k9$Qz!vX2#pL8@wN5^rT1&yU4*oI7(eA0)sD3-fG6_hJ"),
+            (4, ""),
+            (5, None),
+        ],
+        schema,
+    )
+    got = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    assert got[1]["ratio"] < got[2]["ratio"] < got[3]["ratio"]
+    assert got[4]["n_bytes"] == 0 and got[4]["ratio"] is None
+    assert got[5]["n_bytes"] is None and got[5]["ratio"] is None
+    again = {
+        r["doc_id"]: r["ratio"]
+        for r in compression_ratio(docs.repartition(4)).collect()
+    }
+    assert again == {k: v["ratio"] for k, v in got.items()}
+    with pytest.raises(ValueError):
+        compression_ratio(docs, level=0)
