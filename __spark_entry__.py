@@ -664,7 +664,7 @@ def _q_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_compression_ratio(
-    sf_dir: str = "/root/testdata/sf0.01", level: int = 6
+    sf_dir: str | None = None, level: int = 6
 ) -> str | None:
     """Host-side VALUES oracle for the zlib query: byte-level DEFLATE
     is not expressible in DuckDB SQL, so the expected rows are computed
@@ -672,9 +672,18 @@ def _sql_compression_ratio(
     Honest scope: both sides ultimately call the same zlib, so this
     pins the Spark-side PLUMBING — ids, UTF-8 encoding, octet lengths,
     rounding, empty/NULL handling — and cross-run determinism, not the
-    compressor itself. Returns None (-> the driver's weaker rows-only
-    check) if the fixed sf0.01 corpus can't be read at generation
-    time."""
+    compressor itself. The corpus defaults to the driver's fixed
+    sf0.01; tools/check_correctness.py exports
+    SPARK_GRAFT_ORACLE_SF_DIR so a sweep at another sf generates the
+    MATCHING values instead of a spurious row-count FAIL. Returns None
+    (-> the driver's weaker rows-only check) if the corpus can't be
+    read at generation time."""
+    if sf_dir is None:
+        import os
+
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+        )
     try:
         import zlib
 

@@ -150,10 +150,12 @@ def compression_ratio(
     SQL functions, so this runs as an Arrow-batched pandas UDF over
     stdlib zlib — per-row only, no shuffle, and fully deterministic
     (zlib output length at a fixed level is a pure function of the
-    input bytes), so results are stable across runs and partitionings
-    even though no DuckDB oracle can replay it (the driver records the
-    weaker rows-only check for its query; the pytest pins planted
-    orderings and determinism instead)."""
+    input bytes), so results are stable across runs and partitionings.
+    DuckDB SQL cannot express DEFLATE, so the driver oracle is a
+    host-computed VALUES table (__spark_entry__._sql_compression_ratio
+    — change this operator's output columns, rounding, or level
+    default and that generator must change in lockstep); the pytest
+    pins planted orderings and determinism."""
     if not 1 <= int(level) <= 9:
         raise ValueError(f"level must be in [1, 9], got {level}")
     from pyspark.sql.functions import pandas_udf

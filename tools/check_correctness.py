@@ -14,6 +14,7 @@ Usage: python tools/check_correctness.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -58,6 +59,12 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
         )
 
     queries = entry_mod.queries()
+    # sf-aware oracle generation: the data-embedding generators
+    # (compression_ratio's host-computed VALUES) default to the
+    # driver's fixed sf0.01 corpus; exporting the sweep's sf_dir makes
+    # them emit MATCHING values at sf0.001/sf0.1 instead of a spurious
+    # row-count FAIL
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = os.path.abspath(sf_dir)
     oracles = entry_mod.oracle_sql()
     failures = 0
     report: dict[str, dict] = {}
@@ -113,7 +120,6 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
     spark.stop()
     if not only:
         import json
-        import os
 
         out = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "CORRECTNESS_FULL.json")
