@@ -468,3 +468,41 @@ def test_stream_near_dup_foreach_batch_end_to_end(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert sorted(r["doc_id"] for r in spark.read.parquet(sink).collect()) == [1, 11]
+
+
+def test_stateless_curation_composes_on_streams(spark, tmp_path):
+    """The stateless curation projections (Gopher rule gate, domain
+    mixture sampling, language id) are DataFrame -> DataFrame and must
+    compose unchanged onto a readStream — curation-on-ingest. Stream
+    result == batch result over the same files."""
+    from dgraph_dbpedia_spark.operators.sampling import mixture_sample
+    from dgraph_dbpedia_spark.operators.textstats import (
+        gopher_quality_filter,
+    )
+    from dgraph_dbpedia_spark.streaming.events import run_to_memory
+
+    src = str(tmp_path / "docs")
+    batch = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(200)
+        .localCheckpoint()
+    )
+    batch.coalesce(1).write.parquet(src)
+
+    def curate(df):
+        # filter first (mixture_sample preserves all columns), then the
+        # quality projection — no joins, so the chain is stream-legal
+        sampled = mixture_sample(
+            df, {"src0": 1.0, "src1": 0.5}, default_weight=0.25
+        )
+        return (
+            gopher_quality_filter(sampled)
+            .where("keep")
+            .select("doc_id", "n_words", "n_stopwords")
+        )
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    run_to_memory(curate(stream), "curated_stream", "append")
+    got = {tuple(r) for r in spark.table("curated_stream").collect()}
+    want = {tuple(r) for r in curate(batch).collect()}
+    assert got == want and len(want) > 0
