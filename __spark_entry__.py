@@ -1079,7 +1079,9 @@ def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_INDEX_FORMAT = "v2-seed16"  # bump when build params / layout change
+# bump when build params / layout change; v3: arrow assignment lane +
+# the int8 quantized lists (scales/ + quantized/ parts)
+_IVF_INDEX_FORMAT = "v3-arrow-q8"
 
 
 def _ivf_index_root(sf_dir: str) -> str:
@@ -1131,7 +1133,7 @@ def _ivf_index_complete(root: str) -> bool:
 
     return all(
         os.path.isfile(os.path.join(root, part, "_SUCCESS"))
-        for part in ("centroids", "assigned")
+        for part in ("centroids", "assigned", "scales", "quantized")
     )
 
 
@@ -1151,6 +1153,8 @@ def _build_ivf_index_atomic(e, root: str) -> None:
     from dgraph_dbpedia_spark.operators.similarity import (
         ivf_assign,
         ivf_seed_centroids,
+        quantization_scales,
+        quantize_embeddings,
     )
 
     staging = tempfile.mkdtemp(
@@ -1162,6 +1166,23 @@ def _build_ivf_index_atomic(e, root: str) -> None:
         ivf_assign(e, cent, id_col="vec_id", vec_col="e").write.mode(
             "overwrite"
         ).partitionBy("cid").parquet(f"{staging}/assigned")
+        # the int8 lists (v3): same cid layout, 1 byte per dimension —
+        # the storage/scan composition the r9 quantization A/B pointed
+        # at. Scales calibrate on the SAME corpus the lists hold; the
+        # quantized vectors join their cid from the freshly-written
+        # float lists (read back so the assignment runs once, not twice)
+        scales = quantization_scales(e, vec_col="e")
+        scales.coalesce(1).write.mode("overwrite").parquet(
+            f"{staging}/scales"
+        )
+        spark = e.sparkSession
+        asg = spark.read.parquet(f"{staging}/assigned").select("vec_id", "cid")
+        quantize_embeddings(
+            e, spark.read.parquet(f"{staging}/scales"),
+            id_col="vec_id", vec_col="e",
+        ).join(asg, "vec_id").write.mode("overwrite").partitionBy(
+            "cid"
+        ).parquet(f"{staging}/quantized")
         for _ in range(2):
             try:
                 os.rename(staging, root)
@@ -1212,6 +1233,40 @@ def _served_ivf_index(spark: SparkSession, sf_dir: str):
         _build_ivf_index_atomic(e, root)
     return spark.read.parquet(f"{root}/assigned"), spark.read.parquet(
         f"{root}/centroids"
+    )
+
+
+def _served_quantized_index(spark: SparkSession, sf_dir: str):
+    """(quantized, centroids, scales) frames of the int8 half of the
+    served index (v3 layout), building the whole index atomically on
+    first use — shares the build with :func:`_served_ivf_index`."""
+    _served_ivf_index(spark, sf_dir)  # ensures a complete v3 root
+    root = _ivf_index_root(sf_dir)
+    return (
+        spark.read.parquet(f"{root}/quantized"),
+        spark.read.parquet(f"{root}/centroids"),
+        spark.read.parquet(f"{root}/scales"),
+    )
+
+
+def _q_quantized_ann_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: the quantized SERVED index — int8 inverted lists
+    materialized once (1 byte/dim on disk, ~8x less scan IO than the
+    float lists; measured in BENCH_SCALE.md r10), probed with the same
+    literal cid IN (...) partition prune as ivf_ann_topk_served
+    (plan-asserted by pytest test_quantized_served_partition_prunes)
+    and re-ranked with the integer-dot cosine. The oracle replays seed
+    centroids, float probe selection, quantization and the int8
+    re-rank bit-exactly."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        quantized_ivf_topk_served,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    quantized, centroids, scales = _served_quantized_index(spark, sf_dir)
+    query = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("q"))
+    return quantized_ivf_topk_served(
+        quantized, centroids, scales, query, k=5, n_probe=2
     )
 
 
@@ -1437,9 +1492,11 @@ def _q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver rows r01-r08, pytest coverage, and their code is untouched
 # this round.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # changed or new this round (r9) — first in line for driver rows:
-    # the rolling-shingle-hash family (shared _hashed_shingled), the
-    # batch serve-path probe, and the rekeyed served index
+    # changed or new this round (r10) — first in line for driver rows:
+    # the arrow assignment lane (semantic/IVF family), the quantized
+    # served index, the paper-faithful SemDeDup keep policy, and the
+    # micro-batch streaming near-dup composition
+    "quantized_ann_topk_served": _q_quantized_ann_topk_served,
     "ivf_ann_topk_served_batch": _q_ivf_ann_topk_served_batch,
     "semantic_dedup": _q_semantic_dedup,
     "mixture_sample": _q_mixture_sample,
@@ -1963,6 +2020,69 @@ def _sql_quantized_topk(k: int = 5) -> str:
                      (sqrt(list_dot_product(qe, qe)) *
                       sqrt(list_dot_product(qq, qq))), 4) AS sim
         FROM c CROSS JOIN qq
+        ORDER BY sim DESC, vec_id LIMIT {k}
+    """
+
+
+def _sql_quantized_topk_served(
+    k: int = 5, n_centroids: int = 16, n_probe: int = 2
+) -> str:
+    """Replays quantized_ivf_topk_served: seed centroids + float-cosine
+    assignment and probe selection (the _sql_ivf_topk CTEs), then the
+    int8 quantization + integer-dot re-rank of _sql_quantized_topk
+    restricted to the probed lists."""
+    q8 = (
+        "greatest(least(floor({v}[i] / st.scales[i] * 127 + 0.5), 127), -127)"
+        "::BIGINT"
+    )
+
+    def quant(v):
+        return (
+            f"list_transform(range(1, len({v}) + 1), i -> {q8.format(v=v)})"
+        )
+
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id > 0),
+        cent AS (
+            SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT {n_centroids}),
+        qv AS (
+            SELECT embedding::DOUBLE[] AS v FROM embeddings
+            ORDER BY vec_id LIMIT 1),
+        asg AS (
+            SELECT vec_id, v, cid FROM (
+                SELECT e.vec_id, e.v, cent.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_sql_cosine('e.v', 'cent.c', 6)} DESC,
+                                    cent.cid ASC) AS rn
+                FROM e CROSS JOIN cent) x
+            WHERE rn = 1),
+        probes AS (
+            SELECT cid FROM (
+                SELECT cid, {_sql_cosine('c', 'qv.v', 6)} AS csim
+                FROM cent CROSS JOIN qv
+                ORDER BY csim DESC, cid LIMIT {n_probe}) y),
+        pe AS (
+            SELECT pos, max(abs(x)) AS m
+            FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos
+                  FROM e)
+            GROUP BY pos),
+        st AS (
+            SELECT list_transform(list(m ORDER BY pos),
+                                  x -> greatest(x, 1e-12)) AS scales
+            FROM pe),
+        qq AS (SELECT {quant('v')} AS qq FROM qv CROSS JOIN st),
+        lists AS (
+            SELECT a.vec_id, a.cid, {quant('a.v')} AS qe
+            FROM asg a CROSS JOIN st
+            SEMI JOIN probes p ON a.cid = p.cid)
+        SELECT vec_id,
+               round(list_dot_product(qe, qq) /
+                     (sqrt(list_dot_product(qe, qe)) *
+                      sqrt(list_dot_product(qq, qq))), 4) AS sim
+        FROM lists CROSS JOIN qq
         ORDER BY sim DESC, vec_id LIMIT {k}
     """
 
@@ -2605,6 +2725,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_topk_served": _sql_ivf_topk(),
         "ivf_ann_topk_served_batch": _sql_ivf_topk_served_batch(),
         "quantized_ann_topk": _sql_quantized_topk(),
+        "quantized_ann_topk_served": _sql_quantized_topk_served(),
         "gopher_quality": f"""
             WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
             f AS (

@@ -399,6 +399,124 @@ def _centroid_row(centroids: DataFrame) -> DataFrame:
     )
 
 
+def _round_half_up_np(x, decimals: int):
+    """numpy twin of Spark's ``F.round`` (BigDecimal HALF_UP, away from
+    zero on ties): ``floor(|x| * 10^d + 0.5) / 10^d`` re-signed. IEEE
+    division of an exact integer by ``10^d`` is correctly rounded, so
+    the result is the same double BigDecimal produces for the same
+    decimal; ``+ 0.0`` folds IEEE negative zero to +0.0 (F.round never
+    emits -0.0). Divergence from the JVM fold needs the true value
+    within ~1e-11 of a tie boundary — the same negligible-probability
+    regime :func:`hyperplane_signs_arrow` documents."""
+    import numpy as np
+
+    scale = float(10**decimals)
+    return (
+        np.floor(np.abs(x) * scale + 0.5) / scale * np.where(x < 0, -1.0, 1.0)
+        + 0.0
+    )
+
+
+def _collect_centroids(centroids: DataFrame):
+    """Bounded driver read (the X6 pattern) of a ``(cid, c)`` centroid
+    frame for the Arrow assignment lane: ``(cids, matrix, cid_type)``
+    sorted by cid ascending — the order that makes ``np.argmax``'s
+    first-max tie-break equal ``_nearest_sorted``'s (sim desc, cid asc).
+    Centroid frames are bounded by construction (n_centroids rows), so
+    this is a probe-list-sized collect, never a data collect."""
+    cast = centroids.select(
+        "cid", F.col("c").cast("array<double>").alias("c")
+    )
+    rows = sorted(cast.collect(), key=lambda r: r["cid"])
+    cids = [r["cid"] for r in rows]
+    cmat = [list(r["c"]) for r in rows]
+    return cids, cmat, cast.schema["cid"].dataType
+
+
+def nearest_centroid_arrow(cids, cmat, cid_type, round_decimals: int = 6):
+    """Vectorized production twin of :func:`_nearest_sorted`'s best
+    pick: one ``(batch x dims) @ (dims x k)`` numpy product per Arrow
+    batch instead of the interpreted n x k higher-order fold — the
+    measured dominant cost of the semantic-dedup / IVF family
+    (BENCH_SCALE.md r9 k-dial table). Same pattern and bit-equality
+    contract as :func:`hyperplane_signs_arrow`; the native fold remains
+    the JVM-only oracle surface.
+
+    Returns a pandas UDF ``vec -> struct(cid, nv, sim)`` where ``cid``
+    is the nearest centroid (round-``round_decimals`` HALF_UP cosine
+    desc, cid asc — ties resolved by the cid-ascending centroid order
+    from :func:`_collect_centroids`), ``nv`` the row's vector norm and
+    ``sim`` the winning rounded cosine. Contract matches the native
+    path exactly: zero-norm vectors score -2.0 against every centroid
+    (so they take the lowest cid); a NULL vector keeps NULL norm, the
+    lowest cid and sim -2.0; an empty centroid set yields NULL
+    cid/sim."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    ret = StructType(
+        [
+            StructField("cid", cid_type),
+            StructField("nv", DoubleType()),
+            StructField("sim", DoubleType()),
+        ]
+    )
+    k = len(cids)
+    cm = [list(map(float, c)) for c in cmat]
+
+    def assign_batch(emb: pd.Series) -> pd.DataFrame:
+        import numpy as np  # noqa: F811 — resolve inside the worker
+
+        n = len(emb)
+        if n == 0 or k == 0:
+            vals = emb.tolist()
+            nv = pd.array(
+                [
+                    None
+                    if v is None
+                    else float(np.sqrt(np.dot(v, v)))
+                    for v in vals
+                ],
+                dtype="Float64",
+            )
+            return pd.DataFrame(
+                {
+                    "cid": pd.Series([None] * n, dtype=object),
+                    "nv": pd.Series(nv),
+                    "sim": pd.Series([None] * n, dtype=object),
+                }
+            )
+        C = np.asarray(cm, dtype=np.float64)
+        vals = emb.tolist()
+        null_mask = np.fromiter(
+            (v is None for v in vals), dtype=bool, count=n
+        )
+        if null_mask.any():
+            zero = [0.0] * C.shape[1]
+            vals = [zero if v is None else v for v in vals]
+        mat = np.asarray(vals, dtype=np.float64)
+        nv = np.sqrt((mat * mat).sum(axis=1))
+        nc = np.sqrt((C * C).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = (mat @ C.T) / (nv[:, None] * nc[None, :])
+        sims = np.where(
+            np.isfinite(sims), _round_half_up_np(sims, round_decimals), -2.0
+        )
+        best = np.argmax(sims, axis=1)
+        nv_out = pd.array(nv, dtype="Float64")
+        nv_out[null_mask] = pd.NA
+        return pd.DataFrame(
+            {
+                "cid": pd.Series([cids[i] for i in best]),
+                "nv": pd.Series(nv_out),
+                "sim": pd.Series(sims[np.arange(n), best]),
+            }
+        )
+
+    return pandas_udf(assign_batch, ret)
+
+
 def _nearest_sorted(vec: Column, nv: Column) -> Column:
     """``_cent`` scored against ``vec``: array of ``(negsim, cid)``
     structs sorted ascending, i.e. best centroid first (sim desc, cid
@@ -428,36 +546,63 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "e",
     norm_col: str | None = None,
+    sim_col: str | None = None,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid by cosine (the IVF
     inverted lists). Deterministic tie-break: round(sim, 6) desc, then
     centroid id asc. Returns ``(id, vec, cid)`` — plus the per-row
-    vector norm as ``norm_col`` when requested; an empty centroid
-    frame yields NULL cids (never a crash — a data-dependent raise is
-    unacceptable mid-job at scale).
+    vector norm as ``norm_col`` and the winning rounded cosine as
+    ``sim_col`` when requested; an empty centroid frame yields NULL
+    cids (never a crash — a data-dependent raise is unacceptable
+    mid-job at scale).
 
-    SHUFFLE-FREE over the corpus: the bounded centroid set is folded to
-    one array-of-structs row (:func:`_centroid_row`) and broadcast; the
-    nearest centroid is ``array_sort(transform(...))[0]`` — a single
-    projection between scan and output, no Exchange of ``df``, no
-    driver collect, and the centroid/id types are whatever the input
-    frames carry. (The previous crossJoin + row_number() materialized
-    |df| x |centroids| rows and shuffled them by vector id — the
-    dominant IVF-build cost at scale.)"""
+    SHUFFLE-FREE over the corpus either way — a single projection
+    between scan and output, no Exchange of ``df``:
+
+    - ``use_arrow=True`` (default): the bounded centroid frame is
+      collected driver-side (an X6 bounded read, n_centroids rows) and
+      the n x k scoring runs as one numpy matrix product per Arrow
+      batch (:func:`nearest_centroid_arrow`) — the interpreted
+      higher-order fold was the measured dominant cost of the
+      semantic/IVF family (BENCH_SCALE.md r9). Pinned equal to the
+      native fold on real data by pytest; boundary-tolerance caveat in
+      :func:`_round_half_up_np`.
+    - ``use_arrow=False``: the JVM-only oracle surface — the centroid
+      set folds to one array-of-structs row (:func:`_centroid_row`),
+      broadcast, and the nearest centroid is
+      ``array_sort(transform(...))[0]``. (The pre-r8 crossJoin +
+      row_number() materialized |df| x |centroids| rows and shuffled
+      them by vector id — the dominant IVF-build cost at scale.)"""
+    if use_arrow:
+        cids, cmat, cid_type = _collect_centroids(centroids)
+        st = nearest_centroid_arrow(cids, cmat, cid_type)(
+            F.col(vec_col).cast("array<double>")
+        )
+        sel = [F.col(id_col), F.col(vec_col), F.col("_a")["cid"].alias("cid")]
+        if norm_col is not None:
+            sel.append(F.col("_a")["nv"].alias(norm_col))
+        if sim_col is not None:
+            sel.append(F.col("_a")["sim"].alias(sim_col))
+        return df.withColumn("_a", st).select(*sel)
     v = F.col("_v")
     nv = F.col("_nv")
     # F.get (0-based) yields NULL on an empty array; element_at(arr, 1)
     # raises INVALID_ARRAY_INDEX_IN_ELEMENT_AT under Spark 4's default
     # ANSI mode, which would be a mid-job crash on an empty centroid set
-    best = F.get(_nearest_sorted(v, nv), 0)["cid"]
+    best = F.get(_nearest_sorted(v, nv), 0)
     # norm_col: expose the per-row norm the assignment already computed
     # (it sits below the broadcast join, so this is an attribute
     # reference, not a re-evaluated fold) — callers that need norms
     # downstream (semantic_dedup_pairs) would otherwise pay a second
     # O(dims) aggregate per row
-    sel = [F.col(id_col), F.col(vec_col), best.alias("cid")]
+    sel = [F.col(id_col), F.col(vec_col), best["cid"].alias("cid")]
     if norm_col is not None:
         sel.append(nv.alias(norm_col))
+    if sim_col is not None:
+        # negsim stores the negated rounded cosine; un-negate (+ 0.0
+        # folds the -0.0 a negated zero cosine would leave)
+        sel.append((-best["negsim"] + F.lit(0.0)).alias(sim_col))
     return (
         df.withColumn("_v", F.col(vec_col))
         .withColumn("_nv", _norm("_v"))
@@ -483,6 +628,29 @@ def ivf_seed_centroids(
     )
 
 
+def _probe_cids_py(q_vec, cids, cmat, n_probe: int, round_decimals: int = 6):
+    """Driver-side numpy twin of ``slice(_nearest_sorted(q), 1,
+    n_probe)``: the ``n_probe`` nearest centroid ids to ONE query
+    vector (round-``round_decimals`` HALF_UP cosine desc, cid asc;
+    non-finite -> -2.0). Bounded work on one vector x k centroids — no
+    distributed job."""
+    import numpy as np
+
+    if not cids or not list(q_vec):
+        return []
+    q = np.asarray(q_vec, dtype=np.float64)
+    C = np.asarray([list(map(float, c)) for c in cmat], dtype=np.float64)
+    nq = np.sqrt(q @ q)
+    nc = np.sqrt((C * C).sum(axis=1))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = (C @ q) / (nc * nq)
+    sims = np.where(
+        np.isfinite(sims), _round_half_up_np(sims, round_decimals), -2.0
+    )
+    order = sorted(range(len(cids)), key=lambda i: (-sims[i], cids[i]))
+    return [cids[i] for i in order[:n_probe]]
+
+
 def ivf_topk(
     df: DataFrame,
     query: DataFrame,
@@ -493,6 +661,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 2,
     centroids: DataFrame | None = None,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: deterministic seed centroids (the
     ``n_centroids`` lowest-id vectors), one-pass nearest-centroid
@@ -517,7 +686,16 @@ def ivf_topk(
     ``centroids`` (optional ``(cid, c)`` frame) skips the seed
     TakeOrdered and uses a precomputed/trained centroid set — the
     build-once half of the serve path (see :func:`ivf_topk_served` for
-    the other half, probing materialized inverted lists)."""
+    the other half, probing materialized inverted lists).
+
+    ``use_arrow=True`` (default) runs the corpus-side assignment as
+    the numpy Arrow kernel (:func:`nearest_centroid_arrow`) with the
+    centroids and the (bounded, 1-row) query resolved driver-side —
+    the probe list becomes a literal filter on the assigned cid and the
+    query a literal array in the native re-rank expression, exactly the
+    :func:`lsh_bucketed_topk` arrow pattern. ``False`` keeps the
+    all-native single-broadcast-row plan (the JVM-only oracle
+    surface)."""
     e = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("e"))
     if centroids is None:
         centroids = ivf_seed_centroids(e, n_centroids, id_col=id_col, vec_col="e")
@@ -525,6 +703,25 @@ def ivf_topk(
         centroids = centroids.select(
             "cid", F.col("c").cast("array<double>").alias("c")
         )
+    if use_arrow:
+        cids, cmat, cid_type = _collect_centroids(centroids)
+        q_row = query.select(query_col).first()
+        q_vec = [float(x) for x in q_row[0]] if q_row is not None else []
+        probes = _probe_cids_py(q_vec, cids, cmat, n_probe)
+        if not probes:
+            return e.where(F.lit(False)).select(
+                F.col(id_col), F.lit(None).cast("double").alias("sim")
+            )
+        q_lit = F.expr("array(" + ",".join(repr(v) + "D" for v in q_vec) + ")")
+        st = nearest_centroid_arrow(cids, cmat, cid_type)(F.col("e"))
+        scored = (
+            e.withColumn("_a", st)
+            # filter on the assigned cid BEFORE the re-rank projection:
+            # the native cosine runs on ~n_probe/n_centroids of the rows
+            .where(F.col("_a")["cid"].isin(probes))
+            .select(F.col(id_col), F.round(cosine("e", q_lit), 4).alias("sim"))
+        )
+        return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
     q = query.select(F.col(query_col).cast("array<double>").alias("q"))
     # one broadcast row: centroid array + query + its probe-list cids
     probes = F.transform(
@@ -554,6 +751,7 @@ def ivf_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_decimals: int = 4,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Lloyd k-means refinement of the deterministic seed centroids —
     the build-time upgrade over :func:`ivf_seed_centroids` (lowest-id
@@ -589,7 +787,10 @@ def ivf_train(
     cent = cent.localCheckpoint()
     last_cp = cent
     for _ in range(n_iter):
-        asg = ivf_assign(e, cent, id_col=id_col, vec_col="e")
+        # arrow lane: the per-iteration centroid collect reads the
+        # 8-row localCheckpoint just made — a bounded X6 read, not a
+        # corpus job
+        asg = ivf_assign(e, cent, id_col=id_col, vec_col="e", use_arrow=use_arrow)
         means = (
             asg.select("cid", F.posexplode("e").alias("pos", "val"))
             .groupBy("cid", "pos")
@@ -899,6 +1100,89 @@ def quantized_cosine_topk(
     )
 
 
+def quantized_ivf_topk_served(
+    quantized: DataFrame,
+    centroids: DataFrame,
+    scales: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    qvec_col: str = "qe",
+    query_col: str = "q",
+    n_probe: int = 2,
+) -> DataFrame:
+    """Serve-path ANN over a MATERIALIZED int8 index — the composition
+    :func:`quantized_cosine_topk`'s docstring and the r9 quantization
+    A/B both point at: quantization pays as a STORAGE/SCAN play, so
+    materialize :func:`quantize_embeddings` output joined with its
+    :func:`ivf_assign` cid ONCE, partitioned by ``cid`` (1 byte per
+    dimension on disk instead of 8), and probe it like
+    :func:`ivf_topk_served`.
+
+    ``quantized`` is the materialized ``(id, qe, cid)`` frame;
+    ``centroids`` the bounded FLOAT ``(cid, c)`` frame the assignment
+    was built with; ``scales`` the 1-row calibration frame the corpus
+    was quantized with (:func:`quantization_scales` — the query is
+    quantized with the SAME scales, the clamped foreign-scales case).
+
+    Per query: probe cids from the broadcast centroid fold (a BOUNDED
+    driver read, n_probe ints — the X6 pattern), then ONE literal
+    ``cid IN (...)`` predicate that partition-prunes the int8 lists at
+    the scan, then the integer-dot cosine re-rank inside the probed
+    lists only. vs :func:`ivf_topk_served` the probe reads ~8x fewer
+    bytes (measured in BENCH_SCALE.md r10); ``sim`` is the QUANTIZED
+    cosine (recall vs exact pinned by pytest). Empty centroid frame ->
+    empty result, matching the float twin's contract."""
+    q = query.select(F.col(query_col).cast("array<double>").alias("qv"))
+    probe_rows = (
+        _centroid_row(
+            centroids.select("cid", F.col("c").cast("array<double>").alias("c"))
+        )
+        .crossJoin(q)
+        .select(
+            F.transform(
+                F.slice(_nearest_sorted(F.col("qv"), _norm("qv")), 1, n_probe),
+                lambda s: s["cid"],
+            ).alias("_probes")
+        )
+        .collect()
+    )
+    if len(probe_rows) > 1:
+        raise ValueError(
+            f"quantized_ivf_topk_served expects exactly one query vector, "
+            f"got {len(probe_rows)} rows — batch probing needs one call "
+            "per query"
+        )
+    probes = list(probe_rows[0]["_probes"]) if probe_rows else []
+    if not probes:
+        return quantized.where(F.lit(False)).select(
+            F.col(id_col), F.lit(None).cast("double").alias("sim")
+        )
+    # quantize the query with the CORPUS scales (one broadcast 1-row
+    # frame carrying qq + its integer norm, computed once — the
+    # quantized_cosine_topk pattern)
+    qq = (
+        q.crossJoin(F.broadcast(scales))
+        .select(F.zip_with("qv", "scales", _q8).alias("qq"))
+        .select(F.col("qq"), F.sqrt(_int_dot("qq", "qq")).alias("qnorm"))
+    )
+    sim = F.round(
+        F.try_divide(
+            _int_dot(qvec_col, "qq"),
+            F.sqrt(_int_dot(qvec_col, qvec_col)) * F.col("qnorm"),
+        ),
+        4,
+    )
+    scored = (
+        # literal IN: partition/bucket PRUNE at the int8 scan
+        # (plan-asserted by pytest)
+        quantized.where(F.col("cid").isin(probes))
+        .crossJoin(F.broadcast(qq))
+        .select(F.col(id_col), sim.alias("sim"))
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -954,6 +1238,7 @@ def semantic_dedup_pairs(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Within-cluster semantic near-duplicate pairs — the SemDeDup
     scheme (Abbas et al., "SemDeDup: Data-efficient learning at
@@ -980,6 +1265,29 @@ def semantic_dedup_pairs(
     materializing."""
     from dgraph_dbpedia_spark.operators.cachectl import tag_persisted
 
+    sk, out = _semantic_sk_pairs(
+        df, threshold, centroids, n_centroids, id_col, vec_col, use_arrow
+    )
+    return tag_persisted(out, sk)
+
+
+def _semantic_sk_pairs(
+    df: DataFrame,
+    threshold: float,
+    centroids: DataFrame | None,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    use_arrow: bool,
+    sim_col: str | None = None,
+):
+    """(persisted assignment frame, within-cluster pair frame) — the
+    shared core of :func:`semantic_dedup_pairs` and
+    :func:`semantic_dedup`. ``sim_col`` additionally exposes each
+    vector's rounded cosine to its assigned centroid on the assignment
+    frame (the ``keep='low_centroid_sim'`` policy needs it — one
+    assignment pass serves pairs AND representative selection). The
+    caller owns the persisted handle."""
     e = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_e")
     )
@@ -995,10 +1303,11 @@ def semantic_dedup_pairs(
             F.col("cid"), F.col("c").cast("array<double>").alias("c")
         )
     # persisted: assignment + norm feed both self-join sides — without
-    # it the centroid-fold scoring runs twice (no cross-branch sharing).
-    # norm_col reuses the norm the assignment fold already computed.
+    # it the centroid scoring runs twice (no cross-branch sharing).
+    # norm_col reuses the norm the assignment already computed.
     sk = ivf_assign(
-        e, centroids, id_col=id_col, vec_col="_e", norm_col="_n"
+        e, centroids, id_col=id_col, vec_col="_e", norm_col="_n",
+        sim_col=sim_col, use_arrow=use_arrow,
     ).persist()
     a = sk.select(
         F.col(id_col).alias("a"),
@@ -1021,7 +1330,7 @@ def semantic_dedup_pairs(
         # no distinct: each vector has exactly ONE nearest centroid, so
         # the cid self-join emits every (a, b) pair at most once
     )
-    return tag_persisted(out, sk)
+    return sk, out
 
 
 def semantic_dedup(
@@ -1031,32 +1340,78 @@ def semantic_dedup(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: str = "min_id",
+    use_arrow: bool = True,
     **cluster_kwargs,
 ) -> DataFrame:
-    """End-to-end semantic dedup: keep ONE representative (the min-id
-    member) per connected component of the within-cluster near-dup
-    pair graph, all original columns preserved —
-    :func:`semantic_dedup_pairs` composed with
-    :func:`dgraph_dbpedia_spark.operators.dedup.dedup_corpus` (which
-    accepts ``clusterer``/``max_iter`` passthroughs via
-    ``cluster_kwargs``). Singletons and sub-threshold vectors always
-    survive."""
-    from dgraph_dbpedia_spark.operators.cachectl import release
-    from dgraph_dbpedia_spark.operators.dedup import dedup_corpus
+    """End-to-end semantic dedup: keep ONE representative per connected
+    component of the within-cluster near-dup pair graph, all original
+    columns preserved. Singletons and sub-threshold vectors always
+    survive. ``cluster_kwargs`` (``clusterer``, ``max_iter``, ...) pass
+    through to the component algorithm.
 
-    pairs = semantic_dedup_pairs(
-        df, threshold, centroids, n_centroids, id_col, vec_col
+    ``keep`` selects the representative:
+
+    - ``'min_id'`` (default) — the lowest-id member, via
+      :func:`dgraph_dbpedia_spark.operators.dedup.dedup_corpus`.
+      Deterministic and oracle-stable.
+    - ``'low_centroid_sim'`` — the member with the LOWEST cosine to its
+      assigned centroid (ties: lowest id), the policy of the SemDeDup
+      paper (Abbas et al., arXiv:2303.09540 §2: keep the low-similarity
+      example, prune toward the centroid — farthest-from-centroid
+      members are the least semantically redundant with the cluster).
+      Pairs only form within one centroid cluster, so every component
+      lies inside one cluster and the member sims are comparable. Costs
+      nothing extra at scale: the sim is exposed from the SAME
+      assignment pass that builds the pairs, and representative
+      selection is one partially-aggregable ``min(struct(sim, id))``
+      per component."""
+    from dgraph_dbpedia_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_corpus,
     )
-    # dedup_corpus eagerly materializes the component labels into a
-    # checkpoint-rooted frame, so the pair sketch can be released as
-    # soon as it returns (same pattern as _q_dedup_corpus); finally:
-    # a non-convergence RuntimeError is a documented recoverable
+
+    if keep not in ("min_id", "low_centroid_sim"):
+        raise ValueError(
+            f"keep must be 'min_id' or 'low_centroid_sim', got {keep!r}"
+        )
+    sk, pairs = _semantic_sk_pairs(
+        df, threshold, centroids, n_centroids, id_col, vec_col, use_arrow,
+        sim_col="_csim" if keep == "low_centroid_sim" else None,
+    )
+    # the clusterer eagerly materializes the component labels into a
+    # checkpoint-rooted frame, so the assignment cache can be released
+    # as soon as the representative set is pinned; finally: a
+    # non-convergence RuntimeError is a documented recoverable
     # condition (retry with clusterer=dedup_clusters_star), and the
     # corpus-sized assignment cache must not outlive the failure
     try:
-        out = dedup_corpus(
-            df, pairs.select("a", "b"), id_col=id_col, **cluster_kwargs
-        )
+        if keep == "min_id":
+            out = dedup_corpus(
+                df, pairs.select("a", "b"), id_col=id_col, **cluster_kwargs
+            )
+        else:
+            clusterer = cluster_kwargs.pop("clusterer", None) or dedup_clusters
+            clusters = clusterer(
+                df.select(F.col(id_col)),
+                pairs.select("a", "b"),
+                id_col=id_col,
+                **cluster_kwargs,
+            )
+            # one id per component; localCheckpoint pins the selection
+            # (bounded by #components — the same scale class as the
+            # clusterer's own checkpoints) so the assignment cache can
+            # be dropped before the result is consumed
+            reps = (
+                clusters.join(sk.select(F.col(id_col), "_csim"), id_col)
+                .groupBy("cluster_id")
+                .agg(
+                    F.min(F.struct(F.col("_csim"), F.col(id_col))).alias("_m")
+                )
+                .select(F.col("_m")[id_col].alias(id_col))
+                .localCheckpoint()
+            )
+            out = df.join(reps, id_col, "left_semi")
     finally:
-        release(pairs)
+        sk.unpersist()
     return out

@@ -755,3 +755,199 @@ def test_semantic_dedup_accepts_trained_centroids(spark):
     cent = ivf_train(e, n_centroids=2, n_iter=1, id_col="vec_id", vec_col="_e")
     out = semantic_dedup(emb, threshold=0.999, centroids=cent)
     assert sorted(r["vec_id"] for r in out.collect()) == [1, 3]
+
+
+def test_nearest_centroid_arrow_pinned_equal_to_native(spark):
+    """The numpy assignment kernel must reproduce the native fold's
+    (cid, nv, sim) on real data — cid bit-for-bit, nv/sim to the
+    documented boundary tolerance (a divergence needs the unrounded
+    cosine within ~1e-11 of a HALF_UP tie; asserting zero mismatches
+    on the full sf0.001 table pins it, the hyperplane-twin pattern)."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        ivf_assign,
+        ivf_seed_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cent = ivf_seed_centroids(e, 16)
+    nat = ivf_assign(
+        e, cent, norm_col="nv", sim_col="sim", use_arrow=False
+    ).select("vec_id", "cid", "nv", "sim")
+    arr = ivf_assign(
+        e, cent, norm_col="nv", sim_col="sim", use_arrow=True
+    ).select("vec_id", "cid", "nv", "sim")
+    mism = (
+        nat.alias("n")
+        .join(arr.alias("a"), "vec_id")
+        .where(
+            (F.col("n.cid") != F.col("a.cid"))
+            | (F.abs(F.col("n.nv") - F.col("a.nv")) > 1e-9)
+            | (F.abs(F.col("n.sim") - F.col("a.sim")) > 1e-9)
+        )
+        .count()
+    )
+    assert mism == 0
+    assert nat.count() == arr.count() == e.count()
+
+
+def test_ivf_assign_arrow_empty_and_null_contracts(spark, vectors):
+    """Arrow lane edge contracts match the native fold: empty centroid
+    frame -> NULL cid/sim with real norms; a NULL vector -> lowest cid,
+    sim -2.0, NULL norm; a zero-norm vector -> lowest cid, sim -2.0,
+    norm 0."""
+    from pyspark.sql.types import DoubleType
+    from dgraph_dbpedia_spark.operators.similarity import ivf_assign
+
+    e = vectors.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    empty_cent = spark.createDataFrame(
+        [], "cid long, c array<double>"
+    )
+    out = ivf_assign(e, empty_cent, sim_col="sim", use_arrow=True).collect()
+    assert len(out) == 5
+    assert all(r["cid"] is None and r["sim"] is None for r in out)
+
+    weird = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 0.0])],
+        "vec_id long, e array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.0, 1.0])], "cid long, c array<double>"
+    )
+    for use_arrow in (True, False):
+        got = {
+            r["vec_id"]: r
+            for r in ivf_assign(
+                weird, cent, norm_col="nv", sim_col="sim", use_arrow=use_arrow
+            ).collect()
+        }
+        assert got[1]["cid"] == 10 and got[1]["sim"] == 1.0
+        assert got[2]["cid"] == 10 and got[2]["sim"] == -2.0
+        assert got[2]["nv"] is None
+        assert got[3]["cid"] == 10 and got[3]["sim"] == -2.0
+        assert got[3]["nv"] == 0.0
+
+
+def test_ivf_topk_arrow_matches_native(spark, vectors, query):
+    """The arrow ivf_topk plan (driver-side probes + arrow assignment +
+    literal-query re-rank) returns exactly the native plan's rows."""
+    from dgraph_dbpedia_spark.operators.similarity import ivf_topk
+
+    for n_probe in (1, 2):
+        nat = ivf_topk(
+            vectors, query, k=5, n_centroids=2, n_probe=n_probe,
+            use_arrow=False,
+        ).collect()
+        arr = ivf_topk(
+            vectors, query, k=5, n_centroids=2, n_probe=n_probe,
+            use_arrow=True,
+        ).collect()
+        assert [(r["vec_id"], r["sim"]) for r in nat] == [
+            (r["vec_id"], r["sim"]) for r in arr
+        ]
+
+
+def test_semantic_dedup_keep_low_centroid_sim(spark):
+    """keep='low_centroid_sim' keeps the member FARTHEST from its
+    centroid (the SemDeDup paper's pruning rule), not the min id:
+    planted cluster {1, 2, 4} around centroid [1, 0] — member 4 IS the
+    centroid direction (sim 1.0), member 2 has the largest angle, so 2
+    must survive; min_id would keep 1. Singletons and the split
+    cross-cluster pair still pass through."""
+    from dgraph_dbpedia_spark.operators.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.01]),
+            (2, [1.0, 0.02]),
+            (4, [1.0, 0.0]),
+            (3, [0.01, 1.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    cent = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.0, 1.0])], ["cid", "c"]
+    )
+    far = semantic_dedup(
+        emb, threshold=0.999, centroids=cent, keep="low_centroid_sim"
+    )
+    assert sorted(r["vec_id"] for r in far.collect()) == [2, 3]
+    # default stays min-id (oracle stability)
+    min_id = semantic_dedup(emb, threshold=0.999, centroids=cent)
+    assert sorted(r["vec_id"] for r in min_id.collect()) == [1, 3]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep"):
+        semantic_dedup(emb, threshold=0.999, centroids=cent, keep="bogus")
+
+
+def test_quantized_served_partition_prunes(spark, vectors, query, tmp_path):
+    """Quantized serve path: int8 lists written partitionBy(cid) +
+    literal cid IN (...) probe => partition prune at the scan; results
+    match the brute-force quantized ranking restricted to the probed
+    lists, with ids drawn from those lists only."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        ivf_assign,
+        quantization_scales,
+        quantize_embeddings,
+        quantized_ivf_topk_served,
+    )
+
+    e = vectors.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cent = (
+        e.orderBy("vec_id")
+        .limit(2)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("c"))
+    )
+    root = str(tmp_path / "qivf")
+    cent.write.parquet(f"{root}/centroids")
+    scales = quantization_scales(e, vec_col="e")
+    scales.write.parquet(f"{root}/scales")
+    asg = ivf_assign(e, cent).select("vec_id", "cid")
+    quantize_embeddings(
+        e, spark.read.parquet(f"{root}/scales"), vec_col="e"
+    ).join(asg, "vec_id").write.partitionBy("cid").parquet(
+        f"{root}/quantized"
+    )
+    quantized = spark.read.parquet(f"{root}/quantized")
+    out = quantized_ivf_topk_served(
+        quantized,
+        spark.read.parquet(f"{root}/centroids"),
+        spark.read.parquet(f"{root}/scales"),
+        query,
+        k=3,
+        n_probe=1,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "PartitionFilters: [" in plan
+        and "cid" in plan.split("PartitionFilters:")[1][:120]
+    )
+    rows = out.collect()
+    # probe list of the query ([1,0,0,0]) is centroid 0's list: ids
+    # {0, 1, 4} assign there (2 and 3 go to centroid 1 / score lower).
+    # the exact match must rank first with quantized sim 1.0
+    assert rows[0]["vec_id"] == 0 and rows[0]["sim"] == 1.0
+    assert {r["vec_id"] for r in rows} <= {0, 1, 4}
+
+    # empty centroid frame -> empty result, never a crash
+    empty_cent = spark.createDataFrame([], "cid long, c array<double>")
+    assert (
+        quantized_ivf_topk_served(
+            quantized, empty_cent, scales, query, k=3
+        ).count()
+        == 0
+    )
+
+    # multi-row query frame -> loud refusal (bounded-collect contract)
+    import pytest as _pytest
+
+    two_q = vectors.limit(2).select(F.col("embedding").alias("q"))
+    with _pytest.raises(ValueError, match="one query vector"):
+        quantized_ivf_topk_served(quantized, cent, scales, two_q, k=3)
