@@ -1331,6 +1331,45 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(attach_binary(docs), use_real_decoder=False)
 
 
+def _q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10 (VERDICT r9 #2): two-micro-batch composition of
+    stream_near_dup_batch — the foreachBatch near-dup body — over a
+    FRESH tmp state dir: batch 1 = even doc_ids, batch 2 = odd. The
+    cross-batch kill (state join), within-batch greedy filter and
+    state append are exactly the operator's production path; at
+    max_hamming=3 over 4 SimHash chunks the banding is pigeonhole-
+    exhaustive, so the DuckDB oracle replays it with plain all-pairs
+    hamming joins (state = batch-1 survivors). Survivors are
+    localCheckpoint-ed inside the operator, so the state dir is
+    removed before the result is consumed; each invocation gets a
+    fresh dir (state accumulation across calls would break
+    idempotence). Replay caveat stays documented on the operator
+    (streaming/events.py)."""
+    import shutil
+    import tempfile
+
+    from dgraph_dbpedia_spark.streaming.events import stream_near_dup_batch
+
+    import os
+
+    docs = _t(spark, sf_dir, "documents")
+    scratch = tempfile.mkdtemp(prefix="sparkgraft-snd-state-")
+    # the operator's first-batch contract is PATH_NOT_FOUND, not an
+    # existing-but-empty dir (that reads as a corrupt state table), so
+    # the state lives one level below the fresh scratch dir
+    state = os.path.join(scratch, "state")
+    try:
+        s1 = stream_near_dup_batch(
+            docs.where(F.col("doc_id") % 2 == 0), state, max_hamming=3
+        )
+        s2 = stream_near_dup_batch(
+            docs.where(F.col("doc_id") % 2 == 1), state, max_hamming=3
+        )
+        return s1.unionByName(s2).select("doc_id", "lang", "source")
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the watermark-bounded streaming dedup; the key
     columns are projected because which physical row survives per key is
@@ -1497,6 +1536,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # served index, the paper-faithful SemDeDup keep policy, and the
     # micro-batch streaming near-dup composition
     "quantized_ann_topk_served": _q_quantized_ann_topk_served,
+    "stream_near_dup": _q_stream_near_dup,
     "ivf_ann_topk_served_batch": _q_ivf_ann_topk_served_batch,
     "semantic_dedup": _q_semantic_dedup,
     "mixture_sample": _q_mixture_sample,
@@ -2516,6 +2556,45 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.simhash, b.simhash)) AS hamming
             FROM s a JOIN s b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        # replay of the two-micro-batch foreachBatch composition: at
+        # max_hamming=3 over 4 chunks the banded state/pair joins are
+        # pigeonhole-exhaustive, so plain hamming joins are exact.
+        # batch 1 (even ids): within-batch greedy filter (drop the b of
+        # every a<b pair); its survivors are the state; batch 2 (odd
+        # ids): cross kill vs state, then within-batch filter on the
+        # remainder; result = union of both batches' survivors
+        "stream_near_dup": f"""
+            WITH s AS ({_sql_simhash()}),
+            b1 AS (SELECT * FROM s WHERE doc_id % 2 = 0),
+            b2 AS (SELECT * FROM s WHERE doc_id % 2 = 1),
+            surv1 AS (
+                SELECT doc_id FROM b1
+                ANTI JOIN (
+                    SELECT DISTINCT b.doc_id AS b FROM b1 a JOIN b1 b
+                    ON a.doc_id < b.doc_id
+                    AND bit_count(xor(a.simhash, b.simhash)) <= 3) d
+                ON b1.doc_id = d.b),
+            state AS (
+                SELECT b1.doc_id, b1.simhash FROM b1
+                SEMI JOIN surv1 ON b1.doc_id = surv1.doc_id),
+            clean2 AS (
+                SELECT * FROM b2
+                ANTI JOIN (
+                    SELECT DISTINCT x.doc_id FROM b2 x JOIN state st
+                    ON bit_count(xor(x.simhash, st.simhash)) <= 3) k
+                ON b2.doc_id = k.doc_id),
+            surv2 AS (
+                SELECT doc_id FROM clean2
+                ANTI JOIN (
+                    SELECT DISTINCT b.doc_id AS b FROM clean2 a JOIN clean2 b
+                    ON a.doc_id < b.doc_id
+                    AND bit_count(xor(a.simhash, b.simhash)) <= 3) d
+                ON clean2.doc_id = d.b)
+            SELECT d.doc_id, d.lang, d.source FROM documents d
+            SEMI JOIN (SELECT doc_id FROM surv1
+                       UNION ALL SELECT doc_id FROM surv2) u
+            ON d.doc_id = u.doc_id
         """,
         "near_dup_filter": f"""
             WITH p AS ({_sql_minhash_pairs()})

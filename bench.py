@@ -150,6 +150,30 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
 
+    # the 5 slowest queries drive the verdict's perf audit — give them
+    # the same warm best-of-n damping the pipelines get (VERDICT r9 #4):
+    # the first pass above IS the warm-up, then two more timed runs
+    # each, best of all samples recorded (samples kept for the
+    # artifact). clearCache between runs: the pair-finding queries
+    # persist self-join intermediates that would otherwise make run 2
+    # time a cache hit instead of the plan. A query that cannot re-run
+    # (the streaming memory-sink family conflicts on its queryName)
+    # keeps its single-shot sample.
+    samples: dict[str, list[float]] = {}
+    for name in sorted(timings, key=lambda k: -timings[k])[:5]:
+        samples[name] = [timings[name]]
+        for _ in range(2):
+            spark.catalog.clearCache()
+            try:
+                start = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples[name].append(round(time.perf_counter() - start, 3))
+            except Exception:
+                break
+        timings[name] = min(samples[name])
+
     # the pair-finding queries persist self-join intermediates (their
     # results carry release handles; the suite doesn't call release to
     # keep per-query timing honest) — drop them all before the pipeline
@@ -172,6 +196,7 @@ def main() -> None:
         "unit": "sec",
         "action": "noop_write_all_columns",  # r2: was count(); count() let Catalyst prune projection-only queries
         "queries": timings,
+        "slowest_samples": samples,
         "sf": sf,
         "pipelines": pipelines,
     }
@@ -192,15 +217,14 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "slowest": slowest,
-                # per-query times are single-shot (warm process, warmed
-                # codepaths, but ONE timed run each — a best-of-n per
-                # query would need release+rerun semantics the streaming
-                # memory-sink queries don't support); cross-run deltas
-                # within the documented +-20-30% machine-state band
-                # (BENCH_SCALE.md) are noise, not regressions. The
-                # pipeline numbers ARE damped (warm-up + best-of-3,
-                # samples recorded).
-                "query_timing": "single-shot; +-20-30% machine-state band",
+                "slowest_samples": samples,
+                # the slowest-5 are warm best-of-3 (first pass = warm-up,
+                # two timed re-runs, samples recorded above); the rest
+                # stay single-shot — cross-run deltas within the
+                # documented +-20-30% machine-state band (BENCH_SCALE.md)
+                # are noise, not regressions. The pipeline numbers are
+                # damped the same way (warm-up + best-of-3).
+                "query_timing": "slowest-5 warm best-of-3; rest single-shot",
                 "pipelines": pipelines,
             }
         )
