@@ -813,6 +813,21 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label")
 
 
+def _q_semantic_dedup_keep_far(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: SemDeDup with the paper-faithful keep policy — per
+    component keep the member with the LOWEST cosine to its assigned
+    centroid (prune toward the centroid; arXiv:2303.09540 §2), ties by
+    id. Same assignment/pair/component chain as semantic_dedup, one
+    ordering change in representative selection."""
+    from dgraph_dbpedia_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(
+        emb, threshold=0.40, n_centroids=16, keep="low_centroid_sim"
+    )
+    return out.select("vec_id", "label")
+
+
 def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic domain-mixture sampling (r9): per-source keep
     probabilities via a literal map + the RNG-free id-hash coin;
@@ -1537,6 +1552,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # micro-batch streaming near-dup composition
     "quantized_ann_topk_served": _q_quantized_ann_topk_served,
     "stream_near_dup": _q_stream_near_dup,
+    "semantic_dedup_keep_far": _q_semantic_dedup_keep_far,
     "ivf_ann_topk_served_batch": _q_ivf_ann_topk_served_batch,
     "semantic_dedup": _q_semantic_dedup,
     "mixture_sample": _q_mixture_sample,
@@ -3088,6 +3104,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT emb.vec_id, emb.label FROM embeddings emb
             SEMI JOIN scomp
               ON emb.vec_id = scomp.id AND scomp.rep = emb.vec_id
+        """,
+        # the paper-faithful keep policy: same assignment / pair /
+        # component chain, but the representative is the member with
+        # the LOWEST round-6 cosine to its ASSIGNED centroid (ties by
+        # id) instead of the min id
+        "semantic_dedup_keep_far": f"""
+            WITH RECURSIVE
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cent AS (
+                SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT 16),
+            asg AS (
+                SELECT vec_id, v, cid, csim FROM (
+                    SELECT e.vec_id, e.v, cent.cid,
+                           {_sql_cosine('e.v', 'cent.c', 6)} AS csim,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY {_sql_cosine('e.v', 'cent.c', 6)} DESC,
+                                        cent.cid ASC) AS rn
+                    FROM e CROSS JOIN cent) x
+                WHERE rn = 1),
+            spairs AS (
+                SELECT a.vec_id AS a, b.vec_id AS b
+                FROM asg a JOIN asg b
+                  ON a.cid = b.cid AND a.vec_id < b.vec_id
+                WHERE {_sql_cosine('a.v', 'b.v', 6)} >= 0.40::DOUBLE),
+            sedges AS (
+                SELECT a AS src, b AS dst FROM spairs
+                UNION SELECT b AS src, a AS dst FROM spairs),
+            sreach AS (
+                SELECT vec_id AS id, vec_id AS r FROM e
+                UNION
+                SELECT sreach.id, sedges.dst AS r
+                FROM sreach JOIN sedges ON sreach.r = sedges.src),
+            scomp AS (SELECT id, MIN(r) AS rep FROM sreach GROUP BY id),
+            reps AS (
+                SELECT id FROM (
+                    SELECT scomp.id,
+                           row_number() OVER (
+                               PARTITION BY scomp.rep
+                               ORDER BY a.csim ASC, scomp.id ASC) AS rn
+                    FROM scomp JOIN asg a ON scomp.id = a.vec_id) t
+                WHERE rn = 1)
+            SELECT emb.vec_id, emb.label FROM embeddings emb
+            SEMI JOIN reps ON emb.vec_id = reps.id
         """,
         "mixture_sample": f"""
             SELECT doc_id, lang, source FROM documents

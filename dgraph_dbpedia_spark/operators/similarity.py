@@ -517,6 +517,63 @@ def nearest_centroid_arrow(cids, cmat, cid_type, round_decimals: int = 6):
     return pandas_udf(assign_batch, ret)
 
 
+def pair_cosine_arrow(round_decimals: int = 6):
+    """Vectorized twin of the per-PAIR cosine projection
+    ``round(try_divide(dot(ea, eb), na * nb), d)`` — the scoring that
+    runs on every candidate pair inside the bucketed/cid self-joins
+    (:func:`semantic_dedup_pairs`, :func:`cosine_near_dup_pairs`). One
+    ``einsum`` per Arrow batch instead of an interpreted O(dims) fold
+    per pair; with pair counts ~n^2/k this is the dominant cost of the
+    pair stage at low k (BENCH_SCALE.md r10). Same bit-equality
+    contract as :func:`nearest_centroid_arrow` (HALF_UP rounding via
+    :func:`_round_half_up_np`; the native fold stays the oracle
+    surface). NULL contract matches ``try_divide`` + null-propagation:
+    a NULL vector or zero/NULL norm product yields NULL (which every
+    caller's ``sim >= threshold`` filter drops), never NaN.
+
+    Returns a pandas UDF ``(ea, eb, na, nb) -> sim``."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    def score(
+        ea: pd.Series, eb: pd.Series, na: pd.Series, nb: pd.Series
+    ) -> pd.Series:
+        import numpy as np  # noqa: F811 — resolve inside the worker
+
+        n = len(ea)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        va, vb = ea.tolist(), eb.tolist()
+        null_mask = np.fromiter(
+            (a is None or b is None for a, b in zip(va, vb)),
+            dtype=bool,
+            count=n,
+        )
+        if null_mask.all():
+            return pd.Series(pd.array([pd.NA] * n, dtype="Float64"))
+        if null_mask.any():
+            dims = len(next(v for v in va if v is not None))
+            zero = [0.0] * dims
+            va = [zero if v is None else v for v in va]
+            zb = [0.0] * len(next(v for v in vb if v is not None))
+            vb = [zb if v is None else v for v in vb]
+        A = np.asarray(va, dtype=np.float64)
+        B = np.asarray(vb, dtype=np.float64)
+        denom = na.to_numpy(dtype=np.float64, na_value=np.nan) * nb.to_numpy(
+            dtype=np.float64, na_value=np.nan
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.einsum("ij,ij->i", A, B) / denom
+        out = pd.array(
+            _round_half_up_np(sims, round_decimals), dtype="Float64"
+        )
+        out[~np.isfinite(sims) | null_mask] = pd.NA
+        return pd.Series(out)
+
+    return pandas_udf(score, DoubleType())
+
+
 def _nearest_sorted(vec: Column, nv: Column) -> Column:
     """``_cent`` scored against ``vec``: array of ``(negsim, cid)``
     structs sorted ascending, i.e. best centroid first (sim desc, cid
@@ -1218,7 +1275,14 @@ def cosine_near_dup_pairs(
     ).persist()
     a = sk.select(F.col(id_col).alias("a"), F.col("e").alias("ea"), F.col("n").alias("na"), "bucket")
     b = sk.select(F.col(id_col).alias("b"), F.col("e").alias("eb"), F.col("n").alias("nb"), "bucket")
-    sim = F.round(F.try_divide(_dot("ea", "eb"), F.col("na") * F.col("nb")), 4)
+    # arrow lane scores pairs with one einsum per batch (see
+    # semantic_dedup_pairs); the native fold is the oracle surface
+    if use_arrow:
+        sim = pair_cosine_arrow(4)(
+            F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+        )
+    else:
+        sim = F.round(F.try_divide(_dot("ea", "eb"), F.col("na") * F.col("nb")), 4)
     out = (
         a.join(b, "bucket")
         .where(F.col("a") < F.col("b"))
@@ -1321,7 +1385,18 @@ def _semantic_sk_pairs(
         F.col("_n").alias("nb"),
         "cid",
     )
-    sim = F.round(F.try_divide(_dot("ea", "eb"), F.col("na") * F.col("nb")), 6)
+    # pair scoring: the arrow lane swaps the interpreted O(dims) fold
+    # per candidate pair for one einsum per Arrow batch (pair counts
+    # are ~n^2/k — the dominant stage cost at low k, BENCH_SCALE.md
+    # r10); the native fold stays the oracle surface
+    if use_arrow:
+        sim = pair_cosine_arrow(6)(
+            F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+        )
+    else:
+        sim = F.round(
+            F.try_divide(_dot("ea", "eb"), F.col("na") * F.col("nb")), 6
+        )
     out = (
         a.join(b, "cid")
         .where(F.col("a") < F.col("b"))

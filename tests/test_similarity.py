@@ -951,3 +951,55 @@ def test_quantized_served_partition_prunes(spark, vectors, query, tmp_path):
     two_q = vectors.limit(2).select(F.col("embedding").alias("q"))
     with _pytest.raises(ValueError, match="one query vector"):
         quantized_ivf_topk_served(quantized, cent, scales, two_q, k=3)
+
+
+def test_pair_cosine_arrow_pinned_equal_to_native(spark):
+    """The einsum pair-scoring kernel must reproduce the native fold's
+    round-6 pair sims on real data (zero mismatches over every
+    within-cluster candidate pair of sf0.001 — the assign-kernel
+    pinning pattern applied to the pair stage)."""
+    from dgraph_dbpedia_spark.operators.cachectl import release
+    from dgraph_dbpedia_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    nat = semantic_dedup_pairs(
+        emb, threshold=-1.0, n_centroids=8, use_arrow=False
+    )
+    arr = semantic_dedup_pairs(
+        emb, threshold=-1.0, n_centroids=8, use_arrow=True
+    )
+    n = nat.withColumnRenamed("sim", "sim_n")
+    a = arr.withColumnRenamed("sim", "sim_a")
+    joined = n.join(a, ["a", "b"], "full_outer")
+    mism = joined.where(
+        F.col("sim_n").isNull()
+        | F.col("sim_a").isNull()
+        | (F.abs(F.col("sim_n") - F.col("sim_a")) > 1e-9)
+    ).count()
+    assert mism == 0
+    assert nat.count() == arr.count() > 0
+    release(nat)
+    release(arr)
+
+
+def test_pair_cosine_arrow_null_contract(spark):
+    """NULL vector / zero norm -> NULL sim (dropped by the threshold
+    filter), exactly like try_divide + null propagation — never NaN."""
+    from dgraph_dbpedia_spark.operators.similarity import pair_cosine_arrow
+
+    df = spark.createDataFrame(
+        [
+            ([1.0, 0.0], [1.0, 0.0], 1.0, 1.0),
+            (None, [1.0, 0.0], None, 1.0),
+            ([0.0, 0.0], [1.0, 0.0], 0.0, 1.0),
+        ],
+        "ea array<double>, eb array<double>, na double, nb double",
+    )
+    got = df.select(
+        pair_cosine_arrow(6)("ea", "eb", "na", "nb").alias("sim")
+    ).collect()
+    assert got[0]["sim"] == 1.0
+    assert got[1]["sim"] is None
+    assert got[2]["sim"] is None
