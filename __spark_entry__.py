@@ -828,6 +828,31 @@ def _q_semantic_dedup_keep_far(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label")
 
 
+def _q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: mC4/XLM-R alpha-sampling — per-lang keep rates
+    (n/n_min)^(alpha-1) rounded to the coin granularity, RNG-free
+    hash-coin keeps; one bounded groupBy + broadcast rate join + narrow
+    filter."""
+    from dgraph_dbpedia_spark.operators.sampling import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_sample(
+        docs, group_col="lang", alpha=0.5, seed=2
+    ).select("doc_id", "lang", "source")
+
+
+def _q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: CCNet head/middle/tail bucketing — per-lang ntile(3) over
+    unigram surprisal (ties by id), zero-token docs pinned to the last
+    bucket explicitly on both engines."""
+    from dgraph_dbpedia_spark.operators.textstats import perplexity_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    # no release here: the suite-wide policy (see bench.py) is to let
+    # results carry their handles and clearCache at suite boundaries
+    return perplexity_buckets(docs, n_buckets=3, group_col="lang")
+
+
 def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic domain-mixture sampling (r9): per-source keep
     probabilities via a literal map + the RNG-free id-hash coin;
@@ -1302,6 +1327,29 @@ def _q_ivf_ann_topk_served_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_served_many(assigned, centroids, qs, k=5, n_probe=2)
 
 
+def _q_quantized_ann_topk_served_batch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r10: the last cell of the serve matrix ({float, int8} x
+    {single, batch}) — three query vectors probe the materialized int8
+    lists in one plan: shared probe stage with the float batch path
+    (per-qid probes from the broadcast FLOAT centroid fold, one bounded
+    collect, ONE partition-pruned scan), integer-dot re-rank, per-qid
+    window top-k."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        quantized_ivf_topk_served_many,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    quantized, centroids, scales = _served_quantized_index(spark, sf_dir)
+    qs = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q")
+    )
+    return quantized_ivf_topk_served_many(
+        quantized, centroids, scales, qs, k=5, n_probe=2
+    )
+
+
 def _q_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd k-means refinement of the IVF centroids (2 iterations, 8
     centroids over the full embeddings table): assignment is the
@@ -1553,6 +1601,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantized_ann_topk_served": _q_quantized_ann_topk_served,
     "stream_near_dup": _q_stream_near_dup,
     "semantic_dedup_keep_far": _q_semantic_dedup_keep_far,
+    "temperature_sample": _q_temperature_sample,
+    "perplexity_buckets": _q_perplexity_buckets,
+    "quantized_ann_topk_served_batch": _q_quantized_ann_topk_served_batch,
+    # rotated back in: the r10 pair-scoring kernel changed its plan
+    "cosine_near_dup": _q_cosine_near_dup,
     "ivf_ann_topk_served_batch": _q_ivf_ann_topk_served_batch,
     "semantic_dedup": _q_semantic_dedup,
     "mixture_sample": _q_mixture_sample,
@@ -1626,7 +1679,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts_bpe": _q_token_counts_bpe,
     "lsh_ann_topk": _q_lsh_ann_topk,
     "lsh_ann_topk_batch": _q_lsh_ann_topk_batch,
-    "cosine_near_dup": _q_cosine_near_dup,
     "sliding_window": _q_sliding_window,
     "sessionize": _q_sessionize,
     "range_count_join": _q_range_count_join,
@@ -2140,6 +2192,78 @@ def _sql_quantized_topk_served(
                       sqrt(list_dot_product(qq, qq))), 4) AS sim
         FROM lists CROSS JOIN qq
         ORDER BY sim DESC, vec_id LIMIT {k}
+    """
+
+
+def _sql_quantized_topk_served_batch(
+    k: int = 5, n_centroids: int = 16, n_probe: int = 2, n_queries: int = 3
+) -> str:
+    """Batch twin of _sql_quantized_topk_served: the
+    _sql_ivf_topk_served_batch probe/assignment CTEs with the int8
+    quantization + integer-dot re-rank."""
+    q8 = (
+        "greatest(least(floor({v}[i] / st.scales[i] * 127 + 0.5), 127), -127)"
+        "::BIGINT"
+    )
+
+    def quant(v):
+        return (
+            f"list_transform(range(1, len({v}) + 1), i -> {q8.format(v=v)})"
+        )
+
+    qsim = (
+        "round(list_dot_product(l.qe, qx.qq) /"
+        " (sqrt(list_dot_product(l.qe, l.qe)) *"
+        "  sqrt(list_dot_product(qx.qq, qx.qq))), 4)"
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id > 0),
+        cent AS (
+            SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT {n_centroids}),
+        q AS (
+            SELECT vec_id AS qid, embedding::DOUBLE[] AS q FROM embeddings
+            ORDER BY vec_id LIMIT {n_queries}),
+        asg AS (
+            SELECT vec_id, v, cid FROM (
+                SELECT e.vec_id, e.v, cent.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_sql_cosine('e.v', 'cent.c', 6)} DESC,
+                                    cent.cid ASC) AS rn
+                FROM e CROSS JOIN cent) x
+            WHERE rn = 1),
+        probes AS (
+            SELECT qid, cid FROM (
+                SELECT q.qid, cent.cid,
+                       row_number() OVER (
+                           PARTITION BY q.qid
+                           ORDER BY {_sql_cosine('cent.c', 'q.q', 6)} DESC,
+                                    cent.cid ASC) AS rn
+                FROM cent CROSS JOIN q) y
+            WHERE rn <= {n_probe})
+        , pe AS (
+            SELECT pos, max(abs(x)) AS m
+            FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos
+                  FROM e)
+            GROUP BY pos),
+        st AS (
+            SELECT list_transform(list(m ORDER BY pos),
+                                  x -> greatest(x, 1e-12)) AS scales
+            FROM pe),
+        qx AS (SELECT qid, {quant('q.q')} AS qq FROM q CROSS JOIN st),
+        lists AS (
+            SELECT a.vec_id, a.cid, {quant('a.v')} AS qe
+            FROM asg a CROSS JOIN st)
+        SELECT qid, vec_id, sim FROM (
+            SELECT p.qid, l.vec_id, {qsim} AS sim,
+                   row_number() OVER (
+                       PARTITION BY p.qid
+                       ORDER BY {qsim} DESC, l.vec_id) AS rn
+            FROM lists l JOIN probes p ON l.cid = p.cid
+            JOIN qx ON qx.qid = p.qid) t
+        WHERE rn <= {k}
     """
 
 
@@ -2821,6 +2945,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_topk_served_batch": _sql_ivf_topk_served_batch(),
         "quantized_ann_topk": _sql_quantized_topk(),
         "quantized_ann_topk_served": _sql_quantized_topk_served(),
+        "quantized_ann_topk_served_batch": _sql_quantized_topk_served_batch(),
         "gopher_quality": f"""
             WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
             f AS (
@@ -3073,6 +3198,40 @@ def oracle_sql() -> dict[str, str]:
                    s.bits_per_token
             FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
         """,
+        # CCNet bucketing over the same surprisal chain: per-lang
+        # ntile(3) by (bits ASC, id ASC) over the NON-NULL scores;
+        # zero-token docs pin to the last bucket explicitly (engines
+        # disagree on NULL sort position)
+        "perplexity_buckets": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents),
+            model AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+            sc AS (
+                SELECT sum(c) AS total, count(*) AS vocab FROM model),
+            scored AS (
+                SELECT t.doc_id, count(*) AS n_tokens,
+                       round(list_reduce(
+                           list_sort(list(-log2(
+                               (m.c + 1.0::DOUBLE) /
+                               (sc.total + 1.0::DOUBLE * sc.vocab)))),
+                           (a, b) -> a + b) / count(*), 4)
+                           AS bits_per_token
+                FROM tok t JOIN model m USING (tok) CROSS JOIN sc
+                GROUP BY t.doc_id),
+            base AS (
+                SELECT d.doc_id, d.lang,
+                       coalesce(s.n_tokens, 0) AS n_tokens,
+                       s.bits_per_token
+                FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id)
+            SELECT doc_id, lang, n_tokens, bits_per_token,
+                   ntile(3) OVER (
+                       PARTITION BY lang
+                       ORDER BY bits_per_token ASC, doc_id ASC) AS bucket
+            FROM base WHERE bits_per_token IS NOT NULL
+            UNION ALL
+            SELECT doc_id, lang, n_tokens, bits_per_token, 3 AS bucket
+            FROM base WHERE bits_per_token IS NULL
+        """,
         "semantic_dedup": f"""
             WITH RECURSIVE
             e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -3156,6 +3315,19 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                         WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.0
                         ELSE 0.1 END)::DOUBLE, 0.0::DOUBLE), 1.0::DOUBLE)
+        """,
+        # alpha-sampling: rate_g = round((n_g / n_min)^(alpha-1), 6),
+        # coin = the shared 60-bit md5 hash mod 1e6 (seed 2)
+        "temperature_sample": f"""
+            WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+            r AS (SELECT lang,
+                         round(pow(n::DOUBLE / (SELECT min(n) FROM c),
+                                   -0.5::DOUBLE), 6) AS rate
+                  FROM c)
+            SELECT d.doc_id, d.lang, d.source
+            FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
+            WHERE (({_sql_hash64('d.doc_id::VARCHAR', 2)} % 1000000)
+                   / 1000000.0::DOUBLE) < r.rate
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE

@@ -205,6 +205,59 @@ def mixture_sample(
     ).drop(wc)
 
 
+def temperature_sample(
+    df: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.3,
+    id_col: str = "doc_id",
+    seed: int = 2,
+) -> DataFrame:
+    """Temperature-based group rebalancing — the multilingual
+    alpha-sampling of mC4 / XLM-R (Conneau et al., ACL 2020 §3.1;
+    Xue et al., NAACL 2021): resample so the post-sample group mass
+    follows ``p^alpha`` instead of ``p``, flattening the head without
+    inverting the distribution. Realized as deterministic per-group
+    Bernoulli keeps: a group ``m`` times larger than the RAREST group
+    keeps ``round(m^(alpha-1), 6)`` of its rows (the rarest group
+    keeps everything — pure downsampling, no repetition), each row's
+    coin being the shared RNG-free :func:`_unit_coin`, so the same
+    rows survive on any engine / partitioning / run. ``alpha=1`` is a
+    no-op; ``alpha -> 0`` approaches uniform group mass. NULL group
+    values form their own group (null-safe join), matching the
+    count aggregation.
+
+    100 TB shape: one partially-aggregable groupBy whose output is
+    bounded by the number of groups, a broadcast rate join, then a
+    pure narrow filter codegen'd into the scan — the corpus is never
+    shuffled."""
+    if not 0.0 < float(alpha) <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    g, r = "__g", "__rate"
+    while g in df.columns:
+        g = "_" + g
+    while r in df.columns:
+        r = "_" + r
+    counts = df.groupBy(F.col(group_col).alias(g)).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    n_min = counts.agg(F.min("__n").alias("__nmin"))
+    # round(…, 6): the coin has 1e-6 granularity, so agreeing on the
+    # 6th decimal makes the keep decision immune to last-ulp pow()
+    # differences between engines
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        F.col(g),
+        F.round(
+            F.pow(F.col("__n") / F.col("__nmin"), F.lit(float(alpha) - 1.0)),
+            6,
+        ).alias(r),
+    )
+    return (
+        df.join(F.broadcast(rates), df[group_col].eqNullSafe(rates[g]))
+        .where(_unit_coin(id_col, seed) < F.col(r))
+        .drop(g, r)
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 128,

@@ -932,6 +932,48 @@ def ivf_topk_served(
     return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
 
 
+def _probe_many(
+    q: DataFrame,
+    centroids: DataFrame,
+    qid_col: str,
+    n_probe: int,
+    max_queries: int,
+):
+    """Shared batch-probe stage of the served paths: per-qid probe
+    lists from the broadcast centroid fold, checkpointed, plus the
+    sorted union of probed cids. ``q`` must carry ``(qid, q)`` with
+    ``q`` already double-typed.
+
+    localCheckpoint BEFORE deriving both consumers: the probe collect
+    below and the (qid, cid, q) join frame in the returned plan must
+    see the SAME materialization — a non-deterministic query source
+    (sample, limit without order) re-executed per consumer could
+    otherwise probe cids absent from the collected union, silently
+    dropping those queries' candidates. The checkpoint is bounded by
+    the max_queries cap applied first; its blocks are GC-released by
+    the ContextCleaner once the result frame is dropped. The collect
+    is bounded (X6): qids + probe cids only, capped by max_queries."""
+    probes = F.transform(
+        F.slice(_nearest_sorted(F.col("q"), _norm("q")), 1, n_probe),
+        lambda s: s["cid"],
+    )
+    qp = (
+        q.crossJoin(F.broadcast(_centroid_row(centroids)))
+        .select(F.col(qid_col), F.col("q"), probes.alias("_probes"))
+        .limit(max_queries + 1)
+        .localCheckpoint()
+    )
+    probe_rows = qp.select(qid_col, "_probes").collect()
+    if len(probe_rows) > max_queries:
+        raise ValueError(
+            f"batch probe got more than max_queries={max_queries} "
+            "query vectors — the per-query probe collect is bounded by "
+            "contract; split the batch or raise max_queries explicitly"
+        )
+    union_cids = sorted({c for r in probe_rows for c in r["_probes"]})
+    return qp, union_cids
+
+
 def ivf_topk_served_many(
     assigned: DataFrame,
     centroids: DataFrame,
@@ -974,33 +1016,7 @@ def ivf_topk_served_many(
         F.col(qid_col),
         F.col(query_col).cast("array<double>").alias("q"),
     )
-    probes = F.transform(
-        F.slice(_nearest_sorted(F.col("q"), _norm("q")), 1, n_probe),
-        lambda s: s["cid"],
-    )
-    # localCheckpoint BEFORE deriving both consumers: the probe collect
-    # below and the (qid, cid, q) join frame in the returned plan must
-    # see the SAME materialization — a non-deterministic query source
-    # (sample, limit without order) re-executed per consumer could
-    # otherwise probe cids absent from the collected union, silently
-    # dropping those queries' candidates. The checkpoint is bounded by
-    # the max_queries cap applied first; its blocks are GC-released by
-    # the ContextCleaner once the result frame is dropped.
-    qp = (
-        q.crossJoin(F.broadcast(_centroid_row(centroids)))
-        .select(F.col(qid_col), F.col("q"), probes.alias("_probes"))
-        .limit(max_queries + 1)
-        .localCheckpoint()
-    )
-    # bounded collect (X6): qids + probe cids only, capped by max_queries
-    probe_rows = qp.select(qid_col, "_probes").collect()
-    if len(probe_rows) > max_queries:
-        raise ValueError(
-            f"ivf_topk_served_many got more than max_queries={max_queries} "
-            "query vectors — the per-query probe collect is bounded by "
-            "contract; split the batch or raise max_queries explicitly"
-        )
-    union_cids = sorted({c for r in probe_rows for c in r["_probes"]})
+    qp, union_cids = _probe_many(q, centroids, qid_col, n_probe, max_queries)
     if not union_cids:
         return assigned.where(F.lit(False)).crossJoin(
             qp.select(qid_col).where(F.lit(False))
@@ -1018,6 +1034,83 @@ def ivf_topk_served_many(
             F.col(id_col),
             F.round(cosine(vec_col, "q"), 4).alias("sim"),
         )
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(qid_col, id_col, "sim")
+    )
+
+
+def quantized_ivf_topk_served_many(
+    quantized: DataFrame,
+    centroids: DataFrame,
+    scales: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    qvec_col: str = "qe",
+    qid_col: str = "qid",
+    query_col: str = "q",
+    n_probe: int = 2,
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """Batch probe of the MATERIALIZED int8 index — the last cell of
+    the serve matrix ({float, int8} x {single, batch}): N query vectors
+    against :func:`quantize_embeddings` lists written partitioned by
+    ``cid``. Returns ``(qid, id, sim)`` with <= k rows per query,
+    ``sim`` being the QUANTIZED cosine.
+
+    Same plan shape as :func:`ivf_topk_served_many` (shared
+    :func:`_probe_many` stage: per-qid probe lists from the broadcast
+    FLOAT centroid fold, ONE bounded collect, ONE literal
+    ``cid IN (...)`` partition-pruned scan of the int8 lists, broadcast
+    (qid, cid, qq) join, per-qid window top-k) — the probe just reads
+    ~5x fewer bytes (BENCH_SCALE.md r10). Queries are quantized with
+    the CORPUS ``scales`` (clamped foreign-scales case), their integer
+    norms computed once in the bounded probe frame."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(qid_col),
+        F.col(query_col).cast("array<double>").alias("q"),
+    )
+    qp, union_cids = _probe_many(q, centroids, qid_col, n_probe, max_queries)
+    if not union_cids:
+        return quantized.where(F.lit(False)).crossJoin(
+            qp.select(qid_col).where(F.lit(False))
+        ).select(
+            F.col(qid_col), F.col(id_col), F.lit(None).cast("double").alias("sim")
+        )
+    # quantize each query once in the bounded frame (qid, cid, qq,
+    # qnorm) — never per candidate row
+    pq = (
+        qp.crossJoin(F.broadcast(scales))
+        .select(
+            F.col(qid_col),
+            F.col("_probes"),
+            F.zip_with("q", "scales", _q8).alias("qq"),
+        )
+        .withColumn("qnorm", F.sqrt(_int_dot("qq", "qq")))
+        .select(
+            F.col(qid_col),
+            F.explode("_probes").alias("cid"),
+            F.col("qq"),
+            F.col("qnorm"),
+        )
+    )
+    sim = F.round(
+        F.try_divide(
+            _int_dot(qvec_col, "qq"),
+            F.sqrt(_int_dot(qvec_col, qvec_col)) * F.col("qnorm"),
+        ),
+        4,
+    )
+    scored = (
+        quantized.where(F.col("cid").isin(union_cids))
+        .join(F.broadcast(pq), "cid")
+        .select(F.col(qid_col), F.col(id_col), sim.alias("sim"))
     )
     w = Window.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col(id_col))
     return (

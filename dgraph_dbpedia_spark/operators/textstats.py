@@ -483,3 +483,99 @@ def unigram_logprob(
         )
     )
     return tag_persisted(out, model)
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = "lang",
+    smoothing: float = 1.0,
+    exact: bool = True,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020 §4.3:
+    rank each language's documents by LM perplexity, split into
+    head/middle/tail, train on head+middle): documents are scored by
+    :func:`unigram_logprob` surprisal and assigned a per-``group_col``
+    quantile bucket 1..``n_buckets`` (1 = lowest bits/token = the
+    CCNet "head"). Returns ``(id, group, n_tokens, bits_per_token,
+    bucket)``; filter ``bucket < n_buckets`` to drop the tail.
+    Zero-token documents (NULL bits) always land in the LAST bucket —
+    explicitly, not via engine-specific NULL ordering.
+
+    ``exact=True`` uses ``ntile`` over a per-group window — exact
+    quantiles, deterministic (ties broken by id), DuckDB-replayable;
+    its sort is per-group, so at corpus scale one giant language is a
+    hot window partition. ``exact=False`` is the 100 TB path: per-group
+    boundaries from ``percentile_approx`` (one partially-aggregable
+    pass, output bounded by groups x quantiles) broadcast back and
+    applied as a narrow comparison — no global sort, at the price of
+    approximate boundaries (sketch-based, engine-specific: pytest
+    asserts bucket monotonicity and sizes, not an oracle hash). The
+    result carries unigram_logprob's model release handle
+    (cachectl.release after materializing)."""
+    from pyspark.sql import Window
+
+    from dgraph_dbpedia_spark.operators.cachectl import (
+        persisted_frames,
+        tag_persisted,
+    )
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    scored = unigram_logprob(df, text_col, id_col, smoothing)
+    gcols = [group_col] if group_col is not None else []
+    base = df.select(F.col(id_col), *[F.col(c) for c in gcols]).join(
+        scored, id_col
+    )
+    if exact:
+        w = Window.partitionBy(
+            *[F.col(c) for c in gcols]
+        ).orderBy(F.col("bits_per_token").asc(), F.col(id_col).asc())
+        # NULL bits are excluded from the ntile ranking entirely and
+        # pinned to the last bucket: engines disagree on NULL sort
+        # position (Spark NULLS FIRST vs DuckDB NULLS LAST on ASC),
+        # and a null doc inside the ntile would also shift every
+        # other bucket boundary by engine
+        ranked = base.where(F.col("bits_per_token").isNotNull()).withColumn(
+            "bucket", F.ntile(n_buckets).over(w)
+        )
+        nulls = base.where(F.col("bits_per_token").isNull()).withColumn(
+            "bucket", F.lit(n_buckets)
+        )
+        out = ranked.unionByName(nulls)
+    else:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = (
+            base.where(F.col("bits_per_token").isNotNull())
+            .groupBy(*[F.col(c) for c in gcols])
+            .agg(
+                F.percentile_approx(
+                    "bits_per_token", qs, 10_000
+                ).alias("__bounds")
+            )
+        )
+        joined = (
+            base.join(F.broadcast(bounds), gcols)
+            if gcols
+            else base.crossJoin(F.broadcast(bounds))
+        )
+        # bucket = 1 + #boundaries strictly below the score; NULL
+        # scores -> last bucket (same contract as the exact path)
+        bucket = F.when(
+            F.col("bits_per_token").isNull(), F.lit(n_buckets)
+        ).otherwise(
+            F.lit(1)
+            + F.aggregate(
+                F.col("__bounds"),
+                F.lit(0),
+                lambda acc, bnd: acc
+                + F.when(F.col("bits_per_token") > bnd, 1).otherwise(0),
+            )
+        )
+        out = joined.withColumn("bucket", bucket).drop("__bounds")
+    out = out.select(
+        F.col(id_col), *gcols, "n_tokens", "bits_per_token", "bucket"
+    )
+    return tag_persisted(out, *persisted_frames(scored))

@@ -41,6 +41,12 @@ _PYTHON_OK = {
     "minhash_join",
     "dedup_increment",
     "compression_ratio",  # deliberate Arrow lane: stdlib zlib DEFLATE
+    # r10 Arrow assignment kernel (nearest_centroid_arrow, bit-equal
+    # pinned): these return the lazy scan+assign plan itself — the
+    # served/trained family materializes or checkpoints first, so only
+    # the inline probes carry the Python stage in their returned plan
+    "ivf_ann_topk",
+    "ivf_ann_topk_trained",
 }
 
 

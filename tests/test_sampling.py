@@ -214,3 +214,49 @@ def test_split_corpus_disjoint_and_deterministic(spark):
         split_corpus(docs, {"a": 0.7, "b": 0.4})
     with pytest.raises(ValueError):
         split_corpus(docs, {"a": -0.1})
+
+
+def test_temperature_sample_rates_and_determinism(spark):
+    """alpha-sampling contract: the rarest group keeps everything, a
+    group m times larger keeps ~m^(alpha-1); RNG-free -> identical
+    survivors across runs; alpha=1 is a no-op; bad alpha raises."""
+    import pytest as _pytest
+
+    from dgraph_dbpedia_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "big") for i in range(400)] + [
+        (1000 + i, "rare") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = temperature_sample(df, group_col="lang", alpha=0.5, seed=2)
+    got = out.groupBy("lang").count().collect()
+    by = {r["lang"]: r["count"] for r in got}
+    assert by.get("rare") == 10  # rate 1.0: every rare row survives
+    # big keeps (400/10)^(-0.5) ~ 0.1581 -> ~63 of 400; hash-coin
+    # realization noise is binomial, allow a generous band
+    assert 35 <= by.get("big", 0) <= 95
+    again = temperature_sample(df, group_col="lang", alpha=0.5, seed=2)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # alpha=1: every rate rounds to 1.0 -> no row dropped
+    assert temperature_sample(df, alpha=1.0).count() == 410
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_sample(df, alpha=0.0)
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_sample(df, alpha=1.5)
+
+
+def test_temperature_sample_null_group_and_no_shuffle_of_corpus(spark):
+    """NULL group values form their own group (null-safe join keeps
+    them, at their own rate); the corpus side of the plan carries no
+    hash/range exchange above the scan — the rate join broadcasts."""
+    from dgraph_dbpedia_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "a") for i in range(40)] + [(100 + i, None) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(df, group_col="lang", alpha=0.5, seed=2)
+    by = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert by.get(None) == 5  # the rare (NULL) group keeps everything
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

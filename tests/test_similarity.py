@@ -1003,3 +1003,69 @@ def test_pair_cosine_arrow_null_contract(spark):
     assert got[0]["sim"] == 1.0
     assert got[1]["sim"] is None
     assert got[2]["sim"] is None
+
+
+def test_quantized_served_many_prunes_and_matches_single(
+    spark, vectors, tmp_path
+):
+    """The int8 batch probe partition-prunes ONE scan of the quantized
+    lists and per-query equals the single-query int8 serve path."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        ivf_assign,
+        quantization_scales,
+        quantize_embeddings,
+        quantized_ivf_topk_served,
+        quantized_ivf_topk_served_many,
+    )
+
+    e = vectors.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cent = (
+        e.orderBy("vec_id")
+        .limit(2)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("c"))
+    )
+    root = str(tmp_path / "qivfm")
+    cent.write.parquet(f"{root}/centroids")
+    quantization_scales(e, vec_col="e").write.parquet(f"{root}/scales")
+    scales = spark.read.parquet(f"{root}/scales")
+    quantize_embeddings(e, scales, vec_col="e").join(
+        ivf_assign(e, cent).select("vec_id", "cid"), "vec_id"
+    ).write.partitionBy("cid").parquet(f"{root}/quantized")
+    quantized = spark.read.parquet(f"{root}/quantized")
+    centroids = spark.read.parquet(f"{root}/centroids")
+
+    qs = vectors.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q")
+    )
+    out = quantized_ivf_topk_served_many(
+        quantized, centroids, scales, qs, k=3, n_probe=1
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "PartitionFilters: [" in plan
+        and "cid" in plan.split("PartitionFilters:")[1][:120]
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["qid"], []).append((r["vec_id"], r["sim"]))
+    for qid in (0, 1):
+        single = quantized_ivf_topk_served(
+            quantized,
+            centroids,
+            scales,
+            vectors.where(F.col("vec_id") == qid).select(
+                F.col("embedding").alias("q")
+            ),
+            k=3,
+            n_probe=1,
+        )
+        assert got[qid] == [(r["vec_id"], r["sim"]) for r in single.collect()]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_queries"):
+        quantized_ivf_topk_served_many(
+            quantized, centroids, scales, qs, k=3, n_probe=1, max_queries=1
+        )

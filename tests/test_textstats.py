@@ -221,3 +221,66 @@ def test_unigram_logprob_orders_rarity(spark):
     assert got[4]["n_tokens"] == 4
     with pytest.raises(ValueError):
         unigram_logprob(docs, smoothing=0)
+
+
+def test_perplexity_buckets_exact(spark):
+    """CCNet bucketing: per-group ntile by surprisal — the rare-token
+    doc lands in the tail bucket, common-token docs in the head;
+    zero-token docs pin to the LAST bucket explicitly; bucket sizes
+    are balanced per group."""
+    from dgraph_dbpedia_spark.operators.cachectl import release
+    from dgraph_dbpedia_spark.operators.textstats import perplexity_buckets
+
+    common = "the cat sat on the mat and the dog sat too"
+    rows = [
+        (1, "en", common),
+        (2, "en", common + " again"),
+        (3, "en", common + " once more"),
+        (4, "en", "zxqv9 qq7jx mmplk wunder"),  # rare-token soup
+        (5, "en", common),
+        (6, "en", ""),  # zero tokens -> NULL bits -> last bucket
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = perplexity_buckets(df, n_buckets=3, group_col="lang")
+    got = {r["doc_id"]: r for r in out.collect()}
+    release(out)
+    assert len(got) == 6
+    assert got[4]["bucket"] == 3  # highest surprisal -> tail
+    assert got[6]["bucket"] == 3 and got[6]["bits_per_token"] is None
+    assert got[6]["n_tokens"] == 0
+    # the 5 scored docs split 2/2/1 over 3 buckets (ntile remainder
+    # goes to the first buckets)
+    from collections import Counter
+
+    sizes = Counter(r["bucket"] for i, r in got.items() if i != 6)
+    assert sizes == {1: 2, 2: 2, 3: 1}
+
+
+def test_perplexity_buckets_approx_monotone(spark):
+    """The percentile_approx scale path: buckets are monotone in
+    bits_per_token within each group (no global sort in the plan), and
+    NULL-bits docs still pin to the last bucket."""
+    from dgraph_dbpedia_spark.operators.cachectl import release
+    from dgraph_dbpedia_spark.operators.textstats import perplexity_buckets
+
+    words = ["alpha", "beta", "gamma", "delta", "echo"]
+    rows = []
+    for i in range(40):
+        # doc i repeats a common word i%5 and adds i rare tokens
+        toks = [words[i % 5]] * 5 + [f"rare{i}_{j}" for j in range(i % 7)]
+        rows.append((i, "en", " ".join(toks)))
+    rows.append((99, "en", ""))
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = perplexity_buckets(df, n_buckets=4, group_col="lang", exact=False)
+    rowsc = out.collect()
+    release(out)
+    got = sorted(
+        (r["bits_per_token"], r["bucket"])
+        for r in rowsc
+        if r["bits_per_token"] is not None
+    )
+    buckets = [b for _, b in got]
+    assert buckets == sorted(buckets)  # monotone in surprisal
+    assert 1 <= min(buckets) and max(buckets) <= 4
+    null_rows = [r for r in rowsc if r["bits_per_token"] is None]
+    assert len(null_rows) == 1 and null_rows[0]["bucket"] == 4
