@@ -463,7 +463,17 @@ def nearest_centroid_arrow(cids, cmat, cid_type, round_decimals: int = 6):
         ]
     )
     k = len(cids)
-    cm = [list(map(float, c)) for c in cmat]
+    # hoisted to closure creation: C, its norms and dims ship in the
+    # UDF closure once instead of being rebuilt per Arrow batch (a
+    # per-batch k x d list conversion + norm pass on the exact kernel
+    # this lane exists to speed up)
+    C = (
+        np.asarray([list(map(float, c)) for c in cmat], dtype=np.float64)
+        if k
+        else None
+    )
+    nc = np.sqrt((C * C).sum(axis=1)) if k else None
+    dims = int(C.shape[1]) if k else 0
 
     def assign_batch(emb: pd.Series) -> pd.DataFrame:
         import numpy as np  # noqa: F811 — resolve inside the worker
@@ -487,23 +497,42 @@ def nearest_centroid_arrow(cids, cmat, cid_type, round_decimals: int = 6):
                     "sim": pd.Series([None] * n, dtype=object),
                 }
             )
-        C = np.asarray(cm, dtype=np.float64)
         vals = emb.tolist()
         null_mask = np.fromiter(
             (v is None for v in vals), dtype=bool, count=n
         )
-        if null_mask.any():
-            zero = [0.0] * C.shape[1]
-            vals = [zero if v is None else v for v in vals]
-        mat = np.asarray(vals, dtype=np.float64)
+        # dimension-mismatched (incl. empty) vectors: the native
+        # zip_with pads with NULL -> every centroid sim coalesces to
+        # -2.0 -> lowest cid, while the norm stays the vector's TRUE
+        # norm. Substituting a zero vector reproduces the -2.0/lowest-
+        # cid outcome (all sims NaN -> -2.0, argmax -> index 0); the
+        # true norm is restored below. Without this, one ragged row
+        # aborts the whole job via np.asarray's inhomogeneous-shape
+        # error — a data-dependent crash the native lane never had.
+        bad_mask = np.fromiter(
+            (v is not None and len(v) != dims for v in vals),
+            dtype=bool,
+            count=n,
+        )
+        if null_mask.any() or bad_mask.any():
+            zero = [0.0] * dims
+            clean = [
+                zero if (v is None or len(v) != dims) else v for v in vals
+            ]
+        else:
+            clean = vals
+        mat = np.asarray(clean, dtype=np.float64)
         nv = np.sqrt((mat * mat).sum(axis=1))
-        nc = np.sqrt((C * C).sum(axis=1))
         with np.errstate(divide="ignore", invalid="ignore"):
             sims = (mat @ C.T) / (nv[:, None] * nc[None, :])
         sims = np.where(
             np.isfinite(sims), _round_half_up_np(sims, round_decimals), -2.0
         )
         best = np.argmax(sims, axis=1)
+        if bad_mask.any():
+            for i in np.nonzero(bad_mask)[0]:
+                v = np.asarray(vals[i], dtype=np.float64)
+                nv[i] = float(np.sqrt((v * v).sum())) if v.size else 0.0
         nv_out = pd.array(nv, dtype="Float64")
         nv_out[null_mask] = pd.NA
         return pd.DataFrame(
@@ -761,24 +790,43 @@ def ivf_topk(
             "cid", F.col("c").cast("array<double>").alias("c")
         )
     if use_arrow:
-        cids, cmat, cid_type = _collect_centroids(centroids)
-        q_row = query.select(query_col).first()
-        q_vec = [float(x) for x in q_row[0]] if q_row is not None else []
-        probes = _probe_cids_py(q_vec, cids, cmat, n_probe)
-        if not probes:
-            return e.where(F.lit(False)).select(
-                F.col(id_col), F.lit(None).cast("double").alias("sim")
+        # the arrow lane resolves the query driver-side, which only
+        # makes sense for ONE well-formed finite vector: anything else
+        # (empty/multi-row frame, NULL vector, NULL/NaN/inf component —
+        # 'nanD' would not even parse as a literal) falls back to the
+        # native plan below, which returns the identical result the
+        # caller would get with use_arrow=False instead of a
+        # data-dependent driver raise
+        import math
+
+        q_rows = query.select(query_col).limit(2).collect()
+        q_vec = None
+        if len(q_rows) == 1 and q_rows[0][0] is not None:
+            vec = [None if x is None else float(x) for x in q_rows[0][0]]
+            if all(v is not None and math.isfinite(v) for v in vec):
+                q_vec = vec
+        if q_vec is not None:
+            cids, cmat, cid_type = _collect_centroids(centroids)
+            probes = _probe_cids_py(q_vec, cids, cmat, n_probe)
+            if not probes:
+                return e.where(F.lit(False)).select(
+                    F.col(id_col), F.lit(None).cast("double").alias("sim")
+                )
+            q_lit = F.expr(
+                "array(" + ",".join(repr(v) + "D" for v in q_vec) + ")"
             )
-        q_lit = F.expr("array(" + ",".join(repr(v) + "D" for v in q_vec) + ")")
-        st = nearest_centroid_arrow(cids, cmat, cid_type)(F.col("e"))
-        scored = (
-            e.withColumn("_a", st)
-            # filter on the assigned cid BEFORE the re-rank projection:
-            # the native cosine runs on ~n_probe/n_centroids of the rows
-            .where(F.col("_a")["cid"].isin(probes))
-            .select(F.col(id_col), F.round(cosine("e", q_lit), 4).alias("sim"))
-        )
-        return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+            st = nearest_centroid_arrow(cids, cmat, cid_type)(F.col("e"))
+            scored = (
+                e.withColumn("_a", st)
+                # filter on the assigned cid BEFORE the re-rank
+                # projection: the native cosine runs on only
+                # ~n_probe/n_centroids of the rows
+                .where(F.col("_a")["cid"].isin(probes))
+                .select(
+                    F.col(id_col), F.round(cosine("e", q_lit), 4).alias("sim")
+                )
+            )
+            return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
     q = query.select(F.col(query_col).cast("array<double>").alias("q"))
     # one broadcast row: centroid array + query + its probe-list cids
     probes = F.transform(
@@ -872,6 +920,40 @@ def ivf_train(
     return cent
 
 
+def _probe_single(
+    centroids: DataFrame, qv: DataFrame, n_probe: int, caller: str
+) -> list:
+    """Bounded single-query probe selection shared by the serve paths
+    (:func:`ivf_topk_served`, :func:`quantized_ivf_topk_served`): ONE
+    query row's ``n_probe`` nearest cids from the broadcast centroid
+    fold. ``qv`` must carry one double-typed vector column named
+    ``qv``. The ``limit(2)`` bounds the collect BEFORE the one-row
+    validation — a corpus frame passed as the query must never reach
+    the driver before the guard fires (two rows are enough to
+    distinguish 'one' from 'many'). Raises on a multi-row frame;
+    returns ``[]`` for an empty frame or empty centroid set."""
+    probe_rows = (
+        _centroid_row(centroids)
+        .crossJoin(qv)
+        .select(
+            F.transform(
+                F.slice(_nearest_sorted(F.col("qv"), _norm("qv")), 1, n_probe),
+                lambda s: s["cid"],
+            ).alias("_probes")
+        )
+        .limit(2)
+        .collect()
+    )
+    if len(probe_rows) > 1:
+        raise ValueError(
+            f"{caller} expects exactly one query vector, got a multi-row "
+            "query frame — batch probing needs one call per query (each "
+            "probes a different set of list partitions), or the _many "
+            "variant"
+        )
+    return list(probe_rows[0]["_probes"]) if probe_rows else []
+
+
 def ivf_topk_served(
     assigned: DataFrame,
     centroids: DataFrame,
@@ -902,24 +984,12 @@ def ivf_topk_served(
     frame raises rather than silently mixing every query's similarities
     into one unlabeled top-k."""
     q = query.select(F.col(query_col).cast("array<double>").alias("q"))
-    probe_rows = (
-        _centroid_row(centroids)
-        .crossJoin(q)
-        .select(
-            F.transform(
-                F.slice(_nearest_sorted(F.col("q"), _norm("q")), 1, n_probe),
-                lambda s: s["cid"],
-            ).alias("_probes")
-        )
-        .collect()
+    probes = _probe_single(
+        centroids,
+        q.select(F.col("q").alias("qv")),
+        n_probe,
+        "ivf_topk_served",
     )
-    if len(probe_rows) > 1:
-        raise ValueError(
-            f"ivf_topk_served expects exactly one query vector, got "
-            f"{len(probe_rows)} rows — batch probing needs one call per "
-            "query (each probes a different set of list partitions)"
-        )
-    probes = list(probe_rows[0]["_probes"]) if probe_rows else []
     if not probes:
         return assigned.where(F.lit(False)).select(
             F.col(id_col), F.lit(None).cast("double").alias("sim")
@@ -1284,26 +1354,12 @@ def quantized_ivf_topk_served(
     cosine (recall vs exact pinned by pytest). Empty centroid frame ->
     empty result, matching the float twin's contract."""
     q = query.select(F.col(query_col).cast("array<double>").alias("qv"))
-    probe_rows = (
-        _centroid_row(
-            centroids.select("cid", F.col("c").cast("array<double>").alias("c"))
-        )
-        .crossJoin(q)
-        .select(
-            F.transform(
-                F.slice(_nearest_sorted(F.col("qv"), _norm("qv")), 1, n_probe),
-                lambda s: s["cid"],
-            ).alias("_probes")
-        )
-        .collect()
+    probes = _probe_single(
+        centroids.select("cid", F.col("c").cast("array<double>").alias("c")),
+        q,
+        n_probe,
+        "quantized_ivf_topk_served",
     )
-    if len(probe_rows) > 1:
-        raise ValueError(
-            f"quantized_ivf_topk_served expects exactly one query vector, "
-            f"got {len(probe_rows)} rows — batch probing needs one call "
-            "per query"
-        )
-    probes = list(probe_rows[0]["_probes"]) if probe_rows else []
     if not probes:
         return quantized.where(F.lit(False)).select(
             F.col(id_col), F.lit(None).cast("double").alias("sim")

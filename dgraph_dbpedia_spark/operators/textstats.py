@@ -526,8 +526,15 @@ def perplexity_buckets(
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     scored = unigram_logprob(df, text_col, id_col, smoothing)
     gcols = [group_col] if group_col is not None else []
-    base = df.select(F.col(id_col), *[F.col(c) for c in gcols]).join(
-        scored, id_col
+    # persisted: base feeds two branches in the exact path (ranked +
+    # nulls union) and two in the approx path (bounds aggregate + the
+    # bucket projection) — unpersisted, the corpus-wide token scoring
+    # would re-run per branch (the unigram_logprob docstring's
+    # no-cross-branch-sharing rule). Rides the result's release handle.
+    base = (
+        df.select(F.col(id_col), *[F.col(c) for c in gcols])
+        .join(scored, id_col)
+        .persist()
     )
     if exact:
         w = Window.partitionBy(
@@ -556,11 +563,22 @@ def perplexity_buckets(
                 ).alias("__bounds")
             )
         )
-        joined = (
-            base.join(F.broadcast(bounds), gcols)
-            if gcols
-            else base.crossJoin(F.broadcast(bounds))
-        )
+        if gcols:
+            # LEFT join, null-safe on the group key: a NULL group (its
+            # own group under groupBy) and a group whose every doc has
+            # NULL bits (no bounds row at all) must still reach the
+            # bucket projection — the NULL-bits WHEN branch pins those
+            # docs to the last bucket, same as the exact path
+            b = bounds.select(
+                F.col(gcols[0]).alias("__bg"), F.col("__bounds")
+            )
+            joined = base.join(
+                F.broadcast(b),
+                base[gcols[0]].eqNullSafe(b["__bg"]),
+                "left",
+            ).drop("__bg")
+        else:
+            joined = base.crossJoin(F.broadcast(bounds))
         # bucket = 1 + #boundaries strictly below the score; NULL
         # scores -> last bucket (same contract as the exact path)
         bucket = F.when(
@@ -578,4 +596,4 @@ def perplexity_buckets(
     out = out.select(
         F.col(id_col), *gcols, "n_tokens", "bits_per_token", "bucket"
     )
-    return tag_persisted(out, *persisted_frames(scored))
+    return tag_persisted(out, base, *persisted_frames(scored))

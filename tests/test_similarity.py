@@ -1069,3 +1069,60 @@ def test_quantized_served_many_prunes_and_matches_single(
         quantized_ivf_topk_served_many(
             quantized, centroids, scales, qs, k=3, n_probe=1, max_queries=1
         )
+
+
+def test_ivf_assign_arrow_tolerates_ragged_vectors(spark):
+    """A dimension-mismatched (or empty) vector must not abort the job
+    (the native zip_with pads with NULL -> sim -2.0 -> lowest cid, true
+    norm kept): the arrow lane must reproduce exactly that."""
+    from dgraph_dbpedia_spark.operators.similarity import ivf_assign
+
+    weird = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0]),          # too short
+            (3, [1.0, 0.0, 3.0]),  # too long
+            (4, []),             # empty
+        ],
+        "vec_id long, e array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.0, 1.0])], "cid long, c array<double>"
+    )
+    for use_arrow in (True, False):
+        got = {
+            r["vec_id"]: r
+            for r in ivf_assign(
+                weird, cent, norm_col="nv", sim_col="sim",
+                use_arrow=use_arrow,
+            ).collect()
+        }
+        assert got[1]["cid"] == 10 and got[1]["sim"] == 1.0
+        for vid, nrm in ((2, 1.0), (3, (1 + 9) ** 0.5), (4, 0.0)):
+            assert got[vid]["cid"] == 10 and got[vid]["sim"] == -2.0
+            assert abs(got[vid]["nv"] - nrm) < 1e-12
+
+
+def test_ivf_topk_arrow_falls_back_on_degenerate_query(spark, vectors):
+    """The arrow lane resolves the query driver-side, so a NULL vector
+    or a multi-row query frame must FALL BACK to the native plan
+    (identical results to use_arrow=False), never raise."""
+    from dgraph_dbpedia_spark.operators.similarity import ivf_topk
+
+    null_q = spark.createDataFrame([(None,)], "q array<double>")
+    for q in (
+        null_q,
+        vectors.limit(0).select(F.col("embedding").alias("q")),  # empty
+        vectors.orderBy("vec_id").limit(2).select(
+            F.col("embedding").alias("q")
+        ),  # multi-row
+    ):
+        nat = ivf_topk(
+            vectors, q, k=3, n_centroids=2, n_probe=1, use_arrow=False
+        ).collect()
+        arr = ivf_topk(
+            vectors, q, k=3, n_centroids=2, n_probe=1, use_arrow=True
+        ).collect()
+        assert [(r["vec_id"], r["sim"]) for r in nat] == [
+            (r["vec_id"], r["sim"]) for r in arr
+        ]

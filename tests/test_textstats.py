@@ -284,3 +284,28 @@ def test_perplexity_buckets_approx_monotone(spark):
     assert 1 <= min(buckets) and max(buckets) <= 4
     null_rows = [r for r in rowsc if r["bits_per_token"] is None]
     assert len(null_rows) == 1 and null_rows[0]["bucket"] == 4
+
+
+def test_perplexity_buckets_approx_keeps_null_groups(spark):
+    """The approx path must not silently drop NULL-group rows or groups
+    whose every doc has NULL bits (no bounds row): null-safe LEFT join,
+    NULL-bits docs pinned to the last bucket like the exact path."""
+    from dgraph_dbpedia_spark.operators.cachectl import release
+    from dgraph_dbpedia_spark.operators.textstats import perplexity_buckets
+
+    rows = [
+        (1, "en", "the cat sat on the mat"),
+        (2, "en", "the dog sat on the rug"),
+        (3, None, "null lang doc with words"),  # NULL group
+        (4, "xx", ""),  # group whose only doc has NULL bits
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    for exact in (True, False):
+        out = perplexity_buckets(
+            df, n_buckets=2, group_col="lang", exact=exact
+        )
+        got = {r["doc_id"]: r for r in out.collect()}
+        release(out)
+        assert set(got) == {1, 2, 3, 4}, f"exact={exact} dropped rows"
+        assert got[4]["bucket"] == 2 and got[4]["bits_per_token"] is None
+        assert got[3]["bucket"] is not None
