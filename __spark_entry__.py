@@ -828,6 +828,36 @@ def _q_semantic_dedup_keep_far(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label")
 
 
+def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: the END-TO-END curation composition (plans/curate.py) —
+    Gopher quality gate -> exact dedup (min-id per md5) -> MinHash
+    near-dup components (min-id reps) -> 4-gram decontamination vs a
+    held-out eval slice (every 50th doc) -> per-lang temperature
+    resampling (alpha=0.5). Every stage is an individually
+    oracle-verified operator; this row pins their COMPOSITION (stage
+    ordering, survivor threading, column preservation) against one
+    DuckDB replay of the whole chain."""
+    from dgraph_dbpedia_spark.plans.curate import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    out = curate_corpus(
+        corpus,
+        benchmark=bench,
+        gopher_kwargs=dict(
+            min_words=25, max_words=100_000, min_mean_word_len=2.0,
+            max_mean_word_len=12.0, min_alpha_word_ratio=0.8,
+            min_stopwords=1,
+        ),
+        near_dup_threshold=0.4,
+        w=3, k=16, bands=4,
+        decontaminate_w=4,
+        alpha=0.5, seed=2,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
 def _q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r10: mC4/XLM-R alpha-sampling — per-lang keep rates
     (n/n_min)^(alpha-1) rounded to the coin granularity, RNG-free
@@ -1604,6 +1634,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_sample": _q_temperature_sample,
     "perplexity_buckets": _q_perplexity_buckets,
     "quantized_ann_topk_served_batch": _q_quantized_ann_topk_served_batch,
+    "curation_pipeline": _q_curation_pipeline,
     # rotated back in: the r10 pair-scoring kernel changed its plan
     "cosine_near_dup": _q_cosine_near_dup,
     "ivf_ann_topk_served_batch": _q_ivf_ann_topk_served_batch,
@@ -1740,8 +1771,9 @@ from dgraph_dbpedia_spark.functions.hashing import (  # noqa: E402
 )
 
 
-def _sql_minhash_base(w: int, k: int) -> str:
-    """CTE producing (doc_id, sh, sig_00..sig_NN) from documents, where
+def _sql_minhash_base(w: int, k: int, src: str = "documents") -> str:
+    """CTE producing (doc_id, sh, sig_00..sig_NN) from ``src`` (any
+    relation exposing doc_id + text; default the documents view), where
     ``sh`` is the rolling-hashed shingle set (per-token md5 → rotate-xor
     fold, functions/hashing.py r9) and the signature lanes are the
     Carter-Wegman family of operators/dedup.minhash_signatures:
@@ -1759,7 +1791,7 @@ def _sql_minhash_base(w: int, k: int) -> str:
     )
     return f"""
         th AS (
-            SELECT doc_id, {token_hashes_sql(_SQL_TOKS)} AS th FROM documents),
+            SELECT doc_id, {token_hashes_sql(_SQL_TOKS)} AS th FROM {src}),
         sh AS (
             SELECT doc_id, {rolling_shingle_hashes_sql('th', w)} AS sh
             FROM th),
@@ -1788,10 +1820,13 @@ def _sql_band_selects(k: int, bands: int) -> str:
     )
 
 
-def _sql_minhash_pairs(w: int = 3, k: int = 16, bands: int = 4, threshold: float = 0.4) -> str:
+def _sql_minhash_pairs(
+    w: int = 3, k: int = 16, bands: int = 4, threshold: float = 0.4,
+    src: str = "documents",
+) -> str:
     band_selects = _sql_band_selects(k, bands)
     return f"""
-        WITH {_sql_minhash_base(w, k)},
+        WITH {_sql_minhash_base(w, k, src)},
         bands AS ({band_selects}),
         cand AS (
             SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sh AS sh_a, y.sh AS sh_b
@@ -3315,6 +3350,76 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                         WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.0
                         ELSE 0.1 END)::DOUBLE, 0.0::DOUBLE), 1.0::DOUBLE)
+        """,
+        # the end-to-end curation composition: gopher gate -> exact
+        # dedup -> minhash components (recursive CTE) -> 4-gram
+        # decontamination vs the held-out slice -> alpha=0.5 per-lang
+        # temperature resampling. Each block replays the corresponding
+        # single-operator oracle, re-rooted on the previous stage's
+        # survivors.
+        "curation_pipeline": f"""
+            WITH RECURSIVE
+            corpus AS (
+                SELECT doc_id, lang, source, text FROM documents
+                WHERE doc_id % 50 <> 0),
+            gt AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM corpus),
+            gf AS (
+                SELECT doc_id,
+                       len(toks) AS n_words,
+                       round(coalesce(list_sum(list_transform(toks,
+                                 w -> length(w))), 0)
+                             / greatest(len(toks), 1), 4) AS mean_word_len,
+                       round(len(list_filter(toks,
+                                 w -> regexp_matches(w, '[A-Za-z]')))
+                             / greatest(len(toks), 1), 4) AS alpha_word_ratio,
+                       len(list_intersect(list_transform(toks, w -> lower(w)),
+                           ['the','of','and','to','in','a','is','that','for','it'])
+                       ) AS n_stopwords
+                FROM gt),
+            q1 AS (
+                SELECT corpus.* FROM corpus JOIN gf USING (doc_id)
+                WHERE gf.n_words >= 25 AND gf.n_words <= 100000
+                  AND gf.mean_word_len >= 2.0 AND gf.mean_word_len <= 12.0
+                  AND gf.alpha_word_ratio >= 0.8 AND gf.n_stopwords >= 1),
+            q2 AS (
+                SELECT doc_id, lang, source, text FROM (
+                    SELECT q1.*,
+                           row_number() OVER (
+                               PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                    FROM q1) z
+                WHERE rn = 1),
+            npairs AS (
+                SELECT a, b FROM ({_sql_minhash_pairs(3, 16, 4, 0.4, src='q2')}) p),
+            nedges AS (
+                SELECT a AS src, b AS dst FROM npairs
+                UNION SELECT b AS src, a AS dst FROM npairs),
+            nreach AS (
+                SELECT doc_id AS id, doc_id AS r FROM q2
+                UNION
+                SELECT nreach.id, nedges.dst AS r
+                FROM nreach JOIN nedges ON nreach.r = nedges.src),
+            ncomp AS (SELECT id, MIN(r) AS rep FROM nreach GROUP BY id),
+            q3 AS (
+                SELECT q2.* FROM q2 SEMI JOIN ncomp
+                ON q2.doc_id = ncomp.id AND ncomp.rep = q2.doc_id),
+            bsh AS (
+                SELECT DISTINCT unnest({_sql_shingles(_SQL_TOKS, 4)}) AS s
+                FROM documents WHERE doc_id % 50 = 0),
+            csh AS (
+                SELECT doc_id, unnest({_sql_shingles(_SQL_TOKS, 4)}) AS s
+                FROM q3),
+            bad AS (SELECT DISTINCT doc_id FROM csh SEMI JOIN bsh USING (s)),
+            q4 AS (SELECT q3.* FROM q3 ANTI JOIN bad USING (doc_id)),
+            lc AS (SELECT lang, count(*) AS n FROM q4 GROUP BY lang),
+            lr AS (
+                SELECT lang,
+                       round(pow(n::DOUBLE / (SELECT min(n) FROM lc),
+                                 -0.5::DOUBLE), 6) AS rate
+                FROM lc)
+            SELECT q4.doc_id, q4.lang, q4.source
+            FROM q4 JOIN lr ON q4.lang IS NOT DISTINCT FROM lr.lang
+            WHERE (({_sql_hash64('q4.doc_id::VARCHAR', 2)} % 1000000)
+                   / 1000000.0::DOUBLE) < lr.rate
         """,
         # alpha-sampling: rate_g = round((n_g / n_min)^(alpha-1), 6),
         # coin = the shared 60-bit md5 hash mod 1e6 (seed 2)

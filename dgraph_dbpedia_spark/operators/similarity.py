@@ -364,7 +364,10 @@ def cosine_topk_arrow(
         mat = np.asarray(emb.tolist(), dtype=np.float64)
         norms = np.sqrt((mat * mat).sum(axis=1)) * qn
         with np.errstate(divide="ignore", invalid="ignore"):
-            sims = np.round((mat @ q) / norms, 4)
+            # HALF_UP like F.round (np.round is half-even — a tie
+            # would order differently than the JVM twin), same helper
+            # as every other arrow kernel in this module
+            sims = _round_half_up_np((mat @ q) / norms, 4)
         # nullable Float64: NaN/inf from zero norms become NULL in the
         # Arrow transfer, matching the JVM twin's NULL-on-div-by-zero
         out = pd.array(sims, dtype="Float64")

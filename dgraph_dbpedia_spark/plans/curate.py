@@ -1,0 +1,120 @@
+"""End-to-end corpus curation plan — the composition a pretraining
+data pipeline actually runs, assembled from the individually
+oracle-verified operators:
+
+    quality gate (Gopher rules) -> exact dedup -> MinHash near-dup
+    dedup -> benchmark decontamination -> temperature resampling
+
+Each stage is the package's first-class operator
+(`operators.textstats.gopher_quality_filter`, `operators.dedup.
+exact_dedup` / `minhash_dedup_pairs` / `dedup_corpus` /
+`decontaminate`, `operators.sampling.temperature_sample`); this module
+only owns the ordering and the cache scope. Ordering rationale for
+100 TB: the quality gate is a pure narrow projection (cheapest, most
+selective — run first so every later stage sees fewer rows), exact
+dedup is one groupBy on an 8-byte hash, near-dup and decontamination
+are the expensive banded/semi-join stages and run on the pruned
+corpus, and resampling is a narrow filter that must be LAST (rates
+are calibrated on the curated distribution).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    gopher_kwargs: dict | None = None,
+    near_dup_threshold: float = 0.5,
+    w: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    decontaminate_w: int = 13,
+    alpha: float | None = None,
+    seed: int = 2,
+    **cluster_kwargs,
+) -> DataFrame:
+    """Run the full curation chain over ``docs``; returns the surviving
+    rows with all original columns. ``benchmark`` (optional) enables
+    the decontamination stage; ``alpha`` (optional) enables the final
+    per-``lang_col`` temperature resampling. ``gopher_kwargs`` override
+    the quality-gate thresholds; ``w``/``k``/``bands``/
+    ``near_dup_threshold`` parameterize the MinHash stage and
+    ``cluster_kwargs`` pass through to its component clusterer.
+
+    Cache scope: the post-exact-dedup corpus is persisted — it feeds
+    the near-dup pair generation (twice, via the self-join), the
+    component completion join and the representative semi-join; without
+    it the tokenize-heavy quality gate would re-run per consumer. The
+    result carries that handle (release via
+    :func:`dgraph_dbpedia_spark.operators.cachectl.release` after
+    materializing). The MinHash pair frame's own handles are released
+    internally once the (eager) component step has consumed them."""
+    from dgraph_dbpedia_spark.operators.cachectl import release, tag_persisted
+    from dgraph_dbpedia_spark.operators.dedup import (
+        decontaminate,
+        dedup_corpus,
+        exact_dedup,
+        minhash_dedup_pairs,
+    )
+    from dgraph_dbpedia_spark.operators.sampling import temperature_sample
+    from dgraph_dbpedia_spark.operators.textstats import gopher_quality_filter
+
+    # 1. quality gate — narrow projection, most selective, runs first
+    gk = (
+        gopher_quality_filter(
+            docs, text_col=text_col, id_col=id_col, **(gopher_kwargs or {})
+        )
+        .where(F.col("keep"))
+        .select(F.col(id_col))
+    )
+    s1 = docs.join(gk, id_col, "left_semi")
+
+    # 2. exact dedup — min-id representative per distinct text (one
+    # groupBy on the md5 hash), then keep those rows
+    reps = exact_dedup(s1, text_col=text_col, id_col=id_col).select(
+        F.col(id_col)
+    )
+    s2 = s1.join(reps, id_col, "left_semi").persist()
+
+    # 3. near-dup dedup — banded MinHash pairs + connected-component
+    # min-id survivors over the exact-deduped corpus
+    pairs = minhash_dedup_pairs(
+        s2, text_col=text_col, id_col=id_col, w=w, k=k, bands=bands,
+        threshold=near_dup_threshold,
+    )
+    try:
+        s3 = dedup_corpus(
+            s2, pairs.select("a", "b"), id_col=id_col, **cluster_kwargs
+        )
+    finally:
+        # the component step ran eagerly inside dedup_corpus (or
+        # raised); either way the pair caches are dead weight now
+        release(pairs)
+
+    # 4. benchmark decontamination — w-gram hash semi-join kill
+    s4 = (
+        decontaminate(
+            s3, benchmark, w=decontaminate_w, text_col=text_col,
+            id_col=id_col, bench_text_col=text_col,
+        )
+        if benchmark is not None
+        else s3
+    )
+
+    # 5. temperature resampling — LAST, so rates calibrate on the
+    # curated distribution
+    s5 = (
+        temperature_sample(
+            s4, group_col=lang_col, alpha=alpha, id_col=id_col, seed=seed
+        )
+        if alpha is not None
+        else s4
+    )
+    return tag_persisted(s5, s2)

@@ -281,3 +281,69 @@ def test_transform_schedule_independent(spark, pipeline_dirs, tmp_path, monkeypa
         b = spark.read.text(os.path.join(str(out2), ds))
         assert a.count() == b.count(), ds
         assert a.exceptAll(b).count() == 0, ds
+
+
+def test_curate_corpus_every_stage_fires(spark):
+    """End-to-end curation composition: each planted doc exercises one
+    stage — gopher kill (too short), exact-dup kill (identical text,
+    min id wins), near-dup kill (one-token variant, component min id
+    wins), decontamination kill (shares a 3-gram with the benchmark),
+    and clean survivors pass through with all columns."""
+    from dgraph_dbpedia_spark.operators.cachectl import release
+    from dgraph_dbpedia_spark.plans.curate import curate_corpus
+
+    t_dup = "alpha beta gamma delta epsilon zeta"
+    # long shared prefix so the banded MinHash candidate join fires
+    # deterministically for these fixed texts (J ~ 0.88; banding is
+    # probabilistic per-pair in general, deterministic per fixed text)
+    t_near = (
+        "red green blue yellow purple orange pink silver gold bronze "
+        "copper iron steel zinc lead tin nickel cobalt"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "one two three"),                      # gopher: < 5 words
+            (1, "en", t_dup),                                # survives (exact rep)
+            (2, "en", t_dup),                                # exact dup of 1
+            (3, "en", t_near),                               # survives (component rep)
+            (4, "en", t_near.replace("cobalt", "chrome")),   # near-dup of 3
+            (5, "en", "the secret eval phrase is here"),     # contaminated
+            (6, "fr", "paris lyon nice marseille toulouse"), # clean survivor
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(0, "xx secret eval phrase yy")], ["bid", "text"]
+    )
+    out = curate_corpus(
+        docs,
+        benchmark=bench,
+        gopher_kwargs=dict(
+            min_words=5, max_words=1000, min_mean_word_len=1.0,
+            max_mean_word_len=20.0, min_alpha_word_ratio=0.0,
+            min_stopwords=0,
+        ),
+        near_dup_threshold=0.5,
+        w=3,
+        decontaminate_w=3,
+    )
+    rows = out.collect()
+    release(out)
+    assert out.columns == ["doc_id", "lang", "text"]
+    assert sorted(r["doc_id"] for r in rows) == [1, 3, 6]
+    # alpha stage: with temperature sampling on, the rarest lang (fr,
+    # one doc) must keep its doc (rate 1.0)
+    out2 = curate_corpus(
+        docs,
+        gopher_kwargs=dict(
+            min_words=5, max_words=1000, min_mean_word_len=1.0,
+            max_mean_word_len=20.0, min_alpha_word_ratio=0.0,
+            min_stopwords=0,
+        ),
+        near_dup_threshold=0.5,
+        w=3,
+        alpha=0.5,
+    )
+    ids2 = sorted(r["doc_id"] for r in out2.collect())
+    release(out2)
+    assert 6 in ids2 and set(ids2) <= {1, 3, 5, 6}
