@@ -828,6 +828,34 @@ def _q_semantic_dedup_keep_far(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label")
 
 
+def _q_dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: DSIR importance scores (arXiv:2302.03169) — hashed-bigram
+    feature models fit on target = src0 docs vs raw = the rest; every
+    raw doc scored by its summed per-feature log ratio (sorted
+    sequential fold, round 4)."""
+    from dgraph_dbpedia_spark.operators.sampling import dsir_logratio
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0")
+    raw = docs.where(F.col("source") != "src0")
+    return dsir_logratio(raw, target, buckets=10_000)
+
+
+def _q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: DSIR resampling — Gumbel-top-n over the importance scores
+    (sample ∝ exp(log_ratio) without replacement), RNG-free via the
+    open-interval id-hash uniform; keys rounded to 6 so libm ulp
+    differences can't flip the cut."""
+    from dgraph_dbpedia_spark.operators.sampling import dsir_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0")
+    raw = docs.where(F.col("source") != "src0")
+    return dsir_sample(raw, target, n=50, buckets=10_000).select(
+        "doc_id", "lang", "source"
+    )
+
+
 def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r10: the END-TO-END curation composition (plans/curate.py) —
     Gopher quality gate -> exact dedup (min-id per md5) -> MinHash
@@ -1635,6 +1663,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perplexity_buckets": _q_perplexity_buckets,
     "quantized_ann_topk_served_batch": _q_quantized_ann_topk_served_batch,
     "curation_pipeline": _q_curation_pipeline,
+    "dsir_logratio": _q_dsir_logratio,
+    "dsir_sample": _q_dsir_sample,
     # rotated back in: the r10 pair-scoring kernel changed its plan
     "cosine_near_dup": _q_cosine_near_dup,
     "ivf_ann_topk_served_batch": _q_ivf_ann_topk_served_batch,
@@ -2357,6 +2387,46 @@ def _sql_embed_binary(dims: int = 8) -> str:
         for i in range(dims)
     )
     return f"SELECT doc_id AS id, {elems} FROM documents"
+
+
+def _sql_dsir_scores(buckets: int) -> str:
+    """Shared DSIR CTE block ending at ``sc`` (doc_id, n_feats,
+    log_ratio over the raw corpus) — target = src0, raw = the rest,
+    add-1 smoothing, hashed-bigram features mod ``buckets``. The two
+    oracle entries append their own final SELECT (scores / sample)."""
+    big = _sql_hash64("toks[i] || ' ' || toks[i+1]")
+    feats = (
+        f"unnest(CASE WHEN len(toks) >= 2 THEN "
+        f"list_transform(range(1, len(toks)), i -> ({big}) % {buckets}) "
+        f"ELSE CAST([] AS BIGINT[]) END)"
+    )
+    return f"""
+        WITH tt0 AS (
+            SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+            WHERE source = 'src0'),
+        rt0 AS (
+            SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+            WHERE source <> 'src0'),
+        tfe AS (SELECT doc_id, {feats} AS b FROM tt0),
+        rfe AS (SELECT doc_id, {feats} AS b FROM rt0),
+        tm AS (SELECT b, count(*) AS ct FROM tfe GROUP BY b),
+        rm AS (SELECT b, count(*) AS cr FROM rfe GROUP BY b),
+        tsc AS (SELECT sum(ct) AS t FROM tm),
+        rsc AS (SELECT sum(cr) AS t FROM rm),
+        mg AS (
+            SELECT coalesce(tm.b, rm.b) AS b,
+                   ln((coalesce(ct, 0) + 1.0) / (tsc.t + 1.0 * {buckets}))
+                   - ln((coalesce(cr, 0) + 1.0) / (rsc.t + 1.0 * {buckets}))
+                       AS lr
+            FROM tm FULL JOIN rm ON tm.b = rm.b
+            CROSS JOIN tsc CROSS JOIN rsc),
+        sc AS (
+            SELECT rfe.doc_id, count(*) AS n_feats,
+                   round(list_reduce(list_sort(list(mg.lr)),
+                                     (a, b) -> a + b), 4) AS log_ratio
+            FROM rfe JOIN mg USING (b)
+            GROUP BY rfe.doc_id)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3350,6 +3420,33 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                         WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.0
                         ELSE 0.1 END)::DOUBLE, 0.0::DOUBLE), 1.0::DOUBLE)
+        """,
+        # DSIR: hashed-bigram models (target = src0, raw = rest),
+        # per-doc summed log ratio over the SORTED per-feature list
+        # (the unigram_logprob determinism rule); sub-2-token docs get
+        # no features (the CASE guard mirrors Spark's size>=2 guard)
+        "dsir_logratio": _sql_dsir_scores(10_000)
+        + """
+            SELECT d.doc_id,
+                   coalesce(sc.n_feats, 0) AS n_feats,
+                   sc.log_ratio
+            FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+            LEFT JOIN sc USING (doc_id)
+        """,
+        # Gumbel-top-n over the ROUNDED scores: u = ((h mod 1e6)+0.5)/1e6
+        # (open interval), key = round(score - ln(-ln(u)), 6), ties by id
+        "dsir_sample": _sql_dsir_scores(10_000)
+        + f"""
+            , keyed AS (
+                SELECT doc_id,
+                       round(log_ratio +
+                             (-ln(-ln((({_sql_hash64('doc_id::VARCHAR', 3)}
+                                        % 1000000) + 0.5) / 1000000.0))),
+                             6) AS k
+                FROM sc WHERE log_ratio IS NOT NULL),
+            pick AS (SELECT doc_id FROM keyed ORDER BY k DESC, doc_id LIMIT 50)
+            SELECT d.doc_id, d.lang, d.source FROM documents d
+            SEMI JOIN pick USING (doc_id)
         """,
         # the end-to-end curation composition: gopher gate -> exact
         # dedup -> minhash components (recursive CTE) -> 4-gram

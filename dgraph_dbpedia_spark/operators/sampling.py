@@ -374,3 +374,171 @@ def split_corpus(
         .withColumn(split_col, expr)
         .drop(u_col)
     )
+
+
+def _dsir_feats(df: DataFrame, text_col: str, id_col: str, buckets: int):
+    """Hashed-bigram feature ids per document occurrence: ``(id, b)``
+    with one row per bigram OCCURRENCE (DSIR is a bag-of-features
+    model — multiplicity counts). Bigram hash = the cross-engine md5
+    hash of ``tok_i + ' ' + tok_{i+1}`` mod ``buckets``. Documents
+    with fewer than two tokens emit no rows (guarded — an unguarded
+    ``sequence(1, size-1)`` DESCENDS when size < 2 and would fabricate
+    features)."""
+    from dgraph_dbpedia_spark.functions.hashing import hash64, tokens
+
+    toks = tokens(F.col(text_col))
+    t = F.col("__toks")
+    grams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.pmod(
+                hash64(
+                    F.concat(
+                        F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
+                    )
+                ),
+                F.lit(buckets),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(F.col(id_col), F.explode(grams).alias("b"))
+    )
+
+
+def dsir_logratio(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance scores (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023,
+    arXiv:2302.03169): fit hashed-bigram unigram-of-features models on
+    a small high-quality ``target`` corpus and on the ``raw`` corpus,
+    then score every raw document by its log importance ratio
+
+        log w(x) = sum_f [ ln p_target(f) - ln p_raw(f) ]
+
+    over the document's bigram-feature OCCURRENCES (add-``smoothing``
+    estimates over ``buckets`` hashed features). High scores = looks
+    like the target distribution. Returns ``(id, n_feats,
+    log_ratio)`` for every raw document — sub-2-token docs carry NULL
+    log_ratio (unscorable, the unigram_logprob convention). Feed
+    :func:`dsir_sample` for the paper's resampling step.
+
+    100 TB shape: both feature models are bounded by ``buckets`` (two
+    partially-aggregable groupBys whose output is ~10k rows), merged
+    into ONE broadcast frame carrying the per-bucket log ratio; raw
+    docs join it bucket-wise (broadcast hash join, no corpus shuffle on
+    the model side) and fold per-doc. Per-doc summation folds the
+    SORTED per-feature ratios sequentially (unigram_logprob's
+    determinism rule: float addition is non-associative, so the rounded
+    4th decimal must not depend on row order)."""
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    tf = _dsir_feats(target, text_col, id_col, buckets)
+    rf = _dsir_feats(raw, text_col, id_col, buckets)
+    tm = tf.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    rm = rf.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    # one bounded model frame: full outer on the bucket id (a feature
+    # may occur in only one corpus), totals via a broadcast 1-row
+    # crossJoin (X6), per-bucket log ratio precomputed once
+    scal = (
+        tm.agg(F.sum("ct").alias("__tt"))
+        .crossJoin(rm.agg(F.sum("cr").alias("__tr")))
+    )
+    s = float(smoothing)
+    merged = (
+        tm.join(rm, "b", "full_outer")
+        .select(
+            "b",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+        )
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "b",
+            (
+                F.log((F.col("ct") + s) / (F.col("__tt") + s * buckets))
+                - F.log((F.col("cr") + s) / (F.col("__tr") + s * buckets))
+            ).alias("lr"),
+        )
+    )
+    scored = (
+        rf.join(F.broadcast(merged), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sort_array(F.collect_list("lr")).alias("__lrs"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_feats"),
+            F.round(
+                F.aggregate("__lrs", F.lit(0.0), lambda a, x: a + x), 4
+            ).alias("log_ratio"),
+        )
+    )
+    return (
+        raw.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            F.col("log_ratio"),
+        )
+    )
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+    smoothing: float = 1.0,
+    seed: int = 3,
+) -> DataFrame:
+    """DSIR's resampling step, RNG-free: sample ``n`` raw documents
+    WITHOUT replacement with probability proportional to
+    ``exp(log_ratio)`` via the Gumbel-top-n trick — perturb each score
+    with an independent Gumbel draw ``g = -ln(-ln(u))`` and keep the n
+    largest ``log_ratio + g``. The uniform ``u`` is the cross-engine
+    id hash mapped to the OPEN interval ((h mod 1e6) + 0.5) / 1e6 —
+    never exactly 0 or 1, so the double log never produces infinities —
+    making the draw deterministic across engines/partitionings (the
+    :func:`_unit_coin` philosophy; different formula documented here
+    because the half-open coin would hit ln(0)). Keys round to 6
+    decimals before ranking (ties broken by id) so libm ulp
+    differences between engines cannot flip the cut. Unscorable docs
+    (< 2 tokens, NULL log_ratio) are never sampled.
+
+    Scale shape: scoring as :func:`dsir_logratio` (bounded broadcast
+    model), then ONE TakeOrdered bounded by ``n`` — no global sort
+    materialization."""
+    from dgraph_dbpedia_spark.functions.hashing import hash64
+
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    scores = dsir_logratio(
+        raw, target, text_col, id_col, buckets, smoothing
+    ).where(F.col("log_ratio").isNotNull())
+    u = (
+        F.pmod(hash64(F.col(id_col).cast("string"), seed=seed), F.lit(1_000_000))
+        + F.lit(0.5)
+    ) / 1_000_000.0
+    gumbel = -F.log(-F.log(u))
+    keyed = scores.select(
+        F.col(id_col),
+        F.round(F.col("log_ratio") + gumbel, 6).alias("__key"),
+    )
+    picked = keyed.orderBy(F.col("__key").desc(), F.col(id_col)).limit(n)
+    return raw.join(picked.select(id_col), id_col, "left_semi")

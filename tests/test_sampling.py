@@ -260,3 +260,67 @@ def test_temperature_sample_null_group_and_no_shuffle_of_corpus(spark):
     assert by.get(None) == 5  # the rare (NULL) group keeps everything
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_dsir_logratio_orders_by_target_likeness(spark):
+    """DSIR scoring: raw docs made of target-distribution bigrams score
+    above unrelated docs; multiplicity counts (a doc repeating target
+    bigrams scores higher in total); sub-2-token docs are NULL."""
+    from dgraph_dbpedia_spark.operators.sampling import dsir_logratio
+
+    target = spark.createDataFrame(
+        [(100 + i, "machine learning models train on curated data")
+         for i in range(5)],
+        ["doc_id", "text"],
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "machine learning models train on curated data"),
+            (2, "machine learning models train on curated data "
+                "machine learning models"),
+            (3, "bananas oranges apples pears grapes melons"),
+            (4, "one"),  # < 2 tokens -> unscorable
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dsir_logratio(raw, target, buckets=1000).collect()
+    }
+    assert len(got) == 4
+    assert got[1]["log_ratio"] > got[3]["log_ratio"]
+    assert got[2]["log_ratio"] > got[1]["log_ratio"]  # multiplicity
+    assert got[4]["log_ratio"] is None and got[4]["n_feats"] == 0
+    assert got[1]["n_feats"] == 6  # 7 tokens -> 6 bigram occurrences
+
+
+def test_dsir_sample_deterministic_gumbel_top_n(spark):
+    """Gumbel-top-n resampling: exactly n survivors, identical across
+    runs (RNG-free), unscorable docs never sampled, and with a large
+    score gap the target-like docs dominate the sample."""
+    import pytest as _pytest
+
+    from dgraph_dbpedia_spark.operators.sampling import dsir_sample
+
+    target = spark.createDataFrame(
+        [(200 + i, "alpha beta gamma delta epsilon zeta eta theta")
+         for i in range(4)],
+        ["doc_id", "text"],
+    )
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(10)]
+    rows += [(100 + i, "qq ww ee rr tt yy uu") for i in range(10)]
+    rows += [(999, "x")]  # unscorable
+    raw = spark.createDataFrame(rows, ["doc_id", "text"])
+    out1 = sorted(
+        r["doc_id"] for r in dsir_sample(raw, target, n=8, buckets=500).collect()
+    )
+    out2 = sorted(
+        r["doc_id"] for r in dsir_sample(raw, target, n=8, buckets=500).collect()
+    )
+    assert out1 == out2 and len(out1) == 8
+    assert 999 not in out1
+    # the target-like docs carry a much larger log-ratio; Gumbel noise
+    # is O(1-ish), so most of the sample must come from them
+    assert sum(1 for d in out1 if d < 100) >= 6
+    with _pytest.raises(ValueError, match="n must be positive"):
+        dsir_sample(raw, target, n=0)
