@@ -828,6 +828,17 @@ def _q_semantic_dedup_keep_far(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label")
 
 
+def _q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: ExactSubstr-style span dedup (arXiv:2107.06499) — every
+    6-token window repeated corpus-wide keeps only its first
+    occurrence; docs rebuilt from surviving tokens (whitespace-
+    normalized)."""
+    from dgraph_dbpedia_spark.operators.dedup import strip_duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return strip_duplicated_spans(docs, L=6)
+
+
 def _q_dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r10: DSIR importance scores (arXiv:2302.03169) — hashed-bigram
     feature models fit on target = src0 docs vs raw = the rest; every
@@ -1665,6 +1676,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_pipeline": _q_curation_pipeline,
     "dsir_logratio": _q_dsir_logratio,
     "dsir_sample": _q_dsir_sample,
+    "strip_spans": _q_strip_spans,
     # rotated back in: the r10 pair-scoring kernel changed its plan
     "cosine_near_dup": _q_cosine_near_dup,
     "ivf_ann_topk_served_batch": _q_ivf_ann_topk_served_batch,
@@ -1797,7 +1809,9 @@ _SQL_TOKS_LOWER = (
 # single definition of the string-shingle oracle form (hash-agnostic
 # oracles join on shingle equality, so string == 60-bit-hash semantics)
 from dgraph_dbpedia_spark.functions.hashing import (  # noqa: E402
+    _M53 as _MASK53,
     shingles_sql as _sql_shingles,
+    token_hashes_sql as _sql_token_hashes,
 )
 
 
@@ -3420,6 +3434,53 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                         WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.0
                         ELSE 0.1 END)::DOUBLE, 0.0::DOUBLE), 1.0::DOUBLE)
+        """,
+        # ExactSubstr span dedup: positional 6-token rolling-hash
+        # windows (the same rotate-xor fold as the minhash family,
+        # WITHOUT the distinct/short-doc rules — position matters);
+        # first occurrence per window value by (doc, pos); covered
+        # token positions of every other occurrence removed; docs
+        # rebuilt whitespace-normalized
+        "strip_spans": f"""
+            WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+            h AS (
+                SELECT doc_id, {_sql_token_hashes('toks')} AS th FROM t),
+            wa AS (
+                SELECT doc_id,
+                       CASE WHEN len(th) >= 6 THEN
+                           list_transform(range(1, len(th) - 4),
+                               i -> list_reduce(list_slice(th, i, i + 5),
+                                    (acc, tk) -> xor(((acc & {_MASK53}) << 7)
+                                                     + (acc >> 53), tk)))
+                       ELSE CAST([] AS BIGINT[]) END AS wh
+                FROM h),
+            w AS (
+                SELECT doc_id, unnest(wh) AS g,
+                       generate_subscripts(wh, 1) AS wp
+                FROM wa),
+            dup AS (
+                SELECT doc_id, wp FROM (
+                    SELECT doc_id, wp,
+                           row_number() OVER (
+                               PARTITION BY g ORDER BY doc_id, wp) AS rn
+                    FROM w) z
+                WHERE rn > 1),
+            covered AS (
+                SELECT DISTINCT doc_id, unnest(range(wp, wp + 6)) AS tp
+                FROM dup),
+            tk AS (
+                SELECT doc_id, unnest(toks) AS tok,
+                       generate_subscripts(toks, 1) AS tp
+                FROM t),
+            kept AS (
+                SELECT tk.doc_id, tk.tp, tk.tok FROM tk
+                ANTI JOIN covered
+                ON tk.doc_id = covered.doc_id AND tk.tp = covered.tp),
+            rebuilt AS (
+                SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS text
+                FROM kept GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(r.text, '') AS text
+            FROM documents d LEFT JOIN rebuilt r USING (doc_id)
         """,
         # DSIR: hashed-bigram models (target = src0, raw = rest),
         # per-doc summed log ratio over the SORTED per-feature list

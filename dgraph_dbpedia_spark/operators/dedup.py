@@ -1379,3 +1379,121 @@ def minhash_join(
         .select("a", "b", "jaccard")
     )
     return tag_persisted(out, sh_l, sh_r)
+
+
+def strip_duplicated_spans(
+    docs: DataFrame,
+    L: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fast: bool = False,
+    sep: str = " ",
+) -> DataFrame:
+    """ExactSubstr-style SPAN dedup at token-window granularity (Lee et
+    al., "Deduplicating Training Data Makes Language Models Better",
+    ACL 2022, arXiv:2107.06499 — the suffix-array pass, re-expressed
+    distributively): every ``L``-token window whose rolling hash occurs
+    more than once CORPUS-WIDE keeps only its FIRST occurrence (lowest
+    ``(doc_id, position)``); every other occurrence's token positions
+    are removed and each document is re-assembled from its surviving
+    tokens in order. Document-level dedup never fires on a boilerplate
+    license block pasted into millions of otherwise-distinct docs —
+    this removes exactly the repeated span. Returns ``(id, text)`` for
+    ALL input documents, whitespace-NORMALIZED (tokens ``sep``-joined;
+    token-level surgery cannot preserve the original whitespace).
+    Documents shorter than ``L`` tokens emit no windows and come back
+    intact (modulo normalization); a fully-duplicated doc returns as
+    the empty string, not a dropped row.
+
+    vs the true suffix-array method: fixed-L windows approximate
+    maximal repeated substrings — a repeat of length m >= L is removed
+    over its full extent (every covering window repeats too); repeats
+    shorter than L are kept by design (L is the paper's min-match
+    dial, default 50 BPE tokens there, whitespace tokens here).
+
+    100 TB shape: one token-hash pass per doc (rotate-xor fold per
+    window — no per-window string digests); first-occurrence selection
+    is ``min(struct(doc, pos))`` grouped by window hash — PARTIALLY
+    AGGREGABLE, so the million-fold boilerplate window combines
+    map-side instead of hot-keying a shuffle partition (the
+    paragraph_dedup argument, one granularity finer); covered
+    positions are a bounded explode (L rows per duplicated window);
+    reassembly is one groupBy(id). The window array rides the
+    ``inline(array(struct))`` barrier so InferFiltersFromGenerate
+    cannot re-derive the fold inside a pushed filter (the measured 15x
+    trap, see :func:`_hashed_shingled`). The result carries the token
+    frame's persist handle (it feeds windows AND reassembly) — release
+    via cachectl after materializing."""
+    from dgraph_dbpedia_spark.functions.hashing import _rotl60
+    from dgraph_dbpedia_spark.operators.cachectl import tag_persisted
+
+    if L < 2:
+        raise ValueError(f"L must be >= 2, got {L}")
+    base = docs.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("__toks"),
+    ).persist()
+    th = token_hashes(F.col("__toks"), fast=fast)
+    warr = F.when(
+        F.size("__th") >= L,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__th") - (L - 1)),
+            lambda i: F.aggregate(
+                F.slice(F.col("__th"), i, L),
+                F.lit(0).cast("bigint"),
+                lambda acc, t: _rotl60(acc).bitwiseXOR(t),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    # two-step select binds __th before the per-window lambda (the
+    # CollapseProject trap), then the inline barrier materializes the
+    # window array before any generate sees it
+    wins = (
+        base.select(F.col(id_col), th.alias("__th"))
+        .select(
+            F.col(id_col),
+            F.inline(F.array(F.struct(warr.alias("wh")))),
+        )
+        .select(F.col(id_col), F.posexplode("wh").alias("p", "g"))
+    )
+    firsts = wins.groupBy("g").agg(
+        F.min(F.struct(F.col(id_col), F.col("p"))).alias("f")
+    )
+    dupw = (
+        wins.join(firsts, "g")
+        .where(
+            ~(
+                (F.col(id_col) == F.col("f")[id_col])
+                & (F.col("p") == F.col("f")["p"])
+            )
+        )
+        .select(F.col(id_col), F.col("p"))
+    )
+    # window at 0-based explode position p covers 1-based token
+    # positions p+1 .. p+L
+    covered = dupw.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("p") + 1, F.col("p") + L)).alias("tp"),
+    ).distinct()
+    tokrows = base.select(
+        F.col(id_col), F.posexplode("__toks").alias("tp0", "tok")
+    ).select(F.col(id_col), (F.col("tp0") + 1).alias("tp"), F.col("tok"))
+    kept = tokrows.join(covered, [id_col, "tp"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tp", "tok"))),
+                lambda s: s["tok"],
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    out = (
+        docs.select(F.col(id_col))
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        )
+    )
+    return tag_persisted(out, base)

@@ -557,3 +557,67 @@ def test_minhash_join_cross_corpus(spark):
     assert all(a in (100, 101) and b in (1, 2, 3) for a, b in got)
     assert (101, 3) not in got
     release(out)
+
+
+def test_strip_duplicated_spans_removes_repeats_keeps_first(spark):
+    """ExactSubstr span dedup: a 4-token span pasted into three docs
+    keeps only its first (lowest doc, lowest position) occurrence;
+    unique content and short docs pass through (whitespace-normalized);
+    a fully-duplicated doc returns as the empty string."""
+    from dgraph_dbpedia_spark.operators.cachectl import release
+    from dgraph_dbpedia_spark.operators.dedup import strip_duplicated_spans
+
+    span = "all rights reserved worldwide"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro text here {span} unique tail one"),
+            (2, f"other document body {span} different ending"),
+            (3, span),                      # fully duplicated
+            (4, "totally unique content"),  # short, untouched
+            (5, ""),                        # empty
+        ],
+        ["doc_id", "text"],
+    )
+    out = strip_duplicated_spans(docs, L=4)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    release(out)
+    assert len(got) == 5
+    assert got[1] == f"intro text here {span} unique tail one"
+    assert got[2] == "other document body different ending"
+    assert got[3] == ""
+    assert got[4] == "totally unique content"
+    assert got[5] == ""
+
+
+def test_strip_duplicated_spans_overlapping_and_in_doc(spark):
+    """Overlapping duplicate windows merge into one removed extent
+    (every covering window repeats too); the global first occurrence
+    (doc 1) survives and EVERY other copy goes — including both in-doc
+    copies of doc 3, and an in-doc-only repeat keeps its earlier
+    position."""
+    from dgraph_dbpedia_spark.operators.cachectl import release
+    from dgraph_dbpedia_spark.operators.dedup import strip_duplicated_spans
+
+    rep = "a b c d e"  # 5 tokens -> two overlapping 4-windows
+    indoc = "v w x y z"
+    docs = spark.createDataFrame(
+        [
+            (1, f"x {rep} y"),
+            (2, f"p q {rep} r"),            # whole 5-token extent removed
+            (3, f"m {rep} n {rep} o"),      # both copies non-first
+            (4, f"g {indoc} h {indoc} i"),  # in-doc repeat: first kept
+        ],
+        ["doc_id", "text"],
+    )
+    out = strip_duplicated_spans(docs, L=4)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    release(out)
+    assert got[1] == f"x {rep} y"
+    assert got[2] == "p q r"
+    assert got[3] == "m n o"
+    assert got[4] == f"g {indoc} h i"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="L must be"):
+        strip_duplicated_spans(docs, L=1)
