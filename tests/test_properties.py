@@ -266,3 +266,55 @@ def test_mixture_sample_rate_matches_weight(spark, domains, data):
         if coin(i) < w.get(d, default)
     }
     assert got == want
+
+
+def ref_strip_spans(rows: list[tuple[int, str]], L: int) -> dict[int, str]:
+    """Host-side reference of strip_duplicated_spans: exact token-tuple
+    windows (the engine hashes them — 60-bit collisions are
+    probabilistically absent at test sizes), first occurrence by
+    (doc_id, position), every other occurrence's positions removed,
+    docs rebuilt space-joined."""
+    toks = {i: t.split() for i, t in rows}
+    first: dict[tuple, tuple[int, int]] = {}
+    for i in sorted(toks):
+        tk = toks[i]
+        for p in range(len(tk) - L + 1):
+            g = tuple(tk[p : p + L])
+            if g not in first:
+                first[g] = (i, p)
+    covered: dict[int, set[int]] = {i: set() for i in toks}
+    for i in sorted(toks):
+        tk = toks[i]
+        for p in range(len(tk) - L + 1):
+            if first[tuple(tk[p : p + L])] != (i, p):
+                covered[i].update(range(p, p + L))
+    return {
+        i: " ".join(t for j, t in enumerate(toks[i]) if j not in covered[i])
+        for i in toks
+    }
+
+
+_span_texts = st.lists(
+    st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=14).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_span_texts, st.integers(min_value=2, max_value=4))
+def test_strip_spans_matches_reference(spark, texts, L):
+    """Single-character tokens from a 7-letter alphabet force heavy
+    window repetition across and within docs — the regime where the
+    first-occurrence bookkeeping must be exact."""
+    from dgraph_dbpedia_spark.operators.cachectl import release
+    from dgraph_dbpedia_spark.operators.dedup import strip_duplicated_spans
+
+    rows = list(enumerate(texts))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = strip_duplicated_spans(docs, L=L)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    release(out)
+    assert got == ref_strip_spans(rows, L)
