@@ -429,7 +429,11 @@ def dsir_logratio(
     like the target distribution. Returns ``(id, n_feats,
     log_ratio)`` for every raw document — sub-2-token docs carry NULL
     log_ratio (unscorable, the unigram_logprob convention). Feed
-    :func:`dsir_sample` for the paper's resampling step.
+    :func:`dsir_sample` for the paper's resampling step. The result
+    carries the two bounded model caches — release via
+    :func:`dgraph_dbpedia_spark.operators.cachectl.release` after
+    materializing. Raises loudly on a target corpus with zero
+    features (the silent alternative is every score NULL).
 
     100 TB shape: both feature models are bounded by ``buckets`` (two
     partially-aggregable groupBys whose output is ~10k rows), merged
@@ -439,14 +443,35 @@ def dsir_logratio(
     SORTED per-feature ratios sequentially (unigram_logprob's
     determinism rule: float addition is non-associative, so the rounded
     4th decimal must not depend on row order)."""
+    from dgraph_dbpedia_spark.operators.cachectl import tag_persisted
+
     if smoothing <= 0:
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
     if buckets < 2:
         raise ValueError(f"buckets must be >= 2, got {buckets}")
     tf = _dsir_feats(target, text_col, id_col, buckets)
     rf = _dsir_feats(raw, text_col, id_col, buckets)
-    tm = tf.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
-    rm = rf.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    # persisted: each model feeds its totals aggregate AND the merged
+    # frame (no cross-branch subplan sharing — unpersisted, the
+    # corpus-wide tokenize+hash+explode+groupBy would re-run per
+    # branch, two redundant full passes at scale). Both are bounded by
+    # ``buckets`` rows and ride the result's release handle.
+    tm = tf.groupBy("b").agg(F.count(F.lit(1)).alias("ct")).persist()
+    rm = rf.groupBy("b").agg(F.count(F.lit(1)).alias("cr")).persist()
+    # eager degeneracy check on the (persisted, so not recomputed)
+    # target model: an empty target — no docs, or none with >= 2
+    # tokens — would make the totals NULL and every score silently
+    # NULL, so dsir_sample would return an empty sample
+    # indistinguishable from "nothing qualified". Raise loudly instead
+    # (the dedup_clusters non-convergence convention).
+    if tm.count() == 0:
+        tm.unpersist()
+        rm.unpersist()
+        raise ValueError(
+            "dsir_logratio: the target corpus produced zero bigram "
+            "features (empty, or every doc has < 2 tokens) — no "
+            "importance model can be fit"
+        )
     # one bounded model frame: full outer on the bucket id (a feature
     # may occur in only one corpus), totals via a broadcast 1-row
     # crossJoin (X6), per-bucket log ratio precomputed once
@@ -486,7 +511,7 @@ def dsir_logratio(
             ).alias("log_ratio"),
         )
     )
-    return (
+    out = (
         raw.select(F.col(id_col))
         .join(scored, id_col, "left")
         .select(
@@ -495,6 +520,7 @@ def dsir_logratio(
             F.col("log_ratio"),
         )
     )
+    return tag_persisted(out, tm, rm)
 
 
 def dsir_sample(
@@ -525,12 +551,18 @@ def dsir_sample(
     model), then ONE TakeOrdered bounded by ``n`` — no global sort
     materialization."""
     from dgraph_dbpedia_spark.functions.hashing import hash64
+    from dgraph_dbpedia_spark.operators.cachectl import (
+        persisted_frames,
+        tag_persisted,
+    )
 
     if n <= 0:
         raise ValueError(f"n must be positive, got {n}")
-    scores = dsir_logratio(
-        raw, target, text_col, id_col, buckets, smoothing
-    ).where(F.col("log_ratio").isNotNull())
+    # keep a reference to the TAGGED frame: the release handles live as
+    # a Python attribute on that exact object, and .where() returns a
+    # new object without them
+    scored = dsir_logratio(raw, target, text_col, id_col, buckets, smoothing)
+    scores = scored.where(F.col("log_ratio").isNotNull())
     u = (
         F.pmod(hash64(F.col(id_col).cast("string"), seed=seed), F.lit(1_000_000))
         + F.lit(0.5)
@@ -541,4 +573,6 @@ def dsir_sample(
         F.round(F.col("log_ratio") + gumbel, 6).alias("__key"),
     )
     picked = keyed.orderBy(F.col("__key").desc(), F.col(id_col)).limit(n)
-    return raw.join(picked.select(id_col), id_col, "left_semi")
+    out = raw.join(picked.select(id_col), id_col, "left_semi")
+    # the scoring frame's model caches ride through to the caller
+    return tag_persisted(out, *persisted_frames(scored))

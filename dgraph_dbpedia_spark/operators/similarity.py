@@ -806,7 +806,13 @@ def ivf_topk(
         q_vec = None
         if len(q_rows) == 1 and q_rows[0][0] is not None:
             vec = [None if x is None else float(x) for x in q_rows[0][0]]
-            if all(v is not None and math.isfinite(v) for v in vec):
+            # len > 0: all() over an EMPTY vector is vacuously true,
+            # but the native plan scores an empty query as -2.0 vs
+            # every centroid (probes non-empty, sims NULL) — only the
+            # fallback reproduces that
+            if len(vec) > 0 and all(
+                v is not None and math.isfinite(v) for v in vec
+            ):
                 q_vec = vec
         if q_vec is not None:
             cids, cmat, cid_type = _collect_centroids(centroids)

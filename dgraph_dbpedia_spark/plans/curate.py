@@ -48,13 +48,15 @@ def curate_corpus(
     ``near_dup_threshold`` parameterize the MinHash stage and
     ``cluster_kwargs`` pass through to its component clusterer.
 
-    Cache scope: the post-exact-dedup corpus is persisted — it feeds
-    the near-dup pair generation (twice, via the self-join), the
-    component completion join and the representative semi-join; without
-    it the tokenize-heavy quality gate would re-run per consumer. The
-    result carries that handle (release via
+    Cache scope: the quality-gate id set AND the post-exact-dedup
+    corpus are persisted — gk feeds both branches of s2's plan (the
+    exact-dedup aggregate and the survivor semi-join), s2 feeds the
+    near-dup pair generation (twice, via the self-join), the component
+    completion join and the representative semi-join. The result
+    carries both handles (release via
     :func:`dgraph_dbpedia_spark.operators.cachectl.release` after
-    materializing). The MinHash pair frame's own handles are released
+    materializing); on a clusterer failure they are released before
+    the re-raise. The MinHash pair frame's own handles are released
     internally once the (eager) component step has consumed them."""
     from dgraph_dbpedia_spark.operators.cachectl import release, tag_persisted
     from dgraph_dbpedia_spark.operators.dedup import (
@@ -66,13 +68,20 @@ def curate_corpus(
     from dgraph_dbpedia_spark.operators.sampling import temperature_sample
     from dgraph_dbpedia_spark.operators.textstats import gopher_quality_filter
 
-    # 1. quality gate — narrow projection, most selective, runs first
+    # 1. quality gate — narrow projection, most selective, runs first.
+    # gk is PERSISTED (id-only, far smaller than the corpus): it feeds
+    # both branches of s2's plan — the exact_dedup aggregate's s1 AND
+    # the survivor semi-join's s1 — and without the cache the
+    # tokenize-heavy gate would evaluate twice when s2 first
+    # materializes (inside s2's own plan, where s2's persist cannot
+    # help).
     gk = (
         gopher_quality_filter(
             docs, text_col=text_col, id_col=id_col, **(gopher_kwargs or {})
         )
         .where(F.col("keep"))
         .select(F.col(id_col))
+        .persist()
     )
     s1 = docs.join(gk, id_col, "left_semi")
 
@@ -93,6 +102,14 @@ def curate_corpus(
         s3 = dedup_corpus(
             s2, pairs.select("a", "b"), id_col=id_col, **cluster_kwargs
         )
+    except BaseException:
+        # the clusterer raised (e.g. the documented max_iter
+        # non-convergence): there is no result to carry the handles,
+        # and s2/gk were already materialized by the eager component
+        # step — they must not outlive the failure in a shared session
+        s2.unpersist()
+        gk.unpersist()
+        raise
     finally:
         # the component step ran eagerly inside dedup_corpus (or
         # raised); either way the pair caches are dead weight now
@@ -117,4 +134,4 @@ def curate_corpus(
         if alpha is not None
         else s4
     )
-    return tag_persisted(s5, s2)
+    return tag_persisted(s5, s2, gk)

@@ -324,3 +324,32 @@ def test_dsir_sample_deterministic_gumbel_top_n(spark):
     assert sum(1 for d in out1 if d < 100) >= 6
     with _pytest.raises(ValueError, match="n must be positive"):
         dsir_sample(raw, target, n=0)
+
+
+def test_dsir_empty_target_raises_and_handles_release(spark):
+    """An empty (or all-short) target corpus must raise loudly — the
+    silent alternative is every score NULL and an empty sample; the
+    model caches ride the result's release handle on success."""
+    import pytest as _pytest
+
+    from dgraph_dbpedia_spark.operators.cachectl import (
+        persisted_frames,
+        release,
+    )
+    from dgraph_dbpedia_spark.operators.sampling import (
+        dsir_logratio,
+        dsir_sample,
+    )
+
+    raw = spark.createDataFrame(
+        [(1, "some words here together")], ["doc_id", "text"]
+    )
+    empty = raw.where(F.lit(False))
+    short = spark.createDataFrame([(9, "one")], ["doc_id", "text"])
+    for bad in (empty, short):
+        with _pytest.raises(ValueError, match="zero bigram features"):
+            dsir_logratio(raw, bad, buckets=100)
+    out = dsir_sample(raw, raw, n=1, buckets=100)
+    assert len(persisted_frames(out)) == 2  # tm + rm ride through
+    assert out.count() == 1
+    release(out)

@@ -1110,8 +1110,10 @@ def test_ivf_topk_arrow_falls_back_on_degenerate_query(spark, vectors):
     from dgraph_dbpedia_spark.operators.similarity import ivf_topk
 
     null_q = spark.createDataFrame([(None,)], "q array<double>")
+    empty_vec_q = spark.createDataFrame([([],)], "q array<double>")
     for q in (
         null_q,
+        empty_vec_q,  # all() over [] is vacuously true — guarded
         vectors.limit(0).select(F.col("embedding").alias("q")),  # empty
         vectors.orderBy("vec_id").limit(2).select(
             F.col("embedding").alias("q")
