@@ -828,6 +828,25 @@ def _q_semantic_dedup_keep_far(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label")
 
 
+def _q_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: HTML-to-text markup strip over deterministically SEEDED
+    markup (the corpus has no HTML — the pii_redact seeding pattern):
+    script block with contents, tags, a comment, and entities around
+    every document's text."""
+    from dgraph_dbpedia_spark.operators.textclean import strip_markup
+
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><script>var x = 1;\nalert(x);</script><p>"),
+            F.col("text"),
+            F.lit("</p><!-- hidden\ncomment --> &amp;joined&lt;end&gt;</html>"),
+        ).alias("text"),
+    )
+    return strip_markup(seeded)
+
+
 def _q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r10: ExactSubstr-style span dedup (arXiv:2107.06499) — every
     6-token window repeated corpus-wide keeps only its first
@@ -1677,6 +1696,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_logratio": _q_dsir_logratio,
     "dsir_sample": _q_dsir_sample,
     "strip_spans": _q_strip_spans,
+    "strip_markup": _q_strip_markup,
     # rotated back in: the r10 pair-scoring kernel changed its plan
     "cosine_near_dup": _q_cosine_near_dup,
     "ivf_ann_topk_served_batch": _q_ivf_ann_topk_served_batch,
@@ -3233,6 +3253,32 @@ def oracle_sql() -> dict[str, str]:
                        regexp_replace(text, '<[^>]*>', ' ', 'g'),
                        '\\s+', ' ', 'g')) AS clean
             FROM documents
+        """,
+        # identical seeded markup + the identical strip chain
+        # (script/style blocks with contents, comments, tags, entity
+        # decode in the tag-safe order, whitespace collapse)
+        "strip_markup": """
+            WITH seeded AS (
+                SELECT doc_id,
+                       '<html><script>var x = 1;' || chr(10) ||
+                       'alert(x);</script><p>' || text ||
+                       '</p><!-- hidden' || chr(10) ||
+                       'comment --> &amp;joined&lt;end&gt;</html>' AS t
+                FROM documents)
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       replace(replace(replace(replace(replace(replace(
+                           regexp_replace(regexp_replace(regexp_replace(
+                               regexp_replace(t,
+                                   '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                                   '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                                   '(?s)<!--.*?-->', ' ', 'g'),
+                                   '<[^>]*>', ' ', 'g'),
+                           '&nbsp;', ' '), '&quot;', '"'),
+                           '&#39;', ''''), '&lt;', '<'),
+                           '&gt;', '>'), '&amp;', '&'),
+                       '\\s+', ' ', 'g')) AS text
+            FROM seeded
         """,
         "pii_redact": f"""
             WITH seeded AS (

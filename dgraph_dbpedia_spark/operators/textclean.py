@@ -27,6 +27,22 @@ HTML_TAG_RE = r"<[^>]*>"
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 PHONE_RE = r"\+[0-9][0-9() \-]{6,}[0-9]"
+# (?is): case-insensitive + dot-matches-newline — supported by both
+# Java regex and RE2; lazy quantifiers likewise
+SCRIPT_RE = r"(?is)<script[^>]*>.*?</script>"
+STYLE_RE = r"(?is)<style[^>]*>.*?</style>"
+COMMENT_RE = r"(?s)<!--.*?-->"
+# decode order matters: &lt;/&gt; AFTER tag removal (decoded angle
+# brackets must not form fake tags), &amp; LAST (double-encoded
+# entities decode one level per pass, the standard stripper rule)
+_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&amp;", "&"),
+]
 
 
 def clean_text(
@@ -41,6 +57,36 @@ def clean_text(
     c = F.regexp_replace(F.col(text_col), HTML_TAG_RE, " ")
     c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return df.select(F.col(id_col), c.alias("clean"))
+
+
+def strip_markup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Full markup strip — the HTML-to-text step of a scrape-ingest
+    pipeline, one level up from :func:`clean_text`: removes
+    ``<script>``/``<style>`` blocks WITH their contents (tag-only
+    stripping leaves the JavaScript/CSS text behind as garbage tokens),
+    HTML comments, then all remaining tags; decodes the six common
+    entities (``&nbsp; &quot; &#39; &lt; &gt; &amp;`` — angle brackets
+    after tag removal so decoded literals can't form fake tags,
+    ampersand last so double-encoded entities decode one level);
+    collapses whitespace. Returns ``(id, text)``.
+
+    Deliberately regex-based, not a DOM parse: malformed markup
+    degrades to extra stripped spans instead of a crash, every pattern
+    is in the RE2 ∩ Java-regex subset so the DuckDB oracle runs the
+    identical chain, and the plan stays a pure narrow projection —
+    scan-speed at 100 TB, no Python, no shuffle. A fidelity-critical
+    extraction (tables, boilerplate segmentation) belongs in a real
+    extractor upstream; this is the fast curation-grade path."""
+    c = F.regexp_replace(F.col(text_col), SCRIPT_RE, " ")
+    c = F.regexp_replace(c, STYLE_RE, " ")
+    c = F.regexp_replace(c, COMMENT_RE, " ")
+    c = F.regexp_replace(c, HTML_TAG_RE, " ")
+    for ent, rep in _ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.select(F.col(id_col), c.alias(text_col))
 
 
 def pii_redact(

@@ -176,3 +176,31 @@ def test_compression_ratio_orders_redundancy(spark):
     assert again == {k: v["ratio"] for k, v in got.items()}
     with pytest.raises(ValueError):
         compression_ratio(docs, level=0)
+
+
+def test_strip_markup_blocks_entities_tags(spark):
+    """strip_markup removes script/style CONTENT (not just the tags),
+    comments, tags; decodes entities in the safe order (angle brackets
+    after tag removal, ampersand last); collapses whitespace."""
+    from dgraph_dbpedia_spark.operators.textclean import strip_markup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "<html><head><STYLE>body { color: red }</STYLE>"
+                "<script type='js'>var x = 1;\nalert(x);</script></head>"
+                "<body><!-- hidden\ncomment --><p>Hello   <b>world</b></p>"
+                "</body></html>"),
+            (2, "a &lt;tag&gt; stays literal &amp;amp; decodes once"
+                " &nbsp;&quot;q&quot;&#39;s"),
+            (3, "plain text untouched"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["text"] for r in strip_markup(docs).collect()}
+    assert got[1] == "Hello world"
+    # decoded '<tag>' is NOT re-stripped; '&amp;amp;' -> '&amp;' (one
+    # level); '&nbsp;' -> space collapsed
+    assert got[2] == 'a <tag> stays literal &amp; decodes once "q"\'s'
+    assert got[3] == "plain text untouched"
+    assert got[4] == ""
