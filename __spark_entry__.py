@@ -828,6 +828,24 @@ def _q_semantic_dedup_keep_far(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label")
 
 
+def _q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: in-document line dedup over deterministically SEEDED
+    multi-line docs (corpus text is single-line): lines l1,l2,l1,
+    <blank>,l2 per doc — the repeats must drop, the blank must stay."""
+    from dgraph_dbpedia_spark.functions.hashing import tokens
+    from dgraph_dbpedia_spark.operators.textclean import dedup_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    l1 = F.array_join(F.slice(tk, 1, 5), " ")
+    l2 = F.array_join(F.slice(tk, 6, 5), " ")
+    seeded = docs.select(
+        "doc_id",
+        F.concat_ws("\n", l1, l2, l1, F.lit(""), l2).alias("text"),
+    )
+    return dedup_lines(seeded)
+
+
 def _q_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r10: HTML-to-text markup strip over deterministically SEEDED
     markup (the corpus has no HTML — the pii_redact seeding pattern):
@@ -1697,6 +1715,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_sample": _q_dsir_sample,
     "strip_spans": _q_strip_spans,
     "strip_markup": _q_strip_markup,
+    "dedup_lines": _q_dedup_lines,
     # rotated back in: the r10 pair-scoring kernel changed its plan
     "cosine_near_dup": _q_cosine_near_dup,
     "ivf_ann_topk_served_batch": _q_ivf_ann_topk_served_batch,
@@ -3253,6 +3272,30 @@ def oracle_sql() -> dict[str, str]:
                        regexp_replace(text, '<[^>]*>', ' ', 'g'),
                        '\\s+', ' ', 'g')) AS clean
             FROM documents
+        """,
+        # in-doc line dedup: same seeding (l1, l2, l1, blank, l2), same
+        # first-occurrence-by-position filter; DuckDB lambda index is
+        # 1-based where Spark's is 0-based (i vs i + 1)
+        "dedup_lines": f"""
+            WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+            seeded AS (
+                SELECT doc_id,
+                       array_to_string(list_slice(toks, 1, 5), ' ') AS l1,
+                       array_to_string(list_slice(toks, 6, 10), ' ') AS l2
+                FROM t),
+            s2 AS (
+                SELECT doc_id,
+                       l1 || chr(10) || l2 || chr(10) || l1 || chr(10)
+                          || chr(10) || l2 AS txt
+                FROM seeded),
+            ls AS (SELECT doc_id, string_split(txt, chr(10)) AS lines FROM s2)
+            SELECT doc_id,
+                   array_to_string(
+                       list_filter(lines,
+                           (x, i) -> trim(x) = ''
+                                     OR list_position(lines, x) = i),
+                       chr(10)) AS text
+            FROM ls
         """,
         # identical seeded markup + the identical strip chain
         # (script/style blocks with contents, comments, tags, entity

@@ -89,6 +89,43 @@ def strip_markup(
     return df.select(F.col(id_col), c.alias(text_col))
 
 
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    sep_regex: str | None = None,
+) -> DataFrame:
+    """IN-DOCUMENT line dedup (the RefinedWeb/Gopher repetition rule at
+    line granularity): within each document, every repeated non-blank
+    line keeps only its FIRST occurrence, in original order; blank /
+    whitespace-only lines always pass through (they are document
+    structure — collapsing them would merge paragraphs). Returns
+    ``(id, text)``. Completes the dedup granularity matrix next to
+    :func:`..dedup.paragraph_dedup` (corpus-wide paragraphs),
+    :func:`..dedup.strip_duplicated_spans` (corpus-wide token windows)
+    and the corpus-level document dedup family — here the state is
+    per-document, so the operation is a PURE per-row array projection:
+    no shuffle, no join, scan-speed at 100 TB.
+
+    first-occurrence test is ``array_position`` per element — O(lines²)
+    per document, fine for any realistic document and still narrow;
+    ``sep_regex`` overrides the split pattern exactly like
+    paragraph_dedup (``sep`` is regex-escaped otherwise)."""
+    import re as _re
+
+    pattern = sep_regex if sep_regex is not None else _re.escape(sep)
+    lines = F.split(F.col(text_col), pattern)
+    kept = F.filter(
+        lines,
+        lambda line, i: (F.trim(line) == "")
+        | (F.array_position(lines, line) == i + 1),
+    )
+    return df.select(
+        F.col(id_col), F.array_join(kept, sep).alias(text_col)
+    )
+
+
 def pii_redact(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -204,3 +204,29 @@ def test_strip_markup_blocks_entities_tags(spark):
     assert got[2] == 'a <tag> stays literal &amp; decodes once "q"\'s'
     assert got[3] == "plain text untouched"
     assert got[4] == ""
+
+
+def test_dedup_lines_within_doc(spark):
+    """In-doc line dedup: repeated non-blank lines keep the first
+    occurrence in order; blank lines (document structure) always pass;
+    other documents are independent (the same line may live in many
+    docs)."""
+    from dgraph_dbpedia_spark.operators.textclean import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\n\nalpha\ngamma\nbeta"),
+            (2, "alpha\nalpha"),   # same line as doc 1 — independent
+            (3, ""),
+            (4, "  \nx\n  \nx"),   # whitespace lines preserved, dup x dropped
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["text"] for r in dedup_lines(docs).collect()}
+    assert got[1] == "alpha\nbeta\n\ngamma"
+    assert got[2] == "alpha"
+    assert got[3] == ""
+    assert got[4] == "  \nx\n  "
+    # pure projection: no exchange in the plan
+    plan = dedup_lines(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
