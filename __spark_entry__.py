@@ -828,6 +828,22 @@ def _q_semantic_dedup_keep_far(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label")
 
 
+def _q_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: MRL truncation (first 32 of 64 dims) + L2 normalization,
+    round-6 components; scalar projection (the driver canonicalizer
+    cannot sort list columns)."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        normalize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = normalize_embeddings(emb, dims=32)
+    return out.select(
+        "vec_id",
+        *[F.col("e").getItem(i).alias(f"e_{i}") for i in range(32)],
+    )
+
+
 def _q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r10: in-document line dedup over deterministically SEEDED
     multi-line docs (corpus text is single-line): lines l1,l2,l1,
@@ -1716,6 +1732,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "strip_spans": _q_strip_spans,
     "strip_markup": _q_strip_markup,
     "dedup_lines": _q_dedup_lines,
+    "normalize_embeddings": _q_normalize_embeddings,
     # rotated back in: the r10 pair-scoring kernel changed its plan
     "cosine_near_dup": _q_cosine_near_dup,
     "ivf_ann_topk_served_batch": _q_ivf_ann_topk_served_batch,
@@ -3272,6 +3289,27 @@ def oracle_sql() -> dict[str, str]:
                        regexp_replace(text, '<[^>]*>', ' ', 'g'),
                        '\\s+', ' ', 'g')) AS clean
             FROM documents
+        """,
+        # MRL truncate + L2 normalize: sequential sum-of-squares fold
+        # (list_reduce seeds with the first element — identical to the
+        # init-0 fold), round-6 components, + 0 folds IEEE -0.0;
+        # zero-norm -> NULL components
+        "normalize_embeddings": f"""
+            WITH e AS (
+                SELECT vec_id,
+                       list_slice(embedding::DOUBLE[], 1, 32) AS v
+                FROM embeddings),
+            n AS (
+                SELECT vec_id, v,
+                       sqrt(list_reduce(list_transform(v, x -> x * x),
+                                        (a, b) -> a + b)) AS nrm
+                FROM e)
+            SELECT vec_id,
+                   {', '.join(
+                       f"CASE WHEN nrm > 0 THEN round(v[{i + 1}] / nrm, 6) + 0 "
+                       f"END AS e_{i}" for i in range(32)
+                   )}
+            FROM n
         """,
         # in-doc line dedup: same seeding (l1, l2, l1, blank, l2), same
         # first-occurrence-by-position filter; DuckDB lambda index is

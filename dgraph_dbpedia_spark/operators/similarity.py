@@ -1199,6 +1199,50 @@ def quantized_ivf_topk_served_many(
     )
 
 
+def normalize_embeddings(
+    df: DataFrame,
+    dims: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Embedding prep for serving: optional Matryoshka-style truncation
+    to the first ``dims`` components (Kusupati et al., NeurIPS 2022 —
+    MRL-trained models pack coarse semantics into the prefix, so a
+    truncated-then-renormalized vector is a cheaper index key), then
+    L2 normalization. Returns ``(id, e)`` with ``e`` double-typed,
+    components rounded to ``round_decimals`` (cross-engine replay).
+    Over NORMALIZED vectors cosine degenerates to the plain dot
+    product, so a served index built on this output skips the per-row
+    norm fold on every probe. Zero-norm vectors come back as NULL
+    (there is no direction to keep — downstream try_divide would have
+    NULL-ed every score anyway, and a silent zero vector in an index
+    pollutes top-k with ties). Pure narrow projection: no shuffle, no
+    UDF, scan-speed at 100 TB."""
+    e = F.col(vec_col).cast("array<double>")
+    if dims is not None:
+        if dims < 1:
+            raise ValueError(f"dims must be >= 1, got {dims}")
+        e = F.slice(e, 1, dims)
+    # two-step select binds the norm as an ATTRIBUTE before the
+    # per-element lambda references it — inlined, the O(dims) fold
+    # would re-evaluate per component (O(dims^2) per row, the
+    # CollapseProject trap; plan-asserted single-fold by pytest)
+    n = F.col("_n")
+    out = F.when(
+        n > 0,
+        F.transform(
+            F.col("_e"),
+            lambda x: F.round(x / n, round_decimals) + F.lit(0.0),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), e.alias("_e"))
+        .select(F.col(id_col), F.col("_e"), _norm("_e").alias("_n"))
+        .select(F.col(id_col), out.alias("e"))
+    )
+
+
 def quantization_scales(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Per-dimension max-abs quantization scales as ONE 1-row frame
     ``(scales: array<double>)`` — the broadcast-able calibration half of

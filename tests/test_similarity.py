@@ -1128,3 +1128,43 @@ def test_ivf_topk_arrow_falls_back_on_degenerate_query(spark, vectors):
         assert [(r["vec_id"], r["sim"]) for r in nat] == [
             (r["vec_id"], r["sim"]) for r in arr
         ]
+
+
+def test_normalize_embeddings_truncation_and_norms(spark, vectors):
+    """MRL truncation + L2 normalize: unit norms after, truncation
+    before normalization, zero-norm -> NULL; the norm fold must appear
+    ONCE in the plan (bound as an attribute), not once per component
+    (the CollapseProject O(dims^2) trap)."""
+    import math
+
+    from dgraph_dbpedia_spark.operators.similarity import (
+        normalize_embeddings,
+    )
+
+    rows = [(0, [3.0, 4.0, 10.0, 0.0]), (1, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    full = {r["vec_id"]: r["e"] for r in normalize_embeddings(df).collect()}
+    assert full[1] is None
+    # components round to 6 decimals, so the norm is 1 +- ~2e-6
+    assert abs(sum(x * x for x in full[0]) - 1.0) < 5e-6
+    trunc = {
+        r["vec_id"]: r["e"]
+        for r in normalize_embeddings(df, dims=2).collect()
+    }
+    assert trunc[0] == [0.6, 0.8]  # 3-4-5 triangle, renormalized
+    assert trunc[1] is None
+
+    plan = (
+        normalize_embeddings(df, dims=2)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the sqrt(sum-of-squares) fold appears exactly once
+    assert plan.count("SQRT") == 1
+    assert "Exchange" not in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dims"):
+        normalize_embeddings(df, dims=0)
