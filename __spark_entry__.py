@@ -3330,7 +3330,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    array_to_string(
                        list_filter(lines,
-                           (x, i) -> trim(x) = ''
+                           (x, i) -> regexp_matches(x, '^\\s*$')
                                      OR list_position(lines, x) = i),
                        chr(10)) AS text
             FROM ls

@@ -111,18 +111,28 @@ def dedup_lines(
     first-occurrence test is ``array_position`` per element — O(lines²)
     per document, fine for any realistic document and still narrow;
     ``sep_regex`` overrides the split pattern exactly like
-    paragraph_dedup (``sep`` is regex-escaped otherwise)."""
+    paragraph_dedup (``sep`` is regex-escaped otherwise). The split
+    binds as an ATTRIBUTE in its own select before the lambda
+    references it — inlined, the full-text split would re-evaluate per
+    line (the CollapseProject duplicate-eval trap). "Blank" =
+    whitespace-only under the regex ``^\\s*$`` (``trim`` strips only
+    ASCII spaces — a tab-indented separator line is still document
+    structure)."""
     import re as _re
 
     pattern = sep_regex if sep_regex is not None else _re.escape(sep)
-    lines = F.split(F.col(text_col), pattern)
+    lines = F.col("_lines")
     kept = F.filter(
         lines,
-        lambda line, i: (F.trim(line) == "")
+        lambda line, i: line.rlike(r"^\s*$")
         | (F.array_position(lines, line) == i + 1),
     )
-    return df.select(
-        F.col(id_col), F.array_join(kept, sep).alias(text_col)
+    return (
+        df.select(
+            F.col(id_col),
+            F.split(F.col(text_col), pattern).alias("_lines"),
+        )
+        .select(F.col(id_col), F.array_join(kept, sep).alias(text_col))
     )
 
 

@@ -1130,7 +1130,7 @@ def test_ivf_topk_arrow_falls_back_on_degenerate_query(spark, vectors):
         ]
 
 
-def test_normalize_embeddings_truncation_and_norms(spark, vectors):
+def test_normalize_embeddings_truncation_and_norms(spark):
     """MRL truncation + L2 normalize: unit norms after, truncation
     before normalization, zero-norm -> NULL; the norm fold must appear
     ONCE in the plan (bound as an attribute), not once per component

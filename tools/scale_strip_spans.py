@@ -27,12 +27,15 @@ def main() -> None:
     frac = float(sys.argv[2]) if len(sys.argv) > 2 else 0.5
     spark = build_session(app_name="scale-strip-spans")
     block = " ".join(f"license{w}" for w in range(12))
-    # unique per-doc body + the planted block on every (id % k == 0) doc
-    k = max(int(1 / frac), 1)
+    # unique per-doc body + the planted block on the first
+    # round(frac * n_docs) ids — exact at any fraction (the earlier
+    # `id % int(1/frac)` form silently rounded frac>0.5 up to 1.0 and
+    # miscounted when the modulus didn't divide n_docs)
+    planted = max(min(round(frac * n_docs), n_docs), 0)
     docs = spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
         F.when(
-            F.col("id") % k == 0,
+            F.col("id") < planted,
             F.concat(
                 F.lit("document body "),
                 F.col("id").cast("string"),
@@ -72,7 +75,7 @@ def main() -> None:
         json.dumps(
             {
                 "n_docs": n_docs,
-                "planted_copies": n_docs // k,
+                "planted_copies": planted,
                 "best_sec": min(samples),
                 "samples": samples,
                 "docs_per_sec": int(n_docs / min(samples)),
