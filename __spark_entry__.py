@@ -892,6 +892,16 @@ def _q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_duplicated_spans(docs, L=6)
 
 
+def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: winnowing fingerprints (Schleimer et al., SIGMOD 2003) —
+    positional 4-token shingle hashes, window-of-3 minima (leftmost
+    tie), distinct (pos, fp) per doc; zero-shuffle narrow projection."""
+    from dgraph_dbpedia_spark.operators.dedup import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=4, w=3)
+
+
 def _q_dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r10: DSIR importance scores (arXiv:2302.03169) — hashed-bigram
     feature models fit on target = src0 docs vs raw = the rest; every
@@ -1730,6 +1740,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_logratio": _q_dsir_logratio,
     "dsir_sample": _q_dsir_sample,
     "strip_spans": _q_strip_spans,
+    "winnow_fingerprints": _q_winnow_fingerprints,
     "strip_markup": _q_strip_markup,
     "dedup_lines": _q_dedup_lines,
     "normalize_embeddings": _q_normalize_embeddings,
@@ -1866,6 +1877,7 @@ _SQL_TOKS_LOWER = (
 # oracles join on shingle equality, so string == 60-bit-hash semantics)
 from dgraph_dbpedia_spark.functions.hashing import (  # noqa: E402
     _M53 as _MASK53,
+    positional_shingle_hashes_sql as _sql_positional_shingles,
     shingles_sql as _sql_shingles,
     token_hashes_sql as _sql_token_hashes,
 )
@@ -3608,6 +3620,32 @@ def oracle_sql() -> dict[str, str]:
                 FROM kept GROUP BY doc_id)
             SELECT d.doc_id, coalesce(r.text, '') AS text
             FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        # winnowing (SIGMOD 2003): positional 4-token rotate-xor
+        # shingle hashes, per-window-of-3 struct minima with leftmost
+        # tie-break (struct(h, pos) natural order on both engines);
+        # DuckDB list_distinct can't take structs, so dedup happens as
+        # row-level DISTINCT after unnest — same multiset
+        "winnow_fingerprints": f"""
+            WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+            h AS (
+                SELECT doc_id, {_sql_token_hashes('toks')} AS th FROM t),
+            ph AS (
+                SELECT doc_id,
+                       {_sql_positional_shingles('th', 4)} AS p
+                FROM h),
+            pr AS (
+                SELECT doc_id,
+                       list_transform(p, (x, i) -> {{'h': x, 'pos': i}}) AS pairs,
+                       greatest(len(p) - 2, 1) AS nsel
+                FROM ph),
+            sel AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, nsel + 1),
+                           q -> list_aggregate(
+                               list_slice(pairs, q, q + 2), 'min'))) AS s
+                FROM pr)
+            SELECT DISTINCT doc_id, s.pos AS pos, s.h AS fp FROM sel
         """,
         # DSIR: hashed-bigram models (target = src0, raw = rest),
         # per-doc summed log ratio over the SORTED per-feature list

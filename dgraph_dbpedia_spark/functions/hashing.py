@@ -105,23 +105,31 @@ def token_hashes(toks: Column, fast: bool = False) -> Column:
     return F.transform(toks, lambda t: hash64(t, fast=fast).bitwiseAND(F.lit(MASK60)))
 
 
-def rolling_shingle_hashes(toks_h: Column, w: int) -> Column:
-    """Distinct w-token shingle hashes from per-token hashes, via the
-    rotate-xor fold. Mirrors :func:`shingles_sql` semantics: documents
-    shorter than ``w`` tokens produce one shingle of all their tokens;
-    an empty document folds to the single hash 0 (the SQL twin's
-    empty-list CASE matches)."""
+def positional_shingle_hashes(toks_h: Column, w: int) -> Column:
+    """POSITIONAL w-token shingle hashes from per-token hashes, via the
+    rotate-xor fold: element ``i`` (1-based) of the result is the hash
+    of the shingle starting at token position ``i`` — no dedup, so
+    position-aware consumers (winnowing, span dedup) can map a hash
+    back to where it occurred. Short-doc convention matches
+    :func:`shingles_sql`: documents shorter than ``w`` tokens produce
+    one whole-text shingle; an empty document folds to the single hash
+    0 (the SQL twin's empty-list CASE matches)."""
     n = F.greatest(F.size(toks_h) - (w - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.aggregate(
-                F.slice(toks_h, i, w),
-                F.lit(0).cast("bigint"),
-                lambda acc, t: _rotl60(acc).bitwiseXOR(t),
-            ),
-        )
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.aggregate(
+            F.slice(toks_h, i, w),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: _rotl60(acc).bitwiseXOR(t),
+        ),
     )
+
+
+def rolling_shingle_hashes(toks_h: Column, w: int) -> Column:
+    """Distinct w-token shingle hashes — the positional fold above with
+    positions collapsed (the set form every containment/Jaccard
+    operator joins on)."""
+    return F.array_distinct(positional_shingle_hashes(toks_h, w))
 
 
 def token_hashes_sql(toks_expr: str) -> str:
@@ -131,15 +139,20 @@ def token_hashes_sql(toks_expr: str) -> str:
     return f"list_transform({toks_expr}, t -> {hash64_sql('t')} & {MASK60})"
 
 
-def rolling_shingle_hashes_sql(toks_h_expr: str, w: int) -> str:
-    """DuckDB twin of :func:`rolling_shingle_hashes`. `list_reduce`
+def positional_shingle_hashes_sql(toks_h_expr: str, w: int) -> str:
+    """DuckDB twin of :func:`positional_shingle_hashes`. `list_reduce`
     seeds with the first element — identical to the init-0 fold because
     rotl60(0)^t0 = t0 — and errors on an empty list, hence the CASE
     (matching Spark's aggregate-over-empty = init = 0)."""
     return (
-        f"list_distinct(list_transform("
+        f"list_transform("
         f"range(1, greatest(len({toks_h_expr}) - {w - 1}, 1) + 1), "
         f"i -> CASE WHEN len({toks_h_expr}) = 0 THEN 0 ELSE "
         f"list_reduce(list_slice({toks_h_expr}, i, i + {w - 1}), "
-        f"(acc, t) -> xor(((acc & {_M53}) << 7) + (acc >> 53), t)) END))"
+        f"(acc, t) -> xor(((acc & {_M53}) << 7) + (acc >> 53), t)) END)"
     )
+
+
+def rolling_shingle_hashes_sql(toks_h_expr: str, w: int) -> str:
+    """DuckDB twin of :func:`rolling_shingle_hashes`."""
+    return f"list_distinct({positional_shingle_hashes_sql(toks_h_expr, w)})"

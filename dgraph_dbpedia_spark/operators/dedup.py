@@ -1497,3 +1497,82 @@ def strip_duplicated_spans(
         )
     )
     return tag_persisted(out, base)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fast: bool = False,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003): hash every k-token shingle POSITIONALLY, slide a window of
+    ``w`` consecutive shingle hashes over each document, and select
+    each window's minimum (ties broken LEFTMOST — lowest position; the
+    paper breaks ties rightmost for slightly lower density, but
+    leftmost is the natural struct order both engines share, and the
+    guarantee below is tie-break-independent). The paper's guarantee
+    holds: every run of ``w`` consecutive shingles contributes at least
+    one fingerprint, so any verbatim match of at least ``k + w - 1``
+    tokens between two documents shares at least one fingerprint —
+    a sparse (~2/(w+1) the density of full shingling), position-aware
+    index for plagiarism-style matching and local near-dup detection.
+
+    Returns exploded rows ``(id_col, pos, fp)`` where ``pos`` is the
+    1-based token position the selected shingle starts at. Documents
+    with fewer than ``w`` shingles select their single global minimum;
+    shorter-than-``k`` docs follow the shingle convention (one
+    whole-text shingle; empty text folds to hash 0 at pos 1).
+
+    100 TB shape: ZERO shuffle — token hashes, positional rotate-xor
+    folds, per-window struct-min, and in-array dedup all happen inside
+    one narrow projection; the only generate is the final explode,
+    behind the ``inline(array(struct))`` barrier (the measured 15x
+    InferFiltersFromGenerate trap, see :func:`_hashed_shingled`). Each
+    intermediate array binds as an ATTRIBUTE in its own select — the
+    per-window lambda references it twice (size + slice), which is
+    exactly the CollapseProject duplicate-eval trap if left inline.
+    Per-doc cost is O(shingles x w) struct comparisons, JVM-side.
+    Downstream matching equi-joins on ``fp`` exactly like the shingle
+    joins (hot-key cap applies there, not here).
+    """
+    from dgraph_dbpedia_spark.functions.hashing import (
+        positional_shingle_hashes,
+    )
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if w < 1:
+        raise ValueError(f"w must be >= 1, got {w}")
+    pairs = F.transform(
+        F.col("__ph"),
+        lambda h, i: F.struct(h.alias("h"), (i + 1).cast("int").alias("pos")),
+    )
+    n_sel = F.greatest(F.size("__pairs") - (w - 1), F.lit(1))
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_sel),
+            lambda p: F.array_min(F.slice(F.col("__pairs"), p, w)),
+        )
+    )
+    return (
+        docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col), token_hashes(F.col("__toks"), fast=fast).alias("__th")
+        )
+        .select(
+            F.col(id_col),
+            positional_shingle_hashes(F.col("__th"), k).alias("__ph"),
+        )
+        .select(F.col(id_col), pairs.alias("__pairs"))
+        .select(F.col(id_col), F.inline(F.array(F.struct(sel.alias("__fps")))))
+        .select(F.col(id_col), F.explode("__fps").alias("__s"))
+        .select(
+            F.col(id_col),
+            F.col("__s.pos").alias("pos"),
+            F.col("__s.h").alias("fp"),
+        )
+    )

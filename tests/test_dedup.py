@@ -621,3 +621,66 @@ def test_strip_duplicated_spans_overlapping_and_in_doc(spark):
 
     with _pytest.raises(ValueError, match="L must be"):
         strip_duplicated_spans(docs, L=1)
+
+
+def test_winnow_fingerprints_matches_reference_and_guarantee(spark):
+    """Winnowing (SIGMOD 2003): bit-equal to a host-side reference
+    implementation (leftmost tie-break); the paper's guarantee — any
+    verbatim match of >= k + w - 1 tokens shares a fingerprint; zero
+    shuffle; short/empty docs follow the shingle convention."""
+    import hashlib
+
+    from dgraph_dbpedia_spark.operators.dedup import winnow_fingerprints
+
+    MASK60 = (1 << 60) - 1
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def fold(hs):
+        acc = 0
+        for t in hs:
+            acc = (((acc & ((1 << 53) - 1)) << 7) + (acc >> 53)) ^ t
+        return acc
+
+    def py_winnow(text, k, w):
+        th = [h64(t) & MASK60 for t in text.split()]
+        ph = [fold(th[i : i + k]) for i in range(max(len(th) - (k - 1), 1))]
+        out = set()
+        for p in range(max(len(ph) - (w - 1), 1)):
+            win = ph[p : p + w]
+            mn = min(win)
+            out.add((win.index(mn) + p + 1, mn))
+        return out
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog runs far away"),
+        (2, "a b"),  # shorter than k: one whole-text shingle
+        (3, ""),  # empty: hash-0 sentinel at pos 1
+        (4, "the quick brown fox jumps over the lazy dog different tail"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = winnow_fingerprints(df, k=4, w=3)
+    got = {(r["doc_id"], r["pos"], r["fp"]) for r in out.collect()}
+    exp = {
+        (i, pos, fp) for i, t in rows for pos, fp in py_winnow(t, 4, 3)
+    }
+    assert got == exp
+    # guarantee: docs 1 and 4 share a 9-token prefix (>= k + w - 1 = 6)
+    f1 = {fp for d, _, fp in got if d == 1}
+    f4 = {fp for d, _, fp in got if d == 4}
+    assert f1 & f4
+    # empty doc: the sentinel row, not a dropped doc
+    assert (3, 1, 0) in got
+    # zero shuffle, and the md5 token pass runs ONCE (no duplicate eval
+    # of the bound arrays through CollapseProject / generate refolds)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("md5") == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        winnow_fingerprints(df, k=0)
+    with _pytest.raises(ValueError, match="w must be"):
+        winnow_fingerprints(df, w=0)
