@@ -902,6 +902,21 @@ def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, k=4, w=3)
 
 
+def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: Unicode NFC normalization (Arrow-lane unicodedata kernel)
+    cross-checked against DuckDB's native nfc_normalize — the corpus is
+    ASCII, so the query seeds each doc with decomposed sequences
+    (e + U+0301, A + U+030A) that NFC must compose."""
+    from dgraph_dbpedia_spark.operators.textclean import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(F.lit("cafe\u0301 A\u030a "), F.col("text")).alias("text"),
+    )
+    return normalize_text(seeded, form="NFC")
+
+
 def _q_dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r10: DSIR importance scores (arXiv:2302.03169) — hashed-bigram
     feature models fit on target = src0 docs vs raw = the rest; every
@@ -1741,6 +1756,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_sample": _q_dsir_sample,
     "strip_spans": _q_strip_spans,
     "winnow_fingerprints": _q_winnow_fingerprints,
+    "normalize_text": _q_normalize_text,
     "strip_markup": _q_strip_markup,
     "dedup_lines": _q_dedup_lines,
     "normalize_embeddings": _q_normalize_embeddings,
@@ -3647,6 +3663,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM pr)
             SELECT DISTINCT doc_id, s.pos AS pos, s.h AS fp FROM sel
         """,
+        # Unicode NFC: DuckDB's native nfc_normalize vs the Spark-side
+        # Arrow unicodedata kernel; the decomposed seed (e+U+0301,
+        # A+U+030A) is interpolated as real code points on both sides
+        "normalize_text": (
+            "SELECT doc_id, nfc_normalize('cafe\u0301 A\u030a ' || text)"
+            " AS text FROM documents"
+        ),
         # DSIR: hashed-bigram models (target = src0, raw = rest),
         # per-doc summed log ratio over the SORTED per-feature list
         # (the unigram_logprob determinism rule); sub-2-token docs get

@@ -274,3 +274,45 @@ def compression_ratio(
         F.octet_length(F.col(text_col)).alias("n_bytes"),
         _ratio(F.col(text_col)).alias("ratio"),
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    form: str = "NFC",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unicode normalization (NFC / NFKC / NFD / NFKD) — the standard
+    first pass of multilingual corpus curation: composed vs decomposed
+    accents ("café" in two byte sequences) must hash, dedup, and
+    tokenize identically, and NFKC additionally folds compatibility
+    forms (fullwidth ASCII, ligatures, circled digits) the way most
+    tokenizers expect. Returns ``(id, text)`` with the text normalized;
+    NULLs pass through.
+
+    Python-lane by necessity (same lane as :func:`compression_ratio`):
+    Spark has no Unicode-normalization expression, so this is an
+    Arrow-batched pandas UDF over stdlib ``unicodedata`` — per-row, no
+    shuffle, deterministic (normalization is a pure function of the
+    code points, pinned by the Unicode version of CPython's data
+    tables). The NFC form is oracle-checked against DuckDB's
+    ``nfc_normalize`` (bit-equal on the shared corpus — a genuine
+    cross-engine check of a non-SQL kernel); NFKC/NFD/NFKD have no
+    DuckDB twin and are pinned by pytest against host-side
+    ``unicodedata.normalize``."""
+    forms = ("NFC", "NFKC", "NFD", "NFKD")
+    if form not in forms:
+        raise ValueError(f"form must be one of {forms}, got {form!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    f = form
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: None if t is None else unicodedata.normalize(f, t)
+        )
+
+    return df.select(F.col(id_col), _norm(F.col(text_col)).alias(text_col))

@@ -230,3 +230,41 @@ def test_dedup_lines_within_doc(spark):
     # pure projection: no exchange in the plan
     plan = dedup_lines(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_normalize_text_forms(spark):
+    """Unicode normalization: NFC composes decomposed accents; NFKC
+    additionally folds compatibility forms (ligature, fullwidth,
+    circled digit); NFD round-trips NFC; NULLs pass through; the
+    kernel rides the Arrow lane (documented Python-lane op)."""
+    import unicodedata
+
+    from dgraph_dbpedia_spark.operators.textclean import normalize_text
+
+    decomposed = "cafe\u0301 A\u030a"
+    compat = "ﬁle ｆｕｌｌ ①"
+    rows = [(1, decomposed), (2, compat), (3, None), (4, "plain")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    nfc = {r["doc_id"]: r["text"] for r in normalize_text(df, "NFC").collect()}
+    assert nfc[1] == "caf\u00e9 \u00c5"
+    assert nfc[2] == compat  # NFC leaves compatibility forms alone
+    assert nfc[3] is None
+    assert nfc[4] == "plain"
+
+    nfkc = {r["doc_id"]: r["text"] for r in normalize_text(df, "NFKC").collect()}
+    assert nfkc[2] == "file full 1"
+    assert nfkc[1] == "caf\u00e9 \u00c5"
+
+    nfd = {r["doc_id"]: r["text"] for r in normalize_text(df, "NFD").collect()}
+    assert nfd[1] == unicodedata.normalize("NFD", decomposed) == decomposed
+
+    plan = (
+        normalize_text(df, "NFC")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="form must be"):
+        normalize_text(df, "NFX")
