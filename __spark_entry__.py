@@ -917,6 +917,19 @@ def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(seeded, form="NFC")
 
 
+def _q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: Jensen-Shannon divergence between the src0 slice and the
+    rest of the corpus — unigram distributions via two token-count
+    groupBys, one full-outer vocab join, broadcast totals."""
+    from dgraph_dbpedia_spark.operators.textstats import corpus_divergence
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_divergence(
+        docs.where(F.col("source") == "src0"),
+        docs.where(F.col("source") != "src0"),
+    )
+
+
 def _q_dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r10: DSIR importance scores (arXiv:2302.03169) — hashed-bigram
     feature models fit on target = src0 docs vs raw = the rest; every
@@ -1757,6 +1770,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "strip_spans": _q_strip_spans,
     "winnow_fingerprints": _q_winnow_fingerprints,
     "normalize_text": _q_normalize_text,
+    "corpus_divergence": _q_corpus_divergence,
     "strip_markup": _q_strip_markup,
     "dedup_lines": _q_dedup_lines,
     "normalize_embeddings": _q_normalize_embeddings,
@@ -3670,6 +3684,42 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, nfc_normalize('cafe\u0301 A\u030a ' || text)"
             " AS text FROM documents"
         ),
+        # JSD between src0 and the rest: integer counts -> exact join,
+        # double math only in the per-term KL pieces; round(\u2026, 6) sits
+        # far above parallel-summation drift (see the operator's
+        # docstring determinism note)
+        "corpus_divergence": f"""
+            WITH ca AS (
+                SELECT tok, count(*) AS ca FROM (
+                    SELECT unnest({_SQL_TOKS}) AS tok FROM documents
+                    WHERE source = 'src0') GROUP BY tok),
+            cb AS (
+                SELECT tok, count(*) AS cb FROM (
+                    SELECT unnest({_SQL_TOKS}) AS tok FROM documents
+                    WHERE source <> 'src0') GROUP BY tok),
+            j AS (
+                SELECT coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+                FROM ca FULL JOIN cb ON ca.tok = cb.tok),
+            tot AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM j),
+            terms AS (
+                SELECT ca, cb,
+                       ca / greatest(ta, 1)::DOUBLE AS p,
+                       cb / greatest(tb, 1)::DOUBLE AS q
+                FROM j CROSS JOIN tot)
+            SELECT any_value(ta) AS n_tokens_a,
+                   any_value(tb) AS n_tokens_b,
+                   sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_a,
+                   sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_b,
+                   sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS vocab_shared,
+                   round(sum(
+                       CASE WHEN ca > 0
+                            THEN p * log2(p / ((p + q) / 2)) ELSE 0 END
+                     + CASE WHEN cb > 0
+                            THEN q * log2(q / ((p + q) / 2)) ELSE 0 END
+                   ) / 2, 6) AS jsd_bits
+            FROM terms CROSS JOIN tot
+        """,
         # DSIR: hashed-bigram models (target = src0, raw = rest),
         # per-doc summed log ratio over the SORTED per-feature list
         # (the unigram_logprob determinism rule); sub-2-token docs get

@@ -597,3 +597,83 @@ def perplexity_buckets(
         F.col(id_col), *gcols, "n_tokens", "bits_per_token", "bucket"
     )
     return tag_persisted(out, base, *persisted_frames(scored))
+
+
+def corpus_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen-Shannon divergence between two corpora's unigram token
+    distributions — the standard drift/mixture diagnostic of corpus
+    curation: compare a candidate data source against the existing
+    mix, a train split against validation, or this month's crawl
+    against last month's. Returns ONE row: ``(n_tokens_a, n_tokens_b,
+    vocab_a, vocab_b, vocab_shared, jsd_bits)`` where ``jsd_bits`` is
+    the base-2 JSD in [0, 1] rounded to 6 (0 = identical
+    distributions, 1 = disjoint vocabularies).
+
+    JSD(P, Q) = 0.5 KL(P || M) + 0.5 KL(Q || M), M = (P + Q) / 2;
+    zero-count terms contribute 0 to their KL side by convention. An
+    entirely-empty side is degenerate: its KL term vanishes and
+    ``jsd_bits`` comes back 0.5 — treat as undefined, not a distance.
+
+    100 TB shape: two partial-aggregable token-count groupBys (shuffle
+    bounded by token count), ONE full-outer join on the token key
+    (bounded by union vocab — never collected or broadcast), the two
+    scalar totals ride a broadcast 1-row crossJoin (the X6 pattern),
+    and the final reduction is a single global aggregate. The joined
+    vocab frame feeds both the totals and the term sum, so it is
+    persisted; the result carries its release handle (cachectl).
+
+    Float determinism: each term is a pure function of exact integer
+    counts, and the final round(…, 6) sits ~5 orders of magnitude
+    above the worst-case parallel-summation drift (vocab x eps), the
+    same argument the stats rollups use — do not tighten the rounding
+    without revisiting it."""
+    from dgraph_dbpedia_spark.operators.cachectl import tag_persisted
+
+    def counts(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    j = (
+        counts(df_a, "__ca")
+        .join(counts(df_b, "__cb"), "tok", "full_outer")
+        .select(
+            "tok",
+            F.coalesce("__ca", F.lit(0)).alias("__ca"),
+            F.coalesce("__cb", F.lit(0)).alias("__cb"),
+        )
+        .persist()
+    )
+    tot = j.agg(
+        F.sum("__ca").alias("__ta"), F.sum("__cb").alias("__tb")
+    )
+    # greatest(…, 1): an all-empty side would otherwise hit ANSI
+    # division-by-zero INSIDE the other side's when-branch (m references
+    # p); with the guard an empty side degenerates to jsd_bits = 0.5
+    # (its KL term vanishes) — documented, not an error
+    p = F.col("__ca") / F.greatest(F.col("__ta"), F.lit(1))
+    q = F.col("__cb") / F.greatest(F.col("__tb"), F.lit(1))
+    m = (p + q) / 2
+    term = F.when(F.col("__ca") > 0, p * F.log2(p / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("__cb") > 0, q * F.log2(q / m)).otherwise(F.lit(0.0))
+    out = (
+        j.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("__ta").alias("n_tokens_a"),
+            F.first("__tb").alias("n_tokens_b"),
+            F.sum((F.col("__ca") > 0).cast("long")).alias("vocab_a"),
+            F.sum((F.col("__cb") > 0).cast("long")).alias("vocab_b"),
+            F.sum(
+                ((F.col("__ca") > 0) & (F.col("__cb") > 0)).cast("long")
+            ).alias("vocab_shared"),
+            F.round(F.sum(term) / 2, 6).alias("jsd_bits"),
+        )
+    )
+    return tag_persisted(out, j)

@@ -309,3 +309,53 @@ def test_perplexity_buckets_approx_keeps_null_groups(spark):
         assert set(got) == {1, 2, 3, 4}, f"exact={exact} dropped rows"
         assert got[4]["bucket"] == 2 and got[4]["bits_per_token"] is None
         assert got[3]["bucket"] is not None
+
+
+def test_corpus_divergence_jsd(spark):
+    """JSD vs a host-computed reference; self-JSD = 0; empty-side
+    degeneracy = 0.5; the vocab join frame is persisted and carries a
+    release handle."""
+    import math
+    from collections import Counter
+
+    from dgraph_dbpedia_spark.operators.cachectl import release
+    from dgraph_dbpedia_spark.operators.textstats import corpus_divergence
+
+    A = [(1, "the cat sat on the mat"), (2, "a cat and a dog"), (3, "")]
+    B = [(4, "the dog ran far"), (5, "quantum flux capacitor dog the")]
+
+    def dist(rows):
+        c = Counter(t for _, x in rows for t in x.split())
+        return c, sum(c.values())
+
+    ca, ta = dist(A)
+    cb, tb = dist(B)
+    jsd = 0.0
+    for t in set(ca) | set(cb):
+        p = ca.get(t, 0) / ta
+        q = cb.get(t, 0) / tb
+        m = (p + q) / 2
+        if p:
+            jsd += 0.5 * p * math.log2(p / m)
+        if q:
+            jsd += 0.5 * q * math.log2(q / m)
+
+    dfa = spark.createDataFrame(A, ["doc_id", "text"])
+    dfb = spark.createDataFrame(B, ["doc_id", "text"])
+    out = corpus_divergence(dfa, dfb)
+    r = out.collect()[0]
+    assert r["jsd_bits"] == round(jsd, 6)
+    assert (r["n_tokens_a"], r["n_tokens_b"]) == (ta, tb)
+    assert (r["vocab_a"], r["vocab_b"]) == (len(ca), len(cb))
+    assert r["vocab_shared"] == len(set(ca) & set(cb))
+    release(out)
+
+    self_ = corpus_divergence(dfa, dfa)
+    assert self_.collect()[0]["jsd_bits"] == 0.0
+    release(self_)
+
+    empty = spark.createDataFrame([(9, "")], ["doc_id", "text"])
+    deg = corpus_divergence(dfa, empty)
+    row = deg.collect()[0]
+    assert row["jsd_bits"] == 0.5 and row["n_tokens_b"] == 0
+    release(deg)
