@@ -917,6 +917,24 @@ def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(seeded, form="NFC")
 
 
+def _q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: MOSS-style cross-corpus local-overlap matching on winnowing
+    fingerprints — src0 docs vs src1 docs (k=2 on the synthetic
+    token-soup corpus so verbatim overlaps exist), >= 2 shared distinct
+    fingerprints; fp equi-join with hot-fingerprint cap, never
+    all-pairs."""
+    from dgraph_dbpedia_spark.operators.dedup import winnow_matches
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_matches(
+        docs.where(F.col("source") == "src0"),
+        docs.where(F.col("source") == "src1"),
+        k=2,
+        w=3,
+        min_shared=2,
+    )
+
+
 def _q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r10: Jensen-Shannon divergence between the src0 slice and the
     rest of the corpus — unigram distributions via two token-count
@@ -1771,6 +1789,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": _q_winnow_fingerprints,
     "normalize_text": _q_normalize_text,
     "corpus_divergence": _q_corpus_divergence,
+    "winnow_matches": _q_winnow_matches,
     "strip_markup": _q_strip_markup,
     "dedup_lines": _q_dedup_lines,
     "normalize_embeddings": _q_normalize_embeddings,
@@ -1946,6 +1965,30 @@ def _sql_minhash_base(w: int, k: int, src: str = "documents") -> str:
        {sig_cols}
             FROM hbase)
     """
+
+
+def _sql_winnow_fp_rows(where: str, out: str, k: int = 4, w: int = 3) -> str:
+    """Subquery producing ``(out, fp)`` rows: each document's DISTINCT
+    winnowing fingerprint hashes (k-token positional shingles,
+    window-of-w leftmost minima), empty-doc sentinel (hash 0) removed —
+    the per-side fp-set extraction of operators/dedup.winnow_matches."""
+    return f"""(
+        SELECT doc_id AS {out},
+               unnest(list_distinct(list_filter(
+                   list_transform(sel, s -> s.h), x -> x != 0))) AS fp
+        FROM (
+            SELECT doc_id,
+                   list_transform(range(1, greatest(len(pairs) - {w - 1}, 1) + 1),
+                       q -> list_aggregate(
+                           list_slice(pairs, q, q + {w - 1}), 'min')) AS sel
+            FROM (
+                SELECT doc_id,
+                       list_transform(p, (x, i) -> {{'h': x, 'pos': i}}) AS pairs
+                FROM (
+                    SELECT doc_id,
+                           {_sql_positional_shingles(
+                               _sql_token_hashes(_SQL_TOKS), k)} AS p
+                    FROM documents WHERE {where}))))"""
 
 
 def _sql_band_selects(k: int, bands: int) -> str:
@@ -3684,6 +3727,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, nfc_normalize('cafe\u0301 A\u030a ' || text)"
             " AS text FROM documents"
         ),
+        # MOSS-style matching: per-side winnow fp sets (shared
+        # generator), combined doc-frequency cap at 1000, fp equi-join,
+        # pair count >= 2
+        "winnow_matches": f"""
+            WITH fa AS (SELECT * FROM {_sql_winnow_fp_rows("source = 'src0'", "a", k=2)}),
+            fb AS (SELECT * FROM {_sql_winnow_fp_rows("source = 'src1'", "b", k=2)}),
+            freq AS (
+                SELECT fp FROM (
+                    SELECT fp FROM fa UNION ALL SELECT fp FROM fb)
+                GROUP BY fp HAVING count(*) <= 1000)
+            SELECT a, b, count(*)::BIGINT AS n_shared
+            FROM (SELECT * FROM fa SEMI JOIN freq USING (fp)) sa
+            JOIN (SELECT * FROM fb SEMI JOIN freq USING (fp)) sb USING (fp)
+            GROUP BY a, b HAVING count(*) >= 2
+        """,
         # JSD between src0 and the rest: integer counts -> exact join,
         # double math only in the per-term KL pieces; round(\u2026, 6) sits
         # far above parallel-summation drift (see the operator's

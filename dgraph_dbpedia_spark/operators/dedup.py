@@ -1543,6 +1543,33 @@ def winnow_fingerprints(
         positional_shingle_hashes,
     )
 
+    return (
+        _winnow_selected(docs, k, w, text_col, id_col, fast)
+        .select(F.col(id_col), F.explode("__fps").alias("__s"))
+        .select(
+            F.col(id_col),
+            F.col("__s.pos").alias("pos"),
+            F.col("__s.h").alias("fp"),
+        )
+    )
+
+
+def _winnow_selected(
+    docs: DataFrame,
+    k: int,
+    w: int,
+    text_col: str,
+    id_col: str,
+    fast: bool,
+) -> DataFrame:
+    """Shared winnowing core: ``(id_col, __fps)`` where ``__fps`` is the
+    distinct array of selected ``struct(h, pos)`` fingerprints — still
+    in array land (zero shuffle), one row per input document, behind
+    the inline barrier."""
+    from dgraph_dbpedia_spark.functions.hashing import (
+        positional_shingle_hashes,
+    )
+
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if w < 1:
@@ -1569,10 +1596,73 @@ def winnow_fingerprints(
         )
         .select(F.col(id_col), pairs.alias("__pairs"))
         .select(F.col(id_col), F.inline(F.array(F.struct(sel.alias("__fps")))))
-        .select(F.col(id_col), F.explode("__fps").alias("__s"))
-        .select(
-            F.col(id_col),
-            F.col("__s.pos").alias("pos"),
-            F.col("__s.h").alias("fp"),
-        )
     )
+
+
+def winnow_matches(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_fp_freq: int | None = 1000,
+    fast: bool = False,
+) -> DataFrame:
+    """Cross-corpus LOCAL overlap detection on winnowing fingerprints
+    (the matching half of Schleimer et al. 2003 — the MOSS shape):
+    pairs ``(a, b, n_shared)`` where a document of ``df_a`` and one of
+    ``df_b`` share at least ``min_shared`` distinct fingerprint hashes.
+    By the winnowing guarantee every verbatim overlap of at least
+    ``k + w - 1`` tokens contributes a shared fingerprint, so this
+    finds quote-level / paragraph-level copying that whole-document
+    measures (minhash Jaccard) dilute to invisibility — at ~1/w the
+    index size of full shingle matching.
+
+    100 TB shape: fingerprint extraction is the zero-shuffle winnowing
+    projection with the per-doc fp SET deduped in array land (no
+    distinct shuffle); matching is one equi-join on ``fp`` +
+    one pair-count groupBy, both bounded by fingerprint count — never
+    all-pairs. ``max_fp_freq`` (default 1000, FINITE like
+    :func:`ngram_jaccard_pairs`'s cap) drops fingerprints carried by
+    more than N documents across both sides — a boilerplate fingerprint
+    is a hot-key f^2 join explosion with no matching signal. The
+    empty-document sentinel (hash 0) is always excluded — every empty
+    doc would otherwise match every other. Both fp frames are persisted
+    (each feeds the frequency count and the join); release via
+    cachectl after materializing."""
+    from dgraph_dbpedia_spark.operators.cachectl import tag_persisted
+
+    def fp_rows(df: DataFrame, out: str) -> DataFrame:
+        sets = F.array_remove(
+            F.transform(F.col("__fps"), lambda s: s["h"]), 0
+        )
+        return (
+            _winnow_selected(df, k, w, text_col, id_col, fast)
+            .select(F.col(id_col).alias(out), F.array_distinct(sets).alias("__set"))
+            .select(F.col(out), F.explode("__set").alias("fp"))
+        )
+
+    fa0 = fp_rows(df_a, "a").persist()
+    fb0 = fp_rows(df_b, "b").persist()
+    fa, fb = fa0, fb0
+    if max_fp_freq is not None:
+        freq = (
+            fa0.select("fp")
+            .unionByName(fb0.select("fp"))
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") <= max_fp_freq)
+            .select("fp")
+        )
+        fa = fa0.join(freq, "fp", "left_semi")
+        fb = fb0.join(freq, "fp", "left_semi")
+    out = (
+        fa.join(fb, "fp")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    # tag the ORIGINAL persisted handles, not the semi-joined rebinds
+    return tag_persisted(out, fa0, fb0)

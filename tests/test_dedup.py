@@ -684,3 +684,49 @@ def test_winnow_fingerprints_matches_reference_and_guarantee(spark):
         winnow_fingerprints(df, k=0)
     with _pytest.raises(ValueError, match="w must be"):
         winnow_fingerprints(df, w=0)
+
+
+def test_winnow_matches_cross_corpus(spark):
+    """MOSS-style matching: a planted shared quote (>= k + w - 1
+    tokens) links exactly its two documents; unrelated and empty docs
+    never match (hash-0 sentinel excluded); the two fp frames carry
+    release handles; hot-fingerprint cap prunes boilerplate links."""
+    from dgraph_dbpedia_spark.operators.cachectl import (
+        persisted_frames,
+        release,
+    )
+    from dgraph_dbpedia_spark.operators.dedup import winnow_matches
+
+    quote = "to be or not to be that is the question for all of us"
+    boiler = "subscribe to our newsletter for updates every single day"
+    dfa = spark.createDataFrame(
+        [
+            (1, f"intro text {quote} closing remarks {boiler}"),
+            (2, f"cooking pasta with fresh garlic and olive oil {boiler}"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    dfb = spark.createDataFrame(
+        [
+            (10, f"review begins {quote} then diverges {boiler}"),
+            (11, f"gardening tips and tools for every season {boiler}"),
+            (12, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = winnow_matches(dfa, dfb, k=4, w=3, min_shared=2)
+    assert len(persisted_frames(out)) == 2
+    rows = {(r["a"], r["b"]): r["n_shared"] for r in out.collect()}
+    release(out)
+    # the quote pair matches strongly; every doc carries the boilerplate,
+    # so boilerplate-only pairs may also clear min_shared — the cap test
+    # below is what controls that axis
+    assert (1, 10) in rows and rows[(1, 10)] >= 2
+    assert not any(3 in p or 12 in p for p in rows)
+
+    # cap at 1: fingerprints present in >1 doc across sides (ALL shared
+    # ones by construction) are dropped -> no matches survive
+    capped = winnow_matches(dfa, dfb, k=4, w=3, min_shared=1, max_fp_freq=1)
+    assert capped.count() == 0
+    release(capped)
