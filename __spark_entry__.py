@@ -917,6 +917,17 @@ def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(seeded, form="NFC")
 
 
+def _q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: deterministic epoch-3 training order — epoch-seeded hash
+    shard + within-shard position; one shuffle, no RNG state."""
+    from dgraph_dbpedia_spark.operators.sampling import epoch_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    return epoch_shuffle(docs, epoch=3, n_shards=4).select(
+        "doc_id", "shard", "pos"
+    )
+
+
 def _q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r10: MOSS-style cross-corpus local-overlap matching on winnowing
     fingerprints — src0 docs vs src1 docs (k=2 on the synthetic
@@ -1790,6 +1801,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "normalize_text": _q_normalize_text,
     "corpus_divergence": _q_corpus_divergence,
     "winnow_matches": _q_winnow_matches,
+    "epoch_shuffle": _q_epoch_shuffle,
     "strip_markup": _q_strip_markup,
     "dedup_lines": _q_dedup_lines,
     "normalize_embeddings": _q_normalize_embeddings,
@@ -3727,6 +3739,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, nfc_normalize('cafe\u0301 A\u030a ' || text)"
             " AS text FROM documents"
         ),
+        # epoch-seeded hash permutation; the 60-bit hash is
+        # non-negative, so % == pmod on both engines
+        "epoch_shuffle": f"""
+            WITH h AS (
+                SELECT doc_id, {_sql_hash64("doc_id::VARCHAR", 3)} AS h
+                FROM documents)
+            SELECT doc_id, (h % 4)::INT AS shard,
+                   row_number() OVER (
+                       PARTITION BY h % 4 ORDER BY h, doc_id)::INT AS pos
+            FROM h
+        """,
         # MOSS-style matching: per-side winnow fp sets (shared
         # generator), combined doc-frequency cap at 1000, fp equi-join,
         # pair count >= 2

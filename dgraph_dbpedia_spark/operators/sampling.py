@@ -576,3 +576,39 @@ def dsir_sample(
     out = raw.join(picked.select(id_col), id_col, "left_semi")
     # the scoring frame's model caches ride through to the caller
     return tag_persisted(out, *persisted_frames(scored))
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    n_shards: int = 4,
+    id_col: str = "doc_id",
+    fast: bool = False,
+) -> DataFrame:
+    """Deterministic epoch shuffling for training-data delivery: every
+    epoch induces a DIFFERENT but fully reproducible permutation of the
+    corpus, with no RNG state to checkpoint — the permutation key is the
+    cross-engine id hash seeded by the epoch number (the
+    :func:`_unit_coin` family's trick applied to ordering). Rows get
+    ``(shard, pos)``: shard via hash mod ``n_shards``, position by
+    hash order within the shard (ties by id). Re-running epoch 3
+    anywhere reproduces epoch 3's order exactly; epoch 4 is an
+    independent permutation.
+
+    100 TB shape: ONE shuffle (the per-shard ordered window);
+    ``n_shards`` is the parallelism dial exactly as in
+    :func:`pack_offsets` — the global order is (shard, pos), so no
+    single-partition global sort ever happens. ``fast=True`` swaps in
+    xxhash64 off the oracle path."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = hash64(F.col(id_col).cast("string"), seed=epoch, fast=fast)
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .drop("__h")
+    )

@@ -353,3 +353,35 @@ def test_dsir_empty_target_raises_and_handles_release(spark):
     assert len(persisted_frames(out)) == 2  # tm + rm ride through
     assert out.count() == 1
     release(out)
+
+
+def test_epoch_shuffle_reproducible_and_epoch_dependent(spark):
+    """Same epoch -> identical permutation on re-run and under
+    repartitioning; different epoch -> different order; positions are
+    contiguous 1..n within each shard; input columns pass through."""
+    from dgraph_dbpedia_spark.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], ["doc_id", "text"]
+    )
+    e3a = {(r["doc_id"], r["shard"], r["pos"]): r["text"]
+           for r in epoch_shuffle(df, epoch=3).collect()}
+    e3b = {(r["doc_id"], r["shard"], r["pos"]): r["text"]
+           for r in epoch_shuffle(df.repartition(7), epoch=3).collect()}
+    assert e3a == e3b and len(e3a) == 40
+    e4 = {(r["doc_id"], r["shard"], r["pos"])
+          for r in epoch_shuffle(df, epoch=4).collect()}
+    assert e4 != set(e3a)
+    # contiguity: each shard's positions are exactly 1..count(shard)
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for (_, s, p) in e3a:
+        by_shard[s].append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_shards"):
+        epoch_shuffle(df, epoch=1, n_shards=0)
