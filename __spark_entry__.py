@@ -917,6 +917,25 @@ def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(seeded, form="NFC")
 
 
+def _q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: canonical-form exact dedup with a metadata keep policy —
+    every doc gets an uppercased+padded twin (id+100000); normalized
+    md5 collapses each pair, keep_by=n_chars keeps the compact
+    original."""
+    from dgraph_dbpedia_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    variants = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.upper(F.concat(F.lit("  "), F.col("text"), F.lit("  "))).alias(
+            "text"
+        ),
+    )
+    u = base.unionByName(variants).withColumn("n_chars", F.length("text"))
+    return exact_dedup(u, normalize=True, keep_by="n_chars")
+
+
 def _q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r10: deterministic epoch-3 training order — epoch-seeded hash
     shard + within-shard position; one shuffle, no RNG state."""
@@ -1802,6 +1821,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_divergence": _q_corpus_divergence,
     "winnow_matches": _q_winnow_matches,
     "epoch_shuffle": _q_epoch_shuffle,
+    "dedup_exact_normalized": _q_dedup_exact_normalized,
     "strip_markup": _q_strip_markup,
     "dedup_lines": _q_dedup_lines,
     "normalize_embeddings": _q_normalize_embeddings,
@@ -3739,6 +3759,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, nfc_normalize('cafe\u0301 A\u030a ' || text)"
             " AS text FROM documents"
         ),
+        # canonical form = lower + collapse \s+ + trim (the 'g' flag is
+        # load-bearing: DuckDB replaces only the first match without
+        # it); keep policy = min over struct(n_chars, id) — arg_min
+        # can't take a composite key, struct-min can
+        "dedup_exact_normalized": r"""
+            WITH u AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, upper('  ' || text || '  ')
+                FROM documents),
+            n AS (SELECT doc_id, text, length(text) AS n_chars FROM u)
+            SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                       AS fp,
+                   (min({'c': n_chars, 'i': doc_id})).i AS doc_id
+            FROM n GROUP BY 1
+        """,
         # epoch-seeded hash permutation; the 60-bit hash is
         # non-negative, so % == pmod on both engines
         "epoch_shuffle": f"""

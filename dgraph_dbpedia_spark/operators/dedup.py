@@ -41,10 +41,41 @@ from dgraph_dbpedia_spark.functions.hashing import (
 )
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """One representative (min id) per distinct text. Returns
-    ``(fp, doc_id)``."""
-    return df.groupBy(F.md5(text_col).alias("fp")).agg(F.min(id_col).alias(id_col))
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = False,
+    keep_by: str | None = None,
+) -> DataFrame:
+    """One representative per distinct text. Returns ``(fp, doc_id)``.
+
+    ``normalize=True`` fingerprints the CANONICAL form (lowercased,
+    whitespace runs collapsed to one space, trimmed) — catches the
+    case/indentation/re-wrap variants that dominate trivially-duplicated
+    web text and that byte-exact dedup misses; the returned rows are
+    still original ids, one per canonical class.
+
+    ``keep_by`` picks the representative by ``min(struct(keep_by,
+    id))`` instead of ``min(id)`` — keep the earliest crawl by
+    timestamp, the most compact variant by length, the best source by
+    priority rank (negate the column for descending). Default stays
+    min-id (oracle- and pipeline-stable).
+
+    Scale shape is unchanged either way: one partial-aggregable
+    groupBy on the md5 key."""
+    text = F.col(text_col)
+    if normalize:
+        text = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    if keep_by is None:
+        rep = F.min(id_col).alias(id_col)
+    else:
+        rep = (
+            F.min(F.struct(F.col(keep_by), F.col(id_col)))
+            .getField(id_col)
+            .alias(id_col)
+        )
+    return df.groupBy(F.md5(text).alias("fp")).agg(rep)
 
 
 def _hashed_shingled(

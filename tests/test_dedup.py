@@ -730,3 +730,31 @@ def test_winnow_matches_cross_corpus(spark):
     capped = winnow_matches(dfa, dfb, k=4, w=3, min_shared=1, max_fp_freq=1)
     assert capped.count() == 0
     release(capped)
+
+
+def test_exact_dedup_normalize_and_keep_by(spark):
+    """normalize=True collapses case/whitespace variants into one
+    canonical class; keep_by picks the representative by
+    (keep_by, id) ascending; defaults unchanged (byte-exact, min id)."""
+    from dgraph_dbpedia_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello   World"),
+            (2, "  hello world "),
+            (3, "HELLO\tWORLD"),
+            (4, "different text"),
+        ],
+        ["doc_id", "text"],
+    ).withColumn("prio", F.col("doc_id") % 2)  # 3 has prio 1, 2 has 0
+
+    # byte-exact: all four texts differ
+    assert exact_dedup(df).count() == 4
+
+    norm = exact_dedup(df, normalize=True)
+    got = {r["doc_id"] for r in norm.collect()}
+    assert got == {1, 4} and norm.count() == 2  # min id per class
+
+    kept = exact_dedup(df, normalize=True, keep_by="prio")
+    # class {1,2,3}: prios (1,0,1) -> min(struct(prio,id)) = (0,2)
+    assert {r["doc_id"] for r in kept.collect()} == {2, 4}
