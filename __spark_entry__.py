@@ -917,6 +917,25 @@ def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(seeded, form="NFC")
 
 
+def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: asymmetric shingle containment — each doc's 6-token prefix
+    joins the corpus as a separate doc (id+100000); the prefix is fully
+    contained in its source (containment 1.0) though their Jaccard is
+    tiny. Union universe is 1000 docs, so the 1000-doc cap cannot fire
+    (no DuckDB mirror needed, the jaccard-oracle argument)."""
+    from dgraph_dbpedia_spark.operators.dedup import ngram_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    from dgraph_dbpedia_spark.functions.hashing import tokens as _toks
+
+    prefixes = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(_toks(F.col("text")), 1, 6), " ").alias("text"),
+    )
+    u = docs.select("doc_id", "text").unionByName(prefixes)
+    return ngram_containment_pairs(u, w=3, threshold=0.9)
+
+
 def _q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r10: canonical-form exact dedup with a metadata keep policy —
     every doc gets an uppercased+padded twin (id+100000); normalized
@@ -1822,6 +1841,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_matches": _q_winnow_matches,
     "epoch_shuffle": _q_epoch_shuffle,
     "dedup_exact_normalized": _q_dedup_exact_normalized,
+    "ngram_containment": _q_ngram_containment,
     "strip_markup": _q_strip_markup,
     "dedup_lines": _q_dedup_lines,
     "normalize_embeddings": _q_normalize_embeddings,
@@ -3759,6 +3779,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, nfc_normalize('cafe\u0301 A\u030a ' || text)"
             " AS text FROM documents"
         ),
+        # asymmetric containment over the doc+prefix union universe;
+        # string shingles (hash-agnostic, the jaccard-oracle form)
+        "ngram_containment": f"""
+            WITH u AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000,
+                       array_to_string(list_slice({_SQL_TOKS}, 1, 6), ' ')
+                FROM documents),
+            sh AS (SELECT doc_id, {_sql_shingles(_SQL_TOKS, 3)} AS sh FROM u),
+            e AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+            inter AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                FROM e a JOIN e b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT a, b, i AS inter,
+                   round(i / len(x.sh), 6) AS containment_a,
+                   round(i / len(y.sh), 6) AS containment_b
+            FROM inter
+            JOIN sh x ON inter.a = x.doc_id
+            JOIN sh y ON inter.b = y.doc_id
+            WHERE greatest(round(i / len(x.sh), 6),
+                           round(i / len(y.sh), 6)) >= 0.9
+        """,
         # canonical form = lower + collapse \s+ + trim (the 'g' flag is
         # load-bearing: DuckDB replaces only the first match without
         # it); keep policy = min over struct(n_chars, id) — arg_min

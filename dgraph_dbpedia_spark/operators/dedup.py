@@ -148,6 +148,34 @@ def ngram_jaccard_pairs(
     """
     from dgraph_dbpedia_spark.operators.cachectl import tag_persisted
 
+    counts, persisted = _ngram_pair_counts(
+        df, text_col, id_col, w, max_shingle_freq, fast
+    )
+    out = (
+        counts.withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return tag_persisted(out, *persisted)
+
+
+def _ngram_pair_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    w: int,
+    max_shingle_freq: int | None,
+    fast: bool,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Shared sparse pair-count skeleton of the shingle-overlap family:
+    ``(a, b, inter, na, nb)`` for every pair (a < b) sharing at least
+    one (capped) shingle, plus the persisted handles the caller must
+    tag onto its result."""
     # persist: the shingled frame feeds four plan branches (two join
     # sides + two size lookups); without it Catalyst recomputes the
     # shingling per branch (no cross-branch subplan sharing, SURVEY §4)
@@ -177,19 +205,52 @@ def ngram_jaccard_pairs(
     )
     na = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na"))
     nb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb"))
-    out = (
-        inter.join(na, "a")
-        .join(nb, "b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
-            ),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
-    )
+    counts = inter.join(na, "a").join(nb, "b")
     persisted = [sh] if max_shingle_freq is None else [sh, exploded]
+    return counts, persisted
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = 1000,
+    fast: bool = False,
+) -> DataFrame:
+    """ASYMMETRIC shingle containment — the subsumption detector
+    Jaccard structurally cannot be: a short quote fully embedded in a
+    long document has near-zero Jaccard (the union is huge) but
+    containment(quote in doc) = |A∩B| / |A| ≈ 1. Returns every pair
+    (a < b, same id universe) with ``greatest(containment_a,
+    containment_b) >= threshold``, as ``(a, b, inter, containment_a,
+    containment_b)`` where ``containment_a`` is the fraction of a's
+    shingles found in b (a ⊆ b when it approaches 1) and vice versa —
+    both directions reported because a < b ordering says nothing about
+    which side is the quote.
+
+    Same sparse plan, cap, and persist contract as
+    :func:`ngram_jaccard_pairs` (shared skeleton): only documents
+    sharing a shingle ever meet, sizes come from the SAME capped
+    universe as the intersection, and the result carries the persisted
+    handles for cachectl release."""
+    from dgraph_dbpedia_spark.operators.cachectl import tag_persisted
+
+    counts, persisted = _ngram_pair_counts(
+        df, text_col, id_col, w, max_shingle_freq, fast
+    )
+    ca = F.round(F.col("inter") / F.col("na"), 6)
+    cb = F.round(F.col("inter") / F.col("nb"), 6)
+    out = (
+        counts.withColumn("containment_a", ca)
+        .withColumn("containment_b", cb)
+        .where(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= threshold
+        )
+        .select("a", "b", "inter", "containment_a", "containment_b")
+    )
     return tag_persisted(out, *persisted)
 
 

@@ -758,3 +758,43 @@ def test_exact_dedup_normalize_and_keep_by(spark):
     kept = exact_dedup(df, normalize=True, keep_by="prio")
     # class {1,2,3}: prios (1,0,1) -> min(struct(prio,id)) = (0,2)
     assert {r["doc_id"] for r in kept.collect()} == {2, 4}
+
+
+def test_ngram_containment_asymmetric(spark):
+    """A short quote embedded in a long doc: containment(quote side)
+    ~= 1 while Jaccard is far below any useful threshold — the
+    subsumption case Jaccard structurally misses. Handles attached;
+    symmetric near-identical pairs report both directions high."""
+    from dgraph_dbpedia_spark.operators.cachectl import (
+        persisted_frames,
+        release,
+    )
+    from dgraph_dbpedia_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the five laws of library science are timeless"
+    long_doc = (
+        "opening analysis paragraph with many unique tokens here "
+        + quote
+        + " followed by extended commentary drawing several conclusions "
+        "and a final summary section closing the argument entirely"
+    )
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, quote), (3, "unrelated text about sailing")],
+        ["doc_id", "text"],
+    )
+    out = ngram_containment_pairs(df, w=3, threshold=0.9)
+    assert len(persisted_frames(out)) == 2
+    rows = {(r["a"], r["b"]): r for r in out.collect()}
+    release(out)
+    assert set(rows) == {(1, 2)}
+    r = rows[(1, 2)]
+    # b (the quote) is fully contained in a (the long doc)
+    assert r["containment_b"] == 1.0 and r["containment_a"] < 0.3
+
+    # and Jaccard at the same threshold finds nothing
+    j = ngram_jaccard_pairs(df, w=3, threshold=0.9)
+    assert j.count() == 0
+    release(j)
