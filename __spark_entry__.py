@@ -902,6 +902,15 @@ def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, k=4, w=3)
 
 
+def _q_winnow_fingerprints_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: the paper-faithful rightmost tie-break (Schleimer et al.
+    §4) — same hash sets as the default, tied positions resolve high."""
+    from dgraph_dbpedia_spark.operators.dedup import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=4, w=3, tie="right")
+
+
 def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r10: Unicode NFC normalization (Arrow-lane unicodedata kernel)
     cross-checked against DuckDB's native nfc_normalize — the corpus is
@@ -1842,6 +1851,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "epoch_shuffle": _q_epoch_shuffle,
     "dedup_exact_normalized": _q_dedup_exact_normalized,
     "ngram_containment": _q_ngram_containment,
+    "winnow_fingerprints_right": _q_winnow_fingerprints_right,
     "strip_markup": _q_strip_markup,
     "dedup_lines": _q_dedup_lines,
     "normalize_embeddings": _q_normalize_embeddings,
@@ -3771,6 +3781,30 @@ def oracle_sql() -> dict[str, str]:
                                list_slice(pairs, q, q + 2), 'min'))) AS s
                 FROM pr)
             SELECT DISTINCT doc_id, s.pos AS pos, s.h AS fp FROM sel
+        """,
+        # rightmost tie rule: negate the stored position so the same
+        # struct-min resolves ties HIGH, then abs() on the way out —
+        # exactly operators/dedup._winnow_selected's trick
+        "winnow_fingerprints_right": f"""
+            WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+            h AS (
+                SELECT doc_id, {_sql_token_hashes('toks')} AS th FROM t),
+            ph AS (
+                SELECT doc_id,
+                       {_sql_positional_shingles('th', 4)} AS p
+                FROM h),
+            pr AS (
+                SELECT doc_id,
+                       list_transform(p, (x, i) -> {{'h': x, 'pos': -i}}) AS pairs,
+                       greatest(len(p) - 2, 1) AS nsel
+                FROM ph),
+            sel AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, nsel + 1),
+                           q -> list_aggregate(
+                               list_slice(pairs, q, q + 2), 'min'))) AS s
+                FROM pr)
+            SELECT DISTINCT doc_id, abs(s.pos) AS pos, s.h AS fp FROM sel
         """,
         # Unicode NFC: DuckDB's native nfc_normalize vs the Spark-side
         # Arrow unicodedata kernel; the decomposed seed (e+U+0301,

@@ -1598,16 +1598,21 @@ def winnow_fingerprints(
     text_col: str = "text",
     id_col: str = "doc_id",
     fast: bool = False,
+    tie: str = "left",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
     2003): hash every k-token shingle POSITIONALLY, slide a window of
     ``w`` consecutive shingle hashes over each document, and select
-    each window's minimum (ties broken LEFTMOST — lowest position; the
-    paper breaks ties rightmost for slightly lower density, but
-    leftmost is the natural struct order both engines share, and the
-    guarantee below is tie-break-independent). The paper's guarantee
-    holds: every run of ``w`` consecutive shingles contributes at least
+    each window's minimum. ``tie='left'`` (default) breaks equal-hash
+    ties at the LOWEST position — the natural struct order both
+    engines share; ``tie='right'`` is the paper's rule (rightmost
+    minimum, for slightly lower density). The tie rule changes only
+    which POSITION is reported for a tied window — the selected hash
+    VALUE is the window minimum either way, so fp-set consumers
+    (:func:`winnow_matches`) are tie-rule-invariant. The paper's
+    guarantee holds under both: every run of ``w`` consecutive
+    shingles contributes at least
     one fingerprint, so any verbatim match of at least ``k + w - 1``
     tokens between two documents shares at least one fingerprint —
     a sparse (~2/(w+1) the density of full shingling), position-aware
@@ -1636,11 +1641,11 @@ def winnow_fingerprints(
     )
 
     return (
-        _winnow_selected(docs, k, w, text_col, id_col, fast)
+        _winnow_selected(docs, k, w, text_col, id_col, fast, tie)
         .select(F.col(id_col), F.explode("__fps").alias("__s"))
         .select(
             F.col(id_col),
-            F.col("__s.pos").alias("pos"),
+            F.abs(F.col("__s.pos")).alias("pos"),
             F.col("__s.h").alias("fp"),
         )
     )
@@ -1653,11 +1658,14 @@ def _winnow_selected(
     text_col: str,
     id_col: str,
     fast: bool,
+    tie: str = "left",
 ) -> DataFrame:
     """Shared winnowing core: ``(id_col, __fps)`` where ``__fps`` is the
     distinct array of selected ``struct(h, pos)`` fingerprints — still
     in array land (zero shuffle), one row per input document, behind
-    the inline barrier."""
+    the inline barrier. ``tie='right'`` stores NEGATED positions so the
+    same struct-min picks the rightmost tied minimum — callers take
+    ``abs(pos)``."""
     from dgraph_dbpedia_spark.functions.hashing import (
         positional_shingle_hashes,
     )
@@ -1666,9 +1674,14 @@ def _winnow_selected(
         raise ValueError(f"k must be >= 1, got {k}")
     if w < 1:
         raise ValueError(f"w must be >= 1, got {w}")
+    if tie not in ("left", "right"):
+        raise ValueError(f"tie must be 'left' or 'right', got {tie!r}")
+    sign = 1 if tie == "left" else -1
     pairs = F.transform(
         F.col("__ph"),
-        lambda h, i: F.struct(h.alias("h"), (i + 1).cast("int").alias("pos")),
+        lambda h, i: F.struct(
+            h.alias("h"), (sign * (i + 1)).cast("int").alias("pos")
+        ),
     )
     n_sel = F.greatest(F.size("__pairs") - (w - 1), F.lit(1))
     sel = F.array_distinct(

@@ -684,6 +684,42 @@ def test_winnow_fingerprints_matches_reference_and_guarantee(spark):
         winnow_fingerprints(df, k=0)
     with _pytest.raises(ValueError, match="w must be"):
         winnow_fingerprints(df, w=0)
+    with _pytest.raises(ValueError, match="tie must be"):
+        winnow_fingerprints(df, tie="middle")
+
+    # tie rules: "a b a b a b" at k=2 repeats shingle hashes, so
+    # windows contain equal minima — left picks the lowest position,
+    # right (the paper's rule) the highest; hash SETS are identical
+    def py_winnow_tie(text, k, w, right):
+        th = [h64(t) & MASK60 for t in text.split()]
+        ph = [fold(th[i : i + k]) for i in range(max(len(th) - (k - 1), 1))]
+        out = set()
+        for p in range(max(len(ph) - (w - 1), 1)):
+            win = ph[p : p + w]
+            mn = min(win)
+            pos = (
+                p + len(win) - 1 - win[::-1].index(mn)
+                if right
+                else p + win.index(mn)
+            )
+            out.add((pos + 1, mn))
+        return out
+
+    tdf = spark.createDataFrame([(7, "a b a b a b")], ["doc_id", "text"])
+    for tie, right in (("left", False), ("right", True)):
+        got_t = {
+            (r["pos"], r["fp"])
+            for r in winnow_fingerprints(tdf, k=2, w=3, tie=tie).collect()
+        }
+        assert got_t == py_winnow_tie("a b a b a b", 2, 3, right), tie
+    left_fps = {
+        r["fp"] for r in winnow_fingerprints(tdf, k=2, w=3).collect()
+    }
+    right_fps = {
+        r["fp"]
+        for r in winnow_fingerprints(tdf, k=2, w=3, tie="right").collect()
+    }
+    assert left_fps == right_fps
 
 
 def test_winnow_matches_cross_corpus(spark):
