@@ -3838,10 +3838,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE greatest(round(i / len(x.sh), 6),
                            round(i / len(y.sh), 6)) >= 0.9
         """,
-        # canonical form = lower + collapse \s+ + trim (the 'g' flag is
-        # load-bearing: DuckDB replaces only the first match without
-        # it); keep policy = min over struct(n_chars, id) — arg_min
-        # can't take a composite key, struct-min can
+        # canonical form = lower + collapse explicit-class whitespace
+        # runs (NOT \s: Java counts U+000B in \s, RE2 does not — the
+        # explicit class is the RE2-∩-Java form) + edge trim AFTER the
+        # collapse; the 'g' flag is load-bearing (DuckDB replaces only
+        # the first match without it); keep policy = min over
+        # struct(null-flag, n_chars, id) — NULL metadata always loses,
+        # and arg_min can't take a composite key
         "dedup_exact_normalized": r"""
             WITH u AS (
                 SELECT doc_id, text FROM documents
@@ -3849,9 +3852,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id + 100000, upper('  ' || text || '  ')
                 FROM documents),
             n AS (SELECT doc_id, text, length(text) AS n_chars FROM u)
-            SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+            SELECT md5(trim(regexp_replace(lower(text),
+                                           '[ \t\n\r\f]+', ' ', 'g')))
                        AS fp,
-                   (min({'c': n_chars, 'i': doc_id})).i AS doc_id
+                   (min({'z': CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END,
+                         'c': n_chars, 'i': doc_id})).i AS doc_id
             FROM n GROUP BY 1
         """,
         # epoch-seeded hash permutation; the 60-bit hash is

@@ -51,27 +51,43 @@ def exact_dedup(
     """One representative per distinct text. Returns ``(fp, doc_id)``.
 
     ``normalize=True`` fingerprints the CANONICAL form (lowercased,
-    whitespace runs collapsed to one space, trimmed) — catches the
-    case/indentation/re-wrap variants that dominate trivially-duplicated
-    web text and that byte-exact dedup misses; the returned rows are
-    still original ids, one per canonical class.
+    whitespace runs collapsed to one space, then edge-trimmed) —
+    catches the case/indentation/re-wrap variants that dominate
+    trivially-duplicated web text and that byte-exact dedup misses;
+    the returned rows are still original ids, one per canonical class.
+    The whitespace class is the explicit ``[ \\t\\n\\r\\f]`` (NOT
+    ``\\s``): Java regex counts U+000B as ``\\s`` and RE2 does not, so
+    the explicit class is the only form inside the repo's
+    RE2-∩-Java-regex oracle convention — and collapse runs BEFORE the
+    trim so edge tabs/newlines trim away with everything else.
 
     ``keep_by`` picks the representative by ``min(struct(keep_by,
     id))`` instead of ``min(id)`` — keep the earliest crawl by
     timestamp, the most compact variant by length, the best source by
-    priority rank (negate the column for descending). Default stays
-    min-id (oracle- and pipeline-stable).
+    priority rank (negate the column for descending). Rows whose
+    ``keep_by`` is NULL always LOSE to any non-NULL sibling (an
+    is-null flag leads the sort key; Spark's bare struct-min would
+    otherwise put NULLS FIRST and crown the one doc with missing
+    metadata). Default stays min-id (oracle- and pipeline-stable).
 
     Scale shape is unchanged either way: one partial-aggregable
     groupBy on the md5 key."""
     text = F.col(text_col)
     if normalize:
-        text = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+        text = F.trim(
+            F.regexp_replace(F.lower(text), "[ \\t\\n\\r\\f]+", " ")
+        )
     if keep_by is None:
         rep = F.min(id_col).alias(id_col)
     else:
         rep = (
-            F.min(F.struct(F.col(keep_by), F.col(id_col)))
+            F.min(
+                F.struct(
+                    F.col(keep_by).isNull().cast("int").alias("__nul"),
+                    F.col(keep_by),
+                    F.col(id_col),
+                )
+            )
             .getField(id_col)
             .alias(id_col)
         )
@@ -1636,10 +1652,6 @@ def winnow_fingerprints(
     Downstream matching equi-joins on ``fp`` exactly like the shingle
     joins (hot-key cap applies there, not here).
     """
-    from dgraph_dbpedia_spark.functions.hashing import (
-        positional_shingle_hashes,
-    )
-
     return (
         _winnow_selected(docs, k, w, text_col, id_col, fast, tie)
         .select(F.col(id_col), F.explode("__fps").alias("__s"))
@@ -1749,10 +1761,12 @@ def winnow_matches(
             .select(F.col(out), F.explode("__set").alias("fp"))
         )
 
-    fa0 = fp_rows(df_a, "a").persist()
-    fb0 = fp_rows(df_b, "b").persist()
-    fa, fb = fa0, fb0
+    # persist only under the cap: the frequency count is a SECOND
+    # consumer of each fp frame — uncapped, each frame feeds exactly
+    # one branch (the join) and caching it would be pure overhead
     if max_fp_freq is not None:
+        fa0 = fp_rows(df_a, "a").persist()
+        fb0 = fp_rows(df_b, "b").persist()
         freq = (
             fa0.select("fp")
             .unionByName(fb0.select("fp"))
@@ -1763,11 +1777,15 @@ def winnow_matches(
         )
         fa = fa0.join(freq, "fp", "left_semi")
         fb = fb0.join(freq, "fp", "left_semi")
+        handles = [fa0, fb0]  # the ORIGINALS, not the semi-joined rebinds
+    else:
+        fa = fp_rows(df_a, "a")
+        fb = fp_rows(df_b, "b")
+        handles = []
     out = (
         fa.join(fb, "fp")
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
-    # tag the ORIGINAL persisted handles, not the semi-joined rebinds
-    return tag_persisted(out, fa0, fb0)
+    return tag_persisted(out, *handles)

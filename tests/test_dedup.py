@@ -795,6 +795,22 @@ def test_exact_dedup_normalize_and_keep_by(spark):
     # class {1,2,3}: prios (1,0,1) -> min(struct(prio,id)) = (0,2)
     assert {r["doc_id"] for r in kept.collect()} == {2, 4}
 
+    # edge tabs/newlines canonicalize away (collapse BEFORE trim —
+    # bare trim only strips ASCII spaces)
+    edges = spark.createDataFrame(
+        [(1, "hello world"), (2, "\thello   world\n")], ["doc_id", "text"]
+    )
+    assert exact_dedup(edges, normalize=True).count() == 1
+
+    # NULL keep_by metadata always LOSES (bare struct-min would put
+    # NULLS FIRST and crown the doc with missing metadata)
+    nulls = spark.createDataFrame(
+        [(1, "same", None), (2, "same", 5), (3, "same", 7)],
+        ["doc_id", "text", "ts"],
+    )
+    got_null = exact_dedup(nulls, keep_by="ts").collect()
+    assert [r["doc_id"] for r in got_null] == [2]
+
 
 def test_ngram_containment_asymmetric(spark):
     """A short quote embedded in a long doc: containment(quote side)

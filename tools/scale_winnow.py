@@ -30,9 +30,10 @@ def main() -> None:
     planted = max(min(round(frac * n_docs), n_docs), 0)
     spark = build_session(app_name="scale-winnow")
     quote = " ".join(f"quote{w}" for w in range(10))
-    # unique 24-token bodies; the first `planted` ids in EACH half
-    # carry the quote (ids are half-local, so pairs are planted_i <->
-    # planted_i across halves plus all cross combinations)
+    # unique 24-token bodies; exactly `planted` evenly-strided ids
+    # (0, s, 2s, ..., (planted-1)*s) carry the quote — the stride
+    # spreads them over both halves, and the explicit id upper bound
+    # makes the count exact at any fraction (including 0: no plant)
     body = F.concat_ws(
         " ",
         *[
@@ -40,15 +41,17 @@ def main() -> None:
             for j in range(24)
         ],
     )
+    stride = n_docs // planted if planted else 0
+    plant_cond = (
+        (F.col("id") % stride == 0) & (F.col("id") < planted * stride)
+        if planted
+        else F.lit(False)
+    )
     docs = (
         spark.range(n_docs)
         .select(
             F.col("id").alias("doc_id"),
-            F.when(
-                F.col("id") % (n_docs // max(planted, 1) if planted else n_docs + 1)
-                == 0,
-                F.concat(body, F.lit(" " + quote)),
-            )
+            F.when(plant_cond, F.concat(body, F.lit(" " + quote)))
             .otherwise(body)
             .alias("text"),
         )
@@ -78,12 +81,7 @@ def main() -> None:
         json.dumps(
             {
                 "n_docs": n_docs,
-                "planted_quote_docs": sum(
-                    1
-                    for i in range(n_docs)
-                    if planted
-                    and i % (n_docs // max(planted, 1)) == 0
-                ),
+                "planted_quote_docs": planted,
                 "fingerprint_best_sec": min(fp_samples),
                 "fingerprint_samples": fp_samples,
                 "fingerprint_docs_per_sec": int(n_docs / min(fp_samples)),
