@@ -1970,7 +1970,14 @@ def _sql_hash64(expr: str, seed: int | None = None) -> str:
     return f"('0x' || substring(md5({expr}), 1, 15))::BIGINT"
 
 
-_SQL_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t != '')"
+# ONE tokenizer definition per engine: the SQL twin comes from
+# functions/hashing.tokens_sql (explicit Java-∩-RE2 whitespace class —
+# bare \s diverges between the engines on U+000B)
+from dgraph_dbpedia_spark.functions.hashing import (  # noqa: E402
+    tokens_sql as _sql_tokens,
+)
+
+_SQL_TOKS = _sql_tokens("text")
 
 # textclean regexes are written in the RE2 ∩ Java-regex common subset,
 # so the DuckDB oracle uses the exact same pattern strings
@@ -1979,9 +1986,7 @@ from dgraph_dbpedia_spark.operators.textclean import (  # noqa: E402
     IPV4_RE as IPV4_RE_SQL,
     PHONE_RE as PHONE_RE_SQL,
 )
-_SQL_TOKS_LOWER = (
-    "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != '')"
-)
+_SQL_TOKS_LOWER = _sql_tokens("lower(text)")
 
 
 # single definition of the string-shingle oracle form (hash-agnostic
@@ -2939,7 +2944,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": """
             SELECT doc_id,
-                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+')) AS n_tokens,
                    length(text) AS n_chars_actual
             FROM documents
         """,
@@ -3109,7 +3114,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts_bpe": f"""
             SELECT doc_id,
                    len({_SQL_TOKS}) AS n_ws_tokens,
-                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS n_bpe_tokens
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0B]+')) AS n_bpe_tokens
             FROM documents
         """,
         "fingerprint": f"""
@@ -3434,7 +3439,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    trim(regexp_replace(
                        regexp_replace(text, '<[^>]*>', ' ', 'g'),
-                       '\\s+', ' ', 'g')) AS clean
+                       '[ \t\n\r\f\x0B]+', ' ', 'g')) AS clean
             FROM documents
         """,
         # MRL truncate + L2 normalize: sequential sum-of-squares fold
@@ -3477,7 +3482,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    array_to_string(
                        list_filter(lines,
-                           (x, i) -> regexp_matches(x, '^\\s*$')
+                           (x, i) -> regexp_matches(x, '^[ \t\n\r\f\x0B]*$')
                                      OR list_position(lines, x) = i),
                        chr(10)) AS text
             FROM ls
@@ -3505,7 +3510,7 @@ def oracle_sql() -> dict[str, str]:
                            '&nbsp;', ' '), '&quot;', '"'),
                            '&#39;', ''''), '&lt;', '<'),
                            '&gt;', '>'), '&amp;', '&'),
-                       '\\s+', ' ', 'g')) AS text
+                       '[ \t\n\r\f\x0B]+', ' ', 'g')) AS text
             FROM seeded
         """,
         "pii_redact": f"""

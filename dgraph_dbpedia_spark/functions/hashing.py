@@ -50,13 +50,26 @@ def hash64_py(value: str, seed: int | None = None) -> int:
     return int(hashlib.md5(value.encode()).hexdigest()[:15], 16)
 
 
+# The whitespace class, spelled explicitly: Java's \s is exactly
+# [ \t\n\x0B\f\r] while RE2's \s EXCLUDES \x0B, so a bare \s in any
+# Spark-regex / DuckDB-oracle pair silently diverges on documents
+# containing a vertical tab. This spelling is valid and identical in
+# BOTH engines (Java and RE2 each accept \t \n \r \f \x0B escapes) and
+# reproduces Java's \s bit-for-bit — use it in every paired regex
+# instead of \s.
+WS_CLASS = r"[ \t\n\r\f\x0B]"
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization (empty-string-safe)."""
-    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+    return F.filter(F.split(F.trim(text), WS_CLASS + "+"), lambda t: t != "")
 
 
 def tokens_sql(expr: str) -> str:
-    return f"list_filter(regexp_split_to_array(trim({expr}), '\\s+'), t -> t != '')"
+    return (
+        f"list_filter(regexp_split_to_array(trim({expr}), "
+        f"'{WS_CLASS}+'), t -> t != '')"
+    )
 
 
 def shingles_sql(toks_expr: str, w: int) -> str:

@@ -20,7 +20,7 @@ import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dgraph_dbpedia_spark.functions.hashing import tokens
+from dgraph_dbpedia_spark.functions.hashing import WS_CLASS, tokens
 
 # Patterns shared verbatim with the DuckDB oracle (RE2 ∩ Java regex).
 HTML_TAG_RE = r"<[^>]*>"
@@ -55,7 +55,7 @@ def clean_text(
     whole-stage-codegen, no exchange.
     """
     c = F.regexp_replace(F.col(text_col), HTML_TAG_RE, " ")
-    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    c = F.trim(F.regexp_replace(c, WS_CLASS + "+", " "))
     return df.select(F.col(id_col), c.alias("clean"))
 
 
@@ -85,7 +85,7 @@ def strip_markup(
     c = F.regexp_replace(c, HTML_TAG_RE, " ")
     for ent, rep in _ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(rep))
-    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    c = F.trim(F.regexp_replace(c, WS_CLASS + "+", " "))
     return df.select(F.col(id_col), c.alias(text_col))
 
 
@@ -124,7 +124,7 @@ def dedup_lines(
     lines = F.col("_lines")
     kept = F.filter(
         lines,
-        lambda line, i: line.rlike(r"^\s*$")
+        lambda line, i: line.rlike(f"^{WS_CLASS}*$")
         | (F.array_position(lines, line) == i + 1),
     )
     return (

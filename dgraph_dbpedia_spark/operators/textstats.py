@@ -29,7 +29,7 @@ STOPWORDS = {
 }
 
 # GPT-2-style pre-tokenizer shape: word pieces, numbers, punctuation runs
-BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0B]+"
 
 
 def language_id(
