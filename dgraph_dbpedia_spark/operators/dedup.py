@@ -1718,7 +1718,7 @@ def _winnow_selected(
 
 def winnow_matches(
     df_a: DataFrame,
-    df_b: DataFrame,
+    df_b: DataFrame | None = None,
     k: int = 5,
     w: int = 4,
     min_shared: int = 2,
@@ -1727,10 +1727,14 @@ def winnow_matches(
     max_fp_freq: int | None = 1000,
     fast: bool = False,
 ) -> DataFrame:
-    """Cross-corpus LOCAL overlap detection on winnowing fingerprints
-    (the matching half of Schleimer et al. 2003 — the MOSS shape):
-    pairs ``(a, b, n_shared)`` where a document of ``df_a`` and one of
-    ``df_b`` share at least ``min_shared`` distinct fingerprint hashes.
+    """LOCAL overlap detection on winnowing fingerprints (the matching
+    half of Schleimer et al. 2003 — the MOSS shape): pairs ``(a, b,
+    n_shared)`` where a document of ``df_a`` and one of ``df_b`` share
+    at least ``min_shared`` distinct fingerprint hashes.
+    ``df_b=None`` is WITHIN-corpus mode — MOSS's own regime: the corpus
+    is matched against itself with one fingerprint pass (the b-side
+    reuses the a-side's persisted frame) and pairs restricted to
+    ``a < b`` so self-pairs and mirror duplicates never appear.
     By the winnowing guarantee every verbatim overlap of at least
     ``k + w - 1`` tokens contributes a shared fingerprint, so this
     finds quote-level / paragraph-level copying that whole-document
@@ -1761,30 +1765,42 @@ def winnow_matches(
             .select(F.col(out), F.explode("__set").alias("fp"))
         )
 
-    # persist only under the cap: the frequency count is a SECOND
-    # consumer of each fp frame — uncapped, each frame feeds exactly
-    # one branch (the join) and caching it would be pure overhead
-    if max_fp_freq is not None:
+    within = df_b is None
+    # persist when any frame feeds more than one plan branch: always in
+    # within mode (the a-frame IS the b-frame, plus the optional
+    # frequency count); cross-mode only under the cap — uncapped, each
+    # frame feeds exactly one branch and caching it is pure overhead
+    if within:
+        fa0 = fp_rows(df_a, "a").persist()
+        fb0 = fa0.withColumnRenamed("a", "b")
+        handles = [fa0]
+        # the doc frequency of a fingerprint is its a-side frequency
+        freq_src = fa0.select("fp")
+    elif max_fp_freq is not None:
         fa0 = fp_rows(df_a, "a").persist()
         fb0 = fp_rows(df_b, "b").persist()
+        handles = [fa0, fb0]  # the ORIGINALS, not the semi-joined rebinds
+        freq_src = fa0.select("fp").unionByName(fb0.select("fp"))
+    else:
+        fa0 = fp_rows(df_a, "a")
+        fb0 = fp_rows(df_b, "b")
+        handles = []
+        freq_src = None
+    fa, fb = fa0, fb0
+    if max_fp_freq is not None:
         freq = (
-            fa0.select("fp")
-            .unionByName(fb0.select("fp"))
-            .groupBy("fp")
+            freq_src.groupBy("fp")
             .agg(F.count(F.lit(1)).alias("__n"))
             .where(F.col("__n") <= max_fp_freq)
             .select("fp")
         )
         fa = fa0.join(freq, "fp", "left_semi")
         fb = fb0.join(freq, "fp", "left_semi")
-        handles = [fa0, fb0]  # the ORIGINALS, not the semi-joined rebinds
-    else:
-        fa = fp_rows(df_a, "a")
-        fb = fp_rows(df_b, "b")
-        handles = []
+    joined = fa.join(fb, "fp")
+    if within:
+        joined = joined.where(F.col("a") < F.col("b"))
     out = (
-        fa.join(fb, "fp")
-        .groupBy("a", "b")
+        joined.groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )

@@ -850,3 +850,40 @@ def test_ngram_containment_asymmetric(spark):
     j = ngram_jaccard_pairs(df, w=3, threshold=0.9)
     assert j.count() == 0
     release(j)
+
+
+def test_winnow_matches_within_corpus(spark):
+    """df_b=None self mode: pairs come back a < b exactly once, no
+    self-pairs; ONE fingerprint pass is shared (single persisted
+    handle); results equal the explicit cross form filtered to a < b."""
+    from dgraph_dbpedia_spark.operators.cachectl import (
+        persisted_frames,
+        release,
+    )
+    from dgraph_dbpedia_spark.operators.dedup import winnow_matches
+
+    quote = "we hold these truths to be self evident that all are equal"
+    df = spark.createDataFrame(
+        [
+            (1, f"preamble {quote} and then commentary follows"),
+            (2, f"quoted later {quote} with analysis appended"),
+            (3, f"third copy {quote} trailing words"),
+            (4, "entirely unrelated content about deep sea exploration"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = winnow_matches(df, k=4, w=3, min_shared=2)
+    assert len(persisted_frames(out)) == 1
+    pairs = {(r["a"], r["b"]): r["n_shared"] for r in out.collect()}
+    release(out)
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
+    assert all(a < b for a, b in pairs)
+
+    cross = winnow_matches(df, df, k=4, w=3, min_shared=2)
+    cross_pairs = {
+        (r["a"], r["b"]): r["n_shared"]
+        for r in cross.collect()
+        if r["a"] < r["b"]
+    }
+    release(cross)
+    assert cross_pairs == pairs
