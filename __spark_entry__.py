@@ -926,6 +926,29 @@ def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(seeded, form="NFC")
 
 
+def _q_resample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: hypertable-style daily rollup with gap fill — every bucket
+    between each user's first and last event emitted, empty days as
+    explicit zero rows."""
+    from dgraph_dbpedia_spark.operators.temporal import resample_events
+
+    ev = _t(spark, sf_dir, "events")
+    return resample_events(ev, interval_sec=86400)
+
+
+def _q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: ordered conversion funnel (signup -> view -> purchase ->
+    error, each strictly after the previous anchor) over the first ~30
+    hours — the window restriction makes conversion discriminate
+    (64 -> 13 -> 2 -> 0 at sf0.01 rather than everyone converting)."""
+    from dgraph_dbpedia_spark.operators.temporal import funnel_counts
+    from dgraph_dbpedia_spark.streaming.events import epoch_seconds
+
+    ev = _t(spark, sf_dir, "events")
+    cut = ev.where(epoch_seconds(ev) < 1704067200 + 108000)
+    return funnel_counts(cut, ["signup", "view", "purchase", "error"])
+
+
 def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r10: asymmetric shingle containment — each doc's 6-token prefix
     joins the corpus as a separate doc (id+100000); the prefix is fully
@@ -1852,6 +1875,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_normalized": _q_dedup_exact_normalized,
     "ngram_containment": _q_ngram_containment,
     "winnow_fingerprints_right": _q_winnow_fingerprints_right,
+    "resample_events": _q_resample_events,
+    "funnel_counts": _q_funnel_counts,
     "strip_markup": _q_strip_markup,
     "dedup_lines": _q_dedup_lines,
     "normalize_embeddings": _q_normalize_embeddings,
@@ -3818,6 +3843,61 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, nfc_normalize('cafe\u0301 A\u030a ' || text)"
             " AS text FROM documents"
         ),
+        # daily rollup with per-user gap spine (range is end-exclusive,
+        # hence mx + 1); floor(epoch()) matches Spark's truncating
+        # unix_timestamp; // is DuckDB integer div like Spark's `div`
+        "resample_events": """
+            WITH e AS (
+                SELECT user_id, floor(epoch(ts))::BIGINT AS es, value
+                FROM events),
+            a AS (
+                SELECT user_id, es // 86400 AS b,
+                       count(*)::BIGINT AS n_events,
+                       round(sum(value), 4) AS s
+                FROM e GROUP BY 1, 2),
+            r AS (SELECT user_id, min(b) AS mn, max(b) AS mx FROM a
+                  GROUP BY 1),
+            spine AS (
+                SELECT user_id, unnest(range(mn, mx + 1)) AS b FROM r)
+            SELECT spine.user_id, b * 86400 AS bucket_start,
+                   coalesce(n_events, 0) AS n_events,
+                   coalesce(s, 0.0) AS sum_value
+            FROM spine LEFT JOIN a USING (user_id, b)
+        """,
+        # sequential conditional minima with (epoch-second, type)
+        # struct anchors — struct comparison is lexicographic on both
+        # engines, so 'strictly after' ties inside one second break by
+        # event type identically
+        "funnel_counts": """
+            WITH e AS (
+                SELECT user_id, event_type AS t,
+                       floor(epoch(ts))::BIGINT AS es
+                FROM events
+                WHERE floor(epoch(ts))::BIGINT < 1704175200),
+            u1 AS (
+                SELECT user_id, min({'es': es, 't': t}) AS k
+                FROM e WHERE t = 'signup' GROUP BY 1),
+            u2 AS (
+                SELECT e.user_id, min({'es': e.es, 't': e.t}) AS k
+                FROM e JOIN u1 USING (user_id)
+                WHERE e.t = 'view' AND {'es': e.es, 't': e.t} > u1.k
+                GROUP BY 1),
+            u3 AS (
+                SELECT e.user_id, min({'es': e.es, 't': e.t}) AS k
+                FROM e JOIN u2 USING (user_id)
+                WHERE e.t = 'purchase' AND {'es': e.es, 't': e.t} > u2.k
+                GROUP BY 1),
+            u4 AS (
+                SELECT e.user_id, min({'es': e.es, 't': e.t}) AS k
+                FROM e JOIN u3 USING (user_id)
+                WHERE e.t = 'error' AND {'es': e.es, 't': e.t} > u3.k
+                GROUP BY 1)
+            SELECT 1 AS step, 'signup' AS step_name,
+                   count(*)::BIGINT AS n_users FROM u1
+            UNION ALL SELECT 2, 'view', count(*)::BIGINT FROM u2
+            UNION ALL SELECT 3, 'purchase', count(*)::BIGINT FROM u3
+            UNION ALL SELECT 4, 'error', count(*)::BIGINT FROM u4
+        """,
         # asymmetric containment over the doc+prefix union universe;
         # string shingles (hash-agnostic, the jaccard-oracle form)
         "ngram_containment": f"""

@@ -232,3 +232,144 @@ def range_count_join(
     return joined.groupBy(probe_id).agg(
         F.count("__ets").alias(count_col)
     )
+
+
+def resample_events(
+    events: DataFrame,
+    interval_sec: int = 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    fill: str = "zero",
+) -> DataFrame:
+    """Per-key fixed-interval resampling WITH gap fill — the hypertable
+    rollup shape: bucket every event into ``interval_sec``-wide bins,
+    aggregate per ``(key, bucket)``, then EMIT EVERY bucket between each
+    key's first and last event so downstream consumers (charting,
+    anomaly detection, training on regular series) never interpolate
+    over silently-missing rows. Returns ``(user_col, bucket_start,
+    n_events, sum_value)`` with ``bucket_start`` in epoch seconds;
+    empty buckets get ``n_events = 0`` and a ``sum_value`` of 0.0
+    (``fill='zero'``), the previous bucket's value carried forward
+    (``fill='forward'``), or NULL (``fill='none'``).
+
+    100 TB shape: ONE data shuffle (the partial-aggregable
+    (key, bucket) groupBy); the gap spine is generated per key from its
+    (min, max) bucket — sequence + explode, NEVER a driver-side range —
+    and its size is bounded by span/interval per key (``interval_sec``
+    is the dial; a year at 1h is 8,760 rows/key). The forward fill is a
+    running ``last(ignorenulls)`` window per key, ordered by bucket —
+    the asof_join fill-forward trick on the key's own timeline. Bucket
+    arithmetic is integer ``div`` on epoch seconds (module-header
+    precision rule)."""
+    from dgraph_dbpedia_spark.streaming.events import epoch_seconds
+
+    if interval_sec < 1:
+        raise ValueError(f"interval_sec must be >= 1, got {interval_sec}")
+    fills = ("zero", "forward", "none")
+    if fill not in fills:
+        raise ValueError(f"fill must be one of {fills}, got {fill!r}")
+    agg = (
+        events.select(
+            F.col(user_col),
+            epoch_seconds(events, ts_col).alias("__es"),
+            F.col(value_col).alias("__v"),
+        )
+        .select(
+            F.col(user_col),
+            F.expr(f"__es div {interval_sec}").alias("__b"),
+            F.col("__v"),
+        )
+        .groupBy(user_col, "__b")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("__v"), 4).alias("__s"),
+        )
+    )
+    spine = (
+        agg.groupBy(user_col)
+        .agg(F.min("__b").alias("__mn"), F.max("__b").alias("__mx"))
+        .select(
+            F.col(user_col),
+            F.explode(F.sequence(F.col("__mn"), F.col("__mx"))).alias("__b"),
+        )
+    )
+    out = spine.join(agg, [user_col, "__b"], "left")
+    filled = F.coalesce(F.col("__s"), F.lit(0.0))
+    if fill == "forward":
+        w = (
+            Window.partitionBy(user_col)
+            .orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = F.coalesce(F.last("__s", ignorenulls=True).over(w), F.lit(0.0))
+    elif fill == "none":
+        filled = F.col("__s")
+    return out.select(
+        F.col(user_col),
+        (F.col("__b") * interval_sec).alias("bucket_start"),
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        filled.alias("sum_value"),
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: how many users performed step 1, then
+    step 2 STRICTLY AFTER their first step 1, then step 3 strictly
+    after that, ... Returns one row per step: ``(step, step_name,
+    n_users)`` — the classic product-analytics conversion funnel,
+    computed with sequential conditional minima (step i's anchor is the
+    EARLIEST qualifying occurrence after the step i-1 anchor; ties
+    inside one epoch second break by event type, the deterministic
+    order both engines share).
+
+    100 TB shape: k = len(steps) rounds, each a partial-aggregable
+    filtered groupBy on the user key plus one equi-join against the
+    previous (per-user, ≤1 row) anchor frame — NO per-user event
+    arrays are ever collected (the collect_list fold encoding dies on
+    power users; this one's state per round is one anchor row per
+    user). Each anchor frame feeds the next round AND its own count,
+    so all k are persisted — release via cachectl after materializing.
+    The step counts union k single-row aggregates (tiny)."""
+    from dgraph_dbpedia_spark.operators.cachectl import tag_persisted
+    from dgraph_dbpedia_spark.streaming.events import epoch_seconds
+
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    e = events.select(
+        F.col(user_col),
+        F.col(type_col).alias("__t"),
+        F.struct(
+            epoch_seconds(events, ts_col).alias("es"),
+            F.col(type_col).alias("t"),
+        ).alias("__k"),
+    )
+    handles = []
+    prev = None
+    step_rows = []
+    for i, s in enumerate(steps, start=1):
+        f = e.where(F.col("__t") == s)
+        if prev is not None:
+            f = f.join(prev, user_col).where(F.col("__k") > F.col("__pk"))
+        anchor = (
+            f.groupBy(user_col).agg(F.min("__k").alias("__pk")).persist()
+        )
+        handles.append(anchor)
+        step_rows.append(
+            anchor.agg(
+                F.lit(i).alias("step"),
+                F.lit(s).alias("step_name"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+        prev = anchor
+    out = step_rows[0]
+    for r in step_rows[1:]:
+        out = out.unionByName(r)
+    return tag_persisted(out, *handles)

@@ -206,3 +206,96 @@ def test_range_count_join_rejects_zero_radius(spark):
     probe = spark.createDataFrame([(1, 1, 100)], "event_id long, k int, ts long")
     with _pytest.raises(ValueError, match="radius"):
         range_count_join(probe, probe, ["k"], "ts", radius=0)
+
+
+def test_resample_events_gap_fill_modes(spark):
+    """Daily buckets: empty days between a key's first and last event
+    appear explicitly; zero / forward / none fills behave as named;
+    nothing emitted outside a key's own range; keys are independent."""
+    from datetime import datetime
+
+    from dgraph_dbpedia_spark.operators.temporal import resample_events
+
+    d = lambda day, h=0: datetime(2024, 1, day, h)
+    ev = spark.createDataFrame(
+        [
+            (1, d(1), 10.0),
+            (1, d(1, 6), 5.0),   # day 1: two events
+            (1, d(4), 2.5),      # days 2-3 are gaps
+            (2, d(2), 7.0),      # single-day key: one bucket, no spine
+        ],
+        ["user_id", "ts", "value"],
+    )
+    zero = {
+        (r["user_id"], r["bucket_start"]): (r["n_events"], r["sum_value"])
+        for r in resample_events(ev, 86400).collect()
+    }
+    day1 = int(datetime(2024, 1, 1).timestamp())
+    assert len(zero) == 5  # user1: days 1-4; user2: day 2
+    assert zero[(1, day1)] == (2, 15.0)
+    assert zero[(1, day1 + 86400)] == (0, 0.0)
+    assert zero[(1, day1 + 3 * 86400)] == (1, 2.5)
+    assert zero[(2, day1 + 86400)] == (1, 7.0)
+
+    fwd = {
+        (r["user_id"], r["bucket_start"]): r["sum_value"]
+        for r in resample_events(ev, 86400, fill="forward").collect()
+    }
+    assert fwd[(1, day1 + 86400)] == 15.0  # carried from day 1
+    assert fwd[(1, day1 + 2 * 86400)] == 15.0
+
+    none = {
+        (r["user_id"], r["bucket_start"]): r["sum_value"]
+        for r in resample_events(ev, 86400, fill="none").collect()
+    }
+    assert none[(1, day1 + 86400)] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="interval_sec"):
+        resample_events(ev, 0)
+    with _pytest.raises(ValueError, match="fill"):
+        resample_events(ev, 86400, fill="interpolate")
+
+
+def test_funnel_counts_strict_order(spark):
+    """Step i anchors at the earliest qualifying event strictly after
+    the step i-1 anchor: out-of-order completions don't count, repeat
+    events do, empty steps report 0 (the row still appears), and the
+    anchor frames carry release handles."""
+    from datetime import datetime
+
+    from dgraph_dbpedia_spark.operators.cachectl import (
+        persisted_frames,
+        release,
+    )
+    from dgraph_dbpedia_spark.operators.temporal import funnel_counts
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    ev = spark.createDataFrame(
+        [
+            # user 1 completes in order
+            (1, t(0), "signup"), (1, t(1), "view"), (1, t(2), "purchase"),
+            # user 2: view BEFORE signup, never views again -> depth 1
+            (2, t(0), "view"), (2, t(1), "signup"),
+            # user 3: signup then view; purchase is BEFORE the view
+            (3, t(0), "purchase"), (3, t(1), "signup"), (3, t(2), "view"),
+            # user 4: no signup at all
+            (4, t(0), "view"), (4, t(1), "purchase"),
+        ],
+        ["user_id", "ts", "event_type"],
+    )
+    out = funnel_counts(ev, ["signup", "view", "purchase"])
+    assert len(persisted_frames(out)) == 3
+    rows = {r["step"]: (r["step_name"], r["n_users"]) for r in out.collect()}
+    release(out)
+    assert rows == {
+        1: ("signup", 3),   # users 1, 2, 3
+        2: ("view", 2),     # users 1, 3
+        3: ("purchase", 1), # user 1 only
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="steps"):
+        funnel_counts(ev, [])
