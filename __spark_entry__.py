@@ -949,6 +949,15 @@ def _q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(cut, ["signup", "view", "purchase", "error"])
 
 
+def _q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: weekly retention matrix — cohort = first-activity week,
+    count(*) over the deduped (user, week) frame IS distinct users."""
+    from dgraph_dbpedia_spark.operators.temporal import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events")
+    return retention_cohorts(ev, interval_sec=604800)
+
+
 def _q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r10: asymmetric shingle containment — each doc's 6-token prefix
     joins the corpus as a separate doc (id+100000); the prefix is fully
@@ -1855,8 +1864,14 @@ def _q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # changed or new this round (r10) — first in line for driver rows:
     # the arrow assignment lane (semantic/IVF family), the quantized
-    # served index, the paper-faithful SemDeDup keep policy, and the
-    # micro-batch streaming near-dup composition
+    # served index, the paper-faithful SemDeDup keep policy, the
+    # micro-batch streaming near-dup composition, the winnowing
+    # family, and the events-side analytics (resample/funnel). The ten
+    # queries this pushes past position 50 (bm25_topk .. dedup_
+    # clusters_star) all hold green r7-r9 driver rows; the whitespace-
+    # class unification that touches their shared tokenizer is covered
+    # for them by the committed 112-query CORRECTNESS_FULL.json sweep,
+    # re-run in full after that change.
     "quantized_ann_topk_served": _q_quantized_ann_topk_served,
     "stream_near_dup": _q_stream_near_dup,
     "semantic_dedup_keep_far": _q_semantic_dedup_keep_far,
@@ -1877,6 +1892,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints_right": _q_winnow_fingerprints_right,
     "resample_events": _q_resample_events,
     "funnel_counts": _q_funnel_counts,
+    "retention_cohorts": _q_retention_cohorts,
     "strip_markup": _q_strip_markup,
     "dedup_lines": _q_dedup_lines,
     "normalize_embeddings": _q_normalize_embeddings,
@@ -3863,6 +3879,22 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n_events, 0) AS n_events,
                    coalesce(s, 0.0) AS sum_value
             FROM spine LEFT JOIN a USING (user_id, b)
+        """,
+        # cohort = first-activity week; the (user, bucket) frame is
+        # DISTINCT before counting, so count(*) equals distinct users
+        "retention_cohorts": """
+            WITH acts AS (
+                SELECT DISTINCT user_id,
+                       floor(epoch(ts))::BIGINT // 604800 AS b
+                FROM events),
+            first AS (SELECT user_id, min(b) AS c FROM acts GROUP BY 1),
+            m AS (
+                SELECT c, (b - c) AS "offset", count(*)::BIGINT AS n_users
+                FROM acts JOIN first USING (user_id) GROUP BY 1, 2),
+            sz AS (SELECT c, n_users AS size FROM m WHERE "offset" = 0)
+            SELECT c * 604800 AS cohort_start, "offset", n_users,
+                   round(n_users / size::DOUBLE, 4) AS retention
+            FROM m JOIN sz USING (c)
         """,
         # sequential conditional minima with (epoch-second, type)
         # struct anchors — struct comparison is lexicographic on both

@@ -373,3 +373,63 @@ def funnel_counts(
     for r in step_rows[1:]:
         out = out.unionByName(r)
     return tag_persisted(out, *handles)
+
+
+def retention_cohorts(
+    events: DataFrame,
+    interval_sec: int = 604800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention analysis: users are grouped by the bucket of
+    their FIRST activity (the cohort), and for each ``(cohort,
+    offset)`` the fraction of that cohort active ``offset`` buckets
+    later is reported — the standard product-analytics retention
+    matrix (weekly by default). Returns ``(cohort_start, offset,
+    n_users, retention)`` with ``cohort_start`` in epoch seconds and
+    ``retention = n_users / cohort_size`` rounded to 4; offset 0 is
+    always retention 1.0 (a user is active in their own first bucket
+    by definition — a cheap full-pipeline sanity row).
+
+    100 TB shape: all stages are partial-aggregable or key-bounded —
+    first-activity is a groupBy(user) min; the activity set is a
+    distinct over (user, bucket) (bounded by events, deduped
+    map-side); the cohort join is user-key equi; the matrix groupBy
+    counts rows of an already-distinct frame (so count(*) IS
+    count-distinct-users, no expensive distinct aggregate); cohort
+    sizes re-join on the cohort key (matrix-sized, tiny). Bucket math
+    is integer ``div`` (module-header precision rule)."""
+    from dgraph_dbpedia_spark.streaming.events import epoch_seconds
+
+    if interval_sec < 1:
+        raise ValueError(f"interval_sec must be >= 1, got {interval_sec}")
+    acts = (
+        events.select(
+            F.col(user_col),
+            epoch_seconds(events, ts_col).alias("__es"),
+        )
+        .select(
+            F.col(user_col), F.expr(f"__es div {interval_sec}").alias("__b")
+        )
+        .distinct()
+    )
+    first = acts.groupBy(user_col).agg(F.min("__b").alias("__c"))
+    matrix = (
+        acts.join(first, user_col)
+        .groupBy(
+            F.col("__c"), (F.col("__b") - F.col("__c")).alias("offset")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    sizes = matrix.where(F.col("offset") == 0).select(
+        F.col("__c"), F.col("n_users").alias("__size")
+    )
+    return (
+        matrix.join(sizes, "__c")
+        .select(
+            (F.col("__c") * interval_sec).alias("cohort_start"),
+            F.col("offset"),
+            F.col("n_users"),
+            F.round(F.col("n_users") / F.col("__size"), 4).alias("retention"),
+        )
+    )

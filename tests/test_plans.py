@@ -41,6 +41,7 @@ _PYTHON_OK = {
     "minhash_join",
     "dedup_increment",
     "compression_ratio",  # deliberate Arrow lane: stdlib zlib DEFLATE
+    "normalize_text",  # deliberate Arrow lane: stdlib unicodedata NFC
     # r10 Arrow assignment kernel (nearest_centroid_arrow, bit-equal
     # pinned): these return the lazy scan+assign plan itself — the
     # served/trained family materializes or checkpoints first, so only

@@ -299,3 +299,42 @@ def test_funnel_counts_strict_order(spark):
 
     with _pytest.raises(ValueError, match="steps"):
         funnel_counts(ev, [])
+
+
+def test_retention_cohorts_matrix(spark):
+    """Cohorts keyed by first-activity bucket; retention is the
+    fraction active at each offset; offset 0 is always 1.0; a user's
+    multiple events in one bucket count once."""
+    from datetime import datetime
+
+    from dgraph_dbpedia_spark.operators.temporal import retention_cohorts
+
+    d = lambda day: datetime(2024, 1, day)
+    week = 604800
+    ev = spark.createDataFrame(
+        [
+            # cohort week 0: users 1, 2 (u1 twice in week 0 — counts once)
+            (1, d(1)), (1, d(2)), (2, d(3)),
+            (1, d(8)),            # u1 active week 1
+            (1, d(15)), (2, d(16)),  # both active week 2
+            # cohort week 1: user 3
+            (3, d(9)),
+        ],
+        ["user_id", "ts"],
+    )
+    rows = {
+        (r["cohort_start"], r["offset"]): (r["n_users"], r["retention"])
+        for r in retention_cohorts(ev, week).collect()
+    }
+    w0 = int(datetime(2024, 1, 1).timestamp()) // week * week
+    w1 = w0 + week
+    assert rows[(w0, 0)] == (2, 1.0)
+    assert rows[(w0, 1)] == (1, 0.5)
+    assert rows[(w0, 2)] == (2, 1.0)
+    assert rows[(w1, 0)] == (1, 1.0)
+    assert len(rows) == 4
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="interval_sec"):
+        retention_cohorts(ev, 0)
