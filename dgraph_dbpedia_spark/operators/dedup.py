@@ -55,11 +55,10 @@ def exact_dedup(
     catches the case/indentation/re-wrap variants that dominate
     trivially-duplicated web text and that byte-exact dedup misses;
     the returned rows are still original ids, one per canonical class.
-    The whitespace class is the explicit ``[ \\t\\n\\r\\f]`` (NOT
-    ``\\s``): Java regex counts U+000B as ``\\s`` and RE2 does not, so
-    the explicit class is the only form inside the repo's
-    RE2-∩-Java-regex oracle convention — and collapse runs BEFORE the
-    trim so edge tabs/newlines trim away with everything else.
+    The whitespace class is the shared ``WS_CLASS`` constant
+    (functions/hashing.py — the explicit Java-∩-RE2 spelling of Java's
+    ``\\s``, vertical tab included), and collapse runs BEFORE the trim
+    so edge tabs/newlines trim away with everything else.
 
     ``keep_by`` picks the representative by ``min(struct(keep_by,
     id))`` instead of ``min(id)`` — keep the earliest crawl by
@@ -74,9 +73,9 @@ def exact_dedup(
     groupBy on the md5 key."""
     text = F.col(text_col)
     if normalize:
-        text = F.trim(
-            F.regexp_replace(F.lower(text), "[ \\t\\n\\r\\f]+", " ")
-        )
+        from dgraph_dbpedia_spark.functions.hashing import WS_CLASS
+
+        text = F.trim(F.regexp_replace(F.lower(text), WS_CLASS + "+", " "))
     if keep_by is None:
         rep = F.min(id_col).alias(id_col)
     else:
@@ -1750,9 +1749,14 @@ def winnow_matches(
     more than N documents across both sides — a boilerplate fingerprint
     is a hot-key f^2 join explosion with no matching signal. The
     empty-document sentinel (hash 0) is always excluded — every empty
-    doc would otherwise match every other. Both fp frames are persisted
-    (each feeds the frequency count and the join); release via
-    cachectl after materializing."""
+    doc would otherwise match every other. Persist is conditional on a
+    frame feeding more than one branch: within mode persists the one
+    shared fp frame, capped cross mode both originals, uncapped cross
+    mode none — release whatever handles the result carries via
+    cachectl after materializing. NOTE the cap counts a fingerprint's
+    doc frequency over BOTH sides, so within mode (each doc once) and
+    ``winnow_matches(df, df)`` (each doc twice) can diverge on
+    fingerprints whose doc frequency exceeds ``max_fp_freq / 2``."""
     from dgraph_dbpedia_spark.operators.cachectl import tag_persisted
 
     def fp_rows(df: DataFrame, out: str) -> DataFrame:

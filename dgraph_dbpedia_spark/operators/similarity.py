@@ -1692,3 +1692,69 @@ def semantic_dedup(
     finally:
         sk.unpersist()
     return out
+
+
+def ann_join(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dims: int = 64,
+    min_sim: float | None = None,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Cross-corpus approximate-nearest-neighbor JOIN: for every vector
+    of ``df_a``, the top-``k`` most-cosine-similar vectors of ``df_b``
+    among those sharing its hyperplane bucket — the bulk retrieval
+    shape (link every new document to its nearest existing neighbors,
+    match queries to corpus passages) that the single/batch probe
+    operators (:func:`lsh_ann_topk`) can't express without collecting
+    the query side. Returns ``(a, b, sim, rnk)``, ``rnk`` 1-based by
+    ``(sim desc, b asc)``; ``min_sim`` drops weak candidates before
+    ranking. a-rows whose bucket has no b-occupant produce no rows
+    (recall follows the bucket-collision bound — raise recall by
+    lowering ``n_planes``, exactly the LSH dial).
+
+    100 TB shape: both sides sketch in one narrow projection (signs on
+    the Arrow lane by default, bit-equal pinned), candidates ride ONE
+    bucket equi-join (never |A|x|B|), and the per-a top-k is a window
+    over candidates only. No persist: each sketch feeds exactly one
+    branch (the conditional-persist rule). Norms are precomputed per
+    VECTOR, not per pair — the cosine_near_dup_pairs argument."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def sketch(df: DataFrame, out: str, e: str, n: str) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        return df.select(
+            F.col(id_col).alias(out),
+            v.alias(e),
+            _norm(v).alias(n),
+            _bucket_col(v, n_planes, dims, use_arrow).alias("bucket"),
+        )
+
+    if use_arrow:
+        sim = pair_cosine_arrow(4)(
+            F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+        )
+    else:
+        sim = F.round(
+            F.try_divide(_dot("ea", "eb"), F.col("na") * F.col("nb")), 4
+        )
+    cand = (
+        sketch(df_a, "a", "ea", "na")
+        .join(sketch(df_b, "b", "eb", "nb"), "bucket")
+        .select("a", "b", sim.alias("sim"))
+    )
+    if min_sim is not None:
+        cand = cand.where(F.col("sim") >= min_sim)
+    w = Window.partitionBy("a").orderBy(F.col("sim").desc(), F.col("b").asc())
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("a", "b", "sim", "rnk")
+    )

@@ -334,8 +334,9 @@ def funnel_counts(
     previous (per-user, ≤1 row) anchor frame — NO per-user event
     arrays are ever collected (the collect_list fold encoding dies on
     power users; this one's state per round is one anchor row per
-    user). Each anchor frame feeds the next round AND its own count,
-    so all k are persisted — release via cachectl after materializing.
+    user). Each anchor frame except the LAST feeds the next
+    round AND its own count, so the first k-1 are persisted (the last
+    has one consumer) — release via cachectl after materializing.
     The step counts union k single-row aggregates (tiny)."""
     from dgraph_dbpedia_spark.operators.cachectl import tag_persisted
     from dgraph_dbpedia_spark.streaming.events import epoch_seconds
@@ -357,10 +358,12 @@ def funnel_counts(
         f = e.where(F.col("__t") == s)
         if prev is not None:
             f = f.join(prev, user_col).where(F.col("__k") > F.col("__pk"))
-        anchor = (
-            f.groupBy(user_col).agg(F.min("__k").alias("__pk")).persist()
-        )
-        handles.append(anchor)
+        anchor = f.groupBy(user_col).agg(F.min("__k").alias("__pk"))
+        if i < len(steps):
+            # the last step's anchor feeds ONLY its own count — the
+            # conditional-persist rule (persist = >1 consumer)
+            anchor = anchor.persist()
+            handles.append(anchor)
         step_rows.append(
             anchor.agg(
                 F.lit(i).alias("step"),

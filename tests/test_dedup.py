@@ -855,7 +855,10 @@ def test_ngram_containment_asymmetric(spark):
 def test_winnow_matches_within_corpus(spark):
     """df_b=None self mode: pairs come back a < b exactly once, no
     self-pairs; ONE fingerprint pass is shared (single persisted
-    handle); results equal the explicit cross form filtered to a < b."""
+    handle); results equal the explicit cross form filtered to a < b —
+    WHEN no fingerprint's doc frequency exceeds max_fp_freq / 2 (the
+    cap counts each doc once in within mode, twice in cross(df, df);
+    the operator docstring documents the divergence regime)."""
     from dgraph_dbpedia_spark.operators.cachectl import (
         persisted_frames,
         release,

@@ -1168,3 +1168,60 @@ def test_normalize_embeddings_truncation_and_norms(spark):
 
     with _pytest.raises(ValueError, match="dims"):
         normalize_embeddings(df, dims=0)
+
+
+def test_ann_join_bulk_retrieval(spark):
+    """Cross-corpus ANN join: an identical twin in df_b ranks 1 at sim
+    1.0; ranks are 1..<=k per a-vector ordered (sim desc, b asc);
+    min_sim prunes; arrow and native lanes agree; no persisted
+    handles (each sketch feeds one branch)."""
+    from dgraph_dbpedia_spark.operators.cachectl import persisted_frames
+    from dgraph_dbpedia_spark.operators.similarity import ann_join
+
+    import math
+
+    def vec(theta):
+        # unit vectors on a 2D circle embedded in 4 dims
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    a = spark.createDataFrame(
+        [(1, vec(0.0)), (2, vec(1.5))], ["vec_id", "embedding"]
+    )
+    b = spark.createDataFrame(
+        [(10, vec(0.0)), (11, vec(0.1)), (12, vec(1.5)), (13, vec(3.0))],
+        ["vec_id", "embedding"],
+    )
+    out = ann_join(a, b, k=2, n_planes=4, dims=4)
+    assert not persisted_frames(out)
+    rows = {(r["a"], r["rnk"]): (r["b"], r["sim"]) for r in out.collect()}
+    # a=1's identical twin b=10 must rank 1 with sim 1.0 (they share
+    # every hyperplane bucket bit by construction)
+    assert rows[(1, 1)] == (10, 1.0)
+    # ranks contiguous from 1, at most k per a
+    by_a = {}
+    for (av, rnk) in rows:
+        by_a.setdefault(av, []).append(rnk)
+    for av, rnks in by_a.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+        assert len(rnks) <= 2
+
+    # each a-vector has exactly one identical twin in b — min_sim at
+    # 0.999 keeps exactly those two links
+    strict = ann_join(a, b, k=2, n_planes=4, dims=4, min_sim=0.999)
+    got = sorted((r["a"], r["b"]) for r in strict.collect())
+    assert got == [(1, 10), (2, 12)]
+
+    nat = sorted(
+        (r["a"], r["b"], r["sim"], r["rnk"])
+        for r in ann_join(a, b, k=2, n_planes=4, dims=4, use_arrow=False).collect()
+    )
+    arr = sorted(
+        (r["a"], r["b"], r["sim"], r["rnk"])
+        for r in ann_join(a, b, k=2, n_planes=4, dims=4, use_arrow=True).collect()
+    )
+    assert nat == arr
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        ann_join(a, b, k=0)

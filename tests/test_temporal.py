@@ -286,7 +286,7 @@ def test_funnel_counts_strict_order(spark):
         ["user_id", "ts", "event_type"],
     )
     out = funnel_counts(ev, ["signup", "view", "purchase"])
-    assert len(persisted_frames(out)) == 3
+    assert len(persisted_frames(out)) == 2  # last anchor: one consumer
     rows = {r["step"]: (r["step_name"], r["n_users"]) for r in out.collect()}
     release(out)
     assert rows == {

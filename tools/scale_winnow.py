@@ -28,6 +28,11 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     frac = float(sys.argv[2]) if len(sys.argv) > 2 else 0.01
     planted = max(min(round(frac * n_docs), n_docs), 0)
+    if planted == 1:
+        raise SystemExit(
+            "quote_fraction plants a single doc (always id 0, a-half "
+            "only) — cross-half matching needs planted >= 2 or 0"
+        )
     spark = build_session(app_name="scale-winnow")
     quote = " ".join(f"quote{w}" for w in range(10))
     # unique 24-token bodies; exactly `planted` evenly-strided ids
