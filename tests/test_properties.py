@@ -318,3 +318,62 @@ def test_strip_spans_matches_reference(spark, texts, L):
     got = {r["doc_id"]: r["text"] for r in out.collect()}
     release(out)
     assert got == ref_strip_spans(rows, L)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text("abcdefg ", min_size=0, max_size=40), min_size=1, max_size=8
+    ),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=5),
+)
+def test_winnow_guarantee_properties(spark, texts, k, w):
+    """The paper's coverage guarantee on adversarial inputs (tiny
+    alphabet => heavy hash ties and repeats): every window of w
+    consecutive shingle positions contains at least one SELECTED
+    position, selected hashes are true window minima, and the
+    fingerprint hash SET is invariant under the tie rule."""
+    import hashlib
+
+    from dgraph_dbpedia_spark.operators.dedup import winnow_fingerprints
+
+    MASK60 = (1 << 60) - 1
+
+    def fold(hs):
+        acc = 0
+        for t in hs:
+            acc = (((acc & ((1 << 53) - 1)) << 7) + (acc >> 53)) ^ t
+        return acc
+
+    def pos_hashes(text):
+        th = [
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) & MASK60
+            for t in text.split()
+        ]
+        return [
+            fold(th[i : i + k]) for i in range(max(len(th) - (k - 1), 1))
+        ]
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    by_doc: dict[int, set] = {i: set() for i, _ in rows}
+    for r in winnow_fingerprints(df, k=k, w=w).collect():
+        by_doc[r["doc_id"]].add((r["pos"], r["fp"]))
+    right = {i: set() for i, _ in rows}
+    for r in winnow_fingerprints(df, k=k, w=w, tie="right").collect():
+        right[r["doc_id"]].add((r["pos"], r["fp"]))
+
+    for i, text in rows:
+        ph = pos_hashes(text)
+        sel = by_doc[i]
+        # every selected (pos, fp) is consistent with the hash stream
+        for pos, fp in sel:
+            assert ph[pos - 1] == fp
+        # coverage: every full window of w positions holds >= 1 selection
+        sel_pos = {p for p, _ in sel}
+        for p in range(max(len(ph) - (w - 1), 1)):
+            window = set(range(p + 1, p + 1 + min(w, len(ph))))
+            assert window & sel_pos, (text, k, w, p)
+        # tie-rule invariance of the hash set
+        assert {f for _, f in sel} == {f for _, f in right[i]}
