@@ -1709,9 +1709,16 @@ def ann_join(
     of ``df_a``, the top-``k`` most-cosine-similar vectors of ``df_b``
     among those sharing its hyperplane bucket — the bulk retrieval
     shape (link every new document to its nearest existing neighbors,
-    match queries to corpus passages) that the single/batch probe
-    operators (:func:`lsh_ann_topk`) can't express without collecting
-    the query side. Returns ``(a, b, sim, rnk)``, ``rnk`` 1-based by
+    match queries to corpus passages). The PLAN is
+    :func:`lsh_bucketed_topk_many`'s (sketch both sides, bucket
+    equi-join, per-query window top-k); this is its corpus-x-corpus
+    form with the pair-stage upgrades that operator predates:
+    per-VECTOR norm precompute, the Arrow pair-scoring lane, a
+    ``min_sim`` pre-rank filter, and an explicit rank column (merging
+    the two onto one core is tracked follow-up — the batch operator's
+    oracle rows pin its exact float path, so the swap needs its own
+    re-verification round). Returns ``(a, b, sim, rnk)``, ``rnk``
+    1-based by
     ``(sim desc, b asc)``; ``min_sim`` drops weak candidates before
     ranking. a-rows whose bucket has no b-occupant produce no rows
     (recall follows the bucket-collision bound — raise recall by
@@ -1749,6 +1756,9 @@ def ann_join(
         sketch(df_a, "a", "ea", "na")
         .join(sketch(df_b, "b", "eb", "nb"), "bucket")
         .select("a", "b", sim.alias("sim"))
+        # zero-norm vectors score NULL (the pair-cosine null contract);
+        # without this a sparse bucket would hand a NULL-sim row a rank
+        .where(F.col("sim").isNotNull())
     )
     if min_sim is not None:
         cand = cand.where(F.col("sim") >= min_sim)
