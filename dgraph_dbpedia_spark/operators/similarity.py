@@ -295,42 +295,37 @@ def lsh_bucketed_topk_many(
     broadcast_queries: bool = True,
 ) -> DataFrame:
     """Batch-query ANN: N query vectors against the corpus in ONE plan —
-    sketch BOTH sides, bucket equi-join, per-query window top-k.
-    Returns ``(qid, id, sim)`` with <= k rows per query.
+    an adapter over :func:`ann_join`'s core (ONE definition of the
+    sketch / bucket equi-join / per-query window top-k plan; this
+    wrapper only maps the (qid, q) column shape). Returns
+    ``(qid, id, sim)`` with <= k rows per query; zero-norm vectors
+    score NULL and are dropped by the core before ranking.
 
     The common training-pipeline shape (N queries x corpus) that the
     single-query :func:`lsh_bucketed_topk` can't express. Scale shape:
     shuffle is bounded by bucket-collision pairs, never |q| x |corpus|;
     with ``broadcast_queries=True`` (queries fit on one executor) the
-    join is broadcast and the only shuffle is the final window's
-    partition-by-qid, sized |candidates|. For a huge query side set it
-    ``False`` to get a plain hash equi-join on ``bucket``."""
-    from pyspark.sql import Window
-
-    cand = df.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("e"),
-        _bucket_col(
-            F.col(vec_col).cast("array<double>"), n_planes, dims, use_arrow
-        ).alias("bucket"),
+    query sketch is broadcast and the only shuffle is the final
+    window's partition-by-qid, sized |candidates|. For a huge query
+    side set it ``False`` to get a plain hash equi-join on
+    ``bucket``."""
+    a = queries.select(
+        F.col(qid_col).alias("__vid"), F.col(query_col).alias("__v")
     )
-    q = queries.select(
-        F.col(qid_col),
-        F.col(query_col).cast("array<double>").alias("q"),
-        _bucket_col(
-            F.col(query_col).cast("array<double>"), n_planes, dims, use_arrow
-        ).alias("bucket"),
+    b = df.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
+    out = ann_join(
+        a,
+        b,
+        k=k,
+        id_col="__vid",
+        vec_col="__v",
+        n_planes=n_planes,
+        dims=dims,
+        use_arrow=use_arrow,
+        broadcast_a=broadcast_queries,
     )
-    if broadcast_queries:
-        q = F.broadcast(q)
-    scored = cand.join(q, "bucket").select(
-        F.col(qid_col), F.col(id_col), F.round(cosine("e", "q"), 4).alias("sim")
-    )
-    w = Window.partitionBy(qid_col).orderBy(F.col("sim").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select(qid_col, id_col, "sim")
+    return out.select(
+        F.col("a").alias(qid_col), F.col("b").alias(id_col), "sim"
     )
 
 
@@ -1704,6 +1699,7 @@ def ann_join(
     dims: int = 64,
     min_sim: float | None = None,
     use_arrow: bool = True,
+    broadcast_a: bool = False,
 ) -> DataFrame:
     """Cross-corpus approximate-nearest-neighbor JOIN: for every vector
     of ``df_a``, the top-``k`` most-cosine-similar vectors of ``df_b``
@@ -1714,10 +1710,11 @@ def ann_join(
     equi-join, per-query window top-k); this is its corpus-x-corpus
     form with the pair-stage upgrades that operator predates:
     per-VECTOR norm precompute, the Arrow pair-scoring lane, a
-    ``min_sim`` pre-rank filter, and an explicit rank column (merging
-    the two onto one core is tracked follow-up — the batch operator's
-    oracle rows pin its exact float path, so the swap needs its own
-    re-verification round). Returns ``(a, b, sim, rnk)``, ``rnk``
+    ``min_sim`` pre-rank filter, and an explicit rank column (the batch
+    operator is now an adapter over THIS core — one definition of the
+    bucket-join-rank plan; ``broadcast_a=True`` is its
+    small-query-side regime, broadcasting the a-sketch so the only
+    shuffle is the final window). Returns ``(a, b, sim, rnk)``, ``rnk``
     1-based by
     ``(sim desc, b asc)``; ``min_sim`` drops weak candidates before
     ranking. a-rows whose bucket has no b-occupant produce no rows
@@ -1752,9 +1749,13 @@ def ann_join(
         sim = F.round(
             F.try_divide(_dot("ea", "eb"), F.col("na") * F.col("nb")), 4
         )
+    a_sk = sketch(df_a, "a", "ea", "na")
+    if broadcast_a:
+        # the batch-probe regime: a small a-side (queries) rides a
+        # broadcast so the only shuffle is the final per-a window
+        a_sk = F.broadcast(a_sk)
     cand = (
-        sketch(df_a, "a", "ea", "na")
-        .join(sketch(df_b, "b", "eb", "nb"), "bucket")
+        a_sk.join(sketch(df_b, "b", "eb", "nb"), "bucket")
         .select("a", "b", sim.alias("sim"))
         # zero-norm vectors score NULL (the pair-cosine null contract);
         # without this a sparse bucket would hand a NULL-sim row a rank

@@ -30,6 +30,7 @@ _PYTHON_OK = {
     "cosine_near_dup",
     "lsh_ann_topk",
     "lsh_ann_topk_batch",
+    "ann_join",  # same bucket+pair Arrow kernels (bit-equal, pinned)
     "simhash",           # Arrow vote fold (bit-equal to native, pinned)
     "simhash_near_dup",
     "minhash_signatures",  # Arrow lane kernel (bit-equal, pinned)
