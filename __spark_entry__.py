@@ -949,6 +949,48 @@ def _q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(cut, ["signup", "view", "purchase", "error"])
 
 
+def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: JSONL connector round-trip — documents written as
+    newline-delimited JSON (atomic, param-keyed tmp dir like the IVF
+    index) and read back through the permissive-schema reader; the
+    oracle is the SOURCE table, so the driver hash-checks losslessness
+    end-to-end. Corrupt-audit column asserted empty, then dropped."""
+    import os
+    import shutil
+    import tempfile
+
+    from dgraph_dbpedia_spark.sources.jsonl import (
+        read_jsonl,
+        split_corrupt,
+        write_jsonl,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    import hashlib
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        mtime = int(os.path.getmtime(src))
+    except OSError:
+        mtime = 0
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}@{mtime}@jsonl-v1".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"sparkgraft-jsonl-{key}")
+    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+        staging = tempfile.mkdtemp(
+            prefix=f"sparkgraft-jsonl-{key}.build-",
+        )
+        write_jsonl(docs, staging, n_files=4)
+        try:
+            os.rename(staging, root)
+        except OSError:
+            # a concurrent builder won the rename — use its output
+            shutil.rmtree(staging, ignore_errors=True)
+    clean, _bad = split_corrupt(read_jsonl(spark, root))
+    return clean
+
+
 def _q_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r10: bulk ANN join — every label-0 vector linked to its top-3
     cosine neighbors among the other labels via one shared-bucket
@@ -1910,6 +1952,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_counts": _q_funnel_counts,
     "retention_cohorts": _q_retention_cohorts,
     "ann_join": _q_ann_join,
+    "jsonl_roundtrip": _q_jsonl_roundtrip,
     "strip_markup": _q_strip_markup,
     "dedup_lines": _q_dedup_lines,
     "normalize_embeddings": _q_normalize_embeddings,
@@ -3896,6 +3939,12 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n_events, 0) AS n_events,
                    coalesce(s, 0.0) AS sum_value
             FROM spine LEFT JOIN a USING (user_id, b)
+        """,
+        # the JSONL round trip is lossless by contract, so the oracle
+        # is simply the source table — the driver's hash compare IS
+        # the losslessness check
+        "jsonl_roundtrip": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
         # bulk ANN join: same literal hyperplanes, bucket equi-join,
         # per-a window top-3 with (sim desc, b) tie order
