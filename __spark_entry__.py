@@ -951,13 +951,20 @@ def _q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r10: JSONL connector round-trip — documents written as
-    newline-delimited JSON (atomic, param-keyed tmp dir like the IVF
-    index) and read back through the permissive-schema reader; the
-    oracle is the SOURCE table, so the driver hash-checks losslessness
-    end-to-end. Corrupt-audit column asserted empty, then dropped."""
+    newline-delimited JSON (atomic param-keyed tmp dir with the IVF
+    index's full self-heal: completeness check, stale-root retry,
+    staging cleanup on raise, age-gated sweep) and read back through
+    the permissive-schema reader; the oracle is the SOURCE table, so
+    the driver hash-checks losslessness end-to-end (a corrupt line
+    surfaces as a NULL-fielded row and fails that hash).
+    ``cache=False``: only the clean half is read — no reason to pin
+    the parsed corpus."""
+    import glob
+    import hashlib
     import os
     import shutil
     import tempfile
+    import time as _time
 
     from dgraph_dbpedia_spark.sources.jsonl import (
         read_jsonl,
@@ -966,8 +973,6 @@ def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    import hashlib
-
     src = os.path.join(sf_dir, "documents.parquet")
     try:
         mtime = int(os.path.getmtime(src))
@@ -977,17 +982,46 @@ def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{os.path.abspath(sf_dir)}@{mtime}@jsonl-v1".encode()
     ).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), f"sparkgraft-jsonl-{key}")
-    if not os.path.exists(os.path.join(root, "_SUCCESS")):
-        staging = tempfile.mkdtemp(
-            prefix=f"sparkgraft-jsonl-{key}.build-",
-        )
-        write_jsonl(docs, staging, n_files=4)
+    # age-gated sweep of abandoned generations (the IVF-root rule:
+    # re-keyed dirs would otherwise accumulate forever; >7 days means
+    # no live run can lose its copy mid-read)
+    cutoff = _time.time() - 7 * 86400
+    for old_dir in glob.glob(
+        os.path.join(tempfile.gettempdir(), "sparkgraft-jsonl-*")
+    ):
         try:
-            os.rename(staging, root)
+            if old_dir != root and os.path.getmtime(old_dir) < cutoff:
+                shutil.rmtree(old_dir, ignore_errors=True)
         except OSError:
-            # a concurrent builder won the rename — use its output
+            pass  # raced with a concurrent sweep: already gone
+
+    def complete(r: str) -> bool:
+        return os.path.isfile(os.path.join(r, "_SUCCESS"))
+
+    if not complete(root):
+        staging = tempfile.mkdtemp(prefix=f"sparkgraft-jsonl-{key}.build-")
+        try:
+            write_jsonl(docs, staging, n_files=4)
+            for _ in range(2):
+                try:
+                    os.rename(staging, root)
+                    break
+                except OSError:
+                    if complete(root):
+                        # a concurrent builder won with a whole copy
+                        shutil.rmtree(staging, ignore_errors=True)
+                        break
+                    # stale/partial target (tmp reaper): clear + retry
+                    shutil.rmtree(root, ignore_errors=True)
+            else:
+                raise RuntimeError(
+                    f"could not install JSONL copy at {root}: target "
+                    "neither renameable nor complete after retry"
+                )
+        except BaseException:
             shutil.rmtree(staging, ignore_errors=True)
-    clean, _bad = split_corrupt(read_jsonl(spark, root))
+            raise
+    clean, _bad = split_corrupt(read_jsonl(spark, root), cache=False)
     return clean
 
 

@@ -11,7 +11,7 @@ Scale rules encoded here:
   over the data — at 100 TB that doubles the scan before any work
   happens, and a drifting inferred type silently changes downstream
   plans.
-- ``multiLine=False`` (the default, asserted): line-delimited files
+- ``multiLine=False`` (set explicitly): line-delimited files
   split by NEWLINE across executors, so a single 1 TB shard still
   parallelizes; multiLine JSON is one-task-per-file.
 - PERMISSIVE mode with an explicit corrupt-record column: a broken
@@ -54,6 +54,9 @@ def read_jsonl(
     return (
         spark.read.schema(full)
         .option("mode", "PERMISSIVE")
+        # explicit, not the implicit default: multiLine=True would be
+        # one-task-per-file on TB shards (module-header scale rule)
+        .option("multiLine", False)
         .option("columnNameOfCorruptRecord", corrupt_col)
         .json(path)
     )

@@ -38,7 +38,7 @@ def test_jsonl_roundtrip_lossless(spark, tmp_path):
     ]
     n_lines = 0
     for f in part_files:
-        with open(os.path.join(path, f)) as fh:
+        with open(os.path.join(path, f), encoding="utf-8") as fh:
             for line in fh:
                 if line.strip():
                     json.loads(line)  # every physical line is one object

@@ -50,12 +50,15 @@ def main() -> None:
         .select(F.col("id").alias("vec_id"), vec(F.col("id")).alias("embedding"))
         .localCheckpoint()
     )
-    # b = fresh vectors PLUS each a-vector's identical twin at id+10M
+    # b = fresh vectors PLUS each a-vector's identical twin at id+10M.
+    # Fresh-b SEEDS live at +20M — a disjoint range, so no fresh-b
+    # vector can alias an a-vector and beat the twin on the id
+    # tie-break (which would spuriously depress measured recall)
     b = (
         spark.range(n_b)
         .select(
             (F.col("id") + 1_000_000).alias("vec_id"),
-            vec(F.col("id") + 1_000_000).alias("embedding"),
+            vec(F.col("id") + 20_000_000).alias("embedding"),
         )
         .unionByName(
             a.select(
@@ -67,10 +70,14 @@ def main() -> None:
 
     t0 = time.perf_counter()
     out = ann_join(a, b, k=1, dims=dims, n_planes=n_planes)
-    hits = out.where(
-        F.col("b") == F.col("a") + 10_000_000
-    ).count()
-    total = out.count()
+    # ONE action: counting hits and total separately would execute the
+    # whole plan twice and halve the reported throughput
+    total, hits = out.agg(
+        F.count(F.lit(1)),
+        F.sum(
+            (F.col("b") == F.col("a") + 10_000_000).cast("long")
+        ),
+    ).first()
     dt = round(time.perf_counter() - t0, 3)
     print(
         json.dumps(
