@@ -1957,13 +1957,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # served index, the paper-faithful SemDeDup keep policy, the
     # micro-batch streaming near-dup composition, the winnowing
     # family, and the events-side analytics (resample / funnel /
-    # retention, ann_join). The SIXTEEN queries this pushes past
-    # position 50 (ivf_ann_topk at 51 through dedup_clusters_star at
-    # 66 as of this commit) all hold green r7-r9 driver rows; their
-    # r10 coverage — including the whitespace-class unification that
-    # touches the shared tokenizer — is the committed 114-query
-    # CORRECTNESS_FULL.json sweep, re-run in full after the last
-    # query change.
+    # retention, ann_join, jsonl). The SEVENTEEN queries this pushes
+    # past position 50 (ivf_ann_topk_trained at 51 through
+    # dedup_clusters_star at 67 as of this commit) all hold green
+    # r7-r9 driver rows; their r10 coverage — including the
+    # whitespace-class unification that touches the shared tokenizer —
+    # is the committed 115-query CORRECTNESS_FULL.json sweep, re-run
+    # in full after the last query change.
     "quantized_ann_topk_served": _q_quantized_ann_topk_served,
     "stream_near_dup": _q_stream_near_dup,
     "semantic_dedup_keep_far": _q_semantic_dedup_keep_far,
