@@ -107,7 +107,16 @@ def top_k_infobox(
         .select("p", "lang")
         .cache()
     )
-    filtered = (
+    return filter_by_topk(df, topk), topk
+
+
+def filter_by_topk(df: DataFrame, topk: DataFrame) -> DataFrame:
+    """The W1+J2 semi-join, ONE definition (it appears at three sites:
+    the standalone top-k filter, the dims cube restriction, and the
+    fact-table filter in transform()): keep rows whose ``(p, en-*
+    -remapped lang)`` is in the broadcast top-k dimension; the helper
+    node_lang column never leaves."""
+    return (
         df.withColumn("node_lang", remap_en_lang(F.col("lang")))
         .join(
             F.broadcast(topk.withColumnRenamed("lang", "node_lang")),
@@ -116,12 +125,11 @@ def top_k_infobox(
         )
         .drop("node_lang")
     )
-    return filtered, topk
 
 
 def infobox_dims(
     all_infobox: DataFrame, k: int | None
-) -> tuple[DataFrame | None, DataFrame, DataFrame]:
+) -> tuple[DataFrame | None, DataFrame, DataFrame, list[DataFrame]]:
     """One-scan derivation of the three infobox dimensions — top-k
     predicate set (W1), majority datatype per predicate (W2), and the
     data-derived schema pairs — from a single ``(lang, p, t)`` count
@@ -169,11 +177,7 @@ def infobox_dims(
         # the reference filters fact rows by (p, en-*-remapped lang) ∈
         # top-k; the same semi-join on the cube keeps exactly the
         # (lang, p, t) strata those rows form
-        fcube = cube.withColumn("node_lang", remap_en_lang(F.col("lang"))).join(
-            F.broadcast(topk.withColumnRenamed("lang", "node_lang")),
-            ["p", "node_lang"],
-            "left_semi",
-        )
+        fcube = filter_by_topk(cube, topk)
     wm = Window.partitionBy("p").orderBy(F.col("count").desc(), F.col("t").asc())
     predicate_datatypes = (
         fcube.groupBy("p", "t")
@@ -189,7 +193,12 @@ def infobox_dims(
 
     pairs = fcube.select("p", remap_en_lang(F.col("lang")).alias("lang")).distinct()
     schema_derived = infobox_predicate_schema_from_pairs(pairs, predicate_datatypes)
-    return topk, predicate_datatypes, schema_derived
+    # every cached frame, including the internal cube (otherwise
+    # unreachable by the caller): transform() releases them at the
+    # end — a long-lived session would otherwise accumulate one
+    # dim-cache set per transform() call
+    caches = [cube, predicate_datatypes] + ([topk] if topk is not None else [])
+    return topk, predicate_datatypes, schema_derived, caches
 
 
 def clean_infobox(
@@ -355,14 +364,20 @@ def write_rdf(
         # task — a 100-row frame gets 1 task, not 32 empty files), and
         # at least ceil(n / ROWS_PER_RDF_FILE) so huge sinks split into
         # right-sized gzip files instead of 32 giant ones.
-        n = df.count()
+        # count the FILTERED frame: counting df itself would let a
+        # frame whose every row fails the predicate filter slip past
+        # the empty guard, write a _SUCCESS-only dir (no lang= parts)
+        # and crash the read-back on the missing partition column —
+        # and would size n_parts from rows that never reach the sink
+        filtered = invalid_predicate_filter(df)
+        n = filtered.count()
         if not n:
             # honor overwrite semantics on the empty path too: a rerun
             # into the same out dir must not leave a PREVIOUS run's
             # files to be read back as this run's (empty) result
-            import shutil
+            from dgraph_dbpedia_spark.sources.parquet import fs_delete
 
-            shutil.rmtree(path, ignore_errors=True)
+            fs_delete(spark, path)
         if n:
             parallel = spark.sparkContext.defaultParallelism
             n_parts = max(
@@ -370,7 +385,7 @@ def write_rdf(
                 min(parallel, -(-n // 5_000)),
             )
             write_partitioned_by(
-                invalid_predicate_filter(df),
+                filtered,
                 partition_cols=["lang"],
                 more_file_cols=["p", "s"],
                 sort_cols=["o"],
@@ -388,16 +403,22 @@ def write_rdf(
 
 def read_rdf(spark: SparkSession, path: str) -> DataFrame:
     """Read written RDF back; ``lang=`` dirs come back as a column via
-    partition discovery (S3, DbpediaDgraphSparkApp.scala:530-537)."""
-    if not os.path.exists(path):
+    partition discovery (S3, DbpediaDgraphSparkApp.scala:530-537). The
+    line parse is :func:`~dgraph_dbpedia_spark.sources.ttl.parse_ttl_lines`
+    — ONE definition of the split expression, not a fork. Existence
+    goes through the Hadoop FS layer (hdfs://s3a-safe); a dir with no
+    ``lang=`` partitions (external artifact of a partial write) reads
+    as empty instead of crashing on the missing column."""
+    from dgraph_dbpedia_spark.sources.parquet import fs_exists
+    from dgraph_dbpedia_spark.sources.ttl import parse_ttl_lines
+
+    if not fs_exists(spark, path):
         return spark.createDataFrame([], TRIPLE_SCHEMA)
     lines = spark.read.text(path)
-    parts = F.split(F.expr("substring(value, 1, length(value) - 2)"), " ", 3)
-    return lines.select(
-        F.get(parts, 0).alias("s"),
-        F.get(parts, 1).alias("p"),
-        F.get(parts, 2).alias("o"),
-        F.col("lang").cast("string").alias("lang"),
+    if "lang" not in lines.columns:
+        return spark.createDataFrame([], TRIPLE_SCHEMA)
+    return parse_ttl_lines(lines, keep=("lang",)).withColumn(
+        "lang", F.col("lang").cast("string")
     )
 
 
@@ -452,19 +473,11 @@ def transform(
 
     # one fact-table scan feeds all three infobox dimensions (top-k set,
     # majority datatypes, schema pairs); see infobox_dims
-    topk, predicate_datatypes, schema_derived = infobox_dims(
+    topk, predicate_datatypes, schema_derived, dim_caches = infobox_dims(
         all_infobox, cfg.top_infobox_properties_per_lang
     )
     if topk is not None:
-        infobox_triples = (
-            all_infobox.withColumn("node_lang", remap_en_lang(F.col("lang")))
-            .join(
-                F.broadcast(topk.withColumnRenamed("lang", "node_lang")),
-                ["p", "node_lang"],
-                "left_semi",
-            )
-            .drop("node_lang")
-        )
+        infobox_triples = filter_by_topk(all_infobox, topk)
     else:
         infobox_triples = all_infobox
 
@@ -684,5 +697,15 @@ def transform(
         from dgraph_dbpedia_spark.observability import collect_spill_metrics
 
         print(collect_spill_metrics(spark).report())
+
+    # release the dimension caches (cube / topk / predicate_datatypes
+    # from infobox_dims, plus the schema frame): every consumer — the
+    # sinks, the schema writers, the stats — has resolved by here, and
+    # a long-lived session calling transform() repeatedly must not
+    # accumulate one cached dim set per call (the retained sink frames
+    # already get this treatment above)
+    for c in dim_caches:
+        c.unpersist()
+    schema.unpersist()
 
     return outputs

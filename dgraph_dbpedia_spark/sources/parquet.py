@@ -18,12 +18,47 @@ from pyspark.sql import functions as F
 from dgraph_dbpedia_spark.model import TRIPLE_SCHEMA
 
 
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Path existence through Spark's Hadoop filesystem layer — the
+    check that stays correct when ``path`` is hdfs:// or s3a:// on a
+    real cluster (a bare ``os.path.exists`` only sees the driver's
+    local disk and silently reports False for every remote path,
+    turning the S4 fallback into an always-empty read). Local paths go
+    through Hadoop's LocalFileSystem, so behavior on file:// / bare
+    paths is unchanged; any py4j failure falls back to the local
+    check rather than failing the read."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        return bool(fs.exists(hpath))
+    except Exception:
+        return os.path.exists(path)
+
+
+def fs_delete(spark: SparkSession, path: str) -> None:
+    """Recursive delete through the Hadoop FS layer (the overwrite-
+    semantics twin of :func:`fs_exists`); best-effort like the
+    ``rmtree(ignore_errors=True)`` it replaces."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
+    except Exception:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def read_triples_parquet(
     spark: SparkSession,
     path: str,
     languages: list[str] | None = None,
 ) -> DataFrame:
-    if not os.path.exists(path):
+    if not fs_exists(spark, path):
         return spark.createDataFrame([], TRIPLE_SCHEMA)
     # explicit schema, not inference: an empty dataset under the
     # selected languages writes a _SUCCESS-only dir, and schema

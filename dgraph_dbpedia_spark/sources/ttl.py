@@ -19,15 +19,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def parse_ttl_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
-    """``value: string`` lines -> ``s, p, o`` triple columns.
+def parse_ttl_lines(
+    lines: DataFrame,
+    value_col: str = "value",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """``value: string`` lines -> ``s, p, o`` triple columns (plus any
+    ``keep`` passthrough columns, e.g. a partition-discovered ``lang``
+    — this is the ONE definition of the line parse; the RDF read-back
+    in plans/transform.py reuses it rather than forking the
+    load-bearing split expression).
 
     Native-only pipeline: comment filter (P1), trailing `` .`` strip +
     3-way limited split (P2), projection (P3).
     """
     value = F.col(value_col)
-    # strip the trailing " ." (2 chars) then split at the first two spaces
-    parts = F.split(F.expr(f"substring({value_col}, 1, length({value_col}) - 2)"), " ", 3)
+    # strip the trailing " ." (2 chars) then split at the first two
+    # spaces. Column-API substring (not an f-string F.expr): a quoted
+    # or reserved-word value_col must not become a SQL parse error
+    parts = F.split(
+        F.substring(value, F.lit(1), F.length(value) - 2), " ", 3
+    )
     return (
         lines.where(~value.startswith("#"))
         .where(F.length(value) > 2)
@@ -37,6 +49,7 @@ def parse_ttl_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
             F.get(parts, 0).alias("s"),
             F.get(parts, 1).alias("p"),
             F.get(parts, 2).alias("o"),
+            *[F.col(c) for c in keep],
         )
     )
 

@@ -241,7 +241,7 @@ def test_infobox_dims_equal_direct_operators(spark, pipeline_dirs):
     fact = spark.read.parquet(os.path.join(str(parquet), "infobox_properties.parquet"))
     fact = fact.withColumn("lang", F.col("lang").cast("string"))
 
-    topk, pred_dt, schema_derived = infobox_dims(fact, 5)
+    topk, pred_dt, schema_derived, dim_caches = infobox_dims(fact, 5)
     filtered_direct, topk_direct = top_k_infobox(fact, 5)
     assert topk.exceptAll(topk_direct).count() == 0
     assert topk_direct.exceptAll(topk).count() == 0

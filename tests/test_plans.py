@@ -179,3 +179,27 @@ def test_write_rdf_empty_frame_clears_stale_output(spark, tmp_path):
     assert write_rdf(spark, full, out).count() == 1
     empty = spark.createDataFrame([], TRIPLE_SCHEMA)
     assert write_rdf(spark, empty, out).count() == 0
+
+
+def test_write_rdf_all_rows_filtered_reads_back_empty(spark, tmp_path):
+    """A non-empty frame whose every predicate fails the '@'/'~'
+    blacklist must behave like the empty frame: no _SUCCESS-only dir
+    that crashes the read-back on the missing lang partition column
+    (the empty-guard counts the FILTERED frame), and a previous run's
+    files are overwritten away."""
+    from dgraph_dbpedia_spark.plans.transform import read_rdf, write_rdf
+
+    path = str(tmp_path / "allbad.rdf")
+    good = spark.createDataFrame(
+        [("<s>", "<p>", "<o>", "en")], ["s", "p", "o", "lang"]
+    )
+    out1 = write_rdf(spark, good, path)
+    assert out1.count() == 1  # a previous run left real files
+
+    bad = spark.createDataFrame(
+        [("<s>", "<p@bad>", "<o>", "en"), ("<s2>", "<p~bad>", "<o2>", "en")],
+        ["s", "p", "o", "lang"],
+    )
+    out2 = write_rdf(spark, bad, path)
+    assert out2.count() == 0  # no crash, AND the old files are gone
+    assert read_rdf(spark, path).count() == 0
