@@ -3218,7 +3218,8 @@ def oracle_sql() -> dict[str, str]:
                        len(list_intersect(toks, ['el','la','los','de','que','y','en','un','una','es'])) AS s_es
                 FROM t)
             SELECT doc_id,
-                   CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN NULL
+                        WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
                         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
                         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
                         ELSE 'fr' END AS lang_guess,
@@ -3231,7 +3232,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents),
             f AS (
                 SELECT doc_id, n_chars, len(toks) AS n_tokens,
-                       round(n_chars / greatest(len(toks), 1), 4) AS mean_token_len,
+                       round(coalesce(list_sum(list_transform(toks,
+                                 t -> length(t))), 0)
+                             / greatest(len(toks), 1), 4) AS mean_token_len,
                        round(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))
                              / greatest(n_chars, 1), 4) AS punct_ratio,
                        round(len(list_intersect(toks,

@@ -384,8 +384,6 @@ def _dsir_feats(df: DataFrame, text_col: str, id_col: str, buckets: int):
     with fewer than two tokens emit no rows (guarded — an unguarded
     ``sequence(1, size-1)`` DESCENDS when size < 2 and would fabricate
     features)."""
-    from dgraph_dbpedia_spark.functions.hashing import hash64, tokens
-
     toks = tokens(F.col(text_col))
     t = F.col("__toks")
     grams = F.when(
@@ -402,9 +400,17 @@ def _dsir_feats(df: DataFrame, text_col: str, id_col: str, buckets: int):
             ),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
+    # inline(array(struct)) barrier: exploding the non-foldable grams
+    # expression directly lets InferFiltersFromGenerate duplicate the
+    # whole per-bigram md5 fold into a pushed size()>0 filter — the
+    # measured 15x trap (functions/hashing._hashed_shingled's note)
     return (
         df.select(F.col(id_col), toks.alias("__toks"))
-        .select(F.col(id_col), F.explode(grams).alias("b"))
+        .select(
+            F.col(id_col),
+            F.inline(F.array(F.struct(grams.alias("__grams")))),
+        )
+        .select(F.col(id_col), F.explode("__grams").alias("b"))
     )
 
 
@@ -550,7 +556,6 @@ def dsir_sample(
     Scale shape: scoring as :func:`dsir_logratio` (bounded broadcast
     model), then ONE TakeOrdered bounded by ``n`` — no global sort
     materialization."""
-    from dgraph_dbpedia_spark.functions.hashing import hash64
     from dgraph_dbpedia_spark.operators.cachectl import (
         persisted_frames,
         tag_persisted,
@@ -602,13 +607,25 @@ def epoch_shuffle(
     xxhash64 off the oracle path."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    # loud, not silent: withColumn would overwrite caller data (the
+    # in-file ADVICE r5 rule — a fixed temp name once silently dropped
+    # an input column)
+    clash = {"shard", "pos"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"epoch_shuffle writes columns {sorted(clash)} that already "
+            "exist on the input — rename them first"
+        )
+    hcol = "__h"
+    while hcol in df.columns:
+        hcol = "_" + hcol
     h = hash64(F.col(id_col).cast("string"), seed=epoch, fast=fast)
     w = Window.partitionBy("shard").orderBy(
-        F.col("__h").asc(), F.col(id_col).asc()
+        F.col(hcol).asc(), F.col(id_col).asc()
     )
     return (
-        df.withColumn("__h", h)
-        .withColumn("shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int"))
+        df.withColumn(hcol, h)
+        .withColumn("shard", F.pmod(F.col(hcol), F.lit(n_shards)).cast("int"))
         .withColumn("pos", F.row_number().over(w))
-        .drop("__h")
+        .drop(hcol)
     )

@@ -51,6 +51,10 @@ def language_id(
     # first (lexicographic) language achieving the max wins
     for lang, s in reversed(scores):
         guess = F.when(s == best_hits, F.lit(lang)).otherwise(guess)
+    # zero evidence in EVERY profile = unidentifiable, not 'de' (the
+    # lexicographic tie-break would otherwise label every stopword-free
+    # doc — CJK, mojibake, id dumps — with the first profile)
+    guess = F.when(best_hits > 0, guess)
     return df.select(
         F.col(id_col), guess.alias("lang_guess"), best_hits.alias("hits")
     )
@@ -69,7 +73,13 @@ def quality_score(
     toks = F.col("__toks")
     n_chars = F.length(text)
     n_tokens = F.size(toks)
-    mean_tok = F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 4)
+    # sum of WORD lengths, not n_chars: whitespace runs would otherwise
+    # inflate the mean and decide the score band (the
+    # gopher_quality_filter rule, applied here too)
+    word_chars = F.aggregate(
+        toks, F.lit(0), lambda a, t: a + F.length(t)
+    )
+    mean_tok = F.round(word_chars / F.greatest(n_tokens, F.lit(1)), 4)
     n_punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
     punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
     en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
@@ -274,6 +284,10 @@ def fingerprint(
     (winnowing-style). Equal fingerprints => near-identical prefixes of
     content; robust to small whitespace edits when stride < window.
     Returns ``(id, fp)``."""
+    if char_window < 1:
+        raise ValueError(f"char_window must be >= 1, got {char_window}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
     text = F.col(text_col)
     # explicit floor: engines disagree on double->int cast rounding
     n_windows = F.greatest(

@@ -79,7 +79,7 @@ def epoch_seconds(df: DataFrame, col: str = "ts") -> F.Column:
     the wall clock as UTC regardless of session timezone, matching
     DuckDB's ``epoch(ts)``."""
     if dict(df.dtypes).get(col) == "bigint":
-        return F.expr(f"{col} div 1000000000")
+        return F.expr(f"`{col}` div 1000000000")
     return F.unix_timestamp(F.col(col))
 
 
@@ -222,9 +222,20 @@ def _sessionize_group_fn(gap_seconds: int):
             if last_s is None or ts_s - last_s > gap_seconds:
                 if n > 0:
                     out.append([user_id, sid, n, start_s, last_s])
-                sid, n, start_s = sid + 1, 0, ts_s
+                sid, n, start_s, last_s = sid + 1, 0, ts_s, ts_s
             n += 1
-            last_s = ts_s
+            # a watermark-admitted LATE event (cross-batch out-of-order)
+            # extends the open session backward and must never regress
+            # last_s — the old `last_s = ts_s` inverted end_s < start_s
+            # and skewed every later gap decision. One documented
+            # divergence from the batch twin remains: a late event
+            # older than the open session's start by more than the gap
+            # merges into it (single-open-session state cannot create a
+            # retroactive earlier session); in-order data is bit-equal.
+            if ts_s < start_s:
+                start_s = ts_s
+            if ts_s > last_s:
+                last_s = ts_s
         state.update((sid, n, start_s, last_s))
         state.setTimeoutTimestamp(last_s * 1000 + gap_seconds * 1000)
         if out:
@@ -295,14 +306,19 @@ def dedup_events(
 
 
 def enrich_events(
-    events: DataFrame, dim: DataFrame, on: str, how: str = "left"
+    events: DataFrame, dim: DataFrame, on: str, how: str = "left",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Stream-static enrichment join: each micro-batch of the stream
-    joins the static dimension; Spark plans it as a broadcast hash join
-    when the dim is small (no stream-side shuffle, no state store —
-    stream-static inner/left joins are stateless). The identical call
-    works on a batch frame (the twin the oracle checks)."""
-    return events.join(F.broadcast(dim), on, how)
+    joins the static dimension as a broadcast hash join (no stream-side
+    shuffle, no state store — stream-static inner/left joins are
+    stateless). The identical call works on a batch frame (the twin
+    the oracle checks). ``broadcast=True`` is a HARD hint — right for
+    genuine dimensions; pass ``False`` for a dim above the broadcast
+    limit (~8 GB / driver memory) so Spark can fall back to a shuffled
+    join instead of failing the build."""
+    d = F.broadcast(dim) if broadcast else dim
+    return events.join(d, on, how)
 
 
 def interval_join(
@@ -334,6 +350,12 @@ def interval_join(
     ``lag_s = left - right`` in truncated epoch seconds, matching the
     batch/oracle ``floor(epoch(ts))`` convention.
     """
+    if lookback_seconds <= 0:
+        raise ValueError(
+            f"lookback_seconds must be > 0, got {lookback_seconds} "
+            "(a negative lookback makes the join condition "
+            "unsatisfiable and silently returns zero rows)"
+        )
     def side(df: DataFrame, etype: str, prefix: str) -> DataFrame:
         out = df
         if "event_time" not in out.columns:

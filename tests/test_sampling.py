@@ -385,3 +385,21 @@ def test_epoch_shuffle_reproducible_and_epoch_dependent(spark):
 
     with _pytest.raises(ValueError, match="n_shards"):
         epoch_shuffle(df, epoch=1, n_shards=0)
+
+
+def test_epoch_shuffle_rejects_column_collisions(spark):
+    """Output names must never silently clobber caller data (the
+    ADVICE r5 fixed-temp-name rule, applied loudly for shard/pos and
+    via a fresh name for the internal hash column)."""
+    from dgraph_dbpedia_spark.operators.sampling import epoch_shuffle
+
+    base = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="shard"):
+        epoch_shuffle(base.withColumn("shard", F.lit(9)), epoch=1)
+    with _pytest.raises(ValueError, match="pos"):
+        epoch_shuffle(base.withColumn("pos", F.lit(9)), epoch=1)
+    # a caller __h column survives untouched (fresh internal name)
+    got = epoch_shuffle(base.withColumn("__h", F.lit(7)), epoch=1).collect()
+    assert got[0]["__h"] == 7

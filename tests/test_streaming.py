@@ -506,3 +506,76 @@ def test_stateless_curation_composes_on_streams(spark, tmp_path):
     got = {tuple(r) for r in spark.table("curated_stream").collect()}
     want = {tuple(r) for r in curate(batch).collect()}
     assert got == want and len(want) > 0
+
+
+def test_sessionize_stream_late_event_within_watermark(
+    spark, tmp_path_factory
+):
+    """A cross-batch out-of-order event inside the watermark must
+    extend the open session BACKWARD/inward — never regress last_s or
+    invert end_s < start_s (the late-event fold bug): batch 1 has user
+    1 at 12:00:00 and 12:01:00; batch 2 delivers a LATE 12:00:30 plus
+    a far-future closer. Expected closed session: 3 events,
+    start=12:00:00, end=12:01:00."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("events_late")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def tbl(rows):
+        return pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r[1] for r in rows], pa.timestamp("us")
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+
+    base = 1_700_000_000
+    f1 = os.path.join(str(d), "part-0.parquet")
+    pq.write_table(
+        tbl(
+            [
+                (1, t0, 1, "view"),
+                (2, t0 + dt.timedelta(seconds=60), 1, "view"),
+            ]
+        ),
+        f1,
+    )
+    os.utime(f1, (base, base))
+    f2 = os.path.join(str(d), "part-1.parquet")
+    pq.write_table(
+        tbl(
+            [
+                # LATE: 30s before batch 1's last event, well inside
+                # the 1h watermark
+                (3, t0 + dt.timedelta(seconds=30), 1, "view"),
+                # far-future event advances the watermark and times
+                # out user 1's session
+                (4, t0 + dt.timedelta(hours=6), 2, "view"),
+            ]
+        ),
+        f2,
+    )
+    os.utime(f2, (base + 1, base + 1))
+
+    stream = read_events_stream(spark, str(d), max_files_per_trigger=1)
+    run_to_memory(sessionize_stream(stream), "late_sessions", "append")
+    rows = spark.table("late_sessions").collect()
+    assert all(r["end_s"] >= r["start_s"] for r in rows), rows
+    u1 = [r for r in rows if r["user_id"] == 1]
+    assert len(u1) == 1, rows
+    s0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert (u1[0]["n_events"], u1[0]["start_s"], u1[0]["end_s"]) == (
+        3,
+        s0,
+        s0 + 60,
+    )

@@ -27,6 +27,20 @@ def test_language_id(spark, docs):
     out = {r["doc_id"]: r["lang_guess"] for r in language_id(docs).collect()}
     assert out[1] == "en"
     assert out[2] == "de"
+    # zero stopword evidence in EVERY profile -> NULL, not the
+    # lexicographically-first language (doc 3 is pure punctuation)
+    assert out[3] is None
+
+
+def test_quality_score_mean_token_len_ignores_whitespace(spark):
+    """Mean token length is sum-of-word-lengths / n_tokens — a doc of
+    2-char words must score mean 2.0 no matter how much whitespace
+    separates them (the gopher rule)."""
+    df = spark.createDataFrame(
+        [(1, "ab  cd\t\tef   gh"), (2, "ab cd ef gh")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["mean_token_len"] for r in quality_score(df).collect()}
+    assert out[1] == out[2] == 2.0
 
 
 def test_quality_score(spark, docs):
@@ -42,6 +56,13 @@ def test_token_counts(spark, docs):
     assert out[4]["n_ws_tokens"] == 4
     # hello / world / 123 / foo / - / bar
     assert out[4]["n_bpe_tokens"] == 6
+
+
+def test_fingerprint_rejects_degenerate_windows(spark, docs):
+    with pytest.raises(ValueError, match="stride"):
+        fingerprint(docs, stride=0)
+    with pytest.raises(ValueError, match="char_window"):
+        fingerprint(docs, char_window=0)
 
 
 def test_fingerprint_stability(spark, docs):
