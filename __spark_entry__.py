@@ -3665,7 +3665,9 @@ def oracle_sql() -> dict[str, str]:
                        '{PHONE_RE_SQL}', '<PHONE>', 'g') AS redacted,
                    len(regexp_extract_all(text, '{EMAIL_RE_SQL}'))::INT
                        AS n_emails,
-                   len(regexp_extract_all(text, '{IPV4_RE_SQL}'))::INT
+                   len(regexp_extract_all(regexp_replace(text,
+                       '{EMAIL_RE_SQL}', '<EMAIL>', 'g'),
+                       '{IPV4_RE_SQL}'))::INT
                        AS n_ipv4
             FROM seeded
         """,

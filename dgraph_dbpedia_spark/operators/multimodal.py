@@ -118,7 +118,11 @@ def decode_image_meta(
             return w, h, "fake/deterministic"
 
         for pdf in batches:
-            raw = [bytes(b) for b in pdf[content_col]]
+            # NULL cells are routine in a crawl table — bytes(None)
+            # would raise and cost the whole Arrow batch, the exact
+            # failure the per-row robustness contract forbids; a NULL
+            # binary is an empty one for metadata purposes
+            raw = [b"" if b is None else bytes(b) for b in pdf[content_col]]
             rows = [one(b) for b in raw]
             dims = [(w, h) for w, h, _ in rows]
             fmt = [f for _, _, f in rows]
@@ -153,6 +157,12 @@ def frame_sample(
     ``use_real_decoder=True`` and no decoder, NotImplementedError (no
     video codec ships in this environment to auto-probe for)."""
 
+    if every_n_bytes < 1:
+        raise ValueError(
+            f"every_n_bytes must be >= 1, got {every_n_bytes} (0 crashes "
+            "the executor's range(); negatives silently emit no frames)"
+        )
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if use_real_decoder and decoder is None:
             raise NotImplementedError(
@@ -162,7 +172,7 @@ def frame_sample(
             ids, idxs, hashes = [], [], []
             if decoder is not None:
                 for vid, b in zip(pdf[id_col], pdf[content_col]):
-                    for idx, fh in decoder(bytes(b)):
+                    for idx, fh in decoder(b"" if b is None else bytes(b)):
                         ids.append(int(vid))
                         idxs.append(int(idx))
                         hashes.append(int(fh))
@@ -171,7 +181,7 @@ def frame_sample(
                 )
                 continue
             for vid, b in zip(pdf[id_col], pdf[content_col]):
-                data = bytes(b)
+                data = b"" if b is None else bytes(b)
                 for i, off in enumerate(range(0, max(len(data), 1), every_n_bytes)):
                     chunk = data[off : off + every_n_bytes]
                     ids.append(int(vid))
@@ -198,6 +208,12 @@ def embed_binary(
     ``dims``. ``use_real_decoder=True`` with no decoder raises (no
     model runtime ships in this environment to auto-probe for). Output
     feeds the similarity operators (operators/similarity.py)."""
+    if decoder is None and not 1 <= dims <= 16:
+        raise ValueError(
+            f"the fake kernel draws from a 16-byte md5 digest: dims must "
+            f"be in [1, 16], got {dims} (inject a real decoder for wider "
+            "vectors)"
+        )
     out_schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -213,10 +229,11 @@ def embed_binary(
         for pdf in batches:
             vecs = []
             for b in pdf[content_col]:
+                raw = b"" if b is None else bytes(b)
                 if decoder is not None:
-                    vecs.append([float(v) for v in decoder(bytes(b))])
+                    vecs.append([float(v) for v in decoder(raw)])
                     continue
-                digest = hashlib.md5(bytes(b)).digest()
+                digest = hashlib.md5(raw).digest()
                 vecs.append([digest[i] / 255.0 - 0.5 for i in range(dims)])
             yield pd.DataFrame({"id": pdf[id_col].astype("int64"), "embedding": vecs})
 

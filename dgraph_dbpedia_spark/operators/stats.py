@@ -51,7 +51,31 @@ def stats_table(frames: dict[str, DataFrame], group_col: str = "lang") -> DataFr
     frames (J4, DbpediaDgraphSparkApp.scala:157). Inputs are one row per
     group, so each join stays broadcast-sized regardless of fact scale."""
     counted = [counts_per_group(df, group_col, name) for name, df in frames.items()]
-    joined = reduce(lambda a, b: a.join(b, [group_col], "full_outer"), counted)
+
+    def outer(a: DataFrame, b: DataFrame) -> DataFrame:
+        # null-SAFE key equality: a USING full-outer never matches NULL
+        # keys, so a NULL group present in two datasets would yield two
+        # half-empty rows here while stats_table_pivot's groupBy merges
+        # them — the two documented-equivalent forms must agree. The
+        # right key is RENAMED before the expression join: per-dataset
+        # count frames routinely derive from ONE source frame, and
+        # attribute references (a[col] / b[col]) into shared lineage
+        # trip Spark's ambiguous-self-join check
+        rk = "__rk"
+        while rk in a.columns or rk in b.columns:
+            rk = "_" + rk
+        bb = b.withColumnRenamed(group_col, rk)
+        keep = [c for c in bb.columns if c != rk]
+        return (
+            a.join(bb, F.col(group_col).eqNullSafe(F.col(rk)), "full_outer")
+            .select(
+                F.coalesce(F.col(group_col), F.col(rk)).alias(group_col),
+                *[F.col(c) for c in a.columns if c != group_col],
+                *[F.col(c) for c in keep],
+            )
+        )
+
+    joined = reduce(outer, counted)
     return joined.na.fill(0)
 
 
@@ -75,11 +99,24 @@ def rollup_group(df: DataFrame, group_col: str, pred, label: str) -> DataFrame:
     """Aggregate all rows matching ``pred`` into a single labelled row and
     append it (A4+U2, DbpediaDgraphSparkApp.scala:163-171) — the
     reference's ``en-*`` rollup."""
-    num_cols = [c for c, t in df.dtypes if c != group_col and t in ("bigint", "int", "long", "double")]
+    dtypes = dict(df.dtypes)
+    num_cols = [
+        c
+        for c, t in df.dtypes
+        if c != group_col
+        and (t in ("bigint", "int", "smallint", "tinyint", "double", "float")
+             or t.startswith("decimal"))
+    ]
+    # sums cast BACK to the source dtype so the union schema matches
+    # (sum(float) is double, sum(int) is bigint, sum(decimal(p,s)) is
+    # decimal(p+10,s)); groupBy on the literal label — NOT a global
+    # agg — so a predicate matching zero rows appends NOTHING instead
+    # of a phantom all-NULL labelled row
     rolled = (
         df.where(pred(F.col(group_col)))
-        .agg(*[F.sum(c).alias(c) for c in num_cols])
-        .select(F.lit(label).alias(group_col), *num_cols)
+        .groupBy(F.lit(label).alias(group_col))
+        .agg(*[F.sum(c).cast(dtypes[c]).alias(c) for c in num_cols])
+        .select(group_col, *num_cols)
     )
     return df.unionByName(rolled)
 
@@ -99,6 +136,8 @@ def per_lang_stats_tables(
     Both inputs to the union come from one cached fold, so the fact
     frames are scanned once per dataset regardless of how many tables
     are printed."""
+    from dgraph_dbpedia_spark.operators.cachectl import tag_persisted
+
     tbl = stats_table(frames, group_col).cache()
     num_cols = [c for c in tbl.columns if c != group_col]
     en_star = tbl.where(F.col(group_col).startswith("en-"))
@@ -112,7 +151,12 @@ def per_lang_stats_tables(
         .unionByName(rolled)
         .orderBy(group_col)
     )
-    return main, en_star.orderBy(group_col)
+    # both outputs carry the fold's cache handle so a caller can free
+    # it (cachectl.release) — an internal-only .cache() is unreleasable
+    return (
+        tag_persisted(main, tbl),
+        tag_persisted(en_star.orderBy(group_col), tbl),
+    )
 
 
 def salted_group_count(

@@ -145,14 +145,19 @@ def pii_redact(
     shard carried) without retaining the values.
     """
     text = F.col(text_col)
-    redacted = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
-    redacted = F.regexp_replace(redacted, IPV4_RE, "<IP>")
+    after_email = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    redacted = F.regexp_replace(after_email, IPV4_RE, "<IP>")
     redacted = F.regexp_replace(redacted, PHONE_RE, "<PHONE>")
     return df.select(
         F.col(id_col),
         redacted.alias("redacted"),
         F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)).alias("n_emails"),
-        F.size(F.regexp_extract_all(text, F.lit(IPV4_RE), 0)).alias("n_ipv4"),
+        # count on the EMAIL-redacted text, matching the sequential
+        # replacement: an IP embedded in an email address is consumed by
+        # <EMAIL> and must not be reported as an <IP> that isn't there
+        F.size(F.regexp_extract_all(after_email, F.lit(IPV4_RE), 0)).alias(
+            "n_ipv4"
+        ),
     )
 
 
@@ -219,6 +224,13 @@ def hash_sample(
     """
     if rate_den != 256:
         raise ValueError("rate_den must be 256 (one md5 byte)")
+    if not 0 <= rate_num <= 256:
+        # out of range silently mis-samples: 256 formats as the 3-char
+        # '100', which the 2-char hex comparison treats as ~6%, and a
+        # negative rate formats as '-1' and keeps nothing
+        raise ValueError(f"rate_num must be in [0, 256], got {rate_num}")
+    if rate_num == 256:
+        return df
     threshold = f"{rate_num:02x}"
     byte_hex = F.substring(F.md5(F.col(key_col).cast("string")), 1, 2)
     return df.where(byte_hex < F.lit(threshold))

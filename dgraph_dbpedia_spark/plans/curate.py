@@ -115,23 +115,32 @@ def curate_corpus(
         # raised); either way the pair caches are dead weight now
         release(pairs)
 
-    # 4. benchmark decontamination — w-gram hash semi-join kill
-    s4 = (
-        decontaminate(
-            s3, benchmark, w=decontaminate_w, text_col=text_col,
-            id_col=id_col, bench_text_col=text_col,
+    # stages 4-5 can also raise before the handles transfer to the
+    # result (e.g. a benchmark frame missing text_col fails eager
+    # analysis inside decontaminate) — the same must-not-outlive rule
+    # as the stage-3 guard above
+    try:
+        # 4. benchmark decontamination — w-gram hash semi-join kill
+        s4 = (
+            decontaminate(
+                s3, benchmark, w=decontaminate_w, text_col=text_col,
+                id_col=id_col, bench_text_col=text_col,
+            )
+            if benchmark is not None
+            else s3
         )
-        if benchmark is not None
-        else s3
-    )
 
-    # 5. temperature resampling — LAST, so rates calibrate on the
-    # curated distribution
-    s5 = (
-        temperature_sample(
-            s4, group_col=lang_col, alpha=alpha, id_col=id_col, seed=seed
+        # 5. temperature resampling — LAST, so rates calibrate on the
+        # curated distribution
+        s5 = (
+            temperature_sample(
+                s4, group_col=lang_col, alpha=alpha, id_col=id_col, seed=seed
+            )
+            if alpha is not None
+            else s4
         )
-        if alpha is not None
-        else s4
-    )
+    except BaseException:
+        s2.unpersist()
+        gk.unpersist()
+        raise
     return tag_persisted(s5, s2, gk)

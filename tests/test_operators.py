@@ -114,3 +114,48 @@ def test_percentile_stats_name_rounding(spark):
     df = spark.createDataFrame([("a", v) for v in range(1, 11)], ["g", "v"])
     cols = percentile_stats(df, ["g"], "v", ps=[0.29, 0.57]).columns
     assert cols == ["g", "p29", "p57"]  # int() would give p28/p56
+
+
+def test_stats_table_null_group_merges_like_pivot(spark):
+    """A NULL group key present in several datasets must merge into ONE
+    row (null-safe fold), agreeing with the pivot form."""
+    from dgraph_dbpedia_spark.operators.stats import (
+        stats_table,
+        stats_table_pivot,
+    )
+
+    a = spark.createDataFrame([("en",), (None,)], "lang string")
+    b = spark.createDataFrame([(None,), (None,)], "lang string")
+    frames = {"d1": a, "d2": b}
+    fold = {r["lang"]: (r["d1"], r["d2"]) for r in stats_table(frames).collect()}
+    piv = {
+        r["lang"]: (r["d1"], r["d2"])
+        for r in stats_table_pivot(frames).collect()
+    }
+    assert fold == piv
+    assert fold[None] == (1, 2)
+    assert fold["en"] == (1, 0)
+
+
+def test_rollup_group_empty_pred_and_float_columns(spark):
+    """A predicate matching zero rows appends NOTHING (no phantom
+    all-NULL row); float columns roll up with the union schema intact
+    (sums cast back to the source dtype)."""
+    from dgraph_dbpedia_spark.operators.stats import rollup_group
+
+    df = spark.createDataFrame(
+        [("en-a", 2, 1.5), ("en-b", 3, 2.5), ("de", 4, 9.0)],
+        ["lang", "n", "score"],
+    ).withColumn("score", F.col("score").cast("float"))
+
+    rolled = rollup_group(
+        df, "lang", lambda c: c.startswith("en-"), "en-*"
+    )
+    rows = {r["lang"]: (r["n"], r["score"]) for r in rolled.collect()}
+    assert rows["en-*"] == (5, 4.0)
+    assert len(rows) == 4
+
+    none = rollup_group(
+        df, "lang", lambda c: c.startswith("zz-"), "zz-*"
+    )
+    assert none.count() == 3  # nothing appended, no phantom NULL row
