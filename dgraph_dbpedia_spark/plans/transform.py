@@ -514,6 +514,11 @@ def transform(
         print("Triples per languages and dataset:")
         main_table.show(1000, truncate=False)
         en_star_table.show(1000, truncate=False)
+        # both tables are fully materialized by the shows above —
+        # release the fold cache they share (cachectl handles)
+        from dgraph_dbpedia_spark.operators.cachectl import release
+
+        release(main_table)
 
     typed = typed_triples(infobox_triples)
 
