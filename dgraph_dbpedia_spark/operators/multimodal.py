@@ -59,6 +59,21 @@ def attach_binary(df: DataFrame, text_col: str = "text", out_col: str = "content
     return df.withColumn(out_col, F.encode(F.col(text_col), "UTF-8"))
 
 
+def _clean_cells(ids, blobs):
+    """Shared NULL policy of the three kernels: rows with a NULL id are
+    DROPPED (an un-addressable row cannot be reported), and the pair
+    list carries content as-is (None preserved — each kernel decides
+    its NULL-content output: NULL metadata, no frames, NULL embedding;
+    substituting a sentinel like b"" would give every missing blob the
+    SAME fake features and hand the downstream similarity self-joins a
+    quadratic degenerate cluster)."""
+    return [
+        (int(i), None if b is None else bytes(b))
+        for i, b in zip(ids, blobs)
+        if i is not None and not pd.isna(i)
+    ]
+
+
 def _fake_dims(content: bytes) -> tuple[int, int]:
     """Deterministic stand-in for a decoded image's dimensions: derived
     from the md5 of the bytes (cross-engine reproducible)."""
@@ -120,19 +135,27 @@ def decode_image_meta(
         for pdf in batches:
             # NULL cells are routine in a crawl table — bytes(None)
             # would raise and cost the whole Arrow batch, the exact
-            # failure the per-row robustness contract forbids; a NULL
-            # binary is an empty one for metadata purposes
-            raw = [b"" if b is None else bytes(b) for b in pdf[content_col]]
-            rows = [one(b) for b in raw]
-            dims = [(w, h) for w, h, _ in rows]
-            fmt = [f for _, _, f in rows]
+            # failure the per-row robustness contract forbids. A NULL
+            # blob reports NULL metadata (n_bytes 0), NOT fake dims —
+            # a sentinel would cluster every missing image together
+            cells = _clean_cells(pdf[id_col], pdf[content_col])
+            rows = [
+                (None, None, "null/missing") if b is None else one(b)
+                for _, b in cells
+            ]
             yield pd.DataFrame(
                 {
-                    "id": pdf[id_col].astype("int64"),
-                    "n_bytes": [len(b) for b in raw],
-                    "width": [w for w, _ in dims],
-                    "height": [h for _, h in dims],
-                    "format": fmt,
+                    "id": pd.array(
+                        [i for i, _ in cells], dtype="int64"
+                    ),
+                    "n_bytes": [0 if b is None else len(b) for _, b in cells],
+                    "width": pd.array(
+                        [w for w, _, _ in rows], dtype="Int64"
+                    ),
+                    "height": pd.array(
+                        [h for _, h, _ in rows], dtype="Int64"
+                    ),
+                    "format": [f for _, _, f in rows],
                 }
             )
 
@@ -171,8 +194,10 @@ def frame_sample(
         for pdf in batches:
             ids, idxs, hashes = [], [], []
             if decoder is not None:
-                for vid, b in zip(pdf[id_col], pdf[content_col]):
-                    for idx, fh in decoder(b"" if b is None else bytes(b)):
+                for vid, b in _clean_cells(pdf[id_col], pdf[content_col]):
+                    if b is None:
+                        continue  # a missing video samples no frames
+                    for idx, fh in decoder(b):
                         ids.append(int(vid))
                         idxs.append(int(idx))
                         hashes.append(int(fh))
@@ -180,8 +205,10 @@ def frame_sample(
                     {"id": ids, "frame_idx": idxs, "frame_hash": hashes}
                 )
                 continue
-            for vid, b in zip(pdf[id_col], pdf[content_col]):
-                data = b"" if b is None else bytes(b)
+            for vid, b in _clean_cells(pdf[id_col], pdf[content_col]):
+                if b is None:
+                    continue  # a missing video samples no frames
+                data = b
                 for i, off in enumerate(range(0, max(len(data), 1), every_n_bytes)):
                     chunk = data[off : off + every_n_bytes]
                     ids.append(int(vid))
@@ -227,14 +254,26 @@ def embed_binary(
                 "model runtime not available in this environment"
             )
         for pdf in batches:
+            cells = _clean_cells(pdf[id_col], pdf[content_col])
             vecs = []
-            for b in pdf[content_col]:
-                raw = b"" if b is None else bytes(b)
-                if decoder is not None:
-                    vecs.append([float(v) for v in decoder(raw)])
+            for _, b in cells:
+                if b is None:
+                    # NULL embedding, NOT a digest of b"": a shared
+                    # sentinel vector would make every missing blob
+                    # pairwise-identical and blow up the downstream
+                    # similarity self-joins quadratically
+                    vecs.append(None)
                     continue
-                digest = hashlib.md5(raw).digest()
+                if decoder is not None:
+                    vecs.append([float(v) for v in decoder(b)])
+                    continue
+                digest = hashlib.md5(b).digest()
                 vecs.append([digest[i] / 255.0 - 0.5 for i in range(dims)])
-            yield pd.DataFrame({"id": pdf[id_col].astype("int64"), "embedding": vecs})
+            yield pd.DataFrame(
+                {
+                    "id": pd.array([i for i, _ in cells], dtype="int64"),
+                    "embedding": vecs,
+                }
+            )
 
     return df.select(F.col(id_col), F.col(content_col)).mapInPandas(kernel, out_schema)

@@ -107,18 +107,25 @@ def rollup_group(df: DataFrame, group_col: str, pred, label: str) -> DataFrame:
         and (t in ("bigint", "int", "smallint", "tinyint", "double", "float")
              or t.startswith("decimal"))
     ]
-    # sums cast BACK to the source dtype so the union schema matches
-    # (sum(float) is double, sum(int) is bigint, sum(decimal(p,s)) is
-    # decimal(p+10,s)); groupBy on the literal label — NOT a global
-    # agg — so a predicate matching zero rows appends NOTHING instead
-    # of a phantom all-NULL labelled row
+    # WIDEN the base columns to the sums' natural types (sum(int) is
+    # bigint, sum(float) is double, sum(decimal(p,s)) is
+    # decimal(p+10,s)) — casting the sums DOWN would overflow (ANSI
+    # ArithmeticException, or a silent wrap/NULL) on any rollup
+    # exceeding the source type's range; widening is lossless. groupBy
+    # on the literal label — NOT a global agg — so a predicate matching
+    # zero rows appends NOTHING instead of a phantom all-NULL row
     rolled = (
         df.where(pred(F.col(group_col)))
         .groupBy(F.lit(label).alias(group_col))
-        .agg(*[F.sum(c).cast(dtypes[c]).alias(c) for c in num_cols])
+        .agg(*[F.sum(c).alias(c) for c in num_cols])
         .select(group_col, *num_cols)
     )
-    return df.unionByName(rolled)
+    rolled_types = dict(rolled.dtypes)
+    base = df
+    for c in num_cols:
+        if dtypes[c] != rolled_types[c]:
+            base = base.withColumn(c, F.col(c).cast(rolled_types[c]))
+    return base.unionByName(rolled)
 
 
 def per_lang_stats_tables(

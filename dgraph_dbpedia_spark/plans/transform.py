@@ -510,15 +510,18 @@ def transform(
                 f"{c['predicates']:,} predicates"
             )
         main_table, en_star_table = per_lang_stats_tables(stats_frames)
-        print()
-        print("Triples per languages and dataset:")
-        main_table.show(1000, truncate=False)
-        en_star_table.show(1000, truncate=False)
-        # both tables are fully materialized by the shows above —
-        # release the fold cache they share (cachectl handles)
         from dgraph_dbpedia_spark.operators.cachectl import release
 
-        release(main_table)
+        try:
+            print()
+            print("Triples per languages and dataset:")
+            main_table.show(1000, truncate=False)
+            en_star_table.show(1000, truncate=False)
+        finally:
+            # the shows fully materialize both tables; release the
+            # shared fold cache even if a show raises (the curate.py
+            # must-not-outlive-the-failure rule)
+            release(main_table)
 
     typed = typed_triples(infobox_triples)
 

@@ -180,3 +180,31 @@ def test_frame_sample_and_embed_accept_injected_decoders(spark):
         df, dims=3, decoder=lambda b: [float(len(b)), 1.5, -2.0]
     ).collect()
     assert vecs[0]["embedding"] == [6.0, 1.5, -2.0]
+
+
+def test_null_cells_do_not_fail_batches(spark):
+    """NULL content/id cells are routine in a crawl table: no kernel
+    may fail the Arrow batch; NULL blobs yield NULL metadata / no
+    frames / a NULL embedding (never a shared b'' sentinel that would
+    cluster every missing blob together); NULL-id rows are dropped."""
+    from dgraph_dbpedia_spark.operators.multimodal import (
+        decode_image_meta,
+        embed_binary,
+        frame_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"real bytes here")), (2, None), (None, b"x")],
+        "id long, content binary",
+    )
+    meta = {r["id"]: r for r in decode_image_meta(df).collect()}
+    assert set(meta) == {1, 2}
+    assert meta[2]["n_bytes"] == 0 and meta[2]["width"] is None
+    assert meta[2]["format"] == "null/missing"
+    assert meta[1]["width"] is not None
+
+    emb = {r["id"]: r["embedding"] for r in embed_binary(df).collect()}
+    assert emb[2] is None and emb[1] is not None
+
+    frames = frame_sample(df).collect()
+    assert {r["id"] for r in frames} == {1}  # NULL blob: no frames
