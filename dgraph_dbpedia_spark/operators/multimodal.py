@@ -272,7 +272,11 @@ def embed_binary(
             yield pd.DataFrame(
                 {
                     "id": pd.array([i for i, _ in cells], dtype="int64"),
-                    "embedding": vecs,
+                    # object dtype is load-bearing: a batch whose
+                    # embeddings are all None would otherwise infer
+                    # float64 (NaN) and Arrow cannot convert a float64
+                    # ndarray to list<float>
+                    "embedding": pd.Series(vecs, dtype="object"),
                 }
             )
 
