@@ -640,11 +640,20 @@ def corpus_divergence(
     vocab frame feeds both the totals and the term sum, so it is
     persisted; the result carries its release handle (cachectl).
 
-    Float determinism: each term is a pure function of exact integer
-    counts, and the final round(…, 6) sits ~5 orders of magnitude
-    above the worst-case parallel-summation drift (vocab x eps), the
-    same argument the stats rollups use — do not tighten the rounding
-    without revisiting it."""
+    Float determinism: each per-token term is quantized to a 1e-12
+    fixed-point long BEFORE the sum, and the sum runs over exact
+    decimal(38,0) integers — so the reduction is order-independent by
+    construction, immune to Spark's partition-dependent addend order.
+    (The pre-r11 version summed raw doubles under a "rounding margin"
+    argument and flipped the 6th decimal on the driver's sf0.1 run —
+    CORRECTNESS_r10's one red row. The DuckDB oracle replays the
+    identical quantization, so the only residual cross-engine exposure
+    is a per-token log2 ulp landing exactly on the 1e-12 grid
+    boundary — deterministic per engine, not flaky.) The 1e-12 scale
+    keeps the quantization error (vocab x 1e-12) far below the final
+    round(…, 6) while the decimal accumulator cannot overflow: per-term
+    magnitude is bounded by ~0.54 (max of |p log2(p/m)| + the q twin),
+    so even a 1e12-token vocab sums to < 1e24 « 1e38."""
     from dgraph_dbpedia_spark.operators.cachectl import tag_persisted
 
     def counts(df: DataFrame, alias: str) -> DataFrame:
@@ -677,6 +686,12 @@ def corpus_divergence(
     term = F.when(F.col("__ca") > 0, p * F.log2(p / m)).otherwise(
         F.lit(0.0)
     ) + F.when(F.col("__cb") > 0, q * F.log2(q / m)).otherwise(F.lit(0.0))
+    # order-independent reduction: quantize each term to the 1e-12
+    # grid (F.round with no scale = HALF_UP to integer, same as
+    # DuckDB's round-half-away), sum as exact decimal(38,0) integers,
+    # divide/round ONCE at the end — see the docstring's determinism
+    # contract (oracle replays the same quantization)
+    term_fp = F.round(term * F.lit(1e12)).cast("decimal(38,0)")
     out = (
         j.crossJoin(F.broadcast(tot))
         .agg(
@@ -687,7 +702,9 @@ def corpus_divergence(
             F.sum(
                 ((F.col("__ca") > 0) & (F.col("__cb") > 0)).cast("long")
             ).alias("vocab_shared"),
-            F.round(F.sum(term) / 2, 6).alias("jsd_bits"),
+            F.round(
+                F.sum(term_fp).cast("double") / F.lit(2e12), 6
+            ).alias("jsd_bits"),
         )
     )
     return tag_persisted(out, j)

@@ -9,7 +9,20 @@ query filter — writes the per-query result map to
 ``CORRECTNESS_FULL.json`` at the repo root: the committed fallback
 signal for queries outside the driver's window (ADVICE r5).
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [sf_dir] [--repeat N] [query ...]
+
+``--repeat N`` is the float-determinism harness (VERDICT r10 #2): each
+selected query runs N times in the SAME session and the normalized
+output must be byte-identical across runs before it is compared to the
+oracle — converting every "the rounding margin is safe" docstring
+argument into a measured property. A run-to-run mismatch reports
+``NONDET`` (counted as a failure) with the first differing rows. The float-bearing set is detected from the RESULT SCHEMA (any
+double/float field), not a hardcoded list that would drift as the
+registry grows — exactly the rows where a partition-order-dependent
+float fold can flip a rounding boundary (the corpus_divergence r10
+failure mode); integer/string-only rows are exact by construction and
+skip the extra runs. An explicitly named query repeats regardless of
+dtype.
 """
 
 from __future__ import annotations
@@ -50,7 +63,30 @@ def norm_rows(cols, rows):
     return sorted(tuple(norm_value(r[i]) for i in order) for r in rows)
 
 
-def main(sf_dir: str, only: list[str] | None = None) -> int:
+def _has_float_field(schema) -> bool:
+    """True if any field (recursing through struct/array/map) is a
+    floating type — the determinism-exposure signal for --repeat."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, FloatType, MapType, StructType,
+    )
+
+    def walk(dt) -> bool:
+        if isinstance(dt, (DoubleType, FloatType)):
+            return True
+        if isinstance(dt, StructType):
+            return any(walk(f.dataType) for f in dt.fields)
+        if isinstance(dt, ArrayType):
+            return walk(dt.elementType)
+        if isinstance(dt, MapType):
+            return walk(dt.keyType) or walk(dt.valueType)
+        return False
+
+    return walk(schema)
+
+
+def main(
+    sf_dir: str, only: list[str] | None = None, repeat: int = 1
+) -> int:
     spark = build_session(app_name="correctness-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -75,6 +111,38 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
             s_rows = sdf.collect()
+            # --repeat determinism gate: re-run the WHOLE query
+            # (fresh plan, fresh task scheduling) and require the
+            # normalized multiset to be byte-identical — repeated for
+            # float-bearing schemas (or any explicitly named query);
+            # exact-typed rows cannot drift and skip the extra runs
+            n_runs = (
+                repeat
+                if repeat > 1 and (only or _has_float_field(sdf.schema))
+                else 1
+            )
+            if n_runs > 1:
+                base = norm_rows(s_cols, s_rows)
+                nondet = None
+                for i in range(1, n_runs):
+                    r_rows = fn(spark, sf_dir).collect()
+                    again = norm_rows(s_cols, r_rows)
+                    if again != base:
+                        d1 = [x for x in base if x not in again][:3]
+                        d2 = [x for x in again if x not in base][:3]
+                        nondet = (
+                            f"run 1 vs run {i + 1}: "
+                            f"only-first {d1} only-later {d2}"
+                        )
+                        break
+                if nondet:
+                    print(f"NONDET {name}: {nondet}")
+                    report[name] = {
+                        "status": "NONDET", "err": nondet,
+                        "repeat": n_runs,
+                    }
+                    failures += 1
+                    continue
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error {e}")
             report[name] = {"status": "FAIL", "err": f"spark error {e}"}
@@ -110,13 +178,16 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
             report[name] = {"status": "FAIL", "err": "; ".join(problems)}
             failures += 1
         else:
-            print(f"OK   {name}: {len(s_rows)} rows")
+            tag = f" (repeat x{n_runs})" if n_runs > 1 else ""
+            print(f"OK   {name}: {len(s_rows)} rows{tag}")
             report[name] = {
                 "status": "OK",
                 "spark_rows": len(s_rows),
                 "oracle_rows": len(d_rows),
                 "hash_match": True,
             }
+            if n_runs > 1:
+                report[name]["repeat"] = n_runs
     spark.stop()
     if not only:
         import json
@@ -124,11 +195,21 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
         out = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "CORRECTNESS_FULL.json")
         with open(out, "w") as f:
-            json.dump({"sf_dir": sf_dir, "queries": report}, f, indent=1)
+            json.dump(
+                {"sf_dir": sf_dir, "repeat": repeat, "queries": report},
+                f,
+                indent=1,
+            )
         print(f"wrote {out} ({len(report)} queries)")
     return failures
 
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    sys.exit(1 if main(sf, only=sys.argv[2:] or None) else 0)
+    argv = sys.argv[1:]
+    repeat = 1
+    if "--repeat" in argv:
+        i = argv.index("--repeat")
+        repeat = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
+    sys.exit(1 if main(sf, only=argv[1:] or None, repeat=repeat) else 0)

@@ -53,11 +53,17 @@ def main() -> None:
     # b = fresh vectors PLUS each a-vector's identical twin at id+10M.
     # Fresh-b SEEDS live at +20M — a disjoint range, so no fresh-b
     # vector can alias an a-vector and beat the twin on the id
-    # tie-break (which would spuriously depress measured recall)
+    # tie-break (which would spuriously depress measured recall).
+    # Fresh-b IDS start past the twin range too (twins end at
+    # n_a + 10M < 20M for any plausible n_a): duplicate vec_ids
+    # between fresh rows and twins would let a fresh row win the id
+    # tie-break over a same-id twin — the same aliasing hazard, on
+    # the id axis instead of the seed axis
+    assert n_a < 10_000_000, "twin id range would collide with fresh-b ids"
     b = (
         spark.range(n_b)
         .select(
-            (F.col("id") + 1_000_000).alias("vec_id"),
+            (F.col("id") + 20_000_000).alias("vec_id"),
             vec(F.col("id") + 20_000_000).alias("embedding"),
         )
         .unionByName(
