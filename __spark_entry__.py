@@ -715,22 +715,30 @@ def _sql_compression_ratio(
     """
 
 
-def _sql_split_corpus() -> str:
-    """Replay split_corpus's CASE chain with the EXACT cumulative
-    float thresholds the Spark side accumulates (0.8 + 0.1 is
-    0.9000000000000001 in IEEE — repr round-trips it)."""
+def _sql_split_case(ucol: str = "u") -> str:
+    """split_corpus's CASE chain with the EXACT cumulative float
+    thresholds the Spark side accumulates (0.8 + 0.1 is
+    0.9000000000000001 in IEEE — repr round-trips it). ONE definition
+    for the standalone `split_corpus` row and the `pretraining_prep`
+    composition."""
     whens = []
     cum = 0.0
     for name, frac in (("train", 0.8), ("val", 0.1), ("test", 0.1)):
         cum += frac
-        whens.append(f"WHEN u < {cum!r}::DOUBLE THEN '{name}'")
+        whens.append(f"WHEN {ucol} < {cum!r}::DOUBLE THEN '{name}'")
+    return f"CASE {' '.join(whens)} END"
+
+
+def _sql_split_corpus() -> str:
+    """Replay split_corpus: the cross-engine id-hash coin against the
+    shared cumulative CASE chain (:func:`_sql_split_case`)."""
     return f"""
         WITH u AS (
             SELECT doc_id,
                    (({_sql_hash64('doc_id::VARCHAR', 1)} % 1000000)
                     / 1000000.0::DOUBLE) AS u
             FROM documents)
-        SELECT doc_id, CASE {' '.join(whens)} END AS split FROM u
+        SELECT doc_id, {_sql_split_case()} AS split FROM u
     """
 
 
@@ -826,6 +834,29 @@ def _q_semantic_dedup_keep_far(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, threshold=0.40, n_centroids=16, keep="low_centroid_sim"
     )
     return out.select("vec_id", "label")
+
+
+def _q_semantic_dedup_pairs_normalized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r11: the normalized SemDeDup fast path — normalize_embeddings
+    (L2, round-6 components) feeds semantic_dedup_pairs with
+    normalized=True, so pair scoring is a plain dot: no norm columns
+    through the cid shuffle, no divide on any candidate pair. The
+    oracle replays normalization + seed-centroid assignment +
+    within-cluster dot pairs end to end."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        normalize_embeddings,
+        semantic_dedup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    unit = normalize_embeddings(emb).select(
+        "vec_id", F.col("e").alias("embedding")
+    )
+    return semantic_dedup_pairs(
+        unit, threshold=0.40, n_centroids=16, normalized=True
+    )
 
 
 def _q_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1186,6 +1217,38 @@ def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
+def _q_pretraining_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: the SECOND half of the pretraining pipeline composed
+    end-to-end on top of the r10 curation chain (plans/curate.py
+    pretraining_prep): curate (same knobs as `curation_pipeline`) ->
+    32/8 sliding-window chunking of the SURVIVORS -> doc-keyed
+    80/10/10 split (chunks of a doc never straddle splits) -> epoch-3
+    shuffle of the train chunks into (shard, pos) delivery order.
+    Pins the composition seams one DuckDB replay: chunks computed on
+    survivors only, split before shuffle, chunk-unique shuffle key."""
+    from dgraph_dbpedia_spark.plans.curate import pretraining_prep
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    return pretraining_prep(
+        corpus,
+        benchmark=bench,
+        gopher_kwargs=dict(
+            min_words=25, max_words=100_000, min_mean_word_len=2.0,
+            max_mean_word_len=12.0, min_alpha_word_ratio=0.8,
+            min_stopwords=1,
+        ),
+        near_dup_threshold=0.4,
+        w=3, k=16, bands=4,
+        decontaminate_w=4,
+        alpha=0.5, seed=2,
+        chunk_tokens=32, overlap=8,
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+        split_seed=1, epoch=3, n_shards=4,
+    )
+
+
 def _q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r10: mC4/XLM-R alpha-sampling — per-lang keep rates
     (n/n_min)^(alpha-1) rounded to the coin granularity, RNG-free
@@ -1410,6 +1473,41 @@ def _q_bm25_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"qa": ["spark", "window", "hash"], "qb": ["merge", "join"]},
         k=5,
     )
+
+
+def _q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: hybrid retrieval — the same two topical probes run through
+    BOTH arms (lexical: bm25_topk_batch top-5; semantic: brute cosine
+    top-5 against a per-query embedding) and fused per query by
+    Reciprocal Rank Fusion (Cormack et al., SIGIR 2009) with k=60.
+    Ranks derive from each arm's own (score desc, id asc) order; the
+    cross-arm sum is fixed-order (order-deterministic by
+    construction)."""
+    from dgraph_dbpedia_spark.operators.fusion import rrf_fuse
+    from dgraph_dbpedia_spark.operators.similarity import cosine_topk
+    from dgraph_dbpedia_spark.operators.textstats import bm25_topk_batch
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk_batch(
+        docs,
+        {"qa": ["spark", "window", "hash"], "qb": ["merge", "join"]},
+        k=5,
+    )
+    sem = None
+    for qid, qvec in (("qa", 0), ("qb", 1)):
+        q = emb.where(F.col("vec_id") == qvec).select(
+            F.col("embedding").alias("q")
+        )
+        r = cosine_topk(
+            emb.where(F.col("vec_id") != qvec), q, k=5
+        ).select(
+            F.lit(qid).alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            F.col("sim").alias("score"),
+        )
+        sem = r if sem is None else sem.unionByName(r)
+    return rrf_fuse([lex, sem], k=60, topn=10)
 
 
 def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1952,7 +2050,23 @@ def _q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver rows r01-r08, pytest coverage, and their code is untouched
 # this round.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # changed or new this round (r10) — first in line for driver rows:
+    # changed or new this round (r11) — first in line for driver rows:
+    # the pretraining-prep composition (curate -> chunk -> split ->
+    # epoch-shuffle, VERDICT r10 #4), RRF hybrid retrieval, the
+    # normalized SemDeDup fast path (VERDICT r10 #7), and the
+    # re-greened order-deterministic corpus_divergence (fixed-point
+    # term sum, VERDICT r10 #1). The THREE net additions (the fourth
+    # row, corpus_divergence, moved up from inside the window) push
+    # three more r9-era queries past position 50; every out-of-window
+    # query holds
+    # a green prior driver row AND the committed 118-row
+    # CORRECTNESS_FULL.json sweep (repeat x3 on float-bearing rows),
+    # refreshed in the same commit as this registry change.
+    "pretraining_prep": _q_pretraining_prep,
+    "hybrid_search_rrf": _q_hybrid_search_rrf,
+    "semantic_dedup_pairs_normalized": _q_semantic_dedup_pairs_normalized,
+    "corpus_divergence": _q_corpus_divergence,
+    # r10 cohort — first in line for driver rows:
     # the arrow assignment lane (semantic/IVF family), the quantized
     # served index, the paper-faithful SemDeDup keep policy, the
     # micro-batch streaming near-dup composition, the winnowing
@@ -1976,7 +2090,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "strip_spans": _q_strip_spans,
     "winnow_fingerprints": _q_winnow_fingerprints,
     "normalize_text": _q_normalize_text,
-    "corpus_divergence": _q_corpus_divergence,
     "winnow_matches": _q_winnow_matches,
     "epoch_shuffle": _q_epoch_shuffle,
     "dedup_exact_normalized": _q_dedup_exact_normalized,
@@ -2786,6 +2899,131 @@ def _sql_dsir_scores(buckets: int) -> str:
     """
 
 
+def _sql_bm25_batch() -> str:
+    """bm25_topk_batch's full DuckDB replay (two fixed topical
+    probes, per-query top-5) — ONE definition feeding both the
+    standalone row and the hybrid_search_rrf fusion on top."""
+    return f"""
+            WITH t AS (SELECT doc_id, {_SQL_TOKS_LOWER} AS toks FROM documents),
+            f AS (
+                SELECT doc_id, len(toks) AS dl,
+                       len(list_filter(toks, x -> x = 'hash')) AS tf_0,
+                       len(list_filter(toks, x -> x = 'join')) AS tf_1,
+                       len(list_filter(toks, x -> x = 'merge')) AS tf_2,
+                       len(list_filter(toks, x -> x = 'spark')) AS tf_3,
+                       len(list_filter(toks, x -> x = 'window')) AS tf_4
+                FROM t),
+            s AS (
+                SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+                       sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+                       sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+                       sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2,
+                       sum(CASE WHEN tf_3 > 0 THEN 1 ELSE 0 END) AS df_3,
+                       sum(CASE WHEN tf_4 > 0 THEN 1 ELSE 0 END) AS df_4
+                FROM f),
+            scored AS (
+                SELECT doc_id, 'qa' AS query_id,
+                       round(
+                           ln(1 + (n_docs - df_0 + 0.5::DOUBLE) / (df_0 + 0.5::DOUBLE))
+                             * (tf_0 * 2.2::DOUBLE) / (tf_0 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl))
+                         + ln(1 + (n_docs - df_3 + 0.5::DOUBLE) / (df_3 + 0.5::DOUBLE))
+                             * (tf_3 * 2.2::DOUBLE) / (tf_3 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl))
+                         + ln(1 + (n_docs - df_4 + 0.5::DOUBLE) / (df_4 + 0.5::DOUBLE))
+                             * (tf_4 * 2.2::DOUBLE) / (tf_4 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)),
+                       4) AS score
+                FROM f, s
+                UNION ALL
+                SELECT doc_id, 'qb' AS query_id,
+                       round(
+                           ln(1 + (n_docs - df_1 + 0.5::DOUBLE) / (df_1 + 0.5::DOUBLE))
+                             * (tf_1 * 2.2::DOUBLE) / (tf_1 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl))
+                         + ln(1 + (n_docs - df_2 + 0.5::DOUBLE) / (df_2 + 0.5::DOUBLE))
+                             * (tf_2 * 2.2::DOUBLE) / (tf_2 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)),
+                       4) AS score
+                FROM f, s)
+            SELECT query_id, doc_id, score FROM scored
+            WHERE score > 0
+            QUALIFY row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 5
+        """
+
+
+def _sql_curation_ctes() -> str:
+    """The end-to-end curation chain as a shared CTE block ending in
+    ``q5`` (the curated survivors WITH text): gopher gate -> exact
+    dedup -> minhash components (recursive CTE) -> 4-gram
+    decontamination vs the held-out eval slice -> alpha=0.5 per-lang
+    temperature resampling. Each block replays the corresponding
+    single-operator oracle, re-rooted on the previous stage's
+    survivors. ONE definition feeds both the ``curation_pipeline`` row
+    and the ``pretraining_prep`` composition on top of it."""
+    return f"""
+            WITH RECURSIVE
+            corpus AS (
+                SELECT doc_id, lang, source, text FROM documents
+                WHERE doc_id % 50 <> 0),
+            gt AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM corpus),
+            gf AS (
+                SELECT doc_id,
+                       len(toks) AS n_words,
+                       round(coalesce(list_sum(list_transform(toks,
+                                 w -> length(w))), 0)
+                             / greatest(len(toks), 1), 4) AS mean_word_len,
+                       round(len(list_filter(toks,
+                                 w -> regexp_matches(w, '[A-Za-z]')))
+                             / greatest(len(toks), 1), 4) AS alpha_word_ratio,
+                       len(list_intersect(list_transform(toks, w -> lower(w)),
+                           ['the','of','and','to','in','a','is','that','for','it'])
+                       ) AS n_stopwords
+                FROM gt),
+            q1 AS (
+                SELECT corpus.* FROM corpus JOIN gf USING (doc_id)
+                WHERE gf.n_words >= 25 AND gf.n_words <= 100000
+                  AND gf.mean_word_len >= 2.0 AND gf.mean_word_len <= 12.0
+                  AND gf.alpha_word_ratio >= 0.8 AND gf.n_stopwords >= 1),
+            q2 AS (
+                SELECT doc_id, lang, source, text FROM (
+                    SELECT q1.*,
+                           row_number() OVER (
+                               PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                    FROM q1) z
+                WHERE rn = 1),
+            npairs AS (
+                SELECT a, b FROM ({_sql_minhash_pairs(3, 16, 4, 0.4, src='q2')}) p),
+            nedges AS (
+                SELECT a AS src, b AS dst FROM npairs
+                UNION SELECT b AS src, a AS dst FROM npairs),
+            nreach AS (
+                SELECT doc_id AS id, doc_id AS r FROM q2
+                UNION
+                SELECT nreach.id, nedges.dst AS r
+                FROM nreach JOIN nedges ON nreach.r = nedges.src),
+            ncomp AS (SELECT id, MIN(r) AS rep FROM nreach GROUP BY id),
+            q3 AS (
+                SELECT q2.* FROM q2 SEMI JOIN ncomp
+                ON q2.doc_id = ncomp.id AND ncomp.rep = q2.doc_id),
+            bsh AS (
+                SELECT DISTINCT unnest({_sql_shingles(_SQL_TOKS, 4)}) AS s
+                FROM documents WHERE doc_id % 50 = 0),
+            csh AS (
+                SELECT doc_id, unnest({_sql_shingles(_SQL_TOKS, 4)}) AS s
+                FROM q3),
+            bad AS (SELECT DISTINCT doc_id FROM csh SEMI JOIN bsh USING (s)),
+            q4 AS (SELECT q3.* FROM q3 ANTI JOIN bad USING (doc_id)),
+            lc AS (SELECT lang, count(*) AS n FROM q4 GROUP BY lang),
+            lr AS (
+                SELECT lang,
+                       round(pow(n::DOUBLE / (SELECT min(n) FROM lc),
+                                 -0.5::DOUBLE), 6) AS rate
+                FROM lc),
+            q5 AS (
+                SELECT q4.doc_id, q4.lang, q4.source, q4.text
+                FROM q4 JOIN lr ON q4.lang IS NOT DISTINCT FROM lr.lang
+                WHERE (({_sql_hash64('q4.doc_id::VARCHAR', 2)} % 1000000)
+                       / 1000000.0::DOUBLE) < lr.rate)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     d = {
         "topk_sources_per_lang": """
@@ -3280,48 +3518,67 @@ def oracle_sql() -> dict[str, str]:
             corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
             SELECT DISTINCT doc_id FROM corpus SEMI JOIN bench USING (s)
         """,
-        "bm25_topk_batch": f"""
-            WITH t AS (SELECT doc_id, {_SQL_TOKS_LOWER} AS toks FROM documents),
-            f AS (
-                SELECT doc_id, len(toks) AS dl,
-                       len(list_filter(toks, x -> x = 'hash')) AS tf_0,
-                       len(list_filter(toks, x -> x = 'join')) AS tf_1,
-                       len(list_filter(toks, x -> x = 'merge')) AS tf_2,
-                       len(list_filter(toks, x -> x = 'spark')) AS tf_3,
-                       len(list_filter(toks, x -> x = 'window')) AS tf_4
-                FROM t),
-            s AS (
-                SELECT count(*) AS n_docs, avg(dl) AS avgdl,
-                       sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
-                       sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
-                       sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2,
-                       sum(CASE WHEN tf_3 > 0 THEN 1 ELSE 0 END) AS df_3,
-                       sum(CASE WHEN tf_4 > 0 THEN 1 ELSE 0 END) AS df_4
-                FROM f),
-            scored AS (
-                SELECT doc_id, 'qa' AS query_id,
-                       round(
-                           ln(1 + (n_docs - df_0 + 0.5::DOUBLE) / (df_0 + 0.5::DOUBLE))
-                             * (tf_0 * 2.2::DOUBLE) / (tf_0 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl))
-                         + ln(1 + (n_docs - df_3 + 0.5::DOUBLE) / (df_3 + 0.5::DOUBLE))
-                             * (tf_3 * 2.2::DOUBLE) / (tf_3 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl))
-                         + ln(1 + (n_docs - df_4 + 0.5::DOUBLE) / (df_4 + 0.5::DOUBLE))
-                             * (tf_4 * 2.2::DOUBLE) / (tf_4 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)),
-                       4) AS score
-                FROM f, s
+        "bm25_topk_batch": _sql_bm25_batch(),
+        # hybrid retrieval: the bm25 arm replays _sql_bm25_batch, the
+        # semantic arm replays the brute-cosine top-5 per query
+        # embedding; RRF terms 1/(60+rank) with each arm's (score
+        # desc, id asc) rank order, cross-arm sum in fixed arm order
+        # (coalesce(t1,0)+coalesce(t2,0) — the exact Spark add order)
+        "hybrid_search_rrf": f"""
+            WITH bm AS ({_sql_bm25_batch()}),
+            sem AS (
+                SELECT * FROM (
+                    WITH q AS (
+                        SELECT embedding::DOUBLE[] AS q FROM embeddings
+                        WHERE vec_id = 0),
+                    scored AS (
+                        SELECT vec_id,
+                               round(
+                                   list_dot_product(embedding::DOUBLE[], q) /
+                                   (sqrt(list_dot_product(embedding::DOUBLE[],
+                                                          embedding::DOUBLE[])) *
+                                    sqrt(list_dot_product(q, q))), 4) AS sim
+                        FROM embeddings, q WHERE vec_id <> 0)
+                    SELECT 'qa' AS query_id, vec_id AS doc_id,
+                           sim AS score
+                    FROM scored ORDER BY sim DESC, vec_id LIMIT 5)
                 UNION ALL
-                SELECT doc_id, 'qb' AS query_id,
-                       round(
-                           ln(1 + (n_docs - df_1 + 0.5::DOUBLE) / (df_1 + 0.5::DOUBLE))
-                             * (tf_1 * 2.2::DOUBLE) / (tf_1 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl))
-                         + ln(1 + (n_docs - df_2 + 0.5::DOUBLE) / (df_2 + 0.5::DOUBLE))
-                             * (tf_2 * 2.2::DOUBLE) / (tf_2 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)),
-                       4) AS score
-                FROM f, s)
-            SELECT query_id, doc_id, score FROM scored
-            WHERE score > 0
+                SELECT * FROM (
+                    WITH q AS (
+                        SELECT embedding::DOUBLE[] AS q FROM embeddings
+                        WHERE vec_id = 1),
+                    scored AS (
+                        SELECT vec_id,
+                               round(
+                                   list_dot_product(embedding::DOUBLE[], q) /
+                                   (sqrt(list_dot_product(embedding::DOUBLE[],
+                                                          embedding::DOUBLE[])) *
+                                    sqrt(list_dot_product(q, q))), 4) AS sim
+                        FROM embeddings, q WHERE vec_id <> 1)
+                    SELECT 'qb' AS query_id, vec_id AS doc_id,
+                           sim AS score
+                    FROM scored ORDER BY sim DESC, vec_id LIMIT 5)),
+            r1 AS (
+                SELECT query_id, doc_id,
+                       1.0 / (60 + row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score DESC, doc_id ASC)) AS t1
+                FROM bm),
+            r2 AS (
+                SELECT query_id, doc_id,
+                       1.0 / (60 + row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score DESC, doc_id ASC)) AS t2
+                FROM sem),
+            fused AS (
+                SELECT query_id, doc_id,
+                       round(coalesce(t1, 0) + coalesce(t2, 0), 6)
+                           AS rrf_score
+                FROM r1 FULL JOIN r2 USING (query_id, doc_id))
+            SELECT query_id, doc_id, rrf_score FROM fused
             QUALIFY row_number() OVER (
-                PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 5
+                PARTITION BY query_id
+                ORDER BY rrf_score DESC, doc_id ASC) <= 10
         """,
         "pack_offsets": f"""
             WITH base AS (
@@ -3802,6 +4059,40 @@ def oracle_sql() -> dict[str, str]:
             SEMI JOIN scomp
               ON emb.vec_id = scomp.id AND scomp.rep = emb.vec_id
         """,
+        # the normalized fast path: L2-normalize (round-6 components,
+        # the normalize_embeddings replay), seed-centroid assignment
+        # over the UNIT vectors, then within-cluster pair scoring as a
+        # PLAIN round-6 dot — the exact degeneration the Spark
+        # normalized=True lane implements
+        "semantic_dedup_pairs_normalized": f"""
+            WITH e0 AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+            n0 AS (
+                SELECT vec_id, v0,
+                       sqrt(list_dot_product(v0, v0)) AS nrm
+                FROM e0),
+            e AS (
+                SELECT vec_id,
+                       CASE WHEN nrm > 0 THEN list_transform(
+                           v0, x -> round(x / nrm, 6) + 0) END AS v
+                FROM n0),
+            cent AS (
+                SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT 16),
+            asg AS (
+                SELECT vec_id, v, cid FROM (
+                    SELECT e.vec_id, e.v, cent.cid,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY {_sql_cosine('e.v', 'cent.c', 6)} DESC,
+                                        cent.cid ASC) AS rn
+                    FROM e CROSS JOIN cent) x
+                WHERE rn = 1)
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_dot_product(a.v, b.v), 6) AS sim
+            FROM asg a JOIN asg b
+              ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v), 6) >= 0.40::DOUBLE
+        """,
         # the paper-faithful keep policy: same assignment / pair /
         # component chain, but the representative is the member with
         # the LOWEST round-6 cosine to its ASSIGNED centroid (ties by
@@ -4129,9 +4420,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a, b HAVING count(*) >= 2
         """,
         # JSD between src0 and the rest: integer counts -> exact join,
-        # double math only in the per-term KL pieces; round(\u2026, 6) sits
-        # far above parallel-summation drift (see the operator's
-        # docstring determinism note)
+        # double math only in the per-term KL pieces; each term is
+        # quantized to a 1e-12 fixed-point HUGEINT BEFORE the sum
+        # (round-half-away on both engines) so the reduction is
+        # order-independent \u2014 the exact replay of the operator's r11
+        # determinism contract (the r10 raw-double sum flipped the 6th
+        # decimal on the driver run)
         "corpus_divergence": f"""
             WITH ca AS (
                 SELECT tok, count(*) AS ca FROM (
@@ -4156,12 +4450,12 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_b,
                    sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)::BIGINT
                        AS vocab_shared,
-                   round(sum(
-                       CASE WHEN ca > 0
-                            THEN p * log2(p / ((p + q) / 2)) ELSE 0 END
-                     + CASE WHEN cb > 0
-                            THEN q * log2(q / ((p + q) / 2)) ELSE 0 END
-                   ) / 2, 6) AS jsd_bits
+                   round(sum(CAST(round(
+                       (CASE WHEN ca > 0
+                             THEN p * log2(p / ((p + q) / 2)) ELSE 0 END
+                      + CASE WHEN cb > 0
+                             THEN q * log2(q / ((p + q) / 2)) ELSE 0 END
+                       ) * 1e12) AS HUGEINT)) / 2e12, 6) AS jsd_bits
             FROM terms CROSS JOIN tot
         """,
         # DSIR: hashed-bigram models (target = src0, raw = rest),
@@ -4197,69 +4491,50 @@ def oracle_sql() -> dict[str, str]:
         # temperature resampling. Each block replays the corresponding
         # single-operator oracle, re-rooted on the previous stage's
         # survivors.
-        "curation_pipeline": f"""
-            WITH RECURSIVE
-            corpus AS (
-                SELECT doc_id, lang, source, text FROM documents
-                WHERE doc_id % 50 <> 0),
-            gt AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM corpus),
-            gf AS (
-                SELECT doc_id,
-                       len(toks) AS n_words,
-                       round(coalesce(list_sum(list_transform(toks,
-                                 w -> length(w))), 0)
-                             / greatest(len(toks), 1), 4) AS mean_word_len,
-                       round(len(list_filter(toks,
-                                 w -> regexp_matches(w, '[A-Za-z]')))
-                             / greatest(len(toks), 1), 4) AS alpha_word_ratio,
-                       len(list_intersect(list_transform(toks, w -> lower(w)),
-                           ['the','of','and','to','in','a','is','that','for','it'])
-                       ) AS n_stopwords
-                FROM gt),
-            q1 AS (
-                SELECT corpus.* FROM corpus JOIN gf USING (doc_id)
-                WHERE gf.n_words >= 25 AND gf.n_words <= 100000
-                  AND gf.mean_word_len >= 2.0 AND gf.mean_word_len <= 12.0
-                  AND gf.alpha_word_ratio >= 0.8 AND gf.n_stopwords >= 1),
-            q2 AS (
-                SELECT doc_id, lang, source, text FROM (
-                    SELECT q1.*,
-                           row_number() OVER (
-                               PARTITION BY md5(text) ORDER BY doc_id) AS rn
-                    FROM q1) z
-                WHERE rn = 1),
-            npairs AS (
-                SELECT a, b FROM ({_sql_minhash_pairs(3, 16, 4, 0.4, src='q2')}) p),
-            nedges AS (
-                SELECT a AS src, b AS dst FROM npairs
-                UNION SELECT b AS src, a AS dst FROM npairs),
-            nreach AS (
-                SELECT doc_id AS id, doc_id AS r FROM q2
-                UNION
-                SELECT nreach.id, nedges.dst AS r
-                FROM nreach JOIN nedges ON nreach.r = nedges.src),
-            ncomp AS (SELECT id, MIN(r) AS rep FROM nreach GROUP BY id),
-            q3 AS (
-                SELECT q2.* FROM q2 SEMI JOIN ncomp
-                ON q2.doc_id = ncomp.id AND ncomp.rep = q2.doc_id),
-            bsh AS (
-                SELECT DISTINCT unnest({_sql_shingles(_SQL_TOKS, 4)}) AS s
-                FROM documents WHERE doc_id % 50 = 0),
-            csh AS (
-                SELECT doc_id, unnest({_sql_shingles(_SQL_TOKS, 4)}) AS s
-                FROM q3),
-            bad AS (SELECT DISTINCT doc_id FROM csh SEMI JOIN bsh USING (s)),
-            q4 AS (SELECT q3.* FROM q3 ANTI JOIN bad USING (doc_id)),
-            lc AS (SELECT lang, count(*) AS n FROM q4 GROUP BY lang),
-            lr AS (
-                SELECT lang,
-                       round(pow(n::DOUBLE / (SELECT min(n) FROM lc),
-                                 -0.5::DOUBLE), 6) AS rate
-                FROM lc)
-            SELECT q4.doc_id, q4.lang, q4.source
-            FROM q4 JOIN lr ON q4.lang IS NOT DISTINCT FROM lr.lang
-            WHERE (({_sql_hash64('q4.doc_id::VARCHAR', 2)} % 1000000)
-                   / 1000000.0::DOUBLE) < lr.rate
+        "curation_pipeline": _sql_curation_ctes()
+        + "SELECT doc_id, lang, source FROM q5",
+        # the pretraining-prep composition on the SAME curated
+        # survivors (q5): 32/8 sliding-window chunks of survivors only,
+        # doc-keyed 80/10/10 split (all chunks of a doc share a split),
+        # epoch-3 shuffle of the train chunks keyed on the chunk-unique
+        # doc_id#chunk_idx string — each block replays the matching
+        # single-operator oracle re-rooted on the previous stage
+        "pretraining_prep": _sql_curation_ctes()
+        + f""", ct AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM q5),
+            ch AS (
+                SELECT doc_id, toks,
+                       unnest(range(0, greatest(len(toks) - 8, 1), 24))
+                           AS start
+                FROM ct WHERE len(toks) > 0),
+            chx AS (
+                SELECT doc_id, (start // 24)::INT AS chunk_idx,
+                       len(toks[start + 1 : start + 32]) AS n_tokens
+                FROM ch),
+            sp AS (
+                SELECT doc_id, chunk_idx, n_tokens,
+                       {_sql_split_case()} AS split
+                FROM (SELECT chx.*,
+                             (({_sql_hash64('doc_id::VARCHAR', 1)}
+                               % 1000000) / 1000000.0::DOUBLE) AS u
+                      FROM chx) u0),
+            tr AS (
+                SELECT doc_id, chunk_idx, n_tokens, split,
+                       (h % 4)::INT AS shard,
+                       row_number() OVER (
+                           PARTITION BY h % 4
+                           ORDER BY h, ck)::INT AS pos
+                FROM (SELECT sp.*,
+                             (doc_id::VARCHAR || '#'
+                              || chunk_idx::VARCHAR) AS ck,
+                             {_sql_hash64(
+                                 "(doc_id::VARCHAR || '#'"
+                                 " || chunk_idx::VARCHAR)", 3)} AS h
+                      FROM sp WHERE split = 'train') z)
+            SELECT doc_id, chunk_idx, n_tokens, split, shard, pos FROM tr
+            UNION ALL
+            SELECT doc_id, chunk_idx, n_tokens, split,
+                   NULL::INT AS shard, NULL::INT AS pos
+            FROM sp WHERE split IS NULL OR split <> 'train'
         """,
         # alpha-sampling: rate_g = round((n_g / n_min)^(alpha-1), 6),
         # coin = the shared 60-bit md5 hash mod 1e6 (seed 2)

@@ -544,7 +544,7 @@ def nearest_centroid_arrow(cids, cmat, cid_type, round_decimals: int = 6):
     return pandas_udf(assign_batch, ret)
 
 
-def pair_cosine_arrow(round_decimals: int = 6):
+def pair_cosine_arrow(round_decimals: int = 6, normalized: bool = False):
     """Vectorized twin of the per-PAIR cosine projection
     ``round(try_divide(dot(ea, eb), na * nb), d)`` — the scoring that
     runs on every candidate pair inside the bucketed/cid self-joins
@@ -558,13 +558,23 @@ def pair_cosine_arrow(round_decimals: int = 6):
     a NULL vector or zero/NULL norm product yields NULL (which every
     caller's ``sim >= threshold`` filter drops), never NaN.
 
-    Returns a pandas UDF ``(ea, eb, na, nb) -> sim``."""
+    ``normalized=True`` is the :func:`normalize_embeddings` fast path:
+    over unit vectors cosine degenerates to the plain dot, so the UDF
+    takes only ``(ea, eb)`` and skips the denominator entirely (no
+    norm columns shipped through the pair shuffle, no divide per
+    pair) — the caller owns the unit-norm precondition.
+
+    Returns a pandas UDF ``(ea, eb, na, nb) -> sim`` (or
+    ``(ea, eb) -> sim`` when ``normalized``)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DoubleType
 
-    def score(
-        ea: pd.Series, eb: pd.Series, na: pd.Series, nb: pd.Series
+    def score_core(
+        ea: pd.Series,
+        eb: pd.Series,
+        na: pd.Series | None,
+        nb: pd.Series | None,
     ) -> pd.Series:
         import numpy as np  # noqa: F811 — resolve inside the worker
 
@@ -579,24 +589,66 @@ def pair_cosine_arrow(round_decimals: int = 6):
         )
         if null_mask.all():
             return pd.Series(pd.array([pd.NA] * n, dtype="Float64"))
-        if null_mask.any():
-            dims = len(next(v for v in va if v is not None))
+        # dimension-mismatched (incl. empty) vectors: the native
+        # zip_with fold NULL-pads the shorter side -> dot NULL ->
+        # try_divide NULL -> the pair scores NULL and the caller's
+        # threshold filter drops it. Substitute zeros so np.asarray
+        # stays rectangular (one ragged row would otherwise abort the
+        # whole job with an inhomogeneous-shape ValueError — the same
+        # data-dependent-crash class nearest_centroid_arrow guards)
+        # and force those rows' sim to NA below, alongside null_mask.
+        # ONE reference dim for both sides (the einsum needs A and B
+        # rectangular AND shape-aligned); any vector on either side
+        # whose length differs — including a cross-dims pair where one
+        # whole side disagrees — lands in bad_mask
+        dims = next(
+            (len(v) for v in va if v is not None),
+            next((len(v) for v in vb if v is not None), 0),
+        )
+        bad_mask = np.fromiter(
+            (
+                (a is not None and len(a) != dims)
+                or (b is not None and len(b) != dims)
+                for a, b in zip(va, vb)
+            ),
+            dtype=bool,
+            count=n,
+        )
+        if null_mask.any() or bad_mask.any():
             zero = [0.0] * dims
-            va = [zero if v is None else v for v in va]
-            zb = [0.0] * len(next(v for v in vb if v is not None))
-            vb = [zb if v is None else v for v in vb]
+            va = [
+                zero if (v is None or len(v) != dims) else v for v in va
+            ]
+            vb = [
+                zero if (v is None or len(v) != dims) else v for v in vb
+            ]
         A = np.asarray(va, dtype=np.float64)
         B = np.asarray(vb, dtype=np.float64)
-        denom = na.to_numpy(dtype=np.float64, na_value=np.nan) * nb.to_numpy(
-            dtype=np.float64, na_value=np.nan
-        )
-        with np.errstate(divide="ignore", invalid="ignore"):
-            sims = np.einsum("ij,ij->i", A, B) / denom
+        if na is None:
+            sims = np.einsum("ij,ij->i", A, B)
+        else:
+            denom = na.to_numpy(
+                dtype=np.float64, na_value=np.nan
+            ) * nb.to_numpy(dtype=np.float64, na_value=np.nan)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.einsum("ij,ij->i", A, B) / denom
         out = pd.array(
             _round_half_up_np(sims, round_decimals), dtype="Float64"
         )
-        out[~np.isfinite(sims) | null_mask] = pd.NA
+        out[~np.isfinite(sims) | null_mask | bad_mask] = pd.NA
         return pd.Series(out)
+
+    if normalized:
+
+        def score_dot(ea: pd.Series, eb: pd.Series) -> pd.Series:
+            return score_core(ea, eb, None, None)
+
+        return pandas_udf(score_dot, DoubleType())
+
+    def score(
+        ea: pd.Series, eb: pd.Series, na: pd.Series, nb: pd.Series
+    ) -> pd.Series:
+        return score_core(ea, eb, na, nb)
 
     return pandas_udf(score, DoubleType())
 
@@ -1500,6 +1552,7 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     use_arrow: bool = True,
+    normalized: bool = False,
 ) -> DataFrame:
     """Within-cluster semantic near-duplicate pairs — the SemDeDup
     scheme (Abbas et al., "SemDeDup: Data-efficient learning at
@@ -1523,11 +1576,18 @@ def semantic_dedup_pairs(
     The result carries a persisted assignment handle (it feeds both
     self-join sides) — release with
     :func:`dgraph_dbpedia_spark.operators.cachectl.release` after
-    materializing."""
+    materializing.
+
+    ``normalized=True`` declares the input unit-norm
+    (:func:`normalize_embeddings` output): pair scoring becomes a
+    plain dot — no norm columns through the cid shuffle, no divide on
+    any of the ~n^2/k candidate pairs (see
+    :func:`_semantic_sk_pairs`)."""
     from dgraph_dbpedia_spark.operators.cachectl import tag_persisted
 
     sk, out = _semantic_sk_pairs(
-        df, threshold, centroids, n_centroids, id_col, vec_col, use_arrow
+        df, threshold, centroids, n_centroids, id_col, vec_col, use_arrow,
+        normalized=normalized,
     )
     return tag_persisted(out, sk)
 
@@ -1541,6 +1601,7 @@ def _semantic_sk_pairs(
     vec_col: str,
     use_arrow: bool,
     sim_col: str | None = None,
+    normalized: bool = False,
 ):
     """(persisted assignment frame, within-cluster pair frame) — the
     shared core of :func:`semantic_dedup_pairs` and
@@ -1548,7 +1609,18 @@ def _semantic_sk_pairs(
     vector's rounded cosine to its assigned centroid on the assignment
     frame (the ``keep='low_centroid_sim'`` policy needs it — one
     assignment pass serves pairs AND representative selection). The
-    caller owns the persisted handle."""
+    caller owns the persisted handle.
+
+    ``normalized=True``: the input vectors are unit-norm
+    (:func:`normalize_embeddings` output) — pair cosine degenerates to
+    the plain dot, so the pair stage ships NO norm columns through the
+    cid shuffle and skips the divide on every candidate pair (~n^2/k
+    of them — the measured bottleneck stage). The centroid assignment
+    still computes per-row norms internally (centroids need not be
+    unit), so the precondition only touches pair SCORING: a
+    non-normalized input silently yields dot products instead of
+    cosines — the caller owns the contract, same as the served-index
+    builders."""
     e = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_e")
     )
@@ -1567,29 +1639,37 @@ def _semantic_sk_pairs(
     # it the centroid scoring runs twice (no cross-branch sharing).
     # norm_col reuses the norm the assignment already computed.
     sk = ivf_assign(
-        e, centroids, id_col=id_col, vec_col="_e", norm_col="_n",
+        e, centroids, id_col=id_col, vec_col="_e",
+        norm_col=None if normalized else "_n",
         sim_col=sim_col, use_arrow=use_arrow,
     ).persist()
     a = sk.select(
         F.col(id_col).alias("a"),
         F.col("_e").alias("ea"),
-        F.col("_n").alias("na"),
+        *([] if normalized else [F.col("_n").alias("na")]),
         "cid",
     )
     b = sk.select(
         F.col(id_col).alias("b"),
         F.col("_e").alias("eb"),
-        F.col("_n").alias("nb"),
+        *([] if normalized else [F.col("_n").alias("nb")]),
         "cid",
     )
     # pair scoring: the arrow lane swaps the interpreted O(dims) fold
     # per candidate pair for one einsum per Arrow batch (pair counts
     # are ~n^2/k — the dominant stage cost at low k, BENCH_SCALE.md
-    # r10); the native fold stays the oracle surface
-    if use_arrow:
+    # r10); the native fold stays the oracle surface. normalized:
+    # plain dot, no norm columns, no divide (see docstring contract)
+    if use_arrow and normalized:
+        sim = pair_cosine_arrow(6, normalized=True)(
+            F.col("ea"), F.col("eb")
+        )
+    elif use_arrow:
         sim = pair_cosine_arrow(6)(
             F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
         )
+    elif normalized:
+        sim = F.round(_dot("ea", "eb"), 6)
     else:
         sim = F.round(
             F.try_divide(_dot("ea", "eb"), F.col("na") * F.col("nb")), 6
@@ -1614,6 +1694,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     keep: str = "min_id",
     use_arrow: bool = True,
+    normalized: bool = False,
     **cluster_kwargs,
 ) -> DataFrame:
     """End-to-end semantic dedup: keep ONE representative per connected
@@ -1637,7 +1718,12 @@ def semantic_dedup(
       nothing extra at scale: the sim is exposed from the SAME
       assignment pass that builds the pairs, and representative
       selection is one partially-aggregable ``min(struct(sim, id))``
-      per component."""
+      per component.
+
+    ``normalized=True`` declares the input unit-norm
+    (:func:`normalize_embeddings` output) — the pair stage scores by
+    plain dot with no norm columns and no divide (see
+    :func:`_semantic_sk_pairs`)."""
     from dgraph_dbpedia_spark.operators.dedup import (
         dedup_clusters,
         dedup_corpus,
@@ -1650,6 +1736,7 @@ def semantic_dedup(
     sk, pairs = _semantic_sk_pairs(
         df, threshold, centroids, n_centroids, id_col, vec_col, use_arrow,
         sim_col="_csim" if keep == "low_centroid_sim" else None,
+        normalized=normalized,
     )
     # the clusterer eagerly materializes the component labels into a
     # checkpoint-rooted frame, so the assignment cache can be released

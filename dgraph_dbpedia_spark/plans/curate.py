@@ -144,3 +144,107 @@ def curate_corpus(
         gk.unpersist()
         raise
     return tag_persisted(s5, s2, gk)
+
+
+def pretraining_prep(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    fractions: dict[str, float] | None = None,
+    split_seed: int = 1,
+    epoch: int = 3,
+    n_shards: int = 4,
+    **curate_kwargs,
+) -> DataFrame:
+    """The second half of a real pretraining pipeline, composed
+    end-to-end on top of :func:`curate_corpus` (which pins the first
+    half): curate -> chunk -> split -> epoch-shuffle. The composition
+    is where ordering bugs hide, and this function owns exactly those
+    ordering decisions:
+
+    - chunks are computed on the curation SURVIVORS only (never on
+      rows a later-stage dedup would have dropped — offsets/windows on
+      pre-curation rows are wasted work AND wrong training data);
+    - the split is keyed on the DOCUMENT id, applied after chunking —
+      every chunk of a doc lands in the SAME split, so train can never
+      see a val/test doc's other half (the leakage a chunk-keyed split
+      would silently allow);
+    - the epoch shuffle runs LAST and only over the train split, keyed
+      on the chunk-unique ``doc_id#chunk_idx`` key (a doc-keyed
+      shuffle would tie every chunk of a doc on the same hash and let
+      ``row_number`` break the tie nondeterministically).
+
+    Returns ``(id, chunk_idx, n_tokens, split, shard, pos)`` — one row
+    per surviving chunk; ``shard``/``pos`` are the epoch-``epoch``
+    delivery order for train rows and NULL for val/test/holdout rows.
+    The result carries :func:`curate_corpus`'s persist handles
+    (release via ``cachectl.release`` after materializing).
+
+    100 TB shape: every added stage is narrow over the curated frame
+    (chunking is scan-speed posexplode, the split a codegen'd hash
+    projection) except the final per-shard ordering window — ONE
+    shuffle of the train chunks, ``n_shards`` the parallelism dial,
+    exactly :func:`~dgraph_dbpedia_spark.operators.sampling.
+    epoch_shuffle`'s documented shape."""
+    from dgraph_dbpedia_spark.operators.cachectl import (
+        persisted_frames,
+        tag_persisted,
+    )
+    from dgraph_dbpedia_spark.operators.sampling import (
+        chunk_documents,
+        epoch_shuffle,
+        split_corpus,
+    )
+
+    if fractions is None:
+        fractions = {"train": 0.8, "val": 0.1, "test": 0.1}
+    curated = curate_corpus(
+        docs,
+        benchmark=benchmark,
+        text_col=text_col,
+        id_col=id_col,
+        lang_col=lang_col,
+        **curate_kwargs,
+    )
+    chunks = chunk_documents(
+        curated,
+        chunk_tokens=chunk_tokens,
+        overlap=overlap,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    # doc-keyed split AFTER chunking: the coin hashes id_col, so all
+    # chunks of a doc agree — see the leakage note in the docstring
+    tagged = split_corpus(
+        chunks, fractions, id_col=id_col, seed=split_seed
+    )
+    ck = "__ck"
+    while ck in tagged.columns:
+        ck = "_" + ck
+    keyed = tagged.withColumn(
+        ck,
+        F.concat_ws(
+            "#", F.col(id_col).cast("string"), F.col("chunk_idx")
+        ),
+    )
+    train = epoch_shuffle(
+        keyed.where(F.col("split") == "train"),
+        epoch=epoch,
+        n_shards=n_shards,
+        id_col=ck,
+    )
+    rest = (
+        keyed.where(
+            (F.col("split") != "train") | F.col("split").isNull()
+        )
+        .withColumn("shard", F.lit(None).cast("int"))
+        .withColumn("pos", F.lit(None).cast("int"))
+    )
+    out = train.unionByName(rest).select(
+        F.col(id_col), "chunk_idx", "n_tokens", "split", "shard", "pos"
+    )
+    return tag_persisted(out, *persisted_frames(curated))

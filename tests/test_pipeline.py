@@ -347,3 +347,73 @@ def test_curate_corpus_every_stage_fires(spark):
     ids2 = sorted(r["doc_id"] for r in out2.collect())
     release(out2)
     assert 6 in ids2 and set(ids2) <= {1, 3, 5, 6}
+
+
+def test_pretraining_prep_composition_seams(spark):
+    """The curate -> chunk -> split -> epoch-shuffle composition's
+    ordering contracts (the seams the oracle row pins at sf, checked
+    here on a surgical fixture): chunks exist ONLY for curation
+    survivors; every chunk of a doc carries the SAME split (doc-keyed
+    coin — no train/val leakage); train rows get a dense per-shard
+    (shard, pos) order with chunk-unique keys (no duplicate positions
+    even when one doc contributes many chunks); non-train rows carry
+    NULL shard/pos; and the whole frame is reproducible run-to-run."""
+    from dgraph_dbpedia_spark.operators.cachectl import release
+    from dgraph_dbpedia_spark.plans.curate import pretraining_prep
+
+    long_doc = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "one two three"),  # gopher kill: < 5 words
+            (1, "en", long_doc),         # survivor, 40 tokens -> chunks
+            (2, "en", long_doc),         # exact dup of 1 -> killed
+            (3, "fr", " ".join(f"mot{i}" for i in range(20))),  # survivor
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    kwargs = dict(
+        gopher_kwargs=dict(
+            min_words=5, max_words=1000, min_mean_word_len=1.0,
+            max_mean_word_len=20.0, min_alpha_word_ratio=0.0,
+            min_stopwords=0,
+        ),
+        near_dup_threshold=0.9,
+        w=3,
+        chunk_tokens=16,
+        overlap=4,
+        fractions={"train": 0.5, "val": 0.5},
+        epoch=3,
+        n_shards=2,
+    )
+    out = pretraining_prep(docs, **kwargs)
+    rows = out.collect()
+    release(out)
+    assert out.columns == [
+        "doc_id", "chunk_idx", "n_tokens", "split", "shard", "pos"
+    ]
+    # chunks only for survivors (0 gopher-killed, 2 exact-dup-killed)
+    assert {r["doc_id"] for r in rows} == {1, 3}
+    # 40 tokens at 16/4 (stride 12): starts 0,12,24 -> 3 chunks
+    assert sorted(
+        r["chunk_idx"] for r in rows if r["doc_id"] == 1
+    ) == [0, 1, 2]
+    # doc-keyed split: all chunks of a doc agree
+    for d in (1, 3):
+        assert len({r["split"] for r in rows if r["doc_id"] == d}) == 1
+    train = [r for r in rows if r["split"] == "train"]
+    rest = [r for r in rows if r["split"] != "train"]
+    assert train, "fixture must land at least one doc in train"
+    # train: per-shard positions dense from 1, chunk-unique keys
+    by_shard: dict[int, list[int]] = {}
+    for r in train:
+        assert r["shard"] is not None and 0 <= r["shard"] < 2
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # non-train: NULL delivery order
+    assert all(r["shard"] is None and r["pos"] is None for r in rest)
+    # deterministic end to end
+    out2 = pretraining_prep(docs, **kwargs)
+    rows2 = out2.collect()
+    release(out2)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))

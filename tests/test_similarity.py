@@ -1005,6 +1005,83 @@ def test_pair_cosine_arrow_null_contract(spark):
     assert got[2]["sim"] is None
 
 
+def test_pair_cosine_arrow_ragged_contract(spark):
+    """Dimension-mismatched or empty vectors must NOT abort the batch
+    (np.asarray inhomogeneous-shape ValueError — ADVICE r10): the
+    kernel substitutes zeros and forces NULL sim, exactly what the
+    native zip_with fold produces (NULL-pad -> NULL dot -> try_divide
+    NULL). Both lanes checked row-by-row on the same frame."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        _dot,
+        pair_cosine_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], [1.0, 0.0], 1.0, 1.0),   # clean pair
+            (2, [1.0, 0.0, 0.0], [1.0, 0.0], 1.0, 1.0),  # ragged a
+            (3, [1.0, 0.0], [], 1.0, 1.0),           # empty b
+            (4, [1.0], [1.0, 0.0], 1.0, 1.0),        # short a
+            (5, None, [1.0, 0.0], None, 1.0),        # NULL a
+        ],
+        "id long, ea array<double>, eb array<double>, na double, nb double",
+    )
+    arrow = {
+        r["id"]: r["sim"]
+        for r in df.select(
+            "id", pair_cosine_arrow(6)("ea", "eb", "na", "nb").alias("sim")
+        ).collect()
+    }
+    native = {
+        r["id"]: r["sim"]
+        for r in df.select(
+            "id",
+            F.round(
+                F.try_divide(_dot("ea", "eb"), F.col("na") * F.col("nb")), 6
+            ).alias("sim"),
+        ).collect()
+    }
+    assert arrow == native
+    assert arrow[1] == 1.0
+    assert all(arrow[i] is None for i in (2, 3, 4, 5))
+
+
+def test_semantic_dedup_pairs_normalized_fast_path(spark):
+    """normalized=True over normalize_embeddings output: (1) the arrow
+    dot kernel equals the native round(dot) lane exactly, (2) both
+    agree with the full-cosine path to the unit-norm rounding margin
+    (components are round-6, so the true norm is 1 +- ~1e-6 — the dot
+    and the cosine may differ by that much, never more), and (3) the
+    pair-stage plan ships NO norm columns."""
+    from dgraph_dbpedia_spark.operators.cachectl import release
+    from dgraph_dbpedia_spark.operators.similarity import (
+        normalize_embeddings,
+        semantic_dedup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    unit = normalize_embeddings(emb).withColumnRenamed("e", "embedding")
+    kw = dict(threshold=-1.0, n_centroids=8)
+    fast = semantic_dedup_pairs(unit, use_arrow=True, normalized=True, **kw)
+    nat = semantic_dedup_pairs(unit, use_arrow=False, normalized=True, **kw)
+    full = semantic_dedup_pairs(unit, use_arrow=True, normalized=False, **kw)
+    fa = {(r["a"], r["b"]): r["sim"] for r in fast.collect()}
+    na = {(r["a"], r["b"]): r["sim"] for r in nat.collect()}
+    fu = {(r["a"], r["b"]): r["sim"] for r in full.collect()}
+    for f in (fast, nat, full):
+        release(f)
+    assert fa and fa.keys() == na.keys() == fu.keys()
+    for k, v in fa.items():
+        assert na[k] is not None and abs(v - na[k]) <= 1e-9
+        assert fu[k] is not None and abs(v - fu[k]) <= 5e-6
+    # the normalized pair stage must not carry norm columns: the
+    # na/nb pair-side aliases must be absent (the upstream
+    # normalize_embeddings plan legitimately contains its own
+    # internal _n attribute — that is the input, not the pair stage)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "na#" not in plan and "nb#" not in plan
+
+
 def test_quantized_served_many_prunes_and_matches_single(
     spark, vectors, tmp_path
 ):
