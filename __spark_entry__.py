@@ -859,6 +859,69 @@ def _q_semantic_dedup_pairs_normalized(
     )
 
 
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: product quantization ANN (Jegou et al., TPAMI 2011) —
+    per-subspace L2 Lloyd codebooks (m=4, k_sub=16, 1 iter), corpus
+    encoded to m codes, ADC top-5 for vec 0's query: per-(j, cid)
+    dot/norm table in ONE broadcast row, fixed-order fold per corpus
+    row. The oracle replays training + encode + ADC end to end."""
+    from dgraph_dbpedia_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, dims=64, m=4, k_sub=16, n_iter=1)
+    corpus = emb.where(F.col("vec_id") > 0)
+    codes = pq_encode(corpus, cb, dims=64, m=4)
+    q = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("q"))
+    return pq_topk(codes, cb, q, dims=64, m=4, k=5)
+
+
+def _q_pq_ivf_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: the full FAISS-style IVF-PQ serve composition — coarse
+    seed-centroid cosine probe (n_probe=2 of 8 lists) -> cid-pruned
+    PQ code lists -> ADC re-rank inside the probed lists only. The
+    oracle adds the coarse assignment + probe semi-join on top of the
+    pq_topk replay."""
+    from dgraph_dbpedia_spark.operators.pq import (
+        pq_encode,
+        pq_ivf_topk_served,
+        pq_train,
+    )
+    from dgraph_dbpedia_spark.operators.similarity import (
+        ivf_assign,
+        ivf_seed_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, dims=64, m=4, k_sub=16, n_iter=1)
+    corpus = emb.where(F.col("vec_id") > 0)
+    e = corpus.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    coarse = ivf_seed_centroids(e, 8, vec_col="e")
+    codes = pq_encode(corpus, cb, dims=64, m=4).join(
+        ivf_assign(e, coarse, vec_col="e").select("vec_id", "cid"),
+        "vec_id",
+    )
+    q = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("q"))
+    return pq_ivf_topk_served(
+        codes, cb, coarse, q, dims=64, m=4, k=5, n_probe=2
+    )
+
+
+def _q_tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: per-doc top-5 keywords by tf-idf (smooth sklearn idf,
+    lowercased tokens, ties by term) — one explode, two
+    partial-aggregable counts, term-key idf join, per-doc window."""
+    from dgraph_dbpedia_spark.operators.textstats import tfidf_topk_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_topk_terms(docs, k=5, min_df=2)
+
+
 def _q_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r10: MRL truncation (first 32 of 64 dims) + L2 normalization,
     round-6 components; scalar projection (the driver canonicalizer
@@ -2053,18 +2116,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # changed or new this round (r11) — first in line for driver rows:
     # the pretraining-prep composition (curate -> chunk -> split ->
     # epoch-shuffle, VERDICT r10 #4), RRF hybrid retrieval, the
-    # normalized SemDeDup fast path (VERDICT r10 #7), and the
-    # re-greened order-deterministic corpus_divergence (fixed-point
-    # term sum, VERDICT r10 #1). The THREE net additions (the fourth
-    # row, corpus_divergence, moved up from inside the window) push
-    # three more r9-era queries past position 50; every out-of-window
-    # query holds
-    # a green prior driver row AND the committed 118-row
-    # CORRECTNESS_FULL.json sweep (repeat x3 on float-bearing rows),
-    # refreshed in the same commit as this registry change.
+    # normalized SemDeDup fast path (VERDICT r10 #7), tf-idf keyword
+    # extraction, product-quantization ANN (train/encode/ADC, full
+    # oracle replay), and the re-greened order-deterministic
+    # corpus_divergence (fixed-point term sum, VERDICT r10 #1). The
+    # SIX net additions (corpus_divergence moved up from inside the
+    # window) push six more r9-era queries past position 50; every
+    # out-of-window query holds a green prior driver row AND the
+    # committed 121-row CORRECTNESS_FULL.json sweep (repeat x3 on
+    # float-bearing rows), refreshed in the same commit as this
+    # registry change.
     "pretraining_prep": _q_pretraining_prep,
     "hybrid_search_rrf": _q_hybrid_search_rrf,
     "semantic_dedup_pairs_normalized": _q_semantic_dedup_pairs_normalized,
+    "tfidf_topk_terms": _q_tfidf_topk_terms,
+    "pq_topk": _q_pq_topk,
+    "pq_ivf_topk_served": _q_pq_ivf_topk_served,
     "corpus_divergence": _q_corpus_divergence,
     # r10 cohort — first in line for driver rows:
     # the arrow assignment lane (semantic/IVF family), the quantized
@@ -2546,6 +2613,124 @@ def _sql_ivf_topk_trained(
         FROM asgq a SEMI JOIN probes p ON a.cid = p.cid
         CROSS JOIN q
         ORDER BY sim DESC, a.vec_id LIMIT {k}"""
+
+
+def _sql_pq_topk(
+    k: int = 5, m: int = 4, k_sub: int = 16, n_iter: int = 1,
+    dims: int = 64, nd: int = 4,
+    coarse_k: int | None = None, n_probe: int = 2,
+) -> str:
+    """Full PQ chain replay: per subspace, L2 Lloyd (lowest-id seeds,
+    round-6 squared-L2 assignment with cid-asc ties, round-``nd``
+    means, empty clusters keep previous) -> corpus encode (vec_id > 0)
+    -> ADC table per (j, cid) against vec 0's query slices -> fixed
+    left-to-right adc/recon sums matching Spark's sequential fold.
+
+    ``coarse_k`` switches to the IVF-PQ SERVED form: a coarse
+    seed-centroid cosine assignment over the corpus, the query's
+    ``n_probe`` nearest coarse cids, and the ADC re-rank restricted to
+    the probed lists (the partition-prune the Spark side does at the
+    scan, expressed as a semi-join)."""
+    sub = dims // m
+
+    def l2(a: str, b: str) -> str:
+        # list_zip yields an UNNAMED struct in DuckDB — numeric access
+        return (
+            f"round(list_sum(list_transform(list_zip({a}, {b}), "
+            f"z -> (z[1] - z[2]) * (z[1] - z[2]))), 6)"
+        )
+
+    ctes = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        mean_list = ", ".join(
+            f"(round(avg(v[{i}]), {nd}) + 0)::DOUBLE"
+            for i in range(1, sub + 1)
+        )
+        ctes.append(
+            f"ej{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM e)"
+        )
+        ctes.append(
+            f"pc{j}_0 AS (SELECT vec_id AS cid, v AS c FROM ej{j} "
+            f"ORDER BY vec_id LIMIT {k_sub})"
+        )
+        for it in range(1, n_iter + 1):
+            ctes.append(f"""pa{j}_{it} AS (
+                SELECT vec_id, v, cid FROM (
+                    SELECT ej{j}.vec_id, ej{j}.v, c.cid,
+                           row_number() OVER (
+                               PARTITION BY ej{j}.vec_id
+                               ORDER BY {l2(f'ej{j}.v', 'c.c')} ASC,
+                                        c.cid ASC) AS rn
+                    FROM ej{j} CROSS JOIN pc{j}_{it - 1} c) x
+                WHERE rn = 1)""")
+            ctes.append(
+                f"pm{j}_{it} AS (SELECT cid, list_value({mean_list}) AS c2 "
+                f"FROM pa{j}_{it} GROUP BY cid)"
+            )
+            ctes.append(f"""pc{j}_{it} AS (
+                SELECT p.cid, COALESCE(mm.c2, p.c) AS c
+                FROM pc{j}_{it - 1} p LEFT JOIN pm{j}_{it} mm USING (cid))""")
+        ctes.append(f"""nc{j} AS (
+            SELECT vec_id, cid FROM (
+                SELECT ej{j}.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY ej{j}.vec_id
+                           ORDER BY {l2(f'ej{j}.v', 'c.c')} ASC,
+                                    c.cid ASC) AS rn
+                FROM ej{j} CROSS JOIN pc{j}_{n_iter} c
+                WHERE ej{j}.vec_id > 0) x
+            WHERE rn = 1)""")
+    ctes.append(
+        "q AS (SELECT embedding::DOUBLE[] AS q FROM embeddings "
+        "ORDER BY vec_id LIMIT 1)"
+    )
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        ctes.append(
+            f"tab{j} AS (SELECT cid, "
+            f"list_dot_product(c, (SELECT q[{lo}:{hi}] FROM q)) AS dq, "
+            f"list_dot_product(c, c) AS cc FROM pc{j}_{n_iter})"
+        )
+    prune = ""
+    if coarse_k is not None:
+        ctes.append(
+            f"cc AS (SELECT vec_id AS cid, v AS c FROM e "
+            f"WHERE vec_id > 0 ORDER BY vec_id LIMIT {coarse_k})"
+        )
+        ctes.append(f"""casg AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, cc.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_sql_cosine('e.v', 'cc.c', 6)} DESC,
+                                    cc.cid ASC) AS rn
+                FROM e CROSS JOIN cc WHERE e.vec_id > 0) x
+            WHERE rn = 1)""")
+        ctes.append(f"""probes AS (
+            SELECT cid FROM (
+                SELECT cid, {_sql_cosine('c', 'q', 6)} AS csim
+                FROM cc CROSS JOIN q
+                ORDER BY csim DESC, cid LIMIT {n_probe}) y)""")
+        prune = (
+            " JOIN casg ON casg.vec_id = n0.vec_id"
+            " SEMI JOIN probes pr ON casg.cid = pr.cid"
+        )
+    code_joins = " ".join(
+        f"JOIN nc{j} n{j} USING (vec_id)" for j in range(1, m)
+    )
+    tab_joins = " ".join(
+        f"JOIN tab{j} t{j} ON t{j}.cid = n{j}.cid" for j in range(m)
+    )
+    adc = " + ".join(f"t{j}.dq" for j in range(m))
+    rec = " + ".join(f"t{j}.cc" for j in range(m))
+    return f"""WITH {', '.join(ctes)}
+        SELECT n0.vec_id,
+               round(({adc}) / (sqrt({rec}) *
+                     (SELECT sqrt(list_dot_product(q, q)) FROM q)), 4)
+                   AS sim
+        FROM nc0 n0 {code_joins} {tab_joins}{prune}
+        ORDER BY sim DESC, n0.vec_id LIMIT {k}"""
 
 
 def _sql_ivf_topk(k: int = 5, n_centroids: int = 16, n_probe: int = 2) -> str:
@@ -3519,6 +3704,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id FROM corpus SEMI JOIN bench USING (s)
         """,
         "bm25_topk_batch": _sql_bm25_batch(),
+        # per-doc top-5 tf-idf keywords: one unnest, per-(doc, term)
+        # tf, doc frequency FROM the tf rows, smooth sklearn idf
+        # ln((1+N)/(1+df)) + 1, min_df=2, ties by term asc
+        "tfidf_topk_terms": f"""
+            WITH b AS (
+                SELECT doc_id, unnest({_SQL_TOKS_LOWER}) AS term
+                FROM documents),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM b GROUP BY doc_id, term),
+            dfc AS (
+                SELECT term, count(*) AS dfv
+                FROM tf GROUP BY term HAVING count(*) >= 2),
+            n AS (SELECT count(*) AS nn FROM documents)
+            SELECT doc_id, term,
+                   round(tf * (ln((1 + nn) / (1 + dfv)::DOUBLE) + 1.0), 4)
+                       AS score
+            FROM tf JOIN dfc USING (term) CROSS JOIN n
+            QUALIFY row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY round(tf * (ln((1 + nn) / (1 + dfv)::DOUBLE)
+                                     + 1.0), 4) DESC,
+                         term ASC) <= 5
+        """,
         # hybrid retrieval: the bm25 arm replays _sql_bm25_batch, the
         # semantic arm replays the brute-cosine top-5 per query
         # embedding; RRF terms 1/(60+rank) with each arm's (score
@@ -3725,6 +3934,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ivf_train": _sql_ivf_train(),
         "ivf_ann_topk_trained": _sql_ivf_topk_trained(),
+        "pq_topk": _sql_pq_topk(),
+        "pq_ivf_topk_served": _sql_pq_topk(coarse_k=8, n_probe=2),
         "cosine_near_dup": _sql_cosine_near_dup(),
         "sliding_window": """
             WITH e AS (

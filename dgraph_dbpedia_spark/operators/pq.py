@@ -1,0 +1,351 @@
+"""Product quantization (PQ) — the billion-scale ANN compression step.
+
+Jegou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+Search" (TPAMI 2011): split each vector into ``m`` contiguous
+subvectors, k-means each subspace independently (``k_sub`` centroids),
+and store a vector as ``m`` small codes. With m=8, k_sub=256 a 768-dim
+float32 vector compresses 384x (8 bytes vs 3 KB); queries score
+against codes via Asymmetric Distance Computation (ADC): precompute
+the per-subspace (query . centroid) table once per query, then every
+corpus vector's approximate dot is ``m`` table lookups — no float
+vector is ever read at serve time. This is the FAISS IVF-PQ layout's
+quantization half; composing with the package's IVF serve path
+(partition-pruned code lists by coarse cid) is the full index.
+
+Engine mapping (all JVM-native, oracle-replayable):
+
+- training reuses the package's deterministic Lloyd discipline
+  (:func:`..similarity.ivf_train`): lowest-id seeds, per-iteration
+  round-``nd`` means, empty clusters keep their previous centroid —
+  but assigns by ROUND-6 L2 DISTANCE (PQ reconstructs magnitudes;
+  cosine assignment would collapse every scaled copy of a direction
+  into one code);
+- encoding is a pure projection against ONE broadcast codebook row;
+- ADC scoring is a pure projection against ONE broadcast per-query
+  table row — the only shuffle anywhere is training's bounded
+  ``(cid, pos)`` means aggregate, and the serve top-k is TakeOrdered.
+
+Approximation contract: ``sim`` is the ADC cosine of the RECONSTRUCTED
+vector — ``adc_dot / (||reconstruction|| * ||q||)`` — rounded to 4;
+recall vs exact cosine is pinned by pytest, not assumed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dgraph_dbpedia_spark.operators.similarity import _dot
+
+
+def _l2_sq(a: Column | str, b: Column | str) -> Column:
+    """Sequential-fold squared L2 distance (the ``_dot`` discipline:
+    deterministic fold order, replayed by the oracle's list_zip
+    transform)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sub_centroid_row(centroids: DataFrame) -> DataFrame:
+    """Bounded ``(cid, c)`` frame folded to ONE broadcast row
+    ``_cent = [(cid, c)]`` (the `_centroid_row` pattern, without the
+    cosine norm PQ does not use)."""
+    return centroids.agg(
+        F.collect_list(F.struct(F.col("cid"), F.col("c"))).alias("_cent")
+    )
+
+
+def _nearest_l2(vec: Column, cents: Column) -> Column:
+    """Nearest centroid struct by round-6 squared L2 asc, cid asc —
+    the deterministic tie rule every assignment in the package uses,
+    in distance form."""
+    return F.get(
+        F.array_sort(
+            F.transform(
+                cents,
+                lambda c: F.struct(
+                    F.round(_l2_sq(vec, c["c"]), 6).alias("d"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        ),
+        0,
+    )
+
+
+def _lloyd_l2(
+    e: DataFrame, k_sub: int, n_iter: int, nd: int, id_col: str
+) -> DataFrame:
+    """Deterministic L2 Lloyd over a ``(id, v)`` frame — the shared
+    :func:`..similarity._lloyd_refine` loop (seed rule, rounded means,
+    empty-cluster coalesce, checkpoint-release choreography) with the
+    round-6 squared-L2 broadcast-fold assignment plugged in."""
+    from dgraph_dbpedia_spark.operators.similarity import _lloyd_refine
+
+    def assign(e_: DataFrame, cent: DataFrame) -> DataFrame:
+        return e_.crossJoin(F.broadcast(_sub_centroid_row(cent))).select(
+            F.col(id_col),
+            F.col("v"),
+            _nearest_l2(F.col("v"), F.col("_cent"))["cid"].alias("cid"),
+        )
+
+    return _lloyd_refine(e, k_sub, n_iter, nd, id_col, "v", assign)
+
+
+def _validate_pq(dims: int, m: int, k_sub: int) -> int:
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    if k_sub < 1:
+        raise ValueError(f"k_sub must be >= 1, got {k_sub}")
+    if dims < 1 or dims % m:
+        raise ValueError(
+            f"dims must be a positive multiple of m, got dims={dims} m={m}"
+        )
+    return dims // m
+
+
+def pq_train(
+    df: DataFrame,
+    dims: int,
+    m: int = 4,
+    k_sub: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 4,
+) -> DataFrame:
+    """Train the ``m`` per-subspace codebooks. Returns ``(j, cid, c)``
+    — ``m * k_sub`` bounded rows (subspace ``j`` in 0..m-1, sub-
+    centroid id ``cid`` keeping its seed row's identity, ``c`` the
+    ``dims/m``-dim centroid, components rounded to ``round_decimals``
+    so the whole training run is bit-reproducible across engines and
+    partitionings — the ivf_train contract).
+
+    100 TB shape: ``m`` independent Lloyd runs, each a broadcast-fold
+    assignment (pure projection over the scan) plus a ``(cid, pos)``
+    partially aggregable means shuffle bounded by ``k_sub x dims/m``
+    rows per map partition — the corpus is never shuffled."""
+    sub = _validate_pq(dims, m, k_sub)
+    v = F.col(vec_col).cast("array<double>")
+    out = None
+    for j in range(m):
+        e = df.select(F.col(id_col), F.slice(v, j * sub + 1, sub).alias("v"))
+        cent = _lloyd_l2(e, k_sub, n_iter, round_decimals, id_col)
+        tagged = cent.select(F.lit(j).alias("j"), "cid", "c")
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
+
+
+def _codebook_row(codebooks: DataFrame) -> DataFrame:
+    """``(j, cid, c)`` folded to ONE broadcast row ``_cb``."""
+    return codebooks.agg(
+        F.collect_list(
+            F.struct(F.col("j"), F.col("cid"), F.col("c"))
+        ).alias("_cb")
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    dims: int,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as its ``m`` nearest sub-centroid ids.
+    Returns ``(id, codes: array<bigint>)`` — the PQ-compressed corpus
+    a serve path materializes (compose with an
+    :func:`..similarity.ivf_assign` cid and partition by it for the
+    full IVF-PQ layout).
+
+    Pure projection against ONE broadcast codebook row — no shuffle,
+    no UDF; per row cost is ``m x k_sub x dims/m`` fused arithmetic in
+    whole-stage codegen."""
+    sub = _validate_pq(dims, m, 1)
+    v = F.col("_v")
+
+    # closure factory, NOT `lambda s, jj=j`: a two-parameter lambda is
+    # bound by Spark's higher-order-function arity check as the
+    # (element, index) form, silently feeding the ARRAY INDEX into jj
+    def match_j(jj: int):
+        return lambda s: s["j"] == jj
+
+    nearest = [
+        _nearest_l2(
+            F.slice(v, j * sub + 1, sub),
+            F.filter(F.col("_cb"), match_j(j)),
+        )["cid"]
+        for j in range(m)
+    ]
+    return (
+        df.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        )
+        .crossJoin(F.broadcast(_codebook_row(codebooks)))
+        .select(F.col(id_col), F.array(*nearest).alias("codes"))
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: DataFrame,
+    query: DataFrame,
+    dims: int,
+    m: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    query_col: str = "q",
+    round_decimals: int = 4,
+) -> DataFrame:
+    """ADC top-k over a PQ-encoded corpus: ONE broadcast row carries
+    the per-(subspace, centroid) table ``(q_j . c, ||c||^2)`` plus the
+    query norm — each corpus row's score is ``m`` array lookups and a
+    fixed-order fold, never a float-vector read. Returns ``(id, sim)``
+    with ``sim`` the round-``round_decimals`` ADC cosine
+    (reconstruction dot over reconstruction norm x query norm; a code
+    missing from the codebook — a foreign-codebook probe — yields NULL
+    sim, never a crash). Top-k is TakeOrdered (sim desc, id asc).
+
+    This is the serve half of IVF-PQ: at 100 TB the ``codes_df`` scan
+    reads ``m`` bytes-ish per vector instead of ``4 x dims``, and
+    pre-filtering it by an IVF cid list (the
+    ``quantized_ivf_topk_served`` pattern) partition-prunes before
+    even that."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sub = _validate_pq(dims, m, 1)
+    q = query.select(F.col(query_col).cast("array<double>").alias("qv"))
+    # one-row validation BEFORE anything runs (the _probe_single
+    # discipline): a multi-row query frame would interleave every
+    # query's (j, cid, dq) entries into ONE collect_list table in
+    # task-dependent order — silently mixed, run-to-run
+    # nondeterministic sims instead of a loud error. limit(2) bounds
+    # the check so a corpus frame passed by mistake never reaches the
+    # driver.
+    probe = q.limit(2).collect()
+    if len(probe) > 1:
+        raise ValueError(
+            "pq_topk expects exactly one query vector, got a multi-row "
+            "query frame — issue one call per query"
+        )
+    if not probe:
+        return codes_df.where(F.lit(False)).select(
+            F.col(id_col), F.lit(None).cast("double").alias("sim")
+        )
+    # the per-query ADC table as ONE broadcast row: for every
+    # (j, cid), dq = q_j . c and cc = ||c||^2; plus ||q|| — computed
+    # once, not per corpus row
+    tab = (
+        codebooks.crossJoin(F.broadcast(q))
+        .select(
+            "j",
+            "cid",
+            _dot(
+                F.col("c"),
+                F.slice(F.col("qv"), F.col("j") * sub + 1, sub),
+            ).alias("dq"),
+            _dot("c", "c").alias("cc"),
+            F.sqrt(_dot("qv", "qv")).alias("_qn"),
+        )
+        .agg(
+            F.collect_list(F.struct("j", "cid", "dq", "cc")).alias("_tab"),
+            F.max("_qn").alias("_qn"),
+        )
+    )
+    # closure factory, not a defaulted two-parameter lambda (see the
+    # pq_encode arity note)
+    def match_code(jj: int):
+        return lambda s: (s["j"] == jj) & (
+            s["cid"] == F.get(F.col(codes_col), jj)
+        )
+
+    lookups = [
+        F.get(F.filter(F.col("_tab"), match_code(j)), 0) for j in range(m)
+    ]
+    # _lk bound as an attribute in its OWN select before the two folds
+    # reference it — inlined, every lookup's array filter would run
+    # twice (the CollapseProject duplicate-eval trap)
+    with_lk = (
+        codes_df.select(F.col(id_col), F.col(codes_col))
+        .crossJoin(F.broadcast(tab))
+        .select(
+            F.col(id_col),
+            F.array(*lookups).alias("_lk"),
+            F.col("_qn"),
+        )
+    )
+    adc = F.aggregate(
+        F.col("_lk"), F.lit(0.0), lambda acc, s: acc + s["dq"]
+    )
+    recon = F.aggregate(
+        F.col("_lk"), F.lit(0.0), lambda acc, s: acc + s["cc"]
+    )
+    sim = F.round(
+        F.try_divide(adc, F.sqrt(recon) * F.col("_qn")), round_decimals
+    )
+    return (
+        with_lk.select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pq_ivf_topk_served(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    coarse_centroids: DataFrame,
+    query: DataFrame,
+    dims: int,
+    m: int = 4,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    query_col: str = "q",
+) -> DataFrame:
+    """The full FAISS-style IVF-PQ serve path: coarse IVF probe over
+    the bounded float centroids (cosine, the package's standard probe
+    rule) -> ONE literal ``cid IN (...)`` predicate that
+    partition-prunes the PQ code lists at the scan -> ADC re-rank
+    inside the probed lists only (:func:`pq_topk`).
+
+    ``codes`` is the materialized ``(id, codes, cid)`` frame — encode
+    with :func:`pq_encode`, attach the coarse cid from
+    :func:`..similarity.ivf_assign`, write partitioned by ``cid``
+    (the ``quantized_ivf_topk_served`` v3 layout with ``m`` code
+    bytes per vector instead of ``dims`` int8s). At 100 TB a probe
+    reads ``n_probe/k_coarse`` of the corpus at ``m`` bytes-ish per
+    vector — the two pruning levers multiply. Empty centroid frame or
+    empty query -> empty result (the float twin's contract)."""
+    from dgraph_dbpedia_spark.operators.similarity import _probe_single
+
+    q = query.select(F.col(query_col).cast("array<double>").alias("qv"))
+    probes = _probe_single(
+        coarse_centroids.select(
+            "cid", F.col("c").cast("array<double>").alias("c")
+        ),
+        q.select(F.col("qv")),
+        n_probe,
+        "pq_ivf_topk_served",
+    )
+    if not probes:
+        return codes.where(F.lit(False)).select(
+            F.col(id_col), F.lit(None).cast("double").alias("sim")
+        )
+    pruned = codes.where(F.col("cid").isin(probes))
+    return pq_topk(
+        pruned,
+        codebooks,
+        query,
+        dims=dims,
+        m=m,
+        k=k,
+        id_col=id_col,
+        codes_col=codes_col,
+        query_col=query_col,
+    )

@@ -589,49 +589,45 @@ def pair_cosine_arrow(round_decimals: int = 6, normalized: bool = False):
         )
         if null_mask.all():
             return pd.Series(pd.array([pd.NA] * n, dtype="Float64"))
-        # dimension-mismatched (incl. empty) vectors: the native
-        # zip_with fold NULL-pads the shorter side -> dot NULL ->
-        # try_divide NULL -> the pair scores NULL and the caller's
-        # threshold filter drops it. Substitute zeros so np.asarray
-        # stays rectangular (one ragged row would otherwise abort the
-        # whole job with an inhomogeneous-shape ValueError — the same
-        # data-dependent-crash class nearest_centroid_arrow guards)
-        # and force those rows' sim to NA below, alongside null_mask.
-        # ONE reference dim for both sides (the einsum needs A and B
-        # rectangular AND shape-aligned); any vector on either side
-        # whose length differs — including a cross-dims pair where one
-        # whole side disagrees — lands in bad_mask
-        dims = next(
-            (len(v) for v in va if v is not None),
-            next((len(v) for v in vb if v is not None), 0),
-        )
+        # pair-shape contract, matching the native zip_with fold
+        # row-for-row: a pair whose two sides have EQUAL length is
+        # scoreable whatever that length is (a batch can mix widths —
+        # MRL-truncated next to full vectors — and the native lane
+        # scores each pair by its own width); only a pair whose sides
+        # DISAGREE is NULL (zip_with NULL-pads the shorter side ->
+        # dot NULL -> try_divide NULL -> threshold drop). np.asarray
+        # would abort the whole job on a ragged batch (inhomogeneous-
+        # shape ValueError — the data-dependent-crash class
+        # nearest_centroid_arrow guards), so the einsum runs per
+        # width group instead of once.
         bad_mask = np.fromiter(
             (
-                (a is not None and len(a) != dims)
-                or (b is not None and len(b) != dims)
+                a is not None and b is not None and len(a) != len(b)
                 for a, b in zip(va, vb)
             ),
             dtype=bool,
             count=n,
         )
-        if null_mask.any() or bad_mask.any():
-            zero = [0.0] * dims
-            va = [
-                zero if (v is None or len(v) != dims) else v for v in va
-            ]
-            vb = [
-                zero if (v is None or len(v) != dims) else v for v in vb
-            ]
-        A = np.asarray(va, dtype=np.float64)
-        B = np.asarray(vb, dtype=np.float64)
-        if na is None:
-            sims = np.einsum("ij,ij->i", A, B)
-        else:
+        scoreable = ~(null_mask | bad_mask)
+        sims = np.full(n, np.nan, dtype=np.float64)
+        widths: dict[int, list[int]] = {}
+        for i in np.nonzero(scoreable)[0]:
+            widths.setdefault(len(va[i]), []).append(int(i))
+        for w, idx in widths.items():
+            A = np.asarray([va[i] for i in idx], dtype=np.float64)
+            B = np.asarray([vb[i] for i in idx], dtype=np.float64)
+            if w == 0:
+                # empty pair: sequential fold over an empty zip is the
+                # init 0.0 on the native lane
+                sims[idx] = 0.0
+            else:
+                sims[idx] = np.einsum("ij,ij->i", A, B)
+        if na is not None:
             denom = na.to_numpy(
                 dtype=np.float64, na_value=np.nan
             ) * nb.to_numpy(dtype=np.float64, na_value=np.nan)
             with np.errstate(divide="ignore", invalid="ignore"):
-                sims = np.einsum("ij,ij->i", A, B) / denom
+                sims = sims / denom
         out = pd.array(
             _round_half_up_np(sims, round_decimals), dtype="Float64"
         )
@@ -941,19 +937,49 @@ def ivf_train(
     fold embeds an 8-row local relation, not the previous iteration's
     full corpus-aggregation plan, with superseded checkpoints released
     deterministically."""
+    e = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("e"))
+    # arrow lane: the per-iteration centroid collect reads the
+    # 8-row localCheckpoint just made — a bounded X6 read, not a
+    # corpus job
+    return _lloyd_refine(
+        e,
+        n_centroids,
+        n_iter,
+        round_decimals,
+        id_col,
+        "e",
+        lambda e_, c_: ivf_assign(
+            e_, c_, id_col=id_col, vec_col="e", use_arrow=use_arrow
+        ),
+    )
+
+
+def _lloyd_refine(
+    e: DataFrame,
+    n_centroids: int,
+    n_iter: int,
+    round_decimals: int,
+    id_col: str,
+    vec_col: str,
+    assign,
+) -> DataFrame:
+    """The ONE deterministic Lloyd loop (seed rule, partially
+    aggregable rounded means, empty-cluster coalesce, per-iteration
+    localCheckpoint with deterministic release) shared by
+    :func:`ivf_train` (cosine assignment) and the product-quantization
+    subspace trainer (L2 assignment — ``operators.pq``). ``assign(e,
+    cent)`` returns a frame carrying ``vec_col`` and ``cid``; the loop
+    owns everything else, so the delicate checkpoint-release
+    choreography exists exactly once."""
     from dgraph_dbpedia_spark.operators.cachectl import release_local_checkpoint
 
-    e = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("e"))
-    cent = ivf_seed_centroids(e, n_centroids, id_col=id_col, vec_col="e")
+    cent = ivf_seed_centroids(e, n_centroids, id_col=id_col, vec_col=vec_col)
     cent = cent.localCheckpoint()
     last_cp = cent
     for _ in range(n_iter):
-        # arrow lane: the per-iteration centroid collect reads the
-        # 8-row localCheckpoint just made — a bounded X6 read, not a
-        # corpus job
-        asg = ivf_assign(e, cent, id_col=id_col, vec_col="e", use_arrow=use_arrow)
+        asg = assign(e, cent)
         means = (
-            asg.select("cid", F.posexplode("e").alias("pos", "val"))
+            asg.select("cid", F.posexplode(vec_col).alias("pos", "val"))
             .groupBy("cid", "pos")
             .agg(F.avg("val").alias("m"))
             .groupBy("cid")

@@ -355,6 +355,81 @@ def frequent_ngrams(
     )
 
 
+def tfidf_topk_terms(
+    df: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    round_decimals: int = 4,
+) -> DataFrame:
+    """Per-document top-k keyword terms by tf-idf — the classic
+    keyword-extraction / topical-tagging probe of corpus mining
+    (surface a document's distinguishing vocabulary; feed topical
+    routing, faceted browse, or a cheap relevance prior). Terms are
+    lowercased whitespace tokens (the bm25 convention); idf is the
+    sklearn-style smooth form ``ln((1 + N) / (1 + df)) + 1`` (never
+    zero, never divides by zero) with raw term count as tf. Returns
+    ``(id, term, score)`` — per document the ``k`` best terms, score
+    rounded to ``round_decimals``, ties broken by term ascending.
+    ``min_df`` drops hapax noise before scoring.
+
+    100 TB shape: ONE token explode feeding two partially-aggregable
+    counts — per-(doc, term) tf, then per-term document frequency
+    derived FROM the tf frame (no second corpus pass); the corpus size
+    rides a broadcast 1-row frame (the X6 pattern); the idf join is on
+    the term key (vocab-bounded, never collected or broadcast); and
+    the final top-k is a per-doc window over the already-counted
+    frame. No UDF anywhere. The tf frame feeds BOTH the df aggregate
+    and the join's left side, so it is persisted (Spark shares no
+    subplans across join branches — without the cache the corpus
+    explode runs twice); the result carries the release handle
+    (cachectl)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    from pyspark.sql import Window
+
+    from dgraph_dbpedia_spark.operators.cachectl import tag_persisted
+
+    base = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = (
+        base.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    if min_df > 1:
+        dfc = dfc.where(F.col("__df") >= min_df)
+    n = df.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    score = F.round(
+        F.col("tf")
+        * (
+            F.log((F.lit(1) + F.col("__n")) / (F.lit(1) + F.col("__df")))
+            + F.lit(1.0)
+        ),
+        round_decimals,
+    )
+    scored = (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(n))
+        .select(F.col(id_col), "term", score.alias("score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    out = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    return tag_persisted(out, tf)
+
+
 def gopher_quality_filter(
     df: DataFrame,
     text_col: str = "text",

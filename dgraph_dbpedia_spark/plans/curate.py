@@ -202,6 +202,27 @@ def pretraining_prep(
 
     if fractions is None:
         fractions = {"train": 0.8, "val": 0.1, "test": 0.1}
+    # validate every cheap post-curate knob BEFORE the expensive
+    # curation chain runs: a bad overlap/fraction/shard count must
+    # fail in milliseconds, not after the minhash/component stages
+    # have already materialized their caches. (The throwaway frame
+    # never executes — each operator's knob validation raises at
+    # plan-construction time.)
+    _probe = docs.limit(0)
+    split_corpus(
+        chunk_documents(
+            _probe,
+            chunk_tokens=chunk_tokens,
+            overlap=overlap,
+            text_col=text_col,
+            id_col=id_col,
+        ),
+        fractions,
+        id_col=id_col,
+        seed=split_seed,
+    )
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     curated = curate_corpus(
         docs,
         benchmark=benchmark,
@@ -210,41 +231,52 @@ def pretraining_prep(
         lang_col=lang_col,
         **curate_kwargs,
     )
-    chunks = chunk_documents(
-        curated,
-        chunk_tokens=chunk_tokens,
-        overlap=overlap,
-        text_col=text_col,
-        id_col=id_col,
-    )
-    # doc-keyed split AFTER chunking: the coin hashes id_col, so all
-    # chunks of a doc agree — see the leakage note in the docstring
-    tagged = split_corpus(
-        chunks, fractions, id_col=id_col, seed=split_seed
-    )
-    ck = "__ck"
-    while ck in tagged.columns:
-        ck = "_" + ck
-    keyed = tagged.withColumn(
-        ck,
-        F.concat_ws(
-            "#", F.col(id_col).cast("string"), F.col("chunk_idx")
-        ),
-    )
-    train = epoch_shuffle(
-        keyed.where(F.col("split") == "train"),
-        epoch=epoch,
-        n_shards=n_shards,
-        id_col=ck,
-    )
-    rest = (
-        keyed.where(
-            (F.col("split") != "train") | F.col("split").isNull()
+    # the post-curate stages can still raise before the handles
+    # transfer to the result (an unexpected schema, an epoch_shuffle
+    # column clash) — curate's eagerly-materialized s2/gk caches must
+    # not outlive the failure in a shared session (the curate_corpus
+    # stage-4/5 must-not-outlive rule, applied to the composition)
+    try:
+        chunks = chunk_documents(
+            curated,
+            chunk_tokens=chunk_tokens,
+            overlap=overlap,
+            text_col=text_col,
+            id_col=id_col,
         )
-        .withColumn("shard", F.lit(None).cast("int"))
-        .withColumn("pos", F.lit(None).cast("int"))
-    )
-    out = train.unionByName(rest).select(
-        F.col(id_col), "chunk_idx", "n_tokens", "split", "shard", "pos"
-    )
+        # doc-keyed split AFTER chunking: the coin hashes id_col, so
+        # all chunks of a doc agree — see the leakage note above
+        tagged = split_corpus(
+            chunks, fractions, id_col=id_col, seed=split_seed
+        )
+        ck = "__ck"
+        while ck in tagged.columns:
+            ck = "_" + ck
+        keyed = tagged.withColumn(
+            ck,
+            F.concat_ws(
+                "#", F.col(id_col).cast("string"), F.col("chunk_idx")
+            ),
+        )
+        train = epoch_shuffle(
+            keyed.where(F.col("split") == "train"),
+            epoch=epoch,
+            n_shards=n_shards,
+            id_col=ck,
+        )
+        rest = (
+            keyed.where(
+                (F.col("split") != "train") | F.col("split").isNull()
+            )
+            .withColumn("shard", F.lit(None).cast("int"))
+            .withColumn("pos", F.lit(None).cast("int"))
+        )
+        out = train.unionByName(rest).select(
+            F.col(id_col), "chunk_idx", "n_tokens", "split", "shard",
+            "pos",
+        )
+    except BaseException:
+        for f in persisted_frames(curated):
+            f.unpersist()
+        raise
     return tag_persisted(out, *persisted_frames(curated))

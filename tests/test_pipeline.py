@@ -417,3 +417,25 @@ def test_pretraining_prep_composition_seams(spark):
     rows2 = out2.collect()
     release(out2)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_pretraining_prep_validates_before_curating(spark):
+    """Bad post-curate knobs must fail FAST (plan-construction time,
+    before the expensive curation chain runs) and must not leak
+    persisted frames."""
+    import pytest
+
+    from dgraph_dbpedia_spark.plans.curate import pretraining_prep
+
+    docs = spark.createDataFrame(
+        [(1, "en", "one two three four five six")],
+        ["doc_id", "lang", "text"],
+    )
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    with pytest.raises(ValueError):
+        pretraining_prep(docs, chunk_tokens=16, overlap=16)
+    with pytest.raises(ValueError):
+        pretraining_prep(docs, fractions={"train": 0.9, "val": 0.9})
+    with pytest.raises(ValueError):
+        pretraining_prep(docs, n_shards=0)
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before

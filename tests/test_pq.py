@@ -1,0 +1,179 @@
+"""Product quantization (operators/pq.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_pq_train_shape_and_determinism(spark, emb):
+    """m * k_sub codebook rows, sub-dim centroids, bit-identical
+    across runs (the rounded-means / deterministic-seed contract)."""
+    from dgraph_dbpedia_spark.operators.pq import pq_train
+
+    cb = pq_train(emb, dims=64, m=4, k_sub=8, n_iter=2)
+    rows = cb.collect()
+    assert len(rows) == 4 * 8
+    assert {r["j"] for r in rows} == {0, 1, 2, 3}
+    assert all(len(r["c"]) == 16 for r in rows)
+    rows2 = pq_train(emb, dims=64, m=4, k_sub=8, n_iter=2).collect()
+    key = lambda r: (r["j"], r["cid"])  # noqa: E731
+    assert sorted(map(tuple, rows), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, rows2), key=lambda t: (t[0], t[1])
+    )
+
+
+def test_pq_encode_codes_are_codebook_ids(spark, emb):
+    """Every code is a cid from its own subspace's codebook; codes
+    arrays have exactly m entries."""
+    from dgraph_dbpedia_spark.operators.pq import pq_encode, pq_train
+
+    cb = pq_train(emb, dims=64, m=4, k_sub=8, n_iter=1)
+    valid = {
+        (r["j"], r["cid"]) for r in cb.select("j", "cid").collect()
+    }
+    codes = pq_encode(emb, cb, dims=64, m=4).collect()
+    assert len(codes) == emb.count()
+    for r in codes:
+        assert len(r["codes"]) == 4
+        for j, c in enumerate(r["codes"]):
+            assert (j, c) in valid
+
+
+def test_pq_topk_planted_twin_ranks_first(spark, emb):
+    """The honest PQ property at coarse settings: an identical twin of
+    the query shares every code with the query's own encoding and must
+    rank #1 by ADC with a clear margin (random vectors are PQ's worst
+    case for general recall — duplicates are what coarse codes still
+    find)."""
+    from dgraph_dbpedia_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    cb = pq_train(emb, dims=64, m=4, k_sub=16, n_iter=2)
+    twin = emb.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    corpus = (
+        emb.where(F.col("vec_id") > 0)
+        .select("vec_id", "embedding")
+        .unionByName(twin)
+    )
+    codes = pq_encode(corpus, cb, dims=64, m=4)
+    q = emb.orderBy("vec_id").limit(1).select(
+        F.col("embedding").alias("q")
+    )
+    rows = pq_topk(codes, cb, q, dims=64, m=4, k=3).collect()
+    assert rows[0]["vec_id"] == 10_000
+    assert rows[0]["sim"] > rows[1]["sim"] + 0.1
+
+
+def test_pq_validates_knobs(spark, emb):
+    from dgraph_dbpedia_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    with pytest.raises(ValueError):
+        pq_train(emb, dims=64, m=0)
+    with pytest.raises(ValueError):
+        pq_train(emb, dims=63, m=4)
+    with pytest.raises(ValueError):
+        pq_train(emb, dims=64, m=4, k_sub=0)
+    cb = pq_train(emb, dims=64, m=4, k_sub=4, n_iter=0)
+    with pytest.raises(ValueError):
+        pq_encode(emb, cb, dims=63, m=4)
+    codes = pq_encode(emb, cb, dims=64, m=4)
+    q = emb.limit(1).select(F.col("embedding").alias("q"))
+    with pytest.raises(ValueError):
+        pq_topk(codes, cb, q, dims=64, m=4, k=0)
+
+
+def test_pq_topk_query_row_contract(spark, emb):
+    """Multi-row query frame raises loudly (a collect_list table over
+    interleaved queries would be silently nondeterministic); an empty
+    query frame returns an empty, correctly-typed result."""
+    from dgraph_dbpedia_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    cb = pq_train(emb, dims=64, m=4, k_sub=4, n_iter=0)
+    codes = pq_encode(emb, cb, dims=64, m=4)
+    multi = emb.limit(2).select(F.col("embedding").alias("q"))
+    with pytest.raises(ValueError, match="one query vector"):
+        pq_topk(codes, cb, multi, dims=64, m=4, k=5)
+    empty = emb.where(F.lit(False)).select(F.col("embedding").alias("q"))
+    out = pq_topk(codes, cb, empty, dims=64, m=4, k=5)
+    assert out.columns == ["vec_id", "sim"]
+    assert out.count() == 0
+
+
+def test_pq_ivf_served_prunes_and_finds_twin(spark, emb, tmp_path):
+    """The full IVF-PQ serve path over a cid-partitioned code table:
+    the probe's literal cid IN predicate must partition-prune the scan
+    (PartitionFilters in the plan), and a planted identical twin of
+    the query must come back rank 1 — its coarse cid IS the query's
+    nearest centroid, so the first probe always covers it."""
+    from dgraph_dbpedia_spark.operators.pq import (
+        pq_encode,
+        pq_ivf_topk_served,
+        pq_train,
+    )
+    from dgraph_dbpedia_spark.operators.similarity import (
+        ivf_assign,
+        ivf_seed_centroids,
+    )
+
+    cb = pq_train(emb, dims=64, m=4, k_sub=16, n_iter=1)
+    twin = emb.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    corpus = (
+        emb.where(F.col("vec_id") > 0)
+        .select("vec_id", "embedding")
+        .unionByName(twin)
+    )
+    e = corpus.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    coarse = ivf_seed_centroids(e, 8, vec_col="e")
+    asg = ivf_assign(e, coarse, vec_col="e").select("vec_id", "cid")
+    codes = pq_encode(corpus, cb, dims=64, m=4).join(asg, "vec_id")
+    root = str(tmp_path / "pqidx")
+    codes.write.partitionBy("cid").parquet(root)
+    served = spark.read.parquet(root)
+    q = emb.orderBy("vec_id").limit(1).select(
+        F.col("embedding").alias("q")
+    )
+    out = pq_ivf_topk_served(
+        served, cb, coarse, q, dims=64, m=4, k=3, n_probe=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "PartitionFilters: [" in plan
+        and "cid" in plan.split("PartitionFilters:")[1][:120]
+    )
+    rows = out.collect()
+    assert rows[0]["vec_id"] == 10_000
+
+
+def test_pq_foreign_code_yields_null_sim(spark, emb):
+    """A code absent from the codebook (foreign-codebook probe) must
+    yield NULL sim — never a lookup crash mid-job."""
+    from dgraph_dbpedia_spark.operators.pq import pq_topk, pq_train
+
+    cb = pq_train(emb, dims=64, m=4, k_sub=4, n_iter=0)
+    bogus = spark.createDataFrame(
+        [(1, [999_999] * 4)], "vec_id long, codes array<bigint>"
+    )
+    q = emb.limit(1).select(F.col("embedding").alias("q"))
+    rows = pq_topk(bogus, cb, q, dims=64, m=4, k=5).collect()
+    assert len(rows) == 1 and rows[0]["sim"] is None

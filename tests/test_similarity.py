@@ -1023,6 +1023,10 @@ def test_pair_cosine_arrow_ragged_contract(spark):
             (3, [1.0, 0.0], [], 1.0, 1.0),           # empty b
             (4, [1.0], [1.0, 0.0], 1.0, 1.0),        # short a
             (5, None, [1.0, 0.0], None, 1.0),        # NULL a
+            # internally-CONSISTENT pair of a different width than the
+            # batch's first pair: the native lane scores it, so the
+            # arrow lane must too (per-width einsum grouping)
+            (6, [0.0, 1.0, 0.0], [0.0, 1.0, 0.0], 1.0, 1.0),
         ],
         "id long, ea array<double>, eb array<double>, na double, nb double",
     )
@@ -1043,6 +1047,7 @@ def test_pair_cosine_arrow_ragged_contract(spark):
     }
     assert arrow == native
     assert arrow[1] == 1.0
+    assert arrow[6] == 1.0
     assert all(arrow[i] is None for i in (2, 3, 4, 5))
 
 

@@ -114,6 +114,63 @@ def test_bm25_multi_term_and_ties(spark):
     assert rows[0]["score"] == rows[1]["score"]
 
 
+def test_tfidf_topk_terms_hand_computed(spark):
+    """tf-idf = tf * (ln((1+N)/(1+df)) + 1) on a 3-doc fixture:
+    corpus-wide terms score low, distinguishing terms high; top-k per
+    doc with ties by term asc; min_df drops hapaxes; case folds."""
+    import math
+
+    from dgraph_dbpedia_spark.operators.textstats import tfidf_topk_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "Cherry common"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_id"], r["term"]): r["score"]
+        for r in tfidf_topk_terms(docs, k=10, min_df=2).collect()
+    }
+
+    def idf(df_):
+        return math.log((1 + 3) / (1 + df_)) + 1
+
+    exp = {
+        (1, "apple"): round(2 * idf(1), 4),   # df=1 BUT min_df=2 drops it
+        (1, "banana"): round(1 * idf(2), 4),
+        (1, "common"): round(1 * idf(3), 4),
+        (2, "banana"): round(1 * idf(2), 4),
+        (2, "cherry"): round(1 * idf(2), 4),
+        (2, "common"): round(1 * idf(3), 4),
+        (3, "cherry"): round(1 * idf(2), 4),  # "Cherry" lowercased
+        (3, "common"): round(1 * idf(3), 4),
+    }
+    del exp[(1, "apple")]
+    assert got == exp
+    # per-doc ordering: distinguishing term outranks the ubiquitous one
+    assert got[(2, "cherry")] > got[(2, "common")]
+    # top-k truncation with the term tie-break
+    top1 = {
+        r["doc_id"]: r["term"]
+        for r in tfidf_topk_terms(docs, k=1, min_df=2).collect()
+    }
+    # doc 2: banana and cherry tie (same tf, same df) -> banana (asc)
+    assert top1[2] == "banana"
+
+
+def test_tfidf_topk_terms_validates(spark):
+    from dgraph_dbpedia_spark.operators.textstats import tfidf_topk_terms
+
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        tfidf_topk_terms(docs, k=0)
+    with pytest.raises(ValueError):
+        tfidf_topk_terms(docs, min_df=0)
+
+
 def test_bm25_empty_terms_raises(spark):
     from dgraph_dbpedia_spark.operators.textstats import bm25_topk
 

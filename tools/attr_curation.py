@@ -70,14 +70,20 @@ def main() -> None:
         return x.join(reps, "doc_id", "left_semi")
 
     def s3(c):
+        from dgraph_dbpedia_spark.operators.cachectl import tag_persisted
+
         x = s2(c).persist()
         pairs = minhash_dedup_pairs(x, w=3, k=16, bands=4, threshold=0.4)
         try:
             out = dedup_corpus(x, pairs.select("a", "b"))
         finally:
             release(pairs)
-        x.unpersist()
-        return out
+        # x stays cached THROUGH the caller's timed materialization
+        # (the representative semi-join reads it); unpersisting here
+        # would make the timed write re-run the s1/s2 lineage cold —
+        # work the real chain never pays. The caller's release(res)
+        # frees it via the handle.
+        return tag_persisted(out, x)
 
     def s4(c):
         return decontaminate(s3(c), bench, w=4, bench_text_col="text")

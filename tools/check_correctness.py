@@ -108,14 +108,22 @@ def main(
         if only and name not in only:
             continue
         try:
+            from dgraph_dbpedia_spark.operators.cachectl import release
+
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
             s_rows = sdf.collect()
+            release(sdf)
             # --repeat determinism gate: re-run the WHOLE query
             # (fresh plan, fresh task scheduling) and require the
             # normalized multiset to be byte-identical — repeated for
             # float-bearing schemas (or any explicitly named query);
-            # exact-typed rows cannot drift and skip the extra runs
+            # exact-typed rows cannot drift and skip the extra runs.
+            # Every run's persisted handles are released after its
+            # collect — at --repeat 3 over the full registry the
+            # leaked caches would otherwise triple and the resulting
+            # eviction churn could distort the very comparison this
+            # gate exists to make
             n_runs = (
                 repeat
                 if repeat > 1 and (only or _has_float_field(sdf.schema))
@@ -125,7 +133,9 @@ def main(
                 base = norm_rows(s_cols, s_rows)
                 nondet = None
                 for i in range(1, n_runs):
-                    r_rows = fn(spark, sf_dir).collect()
+                    rdf_ = fn(spark, sf_dir)
+                    r_rows = rdf_.collect()
+                    release(rdf_)
                     again = norm_rows(s_cols, r_rows)
                     if again != base:
                         d1 = [x for x in base if x not in again][:3]
