@@ -2650,9 +2650,13 @@ def _sql_pq_topk(
         ctes.append(
             f"ej{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM e)"
         )
+        # DENSE cids 0..k_sub-1 (seed-id rank — matches the Spark
+        # side's production uint8-able layout; rank order preserves
+        # every tie-break)
         ctes.append(
-            f"pc{j}_0 AS (SELECT vec_id AS cid, v AS c FROM ej{j} "
-            f"ORDER BY vec_id LIMIT {k_sub})"
+            f"pc{j}_0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 "
+            f"AS cid, v AS c FROM (SELECT vec_id, v FROM ej{j} "
+            f"ORDER BY vec_id LIMIT {k_sub}))"
         )
         for it in range(1, n_iter + 1):
             ctes.append(f"""pa{j}_{it} AS (

@@ -119,7 +119,8 @@ def pq_train(
 ) -> DataFrame:
     """Train the ``m`` per-subspace codebooks. Returns ``(j, cid, c)``
     — ``m * k_sub`` bounded rows (subspace ``j`` in 0..m-1, sub-
-    centroid id ``cid`` keeping its seed row's identity, ``c`` the
+    centroid id ``cid`` DENSE in 0..k_sub-1 (the seed rows' id-rank —
+    codes fit a uint8 at k_sub <= 256, the production layout), ``c`` the
     ``dims/m``-dim centroid, components rounded to ``round_decimals``
     so the whole training run is bit-reproducible across engines and
     partitionings — the ivf_train contract).
@@ -128,13 +129,25 @@ def pq_train(
     assignment (pure projection over the scan) plus a ``(cid, pos)``
     partially aggregable means shuffle bounded by ``k_sub x dims/m``
     rows per map partition — the corpus is never shuffled."""
+    from pyspark.sql import Window
+
     sub = _validate_pq(dims, m, k_sub)
     v = F.col(vec_col).cast("array<double>")
     out = None
     for j in range(m):
         e = df.select(F.col(id_col), F.slice(v, j * sub + 1, sub).alias("v"))
         cent = _lloyd_l2(e, k_sub, n_iter, round_decimals, id_col)
-        tagged = cent.select(F.lit(j).alias("j"), "cid", "c")
+        # DENSE cids 0..k_sub-1 (rank of the seed id): codes become
+        # small ints (the production uint8 layout) and the ADC lookup
+        # degenerates to O(1) positional access instead of an O(k_sub)
+        # array filter per subspace per row — the measured dominant
+        # serve cost at 200k vectors. Rank order preserves the seed-id
+        # order, so every tie-break (L2 asc, cid asc) is unchanged.
+        dense = cent.withColumn(
+            "cid",
+            F.row_number().over(Window.orderBy("cid")) - F.lit(1),
+        )
+        tagged = dense.select(F.lit(j).alias("j"), "cid", "c")
         out = tagged if out is None else out.unionByName(tagged)
     return out
 
@@ -157,7 +170,9 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Encode every vector as its ``m`` nearest sub-centroid ids.
-    Returns ``(id, codes: array<bigint>)`` — the PQ-compressed corpus
+    Returns ``(id, codes: array<int>)`` (dense 0..k_sub-1 values —
+    cast to ``array<tinyint>``/``array<smallint>`` at the sink for the
+    byte-tight layout) — the PQ-compressed corpus
     a serve path materializes (compose with an
     :func:`..similarity.ivf_assign` cid and partition by it for the
     full IVF-PQ layout).
@@ -237,14 +252,22 @@ def pq_topk(
         return codes_df.where(F.lit(False)).select(
             F.col(id_col), F.lit(None).cast("double").alias("sim")
         )
-    # the per-query ADC table as ONE broadcast row: for every
-    # (j, cid), dq = q_j . c and cc = ||c||^2; plus ||q|| — computed
-    # once, not per corpus row
+    # the per-query ADC table as ONE broadcast row, laid out FLAT and
+    # SORTED by (j, cid) so entry (j, code) sits at position
+    # j * k_sub + code: for every (j, cid), dq = q_j . c and
+    # cc = ||c||^2; plus ||q|| — computed once, not per corpus row.
+    # k_sub comes from the bounded codebook frame (m * k_sub rows —
+    # an X6-sized count, never a corpus action).
+    n_cb = codebooks.count()
+    if n_cb == 0 or n_cb % m:
+        raise ValueError(
+            f"codebooks must hold m * k_sub rows (m={m}), got {n_cb}"
+        )
+    k_sub = n_cb // m
     tab = (
         codebooks.crossJoin(F.broadcast(q))
         .select(
-            "j",
-            "cid",
+            (F.col("j") * k_sub + F.col("cid")).alias("_idx"),
             _dot(
                 F.col("c"),
                 F.slice(F.col("qv"), F.col("j") * sub + 1, sub),
@@ -253,19 +276,25 @@ def pq_topk(
             F.sqrt(_dot("qv", "qv")).alias("_qn"),
         )
         .agg(
-            F.collect_list(F.struct("j", "cid", "dq", "cc")).alias("_tab"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_idx", "dq", "cc"))
+                ),
+                lambda s: F.struct(s["dq"].alias("dq"), s["cc"].alias("cc")),
+            ).alias("_tab"),
             F.max("_qn").alias("_qn"),
         )
     )
-    # closure factory, not a defaulted two-parameter lambda (see the
-    # pq_encode arity note)
-    def match_code(jj: int):
-        return lambda s: (s["j"] == jj) & (
-            s["cid"] == F.get(F.col(codes_col), jj)
-        )
-
+    # O(1) positional lookup per subspace: F.get (NULL on any
+    # out-of-range index — a foreign-codebook code yields NULL sim,
+    # never an ANSI element_at crash). Dense cids make in-range codes
+    # always valid, so "missing" == out-of-range exactly.
     lookups = [
-        F.get(F.filter(F.col("_tab"), match_code(j)), 0) for j in range(m)
+        F.get(
+            F.col("_tab"),
+            F.lit(j * k_sub) + F.get(F.col(codes_col), j),
+        )
+        for j in range(m)
     ]
     # _lk bound as an attribute in its OWN select before the two folds
     # reference it — inlined, every lookup's array filter would run

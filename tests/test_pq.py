@@ -172,7 +172,7 @@ def test_pq_foreign_code_yields_null_sim(spark, emb):
 
     cb = pq_train(emb, dims=64, m=4, k_sub=4, n_iter=0)
     bogus = spark.createDataFrame(
-        [(1, [999_999] * 4)], "vec_id long, codes array<bigint>"
+        [(1, [999_999] * 4)], "vec_id long, codes array<int>"
     )
     q = emb.limit(1).select(F.col("embedding").alias("q"))
     rows = pq_topk(bogus, cb, q, dims=64, m=4, k=5).collect()

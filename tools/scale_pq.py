@@ -86,14 +86,21 @@ def main() -> None:
     code_bytes = tree_bytes(f"{work}/codes")
     float_bytes = tree_bytes(f"{work}/floats")
 
-    hits = 0
+    # PQ's honest serve contract is a SHORTLIST for exact re-rank
+    # (the FAISS usage), so the metric is twin-in-top-100 alongside
+    # strict rank-1: coarse codes on uniform vectors (the
+    # no-structure worst case) keep the twin in the shortlist long
+    # after per-rank precision degrades
+    hits1 = hits100 = 0
     t0 = time.perf_counter()
     for qid in range(n_queries):
         q = base.where(F.col("vec_id") == qid).select(
             F.col("embedding").alias("q")
         )
-        rows = pq_topk(codes, cb, q, dims=dims, m=m, k=1).collect()
-        hits += int(bool(rows) and rows[0]["vec_id"] == qid + 10_000_000)
+        rows = pq_topk(codes, cb, q, dims=dims, m=m, k=100).collect()
+        ids = [r["vec_id"] for r in rows]
+        hits1 += int(bool(ids) and ids[0] == qid + 10_000_000)
+        hits100 += int(qid + 10_000_000 in ids)
     serve_s = round(time.perf_counter() - t0, 3)
 
     import shutil
@@ -115,7 +122,8 @@ def main() -> None:
                 "float_bytes_per_vec": round(float_bytes / n, 2),
                 "compression_x": round(float_bytes / n
                                        / (code_bytes / (n + n_queries)), 2),
-                "twin_rank1_recall": round(hits / n_queries, 3),
+                "twin_rank1_recall": round(hits1 / n_queries, 3),
+                "twin_top100_recall": round(hits100 / n_queries, 3),
             }
         )
     )
