@@ -32,6 +32,7 @@ recall vs exact cosine is pinned by pytest, not assumed.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -161,6 +162,97 @@ def _codebook_row(codebooks: DataFrame) -> DataFrame:
     )
 
 
+def _collect_codebooks(codebooks: DataFrame, m: int, sub: int):
+    """Bounded driver read (the X6 pattern) of the ``(j, cid, c)``
+    codebook frame for the Arrow encode lane: per subspace, a
+    ``(k_sub, sub)`` numpy matrix with rows in DENSE cid order (so
+    ``argmin``'s first-min tie equals the native L2-asc-cid-asc
+    rule)."""
+    import numpy as np
+
+    rows = codebooks.select(
+        "j", "cid", F.col("c").cast("array<double>").alias("c")
+    ).collect()
+    per_j: dict[int, list] = {}
+    for r in rows:
+        per_j.setdefault(r["j"], []).append((r["cid"], list(r["c"])))
+    if sorted(per_j) != list(range(m)):
+        raise ValueError(
+            f"codebooks must cover subspaces 0..{m - 1}, got {sorted(per_j)}"
+        )
+    mats = []
+    for j in range(m):
+        ent = sorted(per_j[j])
+        if [cid for cid, _ in ent] != list(range(len(ent))):
+            raise ValueError(
+                f"subspace {j} cids must be dense 0..k_sub-1"
+            )
+        mats.append(np.asarray([c for _, c in ent], dtype=np.float64))
+        if mats[-1].shape[1] != sub:
+            raise ValueError(
+                f"subspace {j} centroid width {mats[-1].shape[1]} != {sub}"
+            )
+    return mats
+
+
+def encode_codes_arrow(cmats):
+    """Vectorized twin of the native per-row encode fold: per Arrow
+    batch and subspace, ONE broadcasted ``(batch, k_sub, sub)``
+    squared-difference reduction + round-6 + first-min ``argmin``
+    (ties land on the lowest dense cid, the native L2-asc/cid-asc
+    rule). Same bit-equality posture as ``nearest_centroid_arrow``
+    (pinned on real data by pytest; per-element FP summation order
+    differs only in the negligible round-6 boundary regime its
+    docstring documents). Degenerate widths match the native lane
+    PER SUBSPACE: a subspace whose slice is complete encodes
+    normally, one whose slice is short/empty/NULL gets code 0 (the
+    native NULL-distance tie lands on the lowest dense cid) — so a
+    NULL vector is all-zero codes while a truncated vector keeps its
+    leading subspaces' real codes, exactly like ``F.slice`` +
+    ``zip_with`` NULL-padding."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    from dgraph_dbpedia_spark.operators.similarity import _round_half_up_np
+
+    m = len(cmats)
+    dims = int(sum(c.shape[1] for c in cmats))
+
+    def enc(emb: pd.Series) -> pd.Series:
+        import numpy as np  # noqa: F811 — resolve inside the worker
+
+        n = len(emb)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        vals = emb.tolist()
+        lens = np.fromiter(
+            (len(v) if v is not None else -1 for v in vals),
+            dtype=np.int64,
+            count=n,
+        )
+        X = np.zeros((n, dims), dtype=np.float64)
+        for i, v in enumerate(vals):
+            if v is not None and len(v):
+                w = min(len(v), dims)
+                X[i, :w] = v[:w]
+        codes = np.zeros((n, m), dtype=np.int64)
+        off = 0
+        for j, C in enumerate(cmats):
+            sub_j = C.shape[1]
+            Xj = X[:, off:off + sub_j]
+            off += sub_j
+            D = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            cj = np.argmin(_round_half_up_np(D, 6), axis=1)
+            # subspace complete only when the vector covers the whole
+            # slice — short/NULL slices take code 0 (native NULL tie)
+            cj[lens < off] = 0
+            codes[:, j] = cj
+        return pd.Series([[int(c) for c in row] for row in codes])
+
+    return pandas_udf(enc, ArrayType(IntegerType()))
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: DataFrame,
@@ -168,6 +260,7 @@ def pq_encode(
     m: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Encode every vector as its ``m`` nearest sub-centroid ids.
     Returns ``(id, codes: array<int>)`` (dense 0..k_sub-1 values —
@@ -177,10 +270,26 @@ def pq_encode(
     :func:`..similarity.ivf_assign` cid and partition by it for the
     full IVF-PQ layout).
 
-    Pure projection against ONE broadcast codebook row — no shuffle,
-    no UDF; per row cost is ``m x k_sub x dims/m`` fused arithmetic in
-    whole-stage codegen."""
+    SHUFFLE-FREE over the corpus either way — a single projection
+    between scan and output (the :func:`..similarity.ivf_assign`
+    posture):
+
+    - ``use_arrow=True`` (default): the bounded codebook frame is
+      collected driver-side (an X6 read, m x k_sub rows) and each
+      subspace encodes as one numpy squared-difference reduction per
+      Arrow batch (:func:`encode_codes_arrow`) — the interpreted
+      ``m x k_sub x dims/m`` higher-order fold per row is the measured
+      encode cost at 200k vectors (BENCH_SCALE r11). Pinned equal to
+      the native fold by pytest.
+    - ``use_arrow=False``: the JVM-only oracle surface — the broadcast
+      codebook row + per-subspace ``_nearest_l2`` fold."""
     sub = _validate_pq(dims, m, 1)
+    if use_arrow:
+        enc = encode_codes_arrow(_collect_codebooks(codebooks, m, sub))
+        return df.select(
+            F.col(id_col),
+            enc(F.col(vec_col).cast("array<double>")).alias("codes"),
+        )
     v = F.col("_v")
 
     # closure factory, NOT `lambda s, jj=j`: a two-parameter lambda is

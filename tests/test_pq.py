@@ -43,6 +43,51 @@ def test_pq_encode_codes_are_codebook_ids(spark, emb):
             assert (j, c) in valid
 
 
+def test_pq_encode_arrow_pinned_equal_to_native(spark, emb):
+    """The Arrow encode kernel must reproduce the native per-subspace
+    fold's codes exactly on real data, and match its degenerate-width
+    contract per subspace: complete slices encode normally, short or
+    NULL slices take code 0."""
+    from dgraph_dbpedia_spark.operators.pq import pq_encode, pq_train
+
+    cb = pq_train(emb, dims=64, m=4, k_sub=16, n_iter=1)
+    nat = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode(emb, cb, dims=64, m=4, use_arrow=False).collect()
+    }
+    arr = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode(emb, cb, dims=64, m=4, use_arrow=True).collect()
+    }
+    assert nat == arr and len(nat) == emb.count()
+    # degenerate widths: NULL vector, empty, half-width (2 complete
+    # subspaces + 2 short), over-long (extra components ignored)
+    first_row = emb.orderBy("vec_id").first()
+    first = first_row["embedding"]
+    deg = spark.createDataFrame(
+        [
+            (1, None),
+            (2, []),
+            (3, [float(x) for x in first[:32]]),
+            (4, [float(x) for x in first] + [9.9]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    dn = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode(deg, cb, dims=64, m=4, use_arrow=False).collect()
+    }
+    da = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode(deg, cb, dims=64, m=4, use_arrow=True).collect()
+    }
+    assert dn == da
+    assert dn[1] == [0, 0, 0, 0] and dn[2] == [0, 0, 0, 0]
+    assert dn[3][2:] == [0, 0]  # short slices -> native NULL tie
+    # over-long vector: the first dims components drive every code
+    assert dn[4] == nat[first_row["vec_id"]]
+
+
 def test_pq_topk_planted_twin_ranks_first(spark, emb):
     """The honest PQ property at coarse settings: an identical twin of
     the query shares every code with the query's own encoding and must
