@@ -49,6 +49,14 @@ _PYTHON_OK = {
     # the inline probes carry the Python stage in their returned plan
     "ivf_ann_topk",
     "ivf_ann_topk_trained",
+    # r11: pair_cosine_arrow dot lane over normalized embeddings
+    # (bit-equal pinned in test_similarity.py)
+    "semantic_dedup_pairs_normalized",
+    # r11: encode_codes_arrow PQ lane (bit-equal incl. degenerate
+    # widths, pinned in test_pq.py) — both the brute ADC row and the
+    # IVF-PQ served composition return the lazy encode+score plan
+    "pq_topk",
+    "pq_ivf_topk_served",
 }
 
 
