@@ -236,6 +236,7 @@ def pretraining_prep(
     # column clash) — curate's eagerly-materialized s2/gk caches must
     # not outlive the failure in a shared session (the curate_corpus
     # stage-4/5 must-not-outlive rule, applied to the composition)
+    keyed = None
     try:
         chunks = chunk_documents(
             curated,
@@ -252,12 +253,18 @@ def pretraining_prep(
         ck = "__ck"
         while ck in tagged.columns:
             ck = "_" + ck
+        # PERSISTED: keyed feeds both union branches (train + rest) —
+        # without the cache the whole post-s2 chain (decontamination
+        # semi-join, temperature filter, chunk explode, split coin)
+        # executes twice, once per branch (no cross-branch subplan
+        # sharing — the _semantic_sk_pairs rule). The handle rides the
+        # result with curate's.
         keyed = tagged.withColumn(
             ck,
             F.concat_ws(
                 "#", F.col(id_col).cast("string"), F.col("chunk_idx")
             ),
-        )
+        ).persist()
         train = epoch_shuffle(
             keyed.where(F.col("split") == "train"),
             epoch=epoch,
@@ -276,7 +283,9 @@ def pretraining_prep(
             "pos",
         )
     except BaseException:
+        if keyed is not None:
+            keyed.unpersist()
         for f in persisted_frames(curated):
             f.unpersist()
         raise
-    return tag_persisted(out, *persisted_frames(curated))
+    return tag_persisted(out, keyed, *persisted_frames(curated))
