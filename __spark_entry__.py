@@ -880,32 +880,18 @@ def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pq_ivf_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r11: the full FAISS-style IVF-PQ serve composition — coarse
-    seed-centroid cosine probe (n_probe=2 of 8 lists) -> cid-pruned
-    PQ code lists -> ADC re-rank inside the probed lists only. The
-    oracle adds the coarse assignment + probe semi-join on top of the
-    pq_topk replay."""
-    from dgraph_dbpedia_spark.operators.pq import (
-        pq_encode,
-        pq_ivf_topk_served,
-        pq_train,
-    )
-    from dgraph_dbpedia_spark.operators.similarity import (
-        ivf_assign,
-        ivf_seed_centroids,
-    )
+    """r11: the full FAISS-style IVF-PQ serve composition over the
+    MATERIALIZED index (v4 layout — m code ints per vector in by-cid
+    parquet, built once per dataset and shared with the int8/float
+    serve rows): coarse cosine probe (n_probe=2 of the index's 16
+    lists) -> literal cid IN partition prune of the code lists ->
+    ADC re-rank inside the probed lists only. The oracle replays
+    corpus-rooted training + coarse assignment + probe semi-join on
+    top of the pq_topk chain."""
+    from dgraph_dbpedia_spark.operators.pq import pq_ivf_topk_served
 
     emb = _t(spark, sf_dir, "embeddings")
-    cb = pq_train(emb, dims=64, m=4, k_sub=16, n_iter=1)
-    corpus = emb.where(F.col("vec_id") > 0)
-    e = corpus.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    coarse = ivf_seed_centroids(e, 8, vec_col="e")
-    codes = pq_encode(corpus, cb, dims=64, m=4).join(
-        ivf_assign(e, coarse, vec_col="e").select("vec_id", "cid"),
-        "vec_id",
-    )
+    codes, cb, coarse = _served_pq_index(spark, sf_dir)
     q = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("q"))
     return pq_ivf_topk_served(
         codes, cb, coarse, q, dims=64, m=4, k=5, n_probe=2
@@ -1640,7 +1626,7 @@ def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # bump when build params / layout change; v3: arrow assignment lane +
 # the int8 quantized lists (scales/ + quantized/ parts)
-_IVF_INDEX_FORMAT = "v3-arrow-q8"
+_IVF_INDEX_FORMAT = "v4-arrow-q8-pq"
 
 
 def _ivf_index_root(sf_dir: str) -> str:
@@ -1692,7 +1678,10 @@ def _ivf_index_complete(root: str) -> bool:
 
     return all(
         os.path.isfile(os.path.join(root, part, "_SUCCESS"))
-        for part in ("centroids", "assigned", "scales", "quantized")
+        for part in (
+            "centroids", "assigned", "scales", "quantized",
+            "pq_codebooks", "pq_codes",
+        )
     )
 
 
@@ -1742,6 +1731,25 @@ def _build_ivf_index_atomic(e, root: str) -> None:
         ).join(asg, "vec_id").write.mode("overwrite").partitionBy(
             "cid"
         ).parquet(f"{staging}/quantized")
+        # the PQ half (v4): per-subspace codebooks trained on the SAME
+        # corpus, codes joined with the SAME coarse cid — m code ints
+        # per vector in the by-cid layout (the FAISS IVF-PQ shape; the
+        # pq_ivf_topk_served row probes exactly this)
+        from dgraph_dbpedia_spark.operators.pq import pq_encode, pq_train
+
+        cb = pq_train(e, dims=64, m=4, k_sub=16, n_iter=1, vec_col="e")
+        cb.coalesce(1).write.mode("overwrite").parquet(
+            f"{staging}/pq_codebooks"
+        )
+        pq_encode(
+            e,
+            spark.read.parquet(f"{staging}/pq_codebooks"),
+            dims=64,
+            m=4,
+            vec_col="e",
+        ).join(asg, "vec_id").write.mode("overwrite").partitionBy(
+            "cid"
+        ).parquet(f"{staging}/pq_codes")
         for _ in range(2):
             try:
                 os.rename(staging, root)
@@ -1805,6 +1813,19 @@ def _served_quantized_index(spark: SparkSession, sf_dir: str):
         spark.read.parquet(f"{root}/quantized"),
         spark.read.parquet(f"{root}/centroids"),
         spark.read.parquet(f"{root}/scales"),
+    )
+
+
+def _served_pq_index(spark: SparkSession, sf_dir: str):
+    """(pq_codes, pq_codebooks, centroids) frames of the PQ half of
+    the served index (v4 layout), building the whole index atomically
+    on first use — shares the build with :func:`_served_ivf_index`."""
+    _served_ivf_index(spark, sf_dir)  # ensures a complete v4 root
+    root = _ivf_index_root(sf_dir)
+    return (
+        spark.read.parquet(f"{root}/pq_codes"),
+        spark.read.parquet(f"{root}/pq_codebooks"),
+        spark.read.parquet(f"{root}/centroids"),
     )
 
 
@@ -2619,6 +2640,7 @@ def _sql_pq_topk(
     k: int = 5, m: int = 4, k_sub: int = 16, n_iter: int = 1,
     dims: int = 64, nd: int = 4,
     coarse_k: int | None = None, n_probe: int = 2,
+    corpus_train: bool = False,
 ) -> str:
     """Full PQ chain replay: per subspace, L2 Lloyd (lowest-id seeds,
     round-6 squared-L2 assignment with cid-asc ties, round-``nd``
@@ -2640,7 +2662,14 @@ def _sql_pq_topk(
             f"z -> (z[1] - z[2]) * (z[1] - z[2]))), 6)"
         )
 
-    ctes = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    # corpus_train: the served index trains codebooks/centroids on the
+    # CORPUS (vec_id > 0) only — the query vector is held out, exactly
+    # like the Spark-side _served_ivf_index build
+    where = " WHERE vec_id > 0" if corpus_train else ""
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+        f"FROM embeddings{where})"
+    ]
     for j in range(m):
         lo, hi = j * sub + 1, (j + 1) * sub
         mean_list = ", ".join(
@@ -3939,7 +3968,9 @@ def oracle_sql() -> dict[str, str]:
         "ivf_train": _sql_ivf_train(),
         "ivf_ann_topk_trained": _sql_ivf_topk_trained(),
         "pq_topk": _sql_pq_topk(),
-        "pq_ivf_topk_served": _sql_pq_topk(coarse_k=8, n_probe=2),
+        "pq_ivf_topk_served": _sql_pq_topk(
+            coarse_k=16, n_probe=2, corpus_train=True
+        ),
         "cosine_near_dup": _sql_cosine_near_dup(),
         "sliding_window": """
             WITH e AS (
