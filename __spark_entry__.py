@@ -879,6 +879,29 @@ def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(codes, cb, q, dims=64, m=4, k=5)
 
 
+def _q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: the two-stage PQ deployment contract (VERDICT r11 #3 —
+    IVFADC + re-ranking): ADC over the m-code corpus produces a
+    50-row shortlist, then ONLY those ids' float vectors are read back
+    (broadcast left-semi) for the exact round-4 cosine top-5. The
+    oracle replays training + encode + ADC shortlist + exact re-rank
+    end to end."""
+    from dgraph_dbpedia_spark.operators.pq import (
+        pq_encode,
+        pq_rerank_topk,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, dims=64, m=4, k_sub=16, n_iter=1)
+    corpus = emb.where(F.col("vec_id") > 0)
+    codes = pq_encode(corpus, cb, dims=64, m=4)
+    q = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("q"))
+    return pq_rerank_topk(
+        codes, cb, corpus, q, dims=64, m=4, k=5, shortlist_n=50
+    )
+
+
 def _q_pq_ivf_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r11: the full FAISS-style IVF-PQ serve composition over the
     MATERIALIZED index (v4 layout — m code ints per vector in by-cid
@@ -1205,6 +1228,25 @@ def _q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_divergence(
         docs.where(F.col("source") == "src0"),
         docs.where(F.col("source") != "src0"),
+    )
+
+
+def _q_corpus_divergence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: integer-only bisect twin of ``corpus_divergence`` (VERDICT
+    r11 #1b — the driver's one red row, twice, locally irreproducible).
+    Same token counts, same full-outer vocab join, but ONLY the five
+    exact-integer columns — no float math anywhere. A future driver
+    mismatch now localizes: this row red => tokenization /
+    canonicalization; this row green with the full row red => the one
+    rounded double, i.e. the driver environment's float handling."""
+    from dgraph_dbpedia_spark.operators.textstats import corpus_divergence
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_divergence(
+        docs.where(F.col("source") == "src0"),
+        docs.where(F.col("source") != "src0"),
+    ).select(
+        "n_tokens_a", "n_tokens_b", "vocab_a", "vocab_b", "vocab_shared"
     )
 
 
@@ -2134,7 +2176,16 @@ def _q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver rows r01-r08, pytest coverage, and their code is untouched
 # this round.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # changed or new this round (r11) — first in line for driver rows:
+    # changed or new this round (r12) — first in line for driver rows:
+    # the corpus_divergence contract fix (round-4 + the integer-only
+    # bisect twin, VERDICT r11 #1), the exact re-rank over the PQ
+    # shortlist (VERDICT r11 #3), and the served-arm RRF hybrid
+    # (VERDICT r11 #5). corpus_divergence itself stays in the window —
+    # the driver row it needs to re-green IS the point of the round.
+    "corpus_divergence": _q_corpus_divergence,
+    "corpus_divergence_counts": _q_corpus_divergence_counts,
+    "pq_rerank_topk": _q_pq_rerank_topk,
+    # r11 cohort — continues earning driver rows:
     # the pretraining-prep composition (curate -> chunk -> split ->
     # epoch-shuffle, VERDICT r10 #4), RRF hybrid retrieval, the
     # normalized SemDeDup fast path (VERDICT r10 #7), tf-idf keyword
@@ -2153,7 +2204,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topk_terms": _q_tfidf_topk_terms,
     "pq_topk": _q_pq_topk,
     "pq_ivf_topk_served": _q_pq_ivf_topk_served,
-    "corpus_divergence": _q_corpus_divergence,
     # r10 cohort — first in line for driver rows:
     # the arrow assignment lane (semantic/IVF family), the quantized
     # served index, the paper-faithful SemDeDup keep policy, the
@@ -2641,6 +2691,7 @@ def _sql_pq_topk(
     dims: int = 64, nd: int = 4,
     coarse_k: int | None = None, n_probe: int = 2,
     corpus_train: bool = False,
+    rerank_shortlist: int | None = None,
 ) -> str:
     """Full PQ chain replay: per subspace, L2 Lloyd (lowest-id seeds,
     round-6 squared-L2 assignment with cid-asc ties, round-``nd``
@@ -2652,7 +2703,13 @@ def _sql_pq_topk(
     seed-centroid cosine assignment over the corpus, the query's
     ``n_probe`` nearest coarse cids, and the ADC re-rank restricted to
     the probed lists (the partition-prune the Spark side does at the
-    scan, expressed as a semi-join)."""
+    scan, expressed as a semi-join).
+
+    ``rerank_shortlist`` switches to the two-stage pq_rerank_topk
+    form: the ADC list becomes a ``rerank_shortlist``-row shortlist
+    CTE and the final top-``k`` is the EXACT round-4 cosine over the
+    shortlist ids' float vectors (the broadcast semi-join read-back
+    the Spark side runs)."""
     sub = dims // m
 
     def l2(a: str, b: str) -> str:
@@ -2757,13 +2814,21 @@ def _sql_pq_topk(
     )
     adc = " + ".join(f"t{j}.dq" for j in range(m))
     rec = " + ".join(f"t{j}.cc" for j in range(m))
-    return f"""WITH {', '.join(ctes)}
+    adc_select = f"""
         SELECT n0.vec_id,
                round(({adc}) / (sqrt({rec}) *
                      (SELECT sqrt(list_dot_product(q, q)) FROM q)), 4)
                    AS sim
         FROM nc0 n0 {code_joins} {tab_joins}{prune}
-        ORDER BY sim DESC, n0.vec_id LIMIT {k}"""
+        ORDER BY sim DESC, n0.vec_id
+        LIMIT {k if rerank_shortlist is None else rerank_shortlist}"""
+    if rerank_shortlist is None:
+        return f"WITH {', '.join(ctes)}{adc_select}"
+    ctes.append(f"short AS ({adc_select})")
+    return f"""WITH {', '.join(ctes)}
+        SELECT e.vec_id, {_sql_cosine('e.v', 'q.q', 4)} AS sim
+        FROM e SEMI JOIN short USING (vec_id) CROSS JOIN q
+        ORDER BY sim DESC, e.vec_id LIMIT {k}"""
 
 
 def _sql_ivf_topk(k: int = 5, n_centroids: int = 16, n_probe: int = 2) -> str:
@@ -3968,6 +4033,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_train": _sql_ivf_train(),
         "ivf_ann_topk_trained": _sql_ivf_topk_trained(),
         "pq_topk": _sql_pq_topk(),
+        "pq_rerank_topk": _sql_pq_topk(k=5, rerank_shortlist=50),
         "pq_ivf_topk_served": _sql_pq_topk(
             coarse_k=16, n_probe=2, corpus_train=True
         ),
@@ -4701,8 +4767,34 @@ def oracle_sql() -> dict[str, str]:
                              THEN p * log2(p / ((p + q) / 2)) ELSE 0 END
                       + CASE WHEN cb > 0
                              THEN q * log2(q / ((p + q) / 2)) ELSE 0 END
-                       ) * 1e12) AS HUGEINT)) / 2e12, 6) AS jsd_bits
+                       ) * 1e12) AS HUGEINT)) / 2e12, 4) AS jsd_bits
             FROM terms CROSS JOIN tot
+        """,
+        # bisect twin of corpus_divergence (VERDICT r11 #1b): the five
+        # integer columns ONLY — exact by construction on both engines.
+        # If the driver's corpus_divergence row red-flags while THIS
+        # row is green, the divergence is pinned to the one rounded
+        # double (driver-environment float canonicalization / libm),
+        # not tokenization or the vocab join.
+        "corpus_divergence_counts": f"""
+            WITH ca AS (
+                SELECT tok, count(*) AS ca FROM (
+                    SELECT unnest({_SQL_TOKS}) AS tok FROM documents
+                    WHERE source = 'src0') GROUP BY tok),
+            cb AS (
+                SELECT tok, count(*) AS cb FROM (
+                    SELECT unnest({_SQL_TOKS}) AS tok FROM documents
+                    WHERE source <> 'src0') GROUP BY tok),
+            j AS (
+                SELECT coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+                FROM ca FULL JOIN cb ON ca.tok = cb.tok)
+            SELECT sum(ca) AS n_tokens_a,
+                   sum(cb) AS n_tokens_b,
+                   sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_a,
+                   sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_b,
+                   sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS vocab_shared
+            FROM j
         """,
         # DSIR: hashed-bigram models (target = src0, raw = rest),
         # per-doc summed log ratio over the SORTED per-feature list

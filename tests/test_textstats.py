@@ -422,7 +422,10 @@ def test_corpus_divergence_jsd(spark):
     dfb = spark.createDataFrame(B, ["doc_id", "text"])
     out = corpus_divergence(dfa, dfb)
     r = out.collect()[0]
-    assert r["jsd_bits"] == round(jsd, 6)
+    # 4-decimal contract (VERDICT r11 #1: the package-wide round-4
+    # practice; round-6 was the registry's only transcendental-derived
+    # output and the only row the driver ever hash-flipped)
+    assert r["jsd_bits"] == round(jsd, 4)
     assert (r["n_tokens_a"], r["n_tokens_b"]) == (ta, tb)
     assert (r["vocab_a"], r["vocab_b"]) == (len(ca), len(cb))
     assert r["vocab_shared"] == len(set(ca) & set(cb))
