@@ -1601,6 +1601,50 @@ def _q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lex, sem], k=60, topn=10)
 
 
+def _q_hybrid_search_rrf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: hybrid retrieval with the SERVED ANN arm (VERDICT r11 #5)
+    — the arm a production stack actually runs. Same two lexical
+    probes (bm25_topk_batch top-5) fused by RRF k=60 with the
+    semantic arm now served from the materialized IVF index
+    (partition-pruned n_probe=2 list read per query, self-excluded
+    like the brute arm) instead of a full-corpus cosine scan —
+    exercising the fusion's rank-stability over an APPROXIMATE arm.
+    The oracle replays seed centroids, per-query probe selection and
+    the pruned re-rank, then the identical RRF scaffold."""
+    from dgraph_dbpedia_spark.operators.fusion import rrf_fuse
+    from dgraph_dbpedia_spark.operators.similarity import ivf_topk_served
+    from dgraph_dbpedia_spark.operators.textstats import bm25_topk_batch
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk_batch(
+        docs,
+        {"qa": ["spark", "window", "hash"], "qb": ["merge", "join"]},
+        k=5,
+    )
+    assigned, centroids = _served_ivf_index(spark, sf_dir)
+    sem = None
+    for qid, qvec in (("qa", 0), ("qb", 1)):
+        q = emb.where(F.col("vec_id") == qvec).select(
+            F.col("embedding").alias("q")
+        )
+        # self-exclusion matches the brute arm's contract; the extra
+        # vec_id filter rides the pruned scan, the cid prune stays
+        r = ivf_topk_served(
+            assigned.where(F.col("vec_id") != qvec),
+            centroids,
+            q,
+            k=5,
+            n_probe=2,
+        ).select(
+            F.lit(qid).alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            F.col("sim").alias("score"),
+        )
+        sem = r if sem is None else sem.unionByName(r)
+    return rrf_fuse([lex, sem], k=60, topn=10)
+
+
 def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribution-style per-user interval join (batch twin of the
     watermarked stream-stream join in streaming/events.py): every click
@@ -2185,6 +2229,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_divergence": _q_corpus_divergence,
     "corpus_divergence_counts": _q_corpus_divergence_counts,
     "pq_rerank_topk": _q_pq_rerank_topk,
+    "hybrid_search_rrf_served": _q_hybrid_search_rrf_served,
     # r11 cohort — continues earning driver rows:
     # the pretraining-prep composition (curate -> chunk -> split ->
     # epoch-shuffle, VERDICT r10 #4), RRF hybrid retrieval, the
@@ -2829,6 +2874,106 @@ def _sql_pq_topk(
         SELECT e.vec_id, {_sql_cosine('e.v', 'q.q', 4)} AS sim
         FROM e SEMI JOIN short USING (vec_id) CROSS JOIN q
         ORDER BY sim DESC, e.vec_id LIMIT {k}"""
+
+
+def _sql_sem_arm_brute(qid: str, qvec: int) -> str:
+    """One hybrid-retrieval semantic arm: brute round-4 cosine top-5
+    for query embedding ``qvec``, self-excluded."""
+    return f"""SELECT * FROM (
+                    WITH q AS (
+                        SELECT embedding::DOUBLE[] AS q FROM embeddings
+                        WHERE vec_id = {qvec}),
+                    scored AS (
+                        SELECT vec_id,
+                               round(
+                                   list_dot_product(embedding::DOUBLE[], q) /
+                                   (sqrt(list_dot_product(embedding::DOUBLE[],
+                                                          embedding::DOUBLE[])) *
+                                    sqrt(list_dot_product(q, q))), 4) AS sim
+                        FROM embeddings, q WHERE vec_id <> {qvec})
+                    SELECT '{qid}' AS query_id, vec_id AS doc_id,
+                           sim AS score
+                    FROM scored ORDER BY sim DESC, vec_id LIMIT 5)"""
+
+
+def _sql_sem_arm_ivf_served(
+    qid: str, qvec: int, n_centroids: int = 16, n_probe: int = 2
+) -> str:
+    """One hybrid-retrieval semantic arm served from the IVF index:
+    seed centroids over the vec_id > 0 corpus (the materialized
+    index's build rule), query ``qvec``'s n_probe nearest coarse cids,
+    round-4 cosine re-rank restricted to the probed lists (the
+    partition prune as a semi-join), self-excluded like the brute
+    arm — the _sql_ivf_topk shape parameterized by query."""
+    return f"""SELECT * FROM (
+                    WITH e AS (
+                        SELECT vec_id, embedding::DOUBLE[] AS v
+                        FROM embeddings WHERE vec_id > 0),
+                    cent AS (
+                        SELECT vec_id AS cid, v AS c FROM e
+                        ORDER BY vec_id LIMIT {n_centroids}),
+                    q AS (
+                        SELECT embedding::DOUBLE[] AS q FROM embeddings
+                        WHERE vec_id = {qvec}),
+                    asg AS (
+                        SELECT vec_id, v, cid FROM (
+                            SELECT e.vec_id, e.v, cent.cid,
+                                   row_number() OVER (
+                                       PARTITION BY e.vec_id
+                                       ORDER BY {_sql_cosine('e.v', 'cent.c', 6)} DESC,
+                                                cent.cid ASC) AS rn
+                            FROM e CROSS JOIN cent) x
+                        WHERE rn = 1),
+                    probes AS (
+                        SELECT cid FROM (
+                            SELECT cid, {_sql_cosine('c', 'q', 6)} AS csim
+                            FROM cent CROSS JOIN q
+                            ORDER BY csim DESC, cid LIMIT {n_probe}) y)
+                    SELECT '{qid}' AS query_id, a.vec_id AS doc_id,
+                           {_sql_cosine('a.v', 'q.q')} AS score
+                    FROM asg a SEMI JOIN probes p ON a.cid = p.cid
+                    CROSS JOIN q
+                    WHERE a.vec_id <> {qvec}
+                    ORDER BY score DESC, a.vec_id LIMIT 5)"""
+
+
+def _sql_hybrid_rrf(sem_arm) -> str:
+    """The RRF fusion scaffold shared by the brute and served hybrid
+    rows: bm25 arm (_sql_bm25_batch), semantic arm = ``sem_arm(qid,
+    qvec)`` per query, RRF terms 1/(60+rank) with each arm's (score
+    desc, id asc) rank order, cross-arm sum in fixed arm order
+    (coalesce(t1,0)+coalesce(t2,0) — the exact Spark add order)."""
+    sem = (
+        sem_arm("qa", 0)
+        + "\n                UNION ALL\n                "
+        + sem_arm("qb", 1)
+    )
+    return f"""
+            WITH bm AS ({_sql_bm25_batch()}),
+            sem AS (
+                {sem}),
+            r1 AS (
+                SELECT query_id, doc_id,
+                       1.0 / (60 + row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score DESC, doc_id ASC)) AS t1
+                FROM bm),
+            r2 AS (
+                SELECT query_id, doc_id,
+                       1.0 / (60 + row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score DESC, doc_id ASC)) AS t2
+                FROM sem),
+            fused AS (
+                SELECT query_id, doc_id,
+                       round(coalesce(t1, 0) + coalesce(t2, 0), 6)
+                           AS rrf_score
+                FROM r1 FULL JOIN r2 USING (query_id, doc_id))
+            SELECT query_id, doc_id, rrf_score FROM fused
+            QUALIFY row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY rrf_score DESC, doc_id ASC) <= 10
+        """
 
 
 def _sql_ivf_topk(k: int = 5, n_centroids: int = 16, n_probe: int = 2) -> str:
@@ -3831,62 +3976,14 @@ def oracle_sql() -> dict[str, str]:
         # embedding; RRF terms 1/(60+rank) with each arm's (score
         # desc, id asc) rank order, cross-arm sum in fixed arm order
         # (coalesce(t1,0)+coalesce(t2,0) — the exact Spark add order)
-        "hybrid_search_rrf": f"""
-            WITH bm AS ({_sql_bm25_batch()}),
-            sem AS (
-                SELECT * FROM (
-                    WITH q AS (
-                        SELECT embedding::DOUBLE[] AS q FROM embeddings
-                        WHERE vec_id = 0),
-                    scored AS (
-                        SELECT vec_id,
-                               round(
-                                   list_dot_product(embedding::DOUBLE[], q) /
-                                   (sqrt(list_dot_product(embedding::DOUBLE[],
-                                                          embedding::DOUBLE[])) *
-                                    sqrt(list_dot_product(q, q))), 4) AS sim
-                        FROM embeddings, q WHERE vec_id <> 0)
-                    SELECT 'qa' AS query_id, vec_id AS doc_id,
-                           sim AS score
-                    FROM scored ORDER BY sim DESC, vec_id LIMIT 5)
-                UNION ALL
-                SELECT * FROM (
-                    WITH q AS (
-                        SELECT embedding::DOUBLE[] AS q FROM embeddings
-                        WHERE vec_id = 1),
-                    scored AS (
-                        SELECT vec_id,
-                               round(
-                                   list_dot_product(embedding::DOUBLE[], q) /
-                                   (sqrt(list_dot_product(embedding::DOUBLE[],
-                                                          embedding::DOUBLE[])) *
-                                    sqrt(list_dot_product(q, q))), 4) AS sim
-                        FROM embeddings, q WHERE vec_id <> 1)
-                    SELECT 'qb' AS query_id, vec_id AS doc_id,
-                           sim AS score
-                    FROM scored ORDER BY sim DESC, vec_id LIMIT 5)),
-            r1 AS (
-                SELECT query_id, doc_id,
-                       1.0 / (60 + row_number() OVER (
-                           PARTITION BY query_id
-                           ORDER BY score DESC, doc_id ASC)) AS t1
-                FROM bm),
-            r2 AS (
-                SELECT query_id, doc_id,
-                       1.0 / (60 + row_number() OVER (
-                           PARTITION BY query_id
-                           ORDER BY score DESC, doc_id ASC)) AS t2
-                FROM sem),
-            fused AS (
-                SELECT query_id, doc_id,
-                       round(coalesce(t1, 0) + coalesce(t2, 0), 6)
-                           AS rrf_score
-                FROM r1 FULL JOIN r2 USING (query_id, doc_id))
-            SELECT query_id, doc_id, rrf_score FROM fused
-            QUALIFY row_number() OVER (
-                PARTITION BY query_id
-                ORDER BY rrf_score DESC, doc_id ASC) <= 10
-        """,
+        "hybrid_search_rrf": _sql_hybrid_rrf(_sql_sem_arm_brute),
+        # r12: same fusion with the SERVED semantic arm — per query,
+        # seed centroids over the vec_id > 0 corpus, n_probe=2 probe
+        # selection, re-rank restricted to the probed lists (the
+        # partition prune expressed as a semi-join), self-excluded
+        "hybrid_search_rrf_served": _sql_hybrid_rrf(
+            _sql_sem_arm_ivf_served
+        ),
         "pack_offsets": f"""
             WITH base AS (
                 SELECT doc_id,

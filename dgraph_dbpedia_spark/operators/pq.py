@@ -50,15 +50,6 @@ def _l2_sq(a: Column | str, b: Column | str) -> Column:
     )
 
 
-def _sub_centroid_row(centroids: DataFrame) -> DataFrame:
-    """Bounded ``(cid, c)`` frame folded to ONE broadcast row
-    ``_cent = [(cid, c)]`` (the `_centroid_row` pattern, without the
-    cosine norm PQ does not use)."""
-    return centroids.agg(
-        F.collect_list(F.struct(F.col("cid"), F.col("c"))).alias("_cent")
-    )
-
-
 def _nearest_l2(vec: Column, cents: Column) -> Column:
     """Nearest centroid struct by round-6 squared L2 asc, cid asc —
     the deterministic tie rule every assignment in the package uses,
@@ -75,25 +66,6 @@ def _nearest_l2(vec: Column, cents: Column) -> Column:
         ),
         0,
     )
-
-
-def _lloyd_l2(
-    e: DataFrame, k_sub: int, n_iter: int, nd: int, id_col: str
-) -> DataFrame:
-    """Deterministic L2 Lloyd over a ``(id, v)`` frame — the shared
-    :func:`..similarity._lloyd_refine` loop (seed rule, rounded means,
-    empty-cluster coalesce, checkpoint-release choreography) with the
-    round-6 squared-L2 broadcast-fold assignment plugged in."""
-    from dgraph_dbpedia_spark.operators.similarity import _lloyd_refine
-
-    def assign(e_: DataFrame, cent: DataFrame) -> DataFrame:
-        return e_.crossJoin(F.broadcast(_sub_centroid_row(cent))).select(
-            F.col(id_col),
-            F.col("v"),
-            _nearest_l2(F.col("v"), F.col("_cent"))["cid"].alias("cid"),
-        )
-
-    return _lloyd_refine(e, k_sub, n_iter, nd, id_col, "v", assign)
 
 
 def _validate_pq(dims: int, m: int, k_sub: int) -> int:
@@ -126,31 +98,113 @@ def pq_train(
     so the whole training run is bit-reproducible across engines and
     partitionings — the ivf_train contract).
 
-    100 TB shape: ``m`` independent Lloyd runs, each a broadcast-fold
-    assignment (pure projection over the scan) plus a ``(cid, pos)``
-    partially aggregable means shuffle bounded by ``k_sub x dims/m``
-    rows per map partition — the corpus is never shuffled."""
+    100 TB shape: the ``m`` subspace Lloyds run FUSED — all ``m``
+    assignments are independent per-row computations over slices of
+    the SAME vector, so each iteration is ONE corpus pass emitting
+    ``(j, cid, slice)`` for every subspace (an ``inline`` projection
+    over the scan, all ``m`` round-6 L2 broadcast folds in one task),
+    and the means are ONE partially aggregable ``(j, cid, pos)``
+    shuffle bounded by ``m x k_sub x dims/m`` rows per map partition.
+    The r11 version ran ``m`` independent
+    :func:`..similarity._lloyd_refine` loops — ``m`` corpus scans per
+    iteration (24.4 s at the 200k x 64d / m=8 scale point); at 100 TB
+    the fuse divides training's corpus reads by ``m`` (VERDICT r11
+    #4). Seed rule, rounded means, empty-cluster coalesce and the
+    per-iteration localCheckpoint/release choreography are unchanged
+    from ``_lloyd_refine``; training runs on DENSE cids from the start
+    (dense rank preserves seed-id order, so every L2-asc/cid-asc
+    tie-break — and therefore every trained value — is bit-identical
+    to the per-subspace form the DuckDB oracle replays)."""
     from pyspark.sql import Window
 
+    from dgraph_dbpedia_spark.operators.cachectl import (
+        release_local_checkpoint,
+    )
+
     sub = _validate_pq(dims, m, k_sub)
-    v = F.col(vec_col).cast("array<double>")
-    out = None
-    for j in range(m):
-        e = df.select(F.col(id_col), F.slice(v, j * sub + 1, sub).alias("v"))
-        cent = _lloyd_l2(e, k_sub, n_iter, round_decimals, id_col)
-        # DENSE cids 0..k_sub-1 (rank of the seed id): codes become
-        # small ints (the production uint8 layout) and the ADC lookup
-        # degenerates to O(1) positional access instead of an O(k_sub)
-        # array filter per subspace per row — the measured dominant
-        # serve cost at 200k vectors. Rank order preserves the seed-id
-        # order, so every tie-break (L2 asc, cid asc) is unchanged.
-        dense = cent.withColumn(
-            "cid",
-            F.row_number().over(Window.orderBy("cid")) - F.lit(1),
+    e = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    # fused seeds: ONE lowest-k_sub-ids scan (the ivf_seed_centroids
+    # rule applied once, not per subspace); dense cid = seed-id rank.
+    # The Window is over the k_sub-row limit, not the corpus.
+    cent = (
+        e.orderBy(id_col)
+        .limit(k_sub)
+        .select(
+            (
+                F.row_number().over(Window.orderBy(id_col)) - F.lit(1)
+            ).alias("cid"),
+            "_v",
         )
-        tagged = dense.select(F.lit(j).alias("j"), "cid", "c")
-        out = tagged if out is None else out.unionByName(tagged)
-    return out
+        .select(
+            "cid",
+            F.inline(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            F.slice("_v", j * sub + 1, sub).alias("c"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ),
+        )
+        .select("j", "cid", "c")
+        .localCheckpoint()
+    )
+    last_cp = cent
+
+    # closure factory, NOT `lambda s, jj=j` (the two-param HOF arity
+    # trap — see pq_encode's native lane)
+    def match_j(jj: int):
+        return lambda s: s["j"] == jj
+
+    for _ in range(n_iter):
+        # ONE corpus pass for all m subspace assignments, emitted
+        # through the inline(array(struct)) barrier so
+        # InferFiltersFromGenerate can't duplicate the m broadcast
+        # folds into a pushed-down size() filter
+        asg = e.crossJoin(F.broadcast(_codebook_row(cent))).select(
+            F.inline(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            _nearest_l2(
+                                F.slice("_v", j * sub + 1, sub),
+                                F.filter(F.col("_cb"), match_j(j)),
+                            )["cid"].alias("cid"),
+                            F.slice("_v", j * sub + 1, sub).alias("sv"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            )
+        )
+        means = (
+            asg.select("j", "cid", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("j", "cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("j", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    # + 0.0 folds IEEE negative zero to +0.0 (engines
+                    # disagree on round(-0.00001, 4)'s sign bit)
+                    lambda s: F.round(s["m"], round_decimals) + F.lit(0.0),
+                ).alias("c2")
+            )
+        )
+        cent = (
+            cent.join(means, ["j", "cid"], "left")
+            .select("j", "cid", F.coalesce("c2", "c").alias("c"))
+            .localCheckpoint()
+        )
+        release_local_checkpoint(last_cp)
+        last_cp = cent
+    return cent
 
 
 def _codebook_row(codebooks: DataFrame) -> DataFrame:
