@@ -1250,6 +1250,44 @@ def _q_corpus_divergence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: benchmark decontamination by EMBEDDING similarity (the
+    paraphrase-leakage class n-gram decontaminate misses): vec_id < 20
+    plays the benchmark suite, the rest is the corpus; hyperplane-
+    bucket candidates (4 planes — the cosine_near_dup recall setting),
+    exact round-4 cosine >= 0.30 marks contamination, survivors
+    returned. Scalar projection (ids only)."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_decontaminate(
+        emb.where(F.col("vec_id") >= 20),
+        emb.where(F.col("vec_id") < 20),
+        threshold=0.30,
+        n_planes=4,
+        dims=64,
+    )
+    return out.select("vec_id")
+
+
+def _q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: diversity-balanced subsample — cosine-assign every
+    embedding to its nearest of 8 seed centroids, keep 10 per cluster
+    by the RNG-free id-hash coin (stratified_sample with SEMANTIC
+    strata). The oracle replays seed centroids, the round-6 assignment
+    and the md5 coin rank."""
+    from dgraph_dbpedia_spark.operators.sampling import (
+        cluster_balanced_sample,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(
+        emb, n_per_cluster=10, n_clusters=8, seed=1
+    )
+
+
 def _q_dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r10: DSIR importance scores (arXiv:2302.03169) — hashed-bigram
     feature models fit on target = src0 docs vs raw = the rest; every
@@ -2230,6 +2268,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_divergence_counts": _q_corpus_divergence_counts,
     "pq_rerank_topk": _q_pq_rerank_topk,
     "hybrid_search_rrf_served": _q_hybrid_search_rrf_served,
+    "semantic_decontaminate": _q_semantic_decontaminate,
+    "cluster_balanced_sample": _q_cluster_balanced_sample,
     # r11 cohort — continues earning driver rows:
     # the pretraining-prep composition (curate -> chunk -> split ->
     # epoch-shuffle, VERDICT r10 #4), RRF hybrid retrieval, the
@@ -4135,6 +4175,49 @@ def oracle_sql() -> dict[str, str]:
             coarse_k=16, n_probe=2, corpus_train=True
         ),
         "cosine_near_dup": _sql_cosine_near_dup(),
+        # r12: embedding-similarity decontamination — bucket-collision
+        # candidates (shared _sql_bucket planes), exact round-4 cosine
+        # >= 0.30 marks contamination, anti-join keeps survivors
+        "semantic_decontaminate": f"""
+            WITH c AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       {_sql_bucket('embedding::DOUBLE[]', 4, 64)} AS bkt
+                FROM embeddings WHERE vec_id >= 20),
+            b AS (
+                SELECT embedding::DOUBLE[] AS v,
+                       {_sql_bucket('embedding::DOUBLE[]', 4, 64)} AS bkt
+                FROM embeddings WHERE vec_id < 20),
+            hits AS (
+                SELECT DISTINCT c.vec_id
+                FROM c JOIN b ON c.bkt = b.bkt
+                WHERE {_sql_cosine('c.v', 'b.v', 4)} >= 0.30)
+            SELECT vec_id FROM c ANTI JOIN hits USING (vec_id)
+        """,
+        # r12: cluster-balanced subsample — seed centroids, round-6
+        # cosine assignment (cid-asc ties), md5-coin rank <= 10 per
+        # cluster (the stratified_sample rank with semantic strata)
+        "cluster_balanced_sample": f"""
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cent AS (
+                SELECT vec_id AS cid, v AS c FROM e
+                ORDER BY vec_id LIMIT 8),
+            asg AS (
+                SELECT vec_id, cid FROM (
+                    SELECT e.vec_id, cent.cid,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY {_sql_cosine('e.v', 'cent.c', 6)} DESC,
+                                        cent.cid ASC) AS rn
+                    FROM e CROSS JOIN cent) x
+                WHERE rn = 1)
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       {_sql_hash64('vec_id::VARCHAR', 1)} AS hh
+                FROM asg)
+            QUALIFY row_number() OVER (
+                PARTITION BY cid ORDER BY hh ASC, vec_id ASC) <= 10
+        """,
         "sliding_window": """
             WITH e AS (
                 SELECT event_type,

@@ -629,3 +629,61 @@ def epoch_shuffle(
         .withColumn("pos", F.row_number().over(w))
         .drop(hcol)
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    n_per_cluster: int,
+    centroids: DataFrame | None = None,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 1,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Diversity-balanced subsampling over an embedding column: assign
+    every row to its nearest centroid (cosine — the package's IVF
+    assignment) and keep ``n_per_cluster`` rows per cluster by the
+    RNG-free id-hash coin. This is :func:`stratified_sample` with
+    SEMANTIC strata — the cluster-then-sample recipe for capping
+    over-represented regions of embedding space (boilerplate, template
+    pages) that no metadata column captures.
+
+    ``centroids``: a bounded ``(cid, c)`` frame (e.g. from
+    :func:`..similarity.ivf_train`); defaults to the deterministic
+    seed centroids (:func:`..similarity.ivf_seed_centroids` on the
+    ``n_clusters`` lowest ids — the replayable-everywhere baseline).
+    Returns ``(id, cid)`` — sampled ids with their cluster, smallest
+    ``hash(id, seed)`` first within each cluster, ties by id.
+
+    100 TB shape: assignment is a shuffle-free projection (broadcast
+    centroids / Arrow matmul lane); the only shuffle is the
+    per-cluster rank window on ``cid`` — and the coin is a pure
+    function of the id, so the sample is stable under repartitioning,
+    engine and run (the :func:`weighted_sample` determinism
+    contract)."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        ivf_assign,
+        ivf_seed_centroids,
+    )
+
+    if n_per_cluster < 1:
+        raise ValueError(
+            f"n_per_cluster must be >= 1, got {n_per_cluster}"
+        )
+    e = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_e")
+    )
+    if centroids is None:
+        if n_clusters < 1:
+            raise ValueError(f"n_clusters must be >= 1, got {n_clusters}")
+        centroids = ivf_seed_centroids(e, n_clusters, id_col, "_e")
+    asg = ivf_assign(e, centroids, id_col, "_e", use_arrow=use_arrow)
+    h = hash64(F.col(id_col).cast("string"), seed=seed)
+    w = Window.partitionBy("cid").orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        asg.select(F.col(id_col), F.col("cid"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_cluster)
+        .drop("__rn")
+    )

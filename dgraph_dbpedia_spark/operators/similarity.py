@@ -1570,6 +1570,72 @@ def cosine_near_dup_pairs(
     return tag_persisted(out, sk)
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination by EMBEDDING similarity — the
+    semantic sibling of the n-gram :func:`..dedup.decontaminate`:
+    drop every corpus row whose cosine against ANY benchmark row
+    reaches ``threshold`` (paraphrased eval leakage that exact n-gram
+    overlap misses — the contamination class reported by Yang et al.,
+    arXiv:2311.04850). Returns the SURVIVING corpus rows, all
+    original columns.
+
+    Candidates come from hyperplane-bucket collisions (the
+    :func:`cosine_near_dup_pairs` recall contract: a pair at cosine
+    theta collides with probability ``(1 - theta/pi)^n_planes`` —
+    near-certain at decontamination thresholds); only colliding pairs
+    pay the exact round-4 cosine.
+
+    100 TB shape: the benchmark side is bounded by construction (eval
+    suites are thousands of rows, not corpora) so it rides ONE
+    broadcast and the bucket equi-join is broadcast-hash — the corpus
+    never shuffles to FIND the hits. The hit list is corpus-sized in
+    the worst case (every corpus row near one benchmark row), so the
+    final left-anti is left UNHINTED: AQE broadcasts it when it is
+    small (the normal case — contamination is rare) and falls back to
+    a shuffle anti-join when it is not. No pair ever forms across
+    different buckets, so the candidate count is |corpus| x
+    (benchmark rows per bucket), not |corpus| x |benchmark|."""
+    ce = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_e"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("_n"),
+        _bucket_col(
+            F.col(vec_col).cast("array<double>"), n_planes, dims, use_arrow
+        ).alias("_bkt"),
+    )
+    be = benchmark.select(
+        F.col(vec_col).cast("array<double>").alias("_be"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("_bn"),
+        _bucket_col(
+            F.col(vec_col).cast("array<double>"), n_planes, dims, use_arrow
+        ).alias("_bkt"),
+    )
+    if use_arrow:
+        sim = pair_cosine_arrow(4)(
+            F.col("_e"), F.col("_be"), F.col("_n"), F.col("_bn")
+        )
+    else:
+        sim = F.round(
+            F.try_divide(_dot("_e", "_be"), F.col("_n") * F.col("_bn")), 4
+        )
+    hits = (
+        ce.join(F.broadcast(be), "_bkt")
+        .where(sim >= F.lit(threshold))
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(hits, id_col, "left_anti")
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

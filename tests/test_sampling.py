@@ -403,3 +403,47 @@ def test_epoch_shuffle_rejects_column_collisions(spark):
     # a caller __h column survives untouched (fresh internal name)
     got = epoch_shuffle(base.withColumn("__h", F.lit(7)), epoch=1).collect()
     assert got[0]["__h"] == 7
+
+
+def test_cluster_balanced_sample_quota_and_determinism(spark):
+    """Per-cluster quota respected; output ids are input ids; stable
+    across runs and repartitionings; knob validation raises; a caller
+    supplied centroid frame is honored."""
+    import pytest
+
+    from dgraph_dbpedia_spark.operators.sampling import (
+        cluster_balanced_sample,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = cluster_balanced_sample(emb, n_per_cluster=3, n_clusters=4)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["cid"], []).append(r["vec_id"])
+    assert set(per) <= {0, 1, 2, 3}
+    assert all(len(v) <= 3 for v in per.values())
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert {r["vec_id"] for r in rows} <= all_ids
+    again = cluster_balanced_sample(
+        emb.repartition(7), n_per_cluster=3, n_clusters=4
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # different seed -> (almost surely) different sample, same quota
+    other = cluster_balanced_sample(
+        emb, n_per_cluster=3, n_clusters=4, seed=2
+    ).collect()
+    assert sorted(map(tuple, other)) != sorted(map(tuple, rows))
+    with pytest.raises(ValueError, match="n_per_cluster"):
+        cluster_balanced_sample(emb, n_per_cluster=0)
+    with pytest.raises(ValueError, match="n_clusters"):
+        cluster_balanced_sample(emb, n_per_cluster=1, n_clusters=0)
+    # explicit centroid frame: one centroid -> everything in cid 99
+    cents = emb.limit(1).select(
+        F.lit(99).alias("cid"),
+        F.col("embedding").cast("array<double>").alias("c"),
+    )
+    forced = cluster_balanced_sample(
+        emb, n_per_cluster=2, centroids=cents
+    ).collect()
+    assert {r["cid"] for r in forced} == {99} and len(forced) == 2

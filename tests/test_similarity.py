@@ -1307,3 +1307,36 @@ def test_ann_join_bulk_retrieval(spark):
 
     with _pytest.raises(ValueError, match="k must be"):
         ann_join(a, b, k=0)
+
+
+def test_semantic_decontaminate_drops_planted_leak(spark):
+    """A corpus row identical to a benchmark row must be dropped; a
+    far row survives with all original columns; arrow and native
+    lanes agree."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bench = emb.where(F.col("vec_id") < 5)
+    # corpus: a verbatim copy of benchmark vec 0 (id 9000) + real rows
+    leak = bench.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "embedding"
+    )
+    corpus = (
+        emb.where(F.col("vec_id") >= 5)
+        .select("vec_id", "embedding")
+        .unionByName(leak)
+    )
+    kept = semantic_decontaminate(
+        corpus, bench, threshold=0.99, n_planes=4, dims=64
+    )
+    assert kept.columns == ["vec_id", "embedding"]
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    assert 9000 not in kept_ids
+    assert len(kept_ids) >= corpus.count() - 5  # only near-exact drops
+    nat = semantic_decontaminate(
+        corpus, bench, threshold=0.99, n_planes=4, dims=64,
+        use_arrow=False,
+    )
+    assert {r["vec_id"] for r in nat.select("vec_id").collect()} == kept_ids
