@@ -1250,6 +1250,17 @@ def _q_corpus_divergence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: self-trained interpolated bigram LM surprisal (the CCNet
+    quality ladder one rung above unigram_logprob): per doc, mean
+    bits per bigram event under lam*p2(w|u) + (1-lam)*p1(w), add-1
+    smoothing, sorted sequential fold, round 4."""
+    from dgraph_dbpedia_spark.operators.textstats import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_logprob(docs, lam=0.7)
+
+
 def _q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r12: benchmark decontamination by EMBEDDING similarity (the
     paraphrase-leakage class n-gram decontaminate misses): vec_id < 20
@@ -2270,6 +2281,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_search_rrf_served": _q_hybrid_search_rrf_served,
     "semantic_decontaminate": _q_semantic_decontaminate,
     "cluster_balanced_sample": _q_cluster_balanced_sample,
+    "bigram_logprob": _q_bigram_logprob,
     # r11 cohort — continues earning driver rows:
     # the pretraining-prep composition (curate -> chunk -> split ->
     # epoch-shuffle, VERDICT r10 #4), RRF hybrid retrieval, the
@@ -3325,6 +3337,48 @@ def _sql_embed_binary(dims: int = 8) -> str:
         for i in range(dims)
     )
     return f"SELECT doc_id AS id, {elems} FROM documents"
+
+
+def _sql_bigram_logprob(lam: float = 0.7, k: float = 1.0) -> str:
+    """Interpolated bigram LM replay: unigram + bigram models over the
+    shared tokenizer, context totals from the bigram model, per-event
+    bits under lam*p2 + (1-lam)*p1 (the 1-lam literal is the exact
+    IEEE value Spark's ``F.lit(1.0 - lam)`` computes), sorted-fold
+    per-doc mean rounded to 4."""
+    one_minus = repr(1.0 - float(lam))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+        ev AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(t) >= 2 THEN t[1:len(t)-1]
+                          ELSE CAST([] AS VARCHAR[]) END) AS u,
+                   unnest(CASE WHEN len(t) >= 2 THEN t[2:len(t)]
+                          ELSE CAST([] AS VARCHAR[]) END) AS w
+            FROM toks),
+        m1 AS (
+            SELECT tok, count(*) AS c1 FROM (
+                SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+        m2 AS (SELECT u, w, count(*) AS c2 FROM ev GROUP BY u, w),
+        ctx AS (SELECT u, sum(c2) AS cu FROM m2 GROUP BY u),
+        sc AS (SELECT sum(c1) AS tt, count(*) AS vv FROM m1),
+        b AS (
+            SELECT ev.doc_id,
+                   -log2({lam!r} * ((c2 + {k!r}) / (cu + {k!r} * vv))
+                         + {one_minus} * ((c1 + {k!r}) / (tt + {k!r} * vv)))
+                       AS bits
+            FROM ev JOIN m2 USING (u, w) JOIN ctx USING (u)
+            JOIN m1 ON m1.tok = ev.w CROSS JOIN sc),
+        agg AS (
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(list_reduce(list_sort(list(bits)),
+                                     (a, x) -> a + x) / count(*), 4)
+                       AS bits_per_bigram
+            FROM b GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
+               agg.bits_per_bigram
+        FROM documents d LEFT JOIN agg USING (doc_id)
+    """
 
 
 def _sql_dsir_scores(buckets: int) -> str:
@@ -4461,6 +4515,7 @@ def oracle_sql() -> dict[str, str]:
                        AS chunk_text
             FROM s
         """,
+        "bigram_logprob": _sql_bigram_logprob(lam=0.7, k=1.0),
         "unigram_logprob": f"""
             WITH tok AS (
                 SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents),

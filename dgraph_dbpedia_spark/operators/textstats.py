@@ -688,6 +688,124 @@ def perplexity_buckets(
     return tag_persisted(out, base, *persisted_frames(scored))
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram LM surprisal — the next step up from
+    :func:`unigram_logprob` on the CCNet self-trained quality ladder:
+    fit unigram AND bigram models on the corpus itself, score every
+    document by its mean bigram-event surprisal in bits under the
+    Jelinek-Mercer interpolation
+
+        p(w | u) = lam * p2(w | u) + (1 - lam) * p1(w)
+
+    with add-``smoothing`` estimates (``p2 = (c2(u,w) + k) /
+    (ctx(u) + k |V|)``, ``p1 = (c1(w) + k) / (T + k |V|)``). Unigram
+    surprisal flags rare-TOKEN soup; the bigram term additionally
+    flags incoherent token ORDER (shuffled/templated text whose tokens
+    are individually common). Returns ``(id, n_bigrams,
+    bits_per_bigram)`` — docs with fewer than two tokens carry 0 /
+    NULL (unscorable, the unigram_logprob convention).
+
+    100 TB shape: both models are partial-aggregable token-key
+    groupBys (bigram model bounded by distinct bigrams — joined on
+    the (u, w) key, never collected or broadcast); context totals
+    derive FROM the persisted bigram model (a k_bigrams-row re-agg,
+    not a second corpus pass); the two global scalars ride a
+    broadcast 1-row crossJoin (X6). Scoring is three token-key joins
+    plus one per-doc aggregate. The models are persisted (each feeds
+    two consumers — no cross-branch subplan sharing) and ride the
+    result's release handle.
+
+    Determinism: the per-doc mean folds the SORTED per-event bits
+    sequentially (unigram_logprob's rule — float addition is
+    non-associative, so the rounded 4th decimal must not depend on
+    row order)."""
+    from dgraph_dbpedia_spark.operators.cachectl import tag_persisted
+
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    toks = tokens(F.col(text_col))
+    t = F.col("__toks")
+    grams = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda u, w: F.struct(u.alias("u"), w.alias("w")),
+        ),
+    ).otherwise(F.array().cast("array<struct<u:string,w:string>>"))
+    # inline(array(struct)) barrier (the _dsir_feats note): exploding
+    # the non-foldable grams expression directly lets
+    # InferFiltersFromGenerate duplicate the zip_with into a pushed
+    # size()>0 filter
+    events = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.inline(F.array(F.struct(grams.alias("__grams")))),
+        )
+        .select(F.col(id_col), F.explode("__grams").alias("g"))
+        .select(F.col(id_col), F.col("g.u").alias("u"), F.col("g.w").alias("w"))
+    )
+    m1 = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .persist()
+    )
+    m2 = (
+        events.groupBy("u", "w").agg(F.count(F.lit(1)).alias("c2")).persist()
+    )
+    ctx = m2.groupBy("u").agg(F.sum("c2").alias("cu"))
+    scalars = m1.agg(
+        F.sum("c1").alias("__total"), F.count(F.lit(1)).alias("__vocab")
+    )
+    k = F.lit(float(smoothing))
+    p2 = (F.col("c2") + k) / (F.col("cu") + k * F.col("__vocab"))
+    p1 = (F.col("c1") + k) / (F.col("__total") + k * F.col("__vocab"))
+    bits = -F.log2(F.lit(float(lam)) * p2 + F.lit(1.0 - float(lam)) * p1)
+    scored = (
+        events.join(m2, ["u", "w"])
+        .join(ctx, "u")
+        # joined on a renamed-key projection, not events["w"] == m1["tok"]
+        # (column references from a frame already consumed by prior
+        # joins are the ambiguous-reference trap)
+        .join(m1.select(F.col("tok").alias("w"), "c1"), "w")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sort_array(F.collect_list(bits)).alias("__bits"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_bigrams"),
+            F.round(
+                F.aggregate("__bits", F.lit(0.0), lambda a, x: a + x)
+                / F.col("n_bigrams"),
+                4,
+            ).alias("bits_per_bigram"),
+        )
+    )
+    out = (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.col("bits_per_bigram"),
+        )
+    )
+    return tag_persisted(out, m1, m2)
+
+
 def corpus_divergence(
     df_a: DataFrame,
     df_b: DataFrame,

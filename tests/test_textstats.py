@@ -440,3 +440,69 @@ def test_corpus_divergence_jsd(spark):
     row = deg.collect()[0]
     assert row["jsd_bits"] == 0.5 and row["n_tokens_b"] == 0
     release(deg)
+
+
+def test_bigram_logprob_interpolated_lm(spark):
+    """Per-doc mean interpolated bigram surprisal vs a host-computed
+    reference; sub-2-token docs carry 0 / NULL; shuffled token order
+    scores worse than natural order under the bigram term; knob
+    validation; release handle."""
+    import math
+    from collections import Counter
+
+    from dgraph_dbpedia_spark.operators.cachectl import release
+    from dgraph_dbpedia_spark.operators.textstats import bigram_logprob
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),
+        (3, "mat the on sat cat the"),  # same tokens, shuffled order
+        (4, "one"),
+        (5, ""),
+    ]
+    lam, k = 0.7, 1.0
+    docs = [(i, s.split()) for i, s in rows]
+    c1 = Counter(t for _, ts in docs for t in ts)
+    c2 = Counter(
+        (ts[i], ts[i + 1]) for _, ts in docs for i in range(len(ts) - 1)
+    )
+    cu = Counter()
+    for (u, _), c in c2.items():
+        cu[u] += c
+    T, V = sum(c1.values()), len(c1)
+
+    def ref_bits(ts):
+        evs = [(ts[i], ts[i + 1]) for i in range(len(ts) - 1)]
+        if not evs:
+            return None
+        bs = sorted(
+            -math.log2(
+                lam * (c2[e] + k) / (cu[e[0]] + k * V)
+                + (1 - lam) * (c1[e[1]] + k) / (T + k * V)
+            )
+            for e in evs
+        )
+        acc = 0.0
+        for b in bs:
+            acc += b
+        return round(acc / len(evs), 4)
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bigram_logprob(df, lam=lam, smoothing=k)
+    got = {r["doc_id"]: r for r in out.collect()}
+    release(out)
+    for i, ts in docs:
+        assert got[i]["n_bigrams"] == max(len(ts) - 1, 0)
+        if len(ts) < 2:
+            assert got[i]["bits_per_bigram"] is None
+        else:
+            assert got[i]["bits_per_bigram"] == ref_bits(ts)
+    # the shuffled doc's bigrams are all unseen-order -> higher bits
+    assert got[3]["bits_per_bigram"] > got[1]["bits_per_bigram"]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="smoothing"):
+        bigram_logprob(df, smoothing=0)
+    with pytest.raises(ValueError, match="lam"):
+        bigram_logprob(df, lam=1.5)
