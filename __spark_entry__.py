@@ -1250,6 +1250,21 @@ def _q_corpus_divergence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: graded memorization/novelty score — fraction of each doc's
+    distinct 3-gram shingles absent from the reference slice (doc_id %
+    50 == 0, the decontaminate split); integer counts -> the rounded
+    ratio is order-independent by construction."""
+    from dgraph_dbpedia_spark.operators.dedup import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_novelty(
+        docs.where(F.col("doc_id") % 50 != 0),
+        docs.where(F.col("doc_id") % 50 == 0),
+        w=3,
+    )
+
+
 def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r12: self-trained interpolated bigram LM surprisal (the CCNet
     quality ladder one rung above unigram_logprob): per doc, mean
@@ -2282,6 +2297,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_decontaminate": _q_semantic_decontaminate,
     "cluster_balanced_sample": _q_cluster_balanced_sample,
     "bigram_logprob": _q_bigram_logprob,
+    "ngram_novelty": _q_ngram_novelty,
     # r11 cohort — continues earning driver rows:
     # the pretraining-prep composition (curate -> chunk -> split ->
     # epoch-shuffle, VERDICT r10 #4), RRF hybrid retrieval, the
@@ -4039,6 +4055,23 @@ def oracle_sql() -> dict[str, str]:
             bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
             corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
             SELECT DISTINCT doc_id FROM corpus SEMI JOIN bench USING (s)
+        """,
+        # r12: graded novelty — same split and shingle generator as
+        # decontaminate (w=3), but the per-doc UNSEEN fraction over
+        # distinct shingles instead of the binary >=1-overlap flag
+        "ngram_novelty": f"""
+            WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+            sh AS (
+                SELECT doc_id, unnest({_sql_shingles('tk', 3)}) AS s
+                FROM toks),
+            ref AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+            corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
+            SELECT c.doc_id,
+                   count(*)::BIGINT AS n_wgrams,
+                   round(sum(CASE WHEN r.s IS NULL THEN 1 ELSE 0 END)
+                         / count(*)::DOUBLE, 4) AS novel_ratio
+            FROM corpus c LEFT JOIN ref r ON c.s = r.s
+            GROUP BY c.doc_id
         """,
         "bm25_topk_batch": _sql_bm25_batch(),
         # per-doc top-5 tf-idf keywords: one unnest, per-(doc, term)

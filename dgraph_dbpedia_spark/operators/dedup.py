@@ -1264,6 +1264,72 @@ def contaminated_ids(
     return corpus_sh.join(right, "h", "left_semi").select(id_col).distinct()
 
 
+def ngram_novelty(
+    docs: DataFrame,
+    reference: DataFrame,
+    w: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str = "text",
+    fast: bool = False,
+    ref_broadcast_cap: int | None = 20_000_000,
+) -> DataFrame:
+    """Per-document novelty vs a reference corpus — the memorization /
+    freshness score of data curation: ``novel_ratio`` is the fraction
+    of the document's DISTINCT ``w``-token shingles absent from the
+    reference's shingle set (1.0 = fully novel, 0.0 = every shingle
+    already in the reference — verbatim-memorization risk, or stale
+    re-crawl content when the reference is a previous snapshot).
+    :func:`decontaminate` is the binary >=1-overlap filter; this is
+    the graded per-doc signal for threshold filtering
+    (``.where("novel_ratio < cutoff")``) or
+    :func:`~dgraph_dbpedia_spark.operators.sampling.weighted_sample`.
+    Returns ``(id, n_wgrams, novel_ratio)`` — every doc scores
+    (the shared shingle convention gives even an empty doc one
+    whole-text shingle, so the ratio is always defined).
+
+    100 TB shape: the :func:`contaminated_ids` layout — the
+    reference's distinct shingle hashes join the exploded corpus
+    shingles on an 8-byte key (broadcast at or below
+    ``ref_broadcast_cap`` distinct hashes, counted up front on the
+    SMALL side only; shuffle join above it, never a forced-broadcast
+    OOM); one partial-aggregable per-doc count pair; integer counts
+    so the rounded ratio is order-independent by construction."""
+    ref_sh = (
+        _hashed_shingled(
+            reference.select(F.lit(0).alias("__rid"), F.col(ref_text_col)),
+            ref_text_col, "__rid", w, fast=fast,
+        )
+        .select(F.explode("sh").alias("h"))
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    if ref_broadcast_cap is None or ref_sh.count() <= ref_broadcast_cap:
+        right = F.broadcast(ref_sh)
+    else:
+        right = ref_sh
+    corpus_sh = _hashed_shingled(docs, text_col, id_col, w, fast=fast).select(
+        F.col(id_col), F.explode("sh").alias("h")
+    )
+    return (
+        corpus_sh.join(right, "h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_wgrams"),
+            F.sum(
+                F.when(F.col("__seen").isNull(), 1).otherwise(0)
+            ).alias("__novel"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_wgrams"),
+            F.round(F.col("__novel") / F.col("n_wgrams"), 4).alias(
+                "novel_ratio"
+            ),
+        )
+    )
+
+
 def dedup_report(clusters: DataFrame) -> DataFrame:
     """Cluster-size histogram of a ``(id, cluster_id)`` component
     labeling (:func:`dedup_clusters` / :func:`dedup_clusters_star`

@@ -890,3 +890,32 @@ def test_winnow_matches_within_corpus(spark):
     }
     release(cross)
     assert cross_pairs == pairs
+
+
+def test_ngram_novelty_graded_fraction(spark):
+    """Host-checked novelty fractions: a verbatim copy of a reference
+    doc scores 0.0, a fully foreign doc 1.0, a half-overlap doc in
+    between; every corpus doc gets a row; count column is distinct
+    shingles."""
+    from dgraph_dbpedia_spark.operators.dedup import ngram_novelty
+
+    ref = spark.createDataFrame(
+        [(100, "a b c d e f")], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),     # verbatim -> 0.0
+            (2, "x y z w v u"),     # foreign -> 1.0
+            (3, "a b c x y z"),     # shingles: abc seen; bcx,cxy,xyz novel
+            (4, "q r"),             # short doc -> one whole-text shingle
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r for r in ngram_novelty(docs, ref, w=3).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["novel_ratio"] == 0.0 and out[1]["n_wgrams"] == 4
+    assert out[2]["novel_ratio"] == 1.0
+    assert out[3]["n_wgrams"] == 4 and out[3]["novel_ratio"] == 0.75
+    assert out[4]["n_wgrams"] == 1 and out[4]["novel_ratio"] == 1.0
