@@ -1239,14 +1239,26 @@ def _q_corpus_divergence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     mismatch now localizes: this row red => tokenization /
     canonicalization; this row green with the full row red => the one
     rounded double, i.e. the driver environment's float handling."""
+    from dgraph_dbpedia_spark.operators.cachectl import (
+        persisted_frames,
+        tag_persisted,
+    )
     from dgraph_dbpedia_spark.operators.textstats import corpus_divergence
 
     docs = _t(spark, sf_dir, "documents")
-    return corpus_divergence(
+    full = corpus_divergence(
         docs.where(F.col("source") == "src0"),
         docs.where(F.col("source") != "src0"),
-    ).select(
-        "n_tokens_a", "n_tokens_b", "vocab_a", "vocab_b", "vocab_shared"
+    )
+    # re-tag through the select: the release handle is a Python
+    # attribute on the frame OBJECT, so a bare .select would drop it
+    # and leak the persisted vocab-join frame every run
+    return tag_persisted(
+        full.select(
+            "n_tokens_a", "n_tokens_b", "vocab_a", "vocab_b",
+            "vocab_shared",
+        ),
+        *persisted_frames(full),
     )
 
 
@@ -1279,10 +1291,11 @@ def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r12: benchmark decontamination by EMBEDDING similarity (the
     paraphrase-leakage class n-gram decontaminate misses): vec_id < 20
-    plays the benchmark suite, the rest is the corpus; hyperplane-
-    bucket candidates (4 planes — the cosine_near_dup recall setting),
-    exact round-4 cosine >= 0.30 marks contamination, survivors
-    returned. Scalar projection (ids only)."""
+    plays the benchmark suite, the rest is the corpus; OR-amplified
+    banded candidates (8 bands x 4 planes — one 32-bit signature split
+    into 4-bit band keys), exact round-4 cosine >= 0.30 marks
+    contamination, survivors returned. Scalar projection (ids
+    only)."""
     from dgraph_dbpedia_spark.operators.similarity import (
         semantic_decontaminate,
     )
@@ -1293,6 +1306,7 @@ def _q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") < 20),
         threshold=0.30,
         n_planes=4,
+        n_bands=8,
         dims=64,
     )
     return out.select("vec_id")
@@ -4262,23 +4276,37 @@ def oracle_sql() -> dict[str, str]:
             coarse_k=16, n_probe=2, corpus_train=True
         ),
         "cosine_near_dup": _sql_cosine_near_dup(),
-        # r12: embedding-similarity decontamination — bucket-collision
-        # candidates (shared _sql_bucket planes), exact round-4 cosine
-        # >= 0.30 marks contamination, anti-join keeps survivors
+        # r12: embedding-similarity decontamination — OR-amplified
+        # banding (one 32-bit signature from the shared _sql_bucket
+        # planes, split into 8 x 4-bit band keys; candidate = agree on
+        # ANY band), exact round-4 cosine >= 0.30 marks contamination,
+        # anti-join keeps survivors
         "semantic_decontaminate": f"""
-            WITH c AS (
+            WITH c0 AS (
                 SELECT vec_id, embedding::DOUBLE[] AS v,
-                       {_sql_bucket('embedding::DOUBLE[]', 4, 64)} AS bkt
+                       {_sql_bucket('embedding::DOUBLE[]', 32, 64)} AS sig
                 FROM embeddings WHERE vec_id >= 20),
-            b AS (
+            c AS (
+                SELECT vec_id, v,
+                       unnest(range(0, 8)) AS band,
+                       unnest(list_transform(range(0, 8),
+                              b -> (sig >> (b * 4)::INT) & 15)) AS key
+                FROM c0),
+            b0 AS (
                 SELECT embedding::DOUBLE[] AS v,
-                       {_sql_bucket('embedding::DOUBLE[]', 4, 64)} AS bkt
+                       {_sql_bucket('embedding::DOUBLE[]', 32, 64)} AS sig
                 FROM embeddings WHERE vec_id < 20),
+            b AS (
+                SELECT v,
+                       unnest(range(0, 8)) AS band,
+                       unnest(list_transform(range(0, 8),
+                              b -> (sig >> (b * 4)::INT) & 15)) AS key
+                FROM b0),
             hits AS (
                 SELECT DISTINCT c.vec_id
-                FROM c JOIN b ON c.bkt = b.bkt
+                FROM c JOIN b ON c.band = b.band AND c.key = b.key
                 WHERE {_sql_cosine('c.v', 'b.v', 4)} >= 0.30)
-            SELECT vec_id FROM c ANTI JOIN hits USING (vec_id)
+            SELECT vec_id FROM c0 ANTI JOIN hits USING (vec_id)
         """,
         # r12: cluster-balanced subsample — seed centroids, round-6
         # cosine assignment (cid-asc ties), md5-coin rank <= 10 per

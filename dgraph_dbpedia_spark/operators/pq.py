@@ -448,8 +448,18 @@ def pq_topk(
     # hand-built or pre-dense-layout codebook frame would otherwise
     # pass a bare row-count guard and yield silently wrong/NULL sims,
     # so density is validated here exactly like the Arrow encode
-    # lane's _collect_codebooks (ADVICE r11).
-    cid_rows = codebooks.select("j", "cid").collect()
+    # lane's _collect_codebooks (ADVICE r11). The collect is BOUNDED
+    # (the _probe_single limit-before-validate discipline): a
+    # corpus-sized frame passed as codebooks by mistake must raise,
+    # not OOM the driver first.
+    _CB_CAP = 1 << 20  # far above any real m * k_sub; tiny vs a corpus
+    cid_rows = codebooks.select("j", "cid").limit(_CB_CAP + 1).collect()
+    if len(cid_rows) > _CB_CAP:
+        raise ValueError(
+            f"codebooks frame exceeds {_CB_CAP} rows — expected the "
+            "bounded m * k_sub codebook frame (was the codes frame "
+            "passed by mistake?)"
+        )
     per_j: dict[int, list] = {}
     for r in cid_rows:
         per_j.setdefault(r["j"], []).append(r["cid"])

@@ -1575,6 +1575,7 @@ def semantic_decontaminate(
     benchmark: DataFrame,
     threshold: float = 0.95,
     n_planes: int = 8,
+    n_bands: int = 8,
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1588,47 +1589,86 @@ def semantic_decontaminate(
     arXiv:2311.04850). Returns the SURVIVING corpus rows, all
     original columns.
 
-    Candidates come from hyperplane-bucket collisions (the
-    :func:`cosine_near_dup_pairs` recall contract: a pair at cosine
-    theta collides with probability ``(1 - theta/pi)^n_planes`` —
-    near-certain at decontamination thresholds); only colliding pairs
-    pay the exact round-4 cosine.
+    Candidate recall is OR-AMPLIFIED banding (the minhash-LSH band
+    construction over hyperplane sign bits): one ``n_bands x
+    n_planes``-bit signature per vector, split into ``n_bands``
+    independent ``n_planes``-bit band keys; a pair is a candidate if
+    it agrees on ANY band. A pair at cosine ``theta`` agrees on one
+    band with probability ``p^n_planes`` (``p = 1 - acos(theta)/pi``),
+    so the miss probability is ``(1 - p^n_planes)^n_bands`` — at the
+    defaults (8x8) a pair at cosine exactly 0.95 is caught with
+    probability ~0.99 (single-band 8-plane hashing, the first cut,
+    missed ~57% of such pairs) and an exact duplicate always. Only
+    colliding pairs pay the exact round-4 cosine; a pair colliding in
+    several bands is scored once per collision (bounded by
+    ``n_bands``) — correctness is unaffected (hits are distinct ids).
 
     100 TB shape: the benchmark side is bounded by construction (eval
-    suites are thousands of rows, not corpora) so it rides ONE
-    broadcast and the bucket equi-join is broadcast-hash — the corpus
-    never shuffles to FIND the hits. The hit list is corpus-sized in
-    the worst case (every corpus row near one benchmark row), so the
-    final left-anti is left UNHINTED: AQE broadcasts it when it is
-    small (the normal case — contamination is rare) and falls back to
-    a shuffle anti-join when it is not. No pair ever forms across
-    different buckets, so the candidate count is |corpus| x
-    (benchmark rows per bucket), not |corpus| x |benchmark|."""
-    ce = corpus.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("_e"),
-        _norm(F.col(vec_col).cast("array<double>")).alias("_n"),
-        _bucket_col(
-            F.col(vec_col).cast("array<double>"), n_planes, dims, use_arrow
-        ).alias("_bkt"),
+    suites are thousands of rows, not corpora) so its banded keys ride
+    ONE broadcast and the band equi-join is broadcast-hash — the
+    corpus never shuffles to FIND the hits. The hit list is
+    corpus-sized in the worst case, so the final left-anti is left
+    UNHINTED: AQE broadcasts it when it is small (the normal case)
+    and falls back to a shuffle anti-join when it is not. Candidate
+    count is ``n_bands x |corpus| x (benchmark rows per band key)``,
+    never |corpus| x |benchmark|."""
+    total = n_planes * n_bands
+    if n_planes < 1 or n_bands < 1 or total > 60:
+        raise ValueError(
+            f"need 1 <= n_planes ({n_planes}), 1 <= n_bands ({n_bands}) "
+            f"and n_planes * n_bands <= 60 (got {total}) — the banded "
+            "signature must fit the 60-bit bucket id"
+        )
+    mask = (1 << n_planes) - 1
+
+    def banded(frame: DataFrame) -> DataFrame:
+        # signature bound in its OWN select before the band split
+        # references it n_bands times (the CollapseProject trap — the
+        # full projection fold must run once per row, not per band)
+        sig = frame.select(
+            "*",
+            _bucket_col(F.col("_v"), total, dims, use_arrow).alias("_sig"),
+        )
+        return sig.select(
+            *frame.columns,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("_band"),
+                            F.shiftright(F.col("_sig"), b * n_planes)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("_key"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("_bk"),
+        ).select(*frame.columns, "_bk._band", "_bk._key")
+
+    ce = banded(
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            _norm(F.col(vec_col).cast("array<double>")).alias("_n"),
+        )
     )
-    be = benchmark.select(
-        F.col(vec_col).cast("array<double>").alias("_be"),
-        _norm(F.col(vec_col).cast("array<double>")).alias("_bn"),
-        _bucket_col(
-            F.col(vec_col).cast("array<double>"), n_planes, dims, use_arrow
-        ).alias("_bkt"),
-    )
+    be = banded(
+        benchmark.select(
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            _norm(F.col(vec_col).cast("array<double>")).alias("_bn"),
+        )
+    ).withColumnRenamed("_v", "_bv")
     if use_arrow:
         sim = pair_cosine_arrow(4)(
-            F.col("_e"), F.col("_be"), F.col("_n"), F.col("_bn")
+            F.col("_v"), F.col("_bv"), F.col("_n"), F.col("_bn")
         )
     else:
         sim = F.round(
-            F.try_divide(_dot("_e", "_be"), F.col("_n") * F.col("_bn")), 4
+            F.try_divide(_dot("_v", "_bv"), F.col("_n") * F.col("_bn")), 4
         )
     hits = (
-        ce.join(F.broadcast(be), "_bkt")
+        ce.join(F.broadcast(be), ["_band", "_key"])
         .where(sim >= F.lit(threshold))
         .select(id_col)
         .distinct()

@@ -57,6 +57,12 @@ _PYTHON_OK = {
     # IVF-PQ served composition return the lazy encode+score plan
     "pq_topk",
     "pq_ivf_topk_served",
+    # r12: the exact re-rank's stage-1 shortlist is the same Arrow
+    # encode lane; decontaminate/cluster-sample ride the pinned
+    # pair-cosine / hyperplane-signs / nearest-centroid kernels
+    "pq_rerank_topk",
+    "semantic_decontaminate",
+    "cluster_balanced_sample",
 }
 
 

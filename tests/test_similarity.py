@@ -1329,14 +1329,36 @@ def test_semantic_decontaminate_drops_planted_leak(spark):
         .unionByName(leak)
     )
     kept = semantic_decontaminate(
-        corpus, bench, threshold=0.99, n_planes=4, dims=64
+        corpus, bench, threshold=0.99, n_planes=4, n_bands=8, dims=64
     )
     assert kept.columns == ["vec_id", "embedding"]
     kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
     assert 9000 not in kept_ids
     assert len(kept_ids) >= corpus.count() - 5  # only near-exact drops
     nat = semantic_decontaminate(
-        corpus, bench, threshold=0.99, n_planes=4, dims=64,
+        corpus, bench, threshold=0.99, n_planes=4, n_bands=8, dims=64,
         use_arrow=False,
     )
     assert {r["vec_id"] for r in nat.select("vec_id").collect()} == kept_ids
+    # NEAR-duplicate leak (paraphrase class): one perturbed component
+    # -> cosine just under 1.0; the OR-amplified bands must still
+    # catch it (miss probability ~(1 - p^4)^8 with p ~ 0.99 — the
+    # single-band first cut left this class to one coin flip)
+    first = bench.where(F.col("vec_id") == 0).first()["embedding"]
+    pert = [float(x) for x in first]
+    pert[0] = pert[0] + 0.05 * (1.0 if pert[0] >= 0 else -1.0)
+    near = spark.createDataFrame(
+        [(9001, pert)], "vec_id long, embedding array<double>"
+    )
+    kept2 = semantic_decontaminate(
+        corpus.unionByName(near), bench, threshold=0.95, n_planes=4,
+        n_bands=8, dims=64,
+    )
+    assert 9001 not in {
+        r["vec_id"] for r in kept2.select("vec_id").collect()
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_planes"):
+        semantic_decontaminate(corpus, bench, n_planes=16, n_bands=8)

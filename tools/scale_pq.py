@@ -114,17 +114,27 @@ def main() -> None:
 
     # same-session A/B: the r11 per-subspace loop (m corpus scans per
     # iteration) vs the fused one-pass trainer — outputs must agree
-    # row-for-row (same seed/tie/rounding contract)
+    # row-for-row (same seed/tie/rounding contract). Symmetric timing:
+    # an untimed warm-up run first (JIT/codegen/page cache — the r12
+    # first cut timed the baseline cold and the fused arm warm, and
+    # included a collect() in only the baseline's window), then each
+    # arm timed as train + localCheckpoint materialization only, with
+    # the equality collects OUTSIDE both windows.
+    pq_train(corpus, dims=dims, m=m, k_sub=k_sub, n_iter=1).localCheckpoint()
+
     t0 = time.perf_counter()
-    cb_old = train_per_subspace(corpus, dims, m, k_sub, n_iter=1)
-    old_rows = sorted(map(tuple, cb_old.collect()))
+    cb_old = train_per_subspace(
+        corpus, dims, m, k_sub, n_iter=1
+    ).localCheckpoint()
     train_old_s = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
     cb = pq_train(corpus, dims=dims, m=m, k_sub=k_sub, n_iter=1)
     cb = cb.localCheckpoint()  # materialize: training is the timed unit
     train_s = round(time.perf_counter() - t0, 3)
-    if sorted(map(tuple, cb.collect())) != old_rows:
+    if sorted(map(tuple, cb.collect())) != sorted(
+        map(tuple, cb_old.collect())
+    ):
         raise AssertionError(
             "fused trainer diverged from the per-subspace baseline"
         )
