@@ -921,6 +921,32 @@ def _q_pq_ivf_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pq_ivf_rerank_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: the COMPLETE production serve path — coarse probe
+    partition-prunes the materialized v4 code lists, ADC shortlists 50
+    inside the probed lists only, and the exact round-4 cosine top-5
+    reads back ONLY those 50 float vectors. The oracle replays
+    training + coarse assignment + probe semi-join + ADC shortlist +
+    exact re-rank end to end."""
+    from dgraph_dbpedia_spark.operators.pq import pq_ivf_rerank_topk_served
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes, cb, coarse = _served_pq_index(spark, sf_dir)
+    q = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("q"))
+    return pq_ivf_rerank_topk_served(
+        codes,
+        cb,
+        coarse,
+        emb.where(F.col("vec_id") > 0),
+        q,
+        dims=64,
+        m=4,
+        k=5,
+        shortlist_n=50,
+        n_probe=2,
+    )
+
+
 def _q_tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r11: per-doc top-5 keywords by tf-idf (smooth sklearn idf,
     lowercased tokens, ties by term) — one explode, two
@@ -2299,11 +2325,20 @@ def _q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 # this round.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # changed or new this round (r12) — first in line for driver rows:
-    # the corpus_divergence contract fix (round-4 + the integer-only
-    # bisect twin, VERDICT r11 #1), the exact re-rank over the PQ
-    # shortlist (VERDICT r11 #3), and the served-arm RRF hybrid
-    # (VERDICT r11 #5). corpus_divergence itself stays in the window —
-    # the driver row it needs to re-green IS the point of the round.
+    # the corpus_divergence contract fix (round-4 on both engines +
+    # the integer-only bisect twin, VERDICT r11 #1 — corpus_divergence
+    # itself stays at position 1: re-greening ITS driver row is the
+    # point of the round); the exact re-rank over the PQ shortlist and
+    # the complete three-lever IVF-PQ-rerank serve composition
+    # (VERDICT r11 #3); the served-arm RRF hybrid (VERDICT r11 #5);
+    # banded embedding decontamination, cluster-balanced sampling,
+    # interpolated bigram LM surprisal and graded n-gram novelty (the
+    # round's curation-surface widening). The EIGHT net additions push
+    # eight more r9/r10-era queries past position 50; every
+    # out-of-window query holds a green prior driver row AND the
+    # committed CORRECTNESS_FULL.json sweep (repeat x3 on
+    # float-bearing rows), refreshed in the same commit as this
+    # registry change.
     "corpus_divergence": _q_corpus_divergence,
     "corpus_divergence_counts": _q_corpus_divergence_counts,
     "pq_rerank_topk": _q_pq_rerank_topk,
@@ -2312,6 +2347,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_balanced_sample": _q_cluster_balanced_sample,
     "bigram_logprob": _q_bigram_logprob,
     "ngram_novelty": _q_ngram_novelty,
+    "pq_ivf_rerank_served": _q_pq_ivf_rerank_served,
     # r11 cohort — continues earning driver rows:
     # the pretraining-prep composition (curate -> chunk -> split ->
     # epoch-shuffle, VERDICT r10 #4), RRF hybrid retrieval, the
@@ -4274,6 +4310,12 @@ def oracle_sql() -> dict[str, str]:
         "pq_rerank_topk": _sql_pq_topk(k=5, rerank_shortlist=50),
         "pq_ivf_topk_served": _sql_pq_topk(
             coarse_k=16, n_probe=2, corpus_train=True
+        ),
+        # r12: the full three-lever serve composition — coarse prune,
+        # ADC shortlist-50 inside the probed lists, exact re-rank
+        "pq_ivf_rerank_served": _sql_pq_topk(
+            k=5, coarse_k=16, n_probe=2, corpus_train=True,
+            rerank_shortlist=50,
         ),
         "cosine_near_dup": _sql_cosine_near_dup(),
         # r12: embedding-similarity decontamination — OR-amplified

@@ -598,6 +598,67 @@ def pq_rerank_topk(
     )
 
 
+def pq_ivf_rerank_topk_served(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    coarse_centroids: DataFrame,
+    vectors_df: DataFrame,
+    query: DataFrame,
+    dims: int,
+    m: int = 4,
+    k: int = 10,
+    shortlist_n: int = 100,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    vec_col: str = "embedding",
+    query_col: str = "q",
+) -> DataFrame:
+    """The COMPLETE production ANN serve path — all three pruning
+    levers composed: coarse IVF probe partition-prunes the code lists
+    (``n_probe/k_coarse`` of the corpus), ADC scores only ``m``
+    bytes-ish per surviving vector (:func:`pq_ivf_topk_served` as the
+    shortlist stage), and ONLY the ``shortlist_n`` shortlisted ids'
+    float vectors are read back for the exact cosine top-``k``
+    (:func:`pq_rerank_topk`'s stage 2). This is FAISS's
+    IVFADC-with-refinement serve loop expressed as three Spark scans,
+    each touching strictly less data than the one before.
+
+    ``vectors_df`` is the float (or int8-dequantized) vector table the
+    re-rank reads back from — at scale, partitioned/bucketed by
+    ``id_col`` so the broadcast semi-join on the bounded shortlist is
+    a point read. Empty query/centroids degenerate to an empty result
+    through every stage."""
+    from dgraph_dbpedia_spark.operators.similarity import cosine_topk
+
+    if shortlist_n < k:
+        raise ValueError(
+            f"shortlist_n must be >= k (got shortlist_n={shortlist_n}, "
+            f"k={k}) — the exact re-rank can only return rows the ADC "
+            "shortlist admitted"
+        )
+    shortlist = pq_ivf_topk_served(
+        codes,
+        codebooks,
+        coarse_centroids,
+        query,
+        dims=dims,
+        m=m,
+        k=shortlist_n,
+        n_probe=n_probe,
+        id_col=id_col,
+        codes_col=codes_col,
+        query_col=query_col,
+    )
+    cand = vectors_df.join(
+        F.broadcast(shortlist.select(id_col)), id_col, "left_semi"
+    )
+    return cosine_topk(
+        cand, query, k=k, id_col=id_col, vec_col=vec_col,
+        query_col=query_col,
+    )
+
+
 def pq_ivf_topk_served(
     codes: DataFrame,
     codebooks: DataFrame,

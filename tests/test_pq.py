@@ -262,6 +262,63 @@ def test_pq_rerank_exact_topk_over_shortlist(spark, emb):
                        shortlist_n=3)
 
 
+def test_pq_ivf_rerank_served_full_path(spark, emb, tmp_path):
+    """The complete three-lever serve composition: the probe's cid IN
+    predicate must still partition-prune the code-list scan, the
+    planted twin must come back rank 1, and its sim must be the EXACT
+    1.0 (re-rank reads the float vector), not an ADC estimate."""
+    from dgraph_dbpedia_spark.operators.pq import (
+        pq_encode,
+        pq_ivf_rerank_topk_served,
+        pq_train,
+    )
+    from dgraph_dbpedia_spark.operators.similarity import (
+        ivf_assign,
+        ivf_seed_centroids,
+    )
+
+    cb = pq_train(emb, dims=64, m=4, k_sub=16, n_iter=1)
+    twin = emb.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    corpus = (
+        emb.where(F.col("vec_id") > 0)
+        .select("vec_id", "embedding")
+        .unionByName(twin)
+    )
+    e = corpus.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    coarse = ivf_seed_centroids(e, 8, vec_col="e")
+    asg = ivf_assign(e, coarse, vec_col="e").select("vec_id", "cid")
+    codes = pq_encode(corpus, cb, dims=64, m=4).join(asg, "vec_id")
+    root = str(tmp_path / "pqidx")
+    codes.write.partitionBy("cid").parquet(root)
+    served = spark.read.parquet(root)
+    q = emb.orderBy("vec_id").limit(1).select(
+        F.col("embedding").alias("q")
+    )
+    out = pq_ivf_rerank_topk_served(
+        served, cb, coarse, corpus, q,
+        dims=64, m=4, k=3, shortlist_n=30, n_probe=2,
+    )
+    # the pruned code-list scan sits in the SHORTLIST subtree — the
+    # re-rank's own float scan (no cid column) also reports an empty
+    # PartitionFilters section, so check every scan's section
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "cid" in seg[:120]
+        for seg in plan.split("PartitionFilters: [")[1:]
+    ), "no partition-pruned cid scan found in the composed plan"
+    rows = out.collect()
+    assert rows[0]["vec_id"] == 10_000 and rows[0]["sim"] == 1.0
+    with pytest.raises(ValueError, match="shortlist_n"):
+        pq_ivf_rerank_topk_served(
+            served, cb, coarse, corpus, q,
+            dims=64, m=4, k=5, shortlist_n=2,
+        )
+
+
 def test_pq_foreign_code_yields_null_sim(spark, emb):
     """A code absent from the codebook (foreign-codebook probe) must
     yield NULL sim — never a lookup crash mid-job."""
