@@ -537,6 +537,43 @@ def pq_topk(
     )
 
 
+def _validate_shortlist(shortlist_n: int, k: int) -> None:
+    """Shared fail-fast guard for the two-stage serve paths — runs
+    BEFORE stage 1's eager probe work in both callers."""
+    if shortlist_n < k:
+        raise ValueError(
+            f"shortlist_n must be >= k (got shortlist_n={shortlist_n}, "
+            f"k={k}) — the exact re-rank can only return rows the ADC "
+            "shortlist admitted"
+        )
+
+
+def _exact_rerank(
+    shortlist: DataFrame,
+    vectors_df: DataFrame,
+    query: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_col: str,
+) -> DataFrame:
+    """Stage 2 of the two-stage serve contract, shared by
+    :func:`pq_rerank_topk` and :func:`pq_ivf_rerank_topk_served`: the
+    bounded ADC shortlist broadcast-semi-joins back into the float
+    table and ONLY those rows pay the exact round-4 cosine top-``k``
+    (``cosine_topk``'s sim desc / id asc tie rule). One definition so
+    the two 'same contract' serve paths cannot silently diverge."""
+    from dgraph_dbpedia_spark.operators.similarity import cosine_topk
+
+    cand = vectors_df.join(
+        F.broadcast(shortlist.select(id_col)), id_col, "left_semi"
+    )
+    return cosine_topk(
+        cand, query, k=k, id_col=id_col, vec_col=vec_col,
+        query_col=query_col,
+    )
+
+
 def pq_rerank_topk(
     codes_df: DataFrame,
     codebooks: DataFrame,
@@ -567,17 +604,10 @@ def pq_rerank_topk(
     float table — the corpus-side float scan prunes on the broadcast
     hash, and with the float table partitioned/bucketed by id it is a
     partition-pruned point read, never a full scan shuffle. Stage 2's
-    exact scoring runs on ``shortlist_n`` rows (:func:`cosine_topk`,
-    round-4 + id tie-break). Empty query frame degenerates to an empty
-    result through both stages (each stage's own contract)."""
-    from dgraph_dbpedia_spark.operators.similarity import cosine_topk
-
-    if shortlist_n < k:
-        raise ValueError(
-            f"shortlist_n must be >= k (got shortlist_n={shortlist_n}, "
-            f"k={k}) — the exact re-rank can only return rows the ADC "
-            "shortlist admitted"
-        )
+    exact scoring runs on ``shortlist_n`` rows (:func:`_exact_rerank`
+    — round-4 + id tie-break). Empty query frame degenerates to an
+    empty result through both stages (each stage's own contract)."""
+    _validate_shortlist(shortlist_n, k)
     shortlist = pq_topk(
         codes_df,
         codebooks,
@@ -589,12 +619,8 @@ def pq_rerank_topk(
         codes_col=codes_col,
         query_col=query_col,
     )
-    cand = vectors_df.join(
-        F.broadcast(shortlist.select(id_col)), id_col, "left_semi"
-    )
-    return cosine_topk(
-        cand, query, k=k, id_col=id_col, vec_col=vec_col,
-        query_col=query_col,
+    return _exact_rerank(
+        shortlist, vectors_df, query, k, id_col, vec_col, query_col
     )
 
 
@@ -629,14 +655,7 @@ def pq_ivf_rerank_topk_served(
     ``id_col`` so the broadcast semi-join on the bounded shortlist is
     a point read. Empty query/centroids degenerate to an empty result
     through every stage."""
-    from dgraph_dbpedia_spark.operators.similarity import cosine_topk
-
-    if shortlist_n < k:
-        raise ValueError(
-            f"shortlist_n must be >= k (got shortlist_n={shortlist_n}, "
-            f"k={k}) — the exact re-rank can only return rows the ADC "
-            "shortlist admitted"
-        )
+    _validate_shortlist(shortlist_n, k)
     shortlist = pq_ivf_topk_served(
         codes,
         codebooks,
@@ -650,12 +669,8 @@ def pq_ivf_rerank_topk_served(
         codes_col=codes_col,
         query_col=query_col,
     )
-    cand = vectors_df.join(
-        F.broadcast(shortlist.select(id_col)), id_col, "left_semi"
-    )
-    return cosine_topk(
-        cand, query, k=k, id_col=id_col, vec_col=vec_col,
-        query_col=query_col,
+    return _exact_rerank(
+        shortlist, vectors_df, query, k, id_col, vec_col, query_col
     )
 
 
