@@ -1338,6 +1338,20 @@ def _q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id")
 
 
+def _q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: token-budgeted per-domain sampling — keep docs per source
+    in id-hash coin order until ~600 cumulative tokens (kept iff the
+    doc STARTS inside the budget; ~half the corpus at sf0.01 — the
+    budget must BIND to exercise the cut); ONE per-domain running-sum window,
+    RNG-free. Scalar projection for the canonicalizer."""
+    from dgraph_dbpedia_spark.operators.sampling import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_budget_sample(
+        docs, budget_tokens=600, group_col="source", seed=1
+    ).select("doc_id", "lang", "source", "n_tokens")
+
+
 def _q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r12: diversity-balanced subsample — cosine-assign every
     embedding to its nearest of 8 seed centroids, keep 10 per cluster
@@ -2348,6 +2362,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_logprob": _q_bigram_logprob,
     "ngram_novelty": _q_ngram_novelty,
     "pq_ivf_rerank_served": _q_pq_ivf_rerank_served,
+    "token_budget_sample": _q_token_budget_sample,
     # r11 cohort — continues earning driver rows:
     # the pretraining-prep composition (curate -> chunk -> split ->
     # epoch-shuffle, VERDICT r10 #4), RRF hybrid retrieval, the
@@ -5045,6 +5060,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         # epoch-seeded hash permutation; the 60-bit hash is
         # non-negative, so % == pmod on both engines
+        # r12: token-budgeted per-domain take — coin-ordered running
+        # token sum per source, kept iff the doc STARTS inside the
+        # budget (cum - own < budget)
+        "token_budget_sample": f"""
+            WITH c AS (
+                SELECT doc_id, lang, source,
+                       len({_SQL_TOKS})::BIGINT AS n_tokens,
+                       {_sql_hash64('doc_id::VARCHAR', 1)} AS hh
+                FROM documents),
+            w AS (
+                SELECT doc_id, lang, source, n_tokens,
+                       sum(n_tokens) OVER (
+                           PARTITION BY source
+                           ORDER BY hh ASC, doc_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum
+                FROM c)
+            SELECT doc_id, lang, source, n_tokens FROM w
+            WHERE cum - n_tokens < 600
+        """,
         "epoch_shuffle": f"""
             WITH h AS (
                 SELECT doc_id, {_sql_hash64("doc_id::VARCHAR", 3)} AS h

@@ -687,3 +687,57 @@ def cluster_balanced_sample(
         .where(F.col("__rn") <= n_per_cluster)
         .drop("__rn")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 1,
+) -> DataFrame:
+    """Token-budgeted per-domain sampling — the unit curation actually
+    budgets in: keep documents from each ``group_col`` domain, in the
+    RNG-free id-hash coin order, until the domain's CUMULATIVE token
+    count reaches ``budget_tokens`` ("~1B wiki tokens, ~5B web
+    tokens" — :func:`mixture_sample` can only express doc-count
+    rates, which drift when domains have different document-length
+    distributions). A document is kept iff it STARTS inside the
+    budget (its predecessors in coin order total < ``budget_tokens``),
+    so the take may overshoot by at most one document — deterministic
+    and engine-replayable, unlike a truncate-exactly-at-the-boundary
+    rule, which would need intra-document token slicing. Columns pass
+    through unchanged plus ``n_tokens``.
+
+    100 TB shape: ONE shuffle (the per-domain ordered window for the
+    running sum — the :func:`pack_offsets` shape); token counts are a
+    narrow projection; the coin is a pure function of the id, so the
+    sample is stable under repartitioning, engine and run. A domain
+    with hot-key volume beyond a task's sort spill budget wants the
+    same salting note as :func:`stratified_sample`."""
+    if budget_tokens < 1:
+        raise ValueError(
+            f"budget_tokens must be >= 1, got {budget_tokens}"
+        )
+    ntok = "n_tokens"
+    if ntok in df.columns:
+        raise ValueError(
+            "token_budget_sample writes column 'n_tokens' which already "
+            "exists on the input — rename it first"
+        )
+    h = hash64(F.col(id_col).cast("string"), seed=seed)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    counted = df.withColumn(
+        ntok, F.size(tokens(F.col(text_col))).cast("long")
+    )
+    return (
+        counted.withColumn("__cum", F.sum(ntok).over(w))
+        # starts inside the budget: predecessors' total = cum - own
+        .where(F.col("__cum") - F.col(ntok) < F.lit(budget_tokens))
+        .drop("__cum")
+    )

@@ -447,3 +447,47 @@ def test_cluster_balanced_sample_quota_and_determinism(spark):
         emb, n_per_cluster=2, centroids=cents
     ).collect()
     assert {r["cid"] for r in forced} == {99} and len(forced) == 2
+
+
+def test_token_budget_sample_budget_and_determinism(spark):
+    """Per-domain cumulative token budget: kept docs start inside the
+    budget (overshoot at most one doc), selection follows the coin
+    order, stable under repartitioning, n_tokens collision raises."""
+    import pytest
+
+    from dgraph_dbpedia_spark.operators.sampling import token_budget_sample
+
+    rows = [
+        (i, "web" if i % 2 else "wiki", "tok " * 10) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = token_budget_sample(
+        df, budget_tokens=35, group_col="source", seed=1
+    )
+    got = out.collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["source"], []).append(r)
+    for src, kept in per.items():
+        # each doc is 10 tokens; 35-token budget -> exactly 4 kept
+        # (doc 4 STARTS at 30 < 35; doc 5 would start at 40)
+        assert len(kept) == 4, src
+        assert all(r["n_tokens"] == 10 for r in kept)
+    again = token_budget_sample(
+        df.repartition(7), budget_tokens=35, group_col="source", seed=1
+    ).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(
+        r["doc_id"] for r in got
+    )
+    # a different seed picks a (almost surely) different prefix
+    other = token_budget_sample(
+        df, budget_tokens=35, group_col="source", seed=2
+    ).collect()
+    assert sorted(r["doc_id"] for r in other) != sorted(
+        r["doc_id"] for r in got
+    )
+    with pytest.raises(ValueError, match="budget_tokens"):
+        token_budget_sample(df, budget_tokens=0)
+    clash = df.withColumn("n_tokens", df.doc_id)
+    with pytest.raises(ValueError, match="n_tokens"):
+        token_budget_sample(clash, budget_tokens=10)
