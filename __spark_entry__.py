@@ -2346,9 +2346,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the complete three-lever IVF-PQ-rerank serve composition
     # (VERDICT r11 #3); the served-arm RRF hybrid (VERDICT r11 #5);
     # banded embedding decontamination, cluster-balanced sampling,
-    # interpolated bigram LM surprisal and graded n-gram novelty (the
-    # round's curation-surface widening). The EIGHT net additions push
-    # eight more r9/r10-era queries past position 50; every
+    # interpolated bigram LM surprisal, graded n-gram novelty and
+    # token-budgeted domain sampling (the round's curation-surface
+    # widening). The NINE net additions push nine more r9/r10-era
+    # queries past position 50; every
     # out-of-window query holds a green prior driver row AND the
     # committed CORRECTNESS_FULL.json sweep (repeat x3 on
     # float-bearing rows), refreshed in the same commit as this
