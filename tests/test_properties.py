@@ -377,3 +377,49 @@ def test_winnow_guarantee_properties(spark, texts, k, w):
             assert window & sel_pos, (text, k, w, p)
         # tie-rule invariance of the hash set
         assert {f for _, f in sel} == {f for _, f in right[i]}
+
+
+@settings(max_examples=max(_EXAMPLES // 4, 8), deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=1, max_value=25),
+)
+def test_token_budget_sample_matches_host_model(spark, rows, budget):
+    """token_budget_sample vs a direct host model on arbitrary
+    (group, token-count) inputs: same kept ids for any grouping,
+    any length distribution, any budget — and the kept set is a
+    coin-order PREFIX per group (a doc is kept iff every coin-earlier
+    doc in its group with cum-before < budget is also kept)."""
+    from dgraph_dbpedia_spark.functions.hashing import hash64_py
+    from dgraph_dbpedia_spark.operators.sampling import token_budget_sample
+
+    data = [
+        (i, g, "w " * k) for i, (g, k) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, ["doc_id", "source", "text"])
+    got = sorted(
+        r["doc_id"]
+        for r in token_budget_sample(
+            df, budget_tokens=budget, group_col="source", seed=1
+        ).collect()
+    )
+
+    per_group: dict[str, list] = {}
+    for i, (g, k) in enumerate(rows):
+        per_group.setdefault(g, []).append((hash64_py(str(i), seed=1), i, k))
+    want = []
+    for g, docs in per_group.items():
+        cum = 0
+        for _, i, k in sorted(docs):
+            if cum < budget:
+                want.append(i)
+            cum += k
+    assert got == sorted(want)
