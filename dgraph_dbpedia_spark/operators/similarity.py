@@ -1575,7 +1575,7 @@ def semantic_decontaminate(
     benchmark: DataFrame,
     threshold: float = 0.95,
     n_planes: int = 8,
-    n_bands: int = 8,
+    n_bands: int = 7,
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1596,9 +1596,15 @@ def semantic_decontaminate(
     it agrees on ANY band. A pair at cosine ``theta`` agrees on one
     band with probability ``p^n_planes`` (``p = 1 - acos(theta)/pi``),
     so the miss probability is ``(1 - p^n_planes)^n_bands`` — at the
-    defaults (8x8) a pair at cosine exactly 0.95 is caught with
-    probability ~0.99 (single-band 8-plane hashing, the first cut,
-    missed ~57% of such pairs) and an exact duplicate always. Only
+    defaults (8 planes x 7 bands, the largest 8-bit-band signature
+    that fits the 60-bit bucket id) a pair at cosine exactly 0.95 is
+    caught with probability ~0.98 (single-band 8-plane hashing, the
+    first cut, missed ~57% of such pairs) and an exact duplicate
+    always; tools/scale_decon.py measures it at 200k — single band
+    dropped 76/62/36% of planted leaks at cosine ~0.995/0.98/0.957,
+    the banded settings 100/100/82% (both independent band structures
+    agree exactly on the third tier: its residue is genuinely
+    below-threshold mixture noise, not recall loss). Only
     colliding pairs pay the exact round-4 cosine; a pair colliding in
     several bands is scored once per collision (bounded by
     ``n_bands``) — correctness is unaffected (hits are distinct ids).

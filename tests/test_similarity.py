@@ -1362,3 +1362,8 @@ def test_semantic_decontaminate_drops_planted_leak(spark):
 
     with pytest.raises(ValueError, match="n_planes"):
         semantic_decontaminate(corpus, bench, n_planes=16, n_bands=8)
+    # the DEFAULT knobs must satisfy their own <=60-bit validation
+    # (the r12 first cut defaulted to 8x8 = 64 bits and raised)
+    assert semantic_decontaminate(
+        bench.limit(2), bench.limit(1)
+    ).count() >= 0
