@@ -1288,6 +1288,21 @@ def _q_corpus_divergence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: per-benchmark-item contamination audit — same split and
+    shingle generator as decontaminate (w=4), but grouped by the
+    BENCHMARK id: distinct contaminated docs + distinct leaked
+    shingles per leaked eval item."""
+    from dgraph_dbpedia_spark.operators.dedup import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_report(
+        docs.where(F.col("doc_id") % 50 != 0),
+        docs.where(F.col("doc_id") % 50 == 0),
+        w=4,
+    )
+
+
 def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r12: graded memorization/novelty score — fraction of each doc's
     distinct 3-gram shingles absent from the reference slice (doc_id %
@@ -2346,10 +2361,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the complete three-lever IVF-PQ-rerank serve composition
     # (VERDICT r11 #3); the served-arm RRF hybrid (VERDICT r11 #5);
     # banded embedding decontamination, cluster-balanced sampling,
-    # interpolated bigram LM surprisal, graded n-gram novelty and
-    # token-budgeted domain sampling (the round's curation-surface
-    # widening). The NINE net additions push nine more r9/r10-era
-    # queries past position 50; every
+    # interpolated bigram LM surprisal, graded n-gram novelty,
+    # token-budgeted domain sampling and the per-item contamination
+    # audit (the round's curation-surface widening). The TEN net
+    # additions push ten more r9/r10-era queries past position 50;
+    # every
     # out-of-window query holds a green prior driver row AND the
     # committed CORRECTNESS_FULL.json sweep (repeat x3 on
     # float-bearing rows), refreshed in the same commit as this
@@ -2364,6 +2380,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_novelty": _q_ngram_novelty,
     "pq_ivf_rerank_served": _q_pq_ivf_rerank_served,
     "token_budget_sample": _q_token_budget_sample,
+    "contamination_report": _q_contamination_report,
     # r11 cohort — continues earning driver rows:
     # the pretraining-prep composition (curate -> chunk -> split ->
     # epoch-shuffle, VERDICT r10 #4), RRF hybrid retrieval, the
@@ -4121,6 +4138,23 @@ def oracle_sql() -> dict[str, str]:
             bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
             corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
             SELECT DISTINCT doc_id FROM corpus SEMI JOIN bench USING (s)
+        """,
+        # r12: the per-benchmark-item audit twin of decontaminate —
+        # grouped by the BENCHMARK id, distinct docs + distinct leaked
+        # shingles per leaked item
+        "contamination_report": f"""
+            WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+            sh AS (
+                SELECT doc_id, unnest({_sql_shingles('tk', 4)}) AS s
+                FROM toks),
+            bench AS (SELECT doc_id AS bench_id, s FROM sh
+                      WHERE doc_id % 50 = 0),
+            corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
+            SELECT bench_id,
+                   count(DISTINCT c.doc_id)::BIGINT AS n_docs,
+                   count(DISTINCT c.s)::BIGINT AS n_shingles
+            FROM corpus c JOIN bench b ON c.s = b.s
+            GROUP BY bench_id
         """,
         # r12: graded novelty — same split and shingle generator as
         # decontaminate (w=3), but the per-doc UNSEEN fraction over

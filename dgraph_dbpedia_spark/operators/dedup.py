@@ -1264,6 +1264,54 @@ def contaminated_ids(
     return corpus_sh.join(right, "h", "left_semi").select(id_col).distinct()
 
 
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    w: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    fast: bool = False,
+) -> DataFrame:
+    """Per-benchmark-item contamination audit — the report a curation
+    run wants NEXT TO :func:`decontaminate`'s filter: for each
+    benchmark item that leaks at all, how many training documents
+    share at least one ``w``-token shingle with it, and how many
+    distinct shingles leak. Items with the highest counts are the
+    boilerplate-like eval rows (shared preambles, license text) whose
+    leakage is benign; a long tail of 1-doc hits is the verbatim-copy
+    signal. Returns ``(bench_id, n_docs, n_shingles)`` — one row per
+    LEAKED benchmark item (clean items emit nothing), ``n_docs`` =
+    distinct contaminated training docs, ``n_shingles`` = distinct
+    leaked shingle hashes.
+
+    100 TB shape: the same 8-byte shingle-hash equi-join as
+    :func:`contaminated_ids` but keeping the benchmark's OWN ids
+    (benchmark side still bounded — broadcast); both counts are
+    count-distinct over the joined (bench_id, doc/hash) pairs, a
+    partial-aggregable shuffle bounded by the collision volume, never
+    the corpus."""
+    bench_sh = _hashed_shingled(
+        benchmark.select(
+            F.col(bench_id_col).alias("__bid"), F.col(bench_text_col)
+        ),
+        bench_text_col, "__bid", w, fast=fast,
+    ).select(F.col("__bid"), F.explode("sh").alias("h"))
+    corpus_sh = _hashed_shingled(docs, text_col, id_col, w, fast=fast).select(
+        F.col(id_col), F.explode("sh").alias("h")
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "h")
+        .groupBy("__bid")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.count_distinct(F.col("h")).alias("n_shingles"),
+        )
+        .select(F.col("__bid").alias("bench_id"), "n_docs", "n_shingles")
+    )
+
+
 def ngram_novelty(
     docs: DataFrame,
     reference: DataFrame,

@@ -919,3 +919,33 @@ def test_ngram_novelty_graded_fraction(spark):
     assert out[2]["novel_ratio"] == 1.0
     assert out[3]["n_wgrams"] == 4 and out[3]["novel_ratio"] == 0.75
     assert out[4]["n_wgrams"] == 1 and out[4]["novel_ratio"] == 1.0
+
+
+def test_contamination_report_counts(spark):
+    """Host-checked per-item audit: item A leaks into two docs via two
+    distinct shingles, item B into one doc, clean item C emits no
+    row."""
+    from dgraph_dbpedia_spark.operators.dedup import contamination_report
+
+    bench = spark.createDataFrame(
+        [
+            (100, "a b c d e"),
+            (200, "p q r s"),
+            (300, "x y z w"),
+        ],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c junk junk"),      # shares shingle (a b c) with A
+            (2, "zz b c d e"),           # shares (b c d), (c d e) with A
+            (3, "p q r filler"),         # shares (p q r) with B
+            (4, "nothing shared here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["bench_id"]: (r["n_docs"], r["n_shingles"])
+        for r in contamination_report(docs, bench, w=3).collect()
+    }
+    assert got == {100: (2, 3), 200: (1, 1)}
