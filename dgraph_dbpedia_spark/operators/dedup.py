@@ -1273,6 +1273,7 @@ def contamination_report(
     bench_id_col: str = "doc_id",
     bench_text_col: str = "text",
     fast: bool = False,
+    bench_broadcast_cap: int | None = 20_000_000,
 ) -> DataFrame:
     """Per-benchmark-item contamination audit — the report a curation
     run wants NEXT TO :func:`decontaminate`'s filter: for each
@@ -1287,22 +1288,31 @@ def contamination_report(
     leaked shingle hashes.
 
     100 TB shape: the same 8-byte shingle-hash equi-join as
-    :func:`contaminated_ids` but keeping the benchmark's OWN ids
-    (benchmark side still bounded — broadcast); both counts are
-    count-distinct over the joined (bench_id, doc/hash) pairs, a
-    partial-aggregable shuffle bounded by the collision volume, never
-    the corpus."""
+    :func:`contaminated_ids` but keeping the benchmark's OWN ids —
+    note the broadcast side here is the per-(bench_id, hash) PAIR
+    frame, strictly larger than the distinct hash set
+    ``contaminated_ids`` ships, so it gets the same
+    ``bench_broadcast_cap`` OOM-degrade gate (counted up front on the
+    SMALL side only; above the cap the join degrades to a shuffle
+    join, never a forced-broadcast OOM; ``None`` skips the count and
+    always broadcasts). Both counts are count-distinct over the
+    joined (bench_id, doc/hash) pairs, a partial-aggregable shuffle
+    bounded by the collision volume, never the corpus."""
     bench_sh = _hashed_shingled(
         benchmark.select(
             F.col(bench_id_col).alias("__bid"), F.col(bench_text_col)
         ),
         bench_text_col, "__bid", w, fast=fast,
     ).select(F.col("__bid"), F.explode("sh").alias("h"))
+    if bench_broadcast_cap is None or bench_sh.count() <= bench_broadcast_cap:
+        right = F.broadcast(bench_sh)
+    else:
+        right = bench_sh
     corpus_sh = _hashed_shingled(docs, text_col, id_col, w, fast=fast).select(
         F.col(id_col), F.explode("sh").alias("h")
     )
     return (
-        corpus_sh.join(F.broadcast(bench_sh), "h")
+        corpus_sh.join(right, "h")
         .groupBy("__bid")
         .agg(
             F.count_distinct(F.col(id_col)).alias("n_docs"),

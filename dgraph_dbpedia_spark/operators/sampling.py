@@ -732,8 +732,18 @@ def token_budget_sample(
         .orderBy(h.asc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # coalesce-before-size: NULL text must count 0 tokens on EVERY
+    # engine/ANSI mode — bare size(NULL) is NULL under ANSI (row
+    # silently dropped by the budget filter) and -1 with ANSI off
+    # (corrupts the running sum)
     counted = df.withColumn(
-        ntok, F.size(tokens(F.col(text_col))).cast("long")
+        ntok,
+        F.size(
+            F.coalesce(
+                tokens(F.col(text_col)),
+                F.array().cast("array<string>"),
+            )
+        ).cast("long"),
     )
     return (
         counted.withColumn("__cum", F.sum(ntok).over(w))

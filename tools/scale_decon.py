@@ -105,7 +105,10 @@ def main() -> None:
     }
 
     out: dict = {
-        "n": n, "dims": dims, "n_bench": n_bench, "n_leaks": n_leaks,
+        "n": n, "dims": dims, "n_bench": n_bench,
+        # report the PLANTED count (n_leaks rounds down to a multiple
+        # of len(TIERS)), not the requested one
+        "n_leaks": len(tiers_of),
         "threshold": THRESHOLD, "tiers_t": TIERS, "settings": {},
     }
     for n_planes, n_bands in [(8, 1), (4, 8), (8, 7)]:
