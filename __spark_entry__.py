@@ -1288,6 +1288,24 @@ def _q_corpus_divergence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_semantic_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: batch twin of the stream-compatible semantic tagger —
+    nearest-of-8-seed-centroids cid + round-6 cosine per embedding
+    (stateless projection; the stream==batch equality is pinned by
+    pytest test_tag_embeddings_stream_matches_batch)."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        ivf_seed_centroids,
+    )
+    from dgraph_dbpedia_spark.streaming.events import tag_embeddings_stream
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cents = ivf_seed_centroids(e, 8, vec_col="e")
+    return tag_embeddings_stream(emb, cents)
+
+
 def _q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r12: per-benchmark-item contamination audit — same split and
     shingle generator as decontaminate (w=4), but grouped by the
@@ -2381,6 +2399,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_ivf_rerank_served": _q_pq_ivf_rerank_served,
     "token_budget_sample": _q_token_budget_sample,
     "contamination_report": _q_contamination_report,
+    "stream_semantic_tag": _q_stream_semantic_tag,
     # r11 cohort — continues earning driver rows:
     # the pretraining-prep composition (curate -> chunk -> split ->
     # epoch-shuffle, VERDICT r10 #4), RRF hybrid retrieval, the
@@ -4521,6 +4540,24 @@ def oracle_sql() -> dict[str, str]:
         "embed_binary": _sql_embed_binary(),
         "stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        # r12: batch twin of the stateless stream tagger — round-6
+        # cosine nearest of the 8 seed centroids, cid-asc ties
+        "stream_semantic_tag": f"""
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cent AS (
+                SELECT vec_id AS cid, v AS c FROM e
+                ORDER BY vec_id LIMIT 8)
+            SELECT vec_id, cid, sim FROM (
+                SELECT e.vec_id, cent.cid,
+                       {_sql_cosine('e.v', 'cent.c', 6)} AS sim,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_sql_cosine('e.v', 'cent.c', 6)} DESC,
+                                    cent.cid ASC) AS rn
+                FROM e CROSS JOIN cent) x
+            WHERE rn = 1
         """,
         "stream_enrich": """
             SELECT c_mktsegment,

@@ -566,3 +566,31 @@ def stream_near_dup_batch(
         sh.unpersist()
         if dup_ids is not None:
             dup_ids.unpersist()
+
+
+def tag_embeddings_stream(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Stream-compatible semantic tagging: attach the nearest-centroid
+    ``cid`` and its round-6 cosine ``sim`` to every row — the
+    ingest-time topic routing / cluster labeling step of a streaming
+    curation pipeline. The assignment is a STATELESS projection
+    (:func:`..operators.similarity.ivf_assign` — bounded centroids
+    collected once into the Arrow kernel's closure, or the broadcast
+    fold on the native lane), so the IDENTICAL call works on a
+    ``readStream`` frame in append mode with no state store and no
+    watermark, and on a batch frame (the twin the oracle checks —
+    the stream==batch equality is pinned by pytest).
+
+    100 TB/stream shape: per micro-batch cost is one scan-fused
+    projection; nothing accumulates. Returns ``(id, cid, sim)``."""
+    from dgraph_dbpedia_spark.operators.similarity import ivf_assign
+
+    out = ivf_assign(
+        df, centroids, id_col, vec_col, sim_col="sim", use_arrow=use_arrow
+    )
+    return out.select(F.col(id_col), F.col("cid"), F.col("sim"))

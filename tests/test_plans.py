@@ -63,6 +63,7 @@ _PYTHON_OK = {
     "pq_rerank_topk",
     "semantic_decontaminate",
     "cluster_balanced_sample",
+    "stream_semantic_tag",  # ivf_assign arrow lane (stateless tagger)
 }
 
 

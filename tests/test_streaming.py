@@ -579,3 +579,48 @@ def test_sessionize_stream_late_event_within_watermark(
         s0,
         s0 + 60,
     )
+
+
+def test_tag_embeddings_stream_matches_batch(spark, tmp_path):
+    """Stateless semantic tagging: the identical call on a readStream
+    frame (append mode, no watermark, no state) produces exactly the
+    batch twin's (id, cid, sim) rows."""
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    from dgraph_dbpedia_spark.operators.similarity import (
+        ivf_seed_centroids,
+    )
+    from dgraph_dbpedia_spark.streaming.events import (
+        run_to_memory,
+        tag_embeddings_stream,
+    )
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    d = tmp_path / "emb_stream"
+    d.mkdir()
+    t = pq_.read_table(src)
+    n = t.num_rows // 2
+    pq_.write_table(t.slice(0, n), str(d / "part-0.parquet"))
+    pq_.write_table(t.slice(n), str(d / "part-1.parquet"))
+
+    batch = spark.read.parquet(src)
+    e = batch.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cents = ivf_seed_centroids(e, 8, vec_col="e").localCheckpoint()
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    run_to_memory(
+        tag_embeddings_stream(stream, cents), "t_semtag", "append"
+    )
+    got = spark.table("t_semtag")
+    want = tag_embeddings_stream(batch, cents)
+    assert got.count() == want.count() == batch.count()
+    assert got.exceptAll(want).count() == 0
+    assert {r["cid"] for r in got.select("cid").distinct().collect()} <= set(
+        range(8)
+    ) | {r["cid"] for r in cents.select("cid").collect()}
