@@ -2380,10 +2380,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (VERDICT r11 #3); the served-arm RRF hybrid (VERDICT r11 #5);
     # banded embedding decontamination, cluster-balanced sampling,
     # interpolated bigram LM surprisal, graded n-gram novelty,
-    # token-budgeted domain sampling and the per-item contamination
-    # audit (the round's curation-surface widening). The TEN net
-    # additions push ten more r9/r10-era queries past position 50;
-    # every
+    # token-budgeted domain sampling, the per-item contamination
+    # audit, and the stateless stream tagger (the round's
+    # curation-surface widening). The ELEVEN net additions push eleven
+    # more r9/r10-era queries past position 50; every
     # out-of-window query holds a green prior driver row AND the
     # committed CORRECTNESS_FULL.json sweep (repeat x3 on
     # float-bearing rows), refreshed in the same commit as this
