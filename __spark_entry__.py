@@ -902,6 +902,47 @@ def _q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: residual quantization ANN (Chen et al. 2010; the FAISS
+    ResidualQuantizer layout) — stage-1 full-dim L2 Lloyd, stage-2
+    Lloyd on the residuals, greedy 2-code encode, additive ADC top-5
+    for vec 0's query (the k_sub^2 cross-dot table carries the one
+    term additivity does not separate). The oracle replays training +
+    residuals + encode + ADC end to end."""
+    from dgraph_dbpedia_spark.operators.rq import (
+        rq_encode,
+        rq_topk,
+        rq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = rq_train(emb, dims=64, k_sub=16, n_levels=2, n_iter=1)
+    corpus = emb.where(F.col("vec_id") > 0)
+    codes = rq_encode(corpus, cb, dims=64, n_levels=2)
+    q = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("q"))
+    return rq_topk(codes, cb, q, dims=64, k=5)
+
+
+def _q_rq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: the RQ two-stage deployment contract — additive-ADC
+    shortlist-50, exact round-4 cosine top-5 over the shortlisted
+    float vectors (the shared _exact_rerank stage)."""
+    from dgraph_dbpedia_spark.operators.rq import (
+        rq_encode,
+        rq_rerank_topk,
+        rq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = rq_train(emb, dims=64, k_sub=16, n_levels=2, n_iter=1)
+    corpus = emb.where(F.col("vec_id") > 0)
+    codes = rq_encode(corpus, cb, dims=64, n_levels=2)
+    q = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("q"))
+    return rq_rerank_topk(
+        codes, cb, corpus, q, dims=64, k=5, shortlist_n=50
+    )
+
+
 def _q_pq_ivf_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r11: the full FAISS-style IVF-PQ serve composition over the
     MATERIALIZED index (v4 layout — m code ints per vector in by-cid
@@ -2381,9 +2422,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # banded embedding decontamination, cluster-balanced sampling,
     # interpolated bigram LM surprisal, graded n-gram novelty,
     # token-budgeted domain sampling, the per-item contamination
-    # audit, and the stateless stream tagger (the round's
-    # curation-surface widening). The ELEVEN net additions push eleven
-    # more r9/r10-era queries past position 50; every
+    # audit, the stateless stream tagger, and residual quantization
+    # (the additive sibling of PQ, full 2-stage oracle replay). The
+    # THIRTEEN net additions push thirteen more r9/r10-era queries
+    # past position 50; every
     # out-of-window query holds a green prior driver row AND the
     # committed CORRECTNESS_FULL.json sweep (repeat x3 on
     # float-bearing rows), refreshed in the same commit as this
@@ -2400,6 +2442,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_sample": _q_token_budget_sample,
     "contamination_report": _q_contamination_report,
     "stream_semantic_tag": _q_stream_semantic_tag,
+    "rq_topk": _q_rq_topk,
+    "rq_rerank_topk": _q_rq_rerank_topk,
     # r11 cohort — continues earning driver rows:
     # the pretraining-prep composition (curate -> chunk -> split ->
     # epoch-shuffle, VERDICT r10 #4), RRF hybrid retrieval, the
@@ -3144,6 +3188,133 @@ def _sql_hybrid_rrf(sem_arm) -> str:
                 PARTITION BY query_id
                 ORDER BY rrf_score DESC, doc_id ASC) <= 10
         """
+
+
+def _sql_rq_topk(
+    k: int = 5, k_sub: int = 16, n_iter: int = 1,
+    dims: int = 64, nd: int = 4,
+    rerank_shortlist: int | None = None,
+) -> str:
+    """Full residual-quantization chain replay (2 stages): stage-1
+    full-dim L2 Lloyd (the pq_train m=1 contract — lowest-id dense
+    seeds, round-6 squared-L2 cid-asc assignment, round-``nd`` means,
+    empty clusters keep previous), residuals of the FINAL stage-1
+    assignment, stage-2 Lloyd on the residuals, greedy 2-code encode
+    of the vec_id > 0 corpus, then the additive ADC against vec 0's
+    query: sim = (q.c1 + q.c2) / (sqrt(|c1|^2 + |c2|^2 + 2 c1.c2)
+    * |q|), round 4, (sim desc, id asc) top-k. ``rerank_shortlist``
+    switches to the two-stage serve form (ADC shortlist CTE + exact
+    round-4 cosine top-k over the shortlist ids' float vectors)."""
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"round(list_sum(list_transform(list_zip({a}, {b}), "
+            f"z -> (z[1] - z[2]) * (z[1] - z[2]))), 6)"
+        )
+
+    def sub(a: str, b: str) -> str:
+        return (
+            f"list_transform(list_zip({a}, {b}), z -> z[1] - z[2])"
+        )
+
+    mean_list = ", ".join(
+        f"(round(avg(v[{i}]), {nd}) + 0)::DOUBLE"
+        for i in range(1, dims + 1)
+    )
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+    ]
+    # one Lloyd stage over source CTE `src` (vec_id, v) -> codebook
+    # CTE rc{s}_{n_iter} with dense cids
+    for s, src in ((0, "e"), (1, "res")):
+        ctes.append(
+            f"rc{s}_0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 "
+            f"AS cid, v AS c FROM (SELECT vec_id, v FROM {src} "
+            f"ORDER BY vec_id LIMIT {k_sub}))"
+        )
+        for it in range(1, n_iter + 1):
+            ctes.append(f"""ra{s}_{it} AS (
+                SELECT vec_id, v, cid FROM (
+                    SELECT {src}.vec_id, {src}.v, c.cid,
+                           row_number() OVER (
+                               PARTITION BY {src}.vec_id
+                               ORDER BY {l2(f'{src}.v', 'c.c')} ASC,
+                                        c.cid ASC) AS rn
+                    FROM {src} CROSS JOIN rc{s}_{it - 1} c) x
+                WHERE rn = 1)""")
+            ctes.append(
+                f"rm{s}_{it} AS (SELECT cid, list_value({mean_list}) AS c2 "
+                f"FROM ra{s}_{it} GROUP BY cid)"
+            )
+            ctes.append(f"""rc{s}_{it} AS (
+                SELECT p.cid, COALESCE(mm.c2, p.c) AS c
+                FROM rc{s}_{it - 1} p LEFT JOIN rm{s}_{it} mm USING (cid))""")
+        if s == 0:
+            # residuals of the FINAL stage-1 assignment over the whole
+            # training frame (the Spark rq_train inter-stage step)
+            ctes.append(f"""res AS (
+                SELECT vec_id, {sub('v', 'c')} AS v FROM (
+                    SELECT e.vec_id, e.v, c.c,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY {l2('e.v', 'c.c')} ASC,
+                                        c.cid ASC) AS rn
+                    FROM e CROSS JOIN rc0_{n_iter} c) x
+                WHERE rn = 1)""")
+    # greedy encode of the corpus (vec_id > 0)
+    ctes.append(f"""en1 AS (
+        SELECT vec_id, v, cid AS c1, {sub('v', 'c')} AS r1 FROM (
+            SELECT e.vec_id, e.v, c.cid, c.c,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {l2('e.v', 'c.c')} ASC, c.cid ASC) AS rn
+            FROM e CROSS JOIN rc0_{n_iter} c
+            WHERE e.vec_id > 0) x
+        WHERE rn = 1)""")
+    ctes.append(f"""en2 AS (
+        SELECT vec_id, c1, cid AS c2 FROM (
+            SELECT en1.vec_id, en1.c1, c.cid,
+                   row_number() OVER (
+                       PARTITION BY en1.vec_id
+                       ORDER BY {l2('en1.r1', 'c.c')} ASC,
+                                c.cid ASC) AS rn
+            FROM en1 CROSS JOIN rc1_{n_iter} c) x
+        WHERE rn = 1)""")
+    ctes.append(
+        "q AS (SELECT embedding::DOUBLE[] AS q FROM embeddings "
+        "ORDER BY vec_id LIMIT 1)"
+    )
+    ctes.append(
+        f"t0 AS (SELECT cid, list_dot_product(c, (SELECT q FROM q)) AS dq, "
+        f"list_dot_product(c, c) AS cc FROM rc0_{n_iter})"
+    )
+    ctes.append(
+        f"t1 AS (SELECT cid, list_dot_product(c, (SELECT q FROM q)) AS dq, "
+        f"list_dot_product(c, c) AS cc FROM rc1_{n_iter})"
+    )
+    ctes.append(f"""xx AS (
+        SELECT a.cid AS c1, b.cid AS c2,
+               list_dot_product(a.c, b.c) AS x
+        FROM rc0_{n_iter} a CROSS JOIN rc1_{n_iter} b)""")
+    adc_select = f"""
+        SELECT en2.vec_id,
+               round((t0.dq + t1.dq) /
+                     (sqrt(t0.cc + t1.cc + 2 * xx.x) *
+                      (SELECT sqrt(list_dot_product(q, q)) FROM q)), 4)
+                   AS sim
+        FROM en2
+        JOIN t0 ON t0.cid = en2.c1
+        JOIN t1 ON t1.cid = en2.c2
+        JOIN xx ON xx.c1 = en2.c1 AND xx.c2 = en2.c2
+        ORDER BY sim DESC, en2.vec_id
+        LIMIT {k if rerank_shortlist is None else rerank_shortlist}"""
+    if rerank_shortlist is None:
+        return f"WITH {', '.join(ctes)}{adc_select}"
+    ctes.append(f"short AS ({adc_select})")
+    return f"""WITH {', '.join(ctes)}
+        SELECT e.vec_id, {_sql_cosine('e.v', 'q.q', 4)} AS sim
+        FROM e SEMI JOIN short USING (vec_id) CROSS JOIN q
+        ORDER BY sim DESC, e.vec_id LIMIT {k}"""
 
 
 def _sql_ivf_topk(k: int = 5, n_centroids: int = 16, n_probe: int = 2) -> str:
@@ -4377,6 +4548,10 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_topk_trained": _sql_ivf_topk_trained(),
         "pq_topk": _sql_pq_topk(),
         "pq_rerank_topk": _sql_pq_topk(k=5, rerank_shortlist=50),
+        # r12: residual quantization — the additive sibling (full
+        # 2-stage train + residual + greedy encode + additive ADC)
+        "rq_topk": _sql_rq_topk(),
+        "rq_rerank_topk": _sql_rq_topk(k=5, rerank_shortlist=50),
         "pq_ivf_topk_served": _sql_pq_topk(
             coarse_k=16, n_probe=2, corpus_train=True
         ),

@@ -1,0 +1,371 @@
+"""Residual quantization (RQ) — the ADDITIVE compression sibling of
+product quantization.
+
+Chen, Guan & Wang, "Approximate Nearest Neighbor Search by Residual
+Vector Quantization" (Sensors 2010; the FAISS ``ResidualQuantizer`` /
+RQ-VAE layout): quantize the FULL vector with a first k-means
+codebook, then quantize the RESIDUAL ``x - c1`` with a second, and so
+on — the reconstruction is the SUM ``c1 + c2 + ...`` rather than PQ's
+concatenation of subspace centroids. Where PQ splits dimensions, RQ
+splits MAGNITUDE: each stage spends its codebook on whatever error the
+previous stages left anywhere in the vector, which wins when variance
+is concentrated in a few directions rather than spread evenly across
+subspaces.
+
+Engine mapping (all JVM-native, oracle-replayable — no SVD, no
+randomness, unlike OPQ):
+
+- each stage trains with the package's ONE deterministic L2 Lloyd
+  (:func:`..pq.pq_train` with ``m=1``: lowest-id seeds, round-6
+  squared-L2 assignment with dense-cid-asc ties, per-iteration
+  rounded means, empty clusters keep their previous centroid);
+- residuals between stages are exact double subtractions of the
+  ROUNDED centroids (both engines compute identical values);
+- encoding is a greedy per-stage nearest — a pure projection against
+  ONE broadcast codebook row, shuffle-free over the corpus;
+- ADC scoring folds TWO bounded broadcast tables: per (stage, cid)
+  dot/norm terms, plus the k1 x k2 cross-dot table the additive
+  reconstruction norm needs (``|c1 + c2|^2 = |c1|^2 + |c2|^2 +
+  2 c1.c2`` — separable per stage EXCEPT the cross term, which PQ's
+  orthogonal subspaces make zero by construction and RQ must carry).
+
+Approximation contract mirrors :func:`..pq.pq_topk`: ``sim`` is the
+round-4 ADC cosine of the reconstruction; recall is pinned by pytest,
+never assumed; the deployed contract is shortlist-for-exact-re-rank
+(:func:`..pq._exact_rerank` composes unchanged).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dgraph_dbpedia_spark.operators.pq import (
+    _exact_rerank,
+    _nearest_l2,
+    _validate_shortlist,
+    pq_train,
+)
+from dgraph_dbpedia_spark.operators.similarity import _dot
+
+
+def _rq_validate(dims: int, k_sub: int, n_levels: int) -> None:
+    if dims < 1:
+        raise ValueError(f"dims must be >= 1, got {dims}")
+    if k_sub < 1:
+        raise ValueError(f"k_sub must be >= 1, got {k_sub}")
+    if n_levels < 1:
+        raise ValueError(f"n_levels must be >= 1, got {n_levels}")
+
+
+def _stage_row(codebooks: DataFrame, lvl: int) -> DataFrame:
+    """One stage's bounded ``(cid, c)`` rows folded to ONE broadcast
+    row ``_cent`` (the shape :func:`..pq._nearest_l2` consumes)."""
+    return (
+        codebooks.where(F.col("lvl") == lvl)
+        .agg(
+            F.collect_list(F.struct(F.col("cid"), F.col("c"))).alias(
+                "_cent"
+            )
+        )
+    )
+
+
+def _winning_c():
+    """The winning centroid's vector, picked from the bound ``_cent``
+    broadcast list by the bound ``_b`` struct's cid (both must already
+    be generated attributes of the current select — see the
+    CollapseProject notes at the call sites)."""
+    return F.get(
+        F.filter(
+            F.col("_cent"), lambda s: s["cid"] == F.col("_b")["cid"]
+        ),
+        0,
+    )["c"]
+
+
+def rq_train(
+    df: DataFrame,
+    dims: int,
+    k_sub: int = 16,
+    n_levels: int = 2,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 4,
+) -> DataFrame:
+    """Train the ``n_levels`` stage codebooks greedily (the standard
+    RQ recipe: stage ``l`` k-means the residuals stage ``l-1`` left).
+    Returns ``(lvl, cid, c)`` — ``n_levels * k_sub`` bounded rows,
+    cids DENSE in 0..k_sub-1 per stage, components rounded to
+    ``round_decimals`` (bit-reproducible across engines and
+    partitionings — the ivf_train/pq_train contract).
+
+    100 TB shape: each stage is one :func:`..pq.pq_train` ``m=1`` run
+    (fused corpus pass per iteration) plus, between stages, ONE
+    shuffle-free assignment projection producing the residual frame
+    (localCheckpoint-ed so stage ``l+1``'s iterations re-read a
+    materialized frame instead of re-deriving ``l`` stages of
+    residuals per pass)."""
+    from dgraph_dbpedia_spark.operators.cachectl import (
+        release_local_checkpoint,
+    )
+
+    _rq_validate(dims, k_sub, n_levels)
+    cur = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_rv")
+    )
+    out: DataFrame | None = None
+    cps: list[DataFrame] = []
+    for lvl in range(n_levels):
+        cb = pq_train(
+            cur,
+            dims,
+            m=1,
+            k_sub=k_sub,
+            n_iter=n_iter,
+            id_col=id_col,
+            vec_col="_rv",
+            round_decimals=round_decimals,
+        ).select(F.lit(lvl).alias("lvl"), "cid", "c")
+        out = cb if out is None else out.unionByName(cb)
+        if lvl < n_levels - 1:
+            stage = _stage_row(cb, lvl)
+            # nearest bound in its OWN select (the CollapseProject
+            # trap); _nearest_l2's sorted struct carries only
+            # (d, cid), so the winning centroid VECTOR is picked from
+            # the bounded broadcast list in the next select (an O(k)
+            # filter per row — cids are unique, exactly one match)
+            asg = cur.crossJoin(F.broadcast(stage)).select(
+                F.col(id_col),
+                F.col("_rv"),
+                F.col("_cent"),
+                _nearest_l2(F.col("_rv"), F.col("_cent")).alias("_b"),
+            )
+            cur = asg.select(
+                F.col(id_col),
+                F.zip_with(
+                    "_rv", _winning_c(), lambda a, b: a - b
+                ).alias("_rv"),
+            ).localCheckpoint()
+            cps.append(cur)
+    # stage residual checkpoints are only read while the NEXT stage
+    # trains; free all but the last (which callers never see either,
+    # but may still be lazily referenced by `out`'s lineage-free plan)
+    for cp in cps[:-1]:
+        release_local_checkpoint(cp)
+    return out
+
+
+def rq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    dims: int,
+    n_levels: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy RQ encoding: per stage, the nearest centroid of the
+    running residual (round-6 L2 asc, cid asc). Returns ``(id, codes:
+    array<int>)`` with ``codes[l]`` the stage-``l`` dense cid —
+    SHUFFLE-FREE over the corpus: one projection per stage against
+    ONE broadcast codebook row, residuals carried as generated
+    columns between binds (each stage's nearest is bound in its own
+    select so the fold runs once per row — the CollapseProject
+    trap)."""
+    _rq_validate(dims, k_sub=1, n_levels=n_levels)
+    cur = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_rv")
+    )
+    code_cols: list[str] = []
+    for lvl in range(n_levels):
+        stage = _stage_row(codebooks, lvl)
+        bound = cur.crossJoin(F.broadcast(stage)).select(
+            "*",
+            _nearest_l2(F.col("_rv"), F.col("_cent")).alias("_b"),
+        )
+        ccol = f"_c{lvl}"
+        sel = [F.col(id_col)] + [F.col(c) for c in code_cols]
+        sel.append(F.col("_b")["cid"].alias(ccol))
+        if lvl < n_levels - 1:
+            sel.append(
+                F.zip_with("_rv", _winning_c(), lambda a, b: a - b).alias(
+                    "_rv"
+                )
+            )
+        cur = bound.select(*sel)
+        code_cols.append(ccol)
+    return cur.select(
+        F.col(id_col),
+        F.array(*[F.col(c) for c in code_cols]).alias("codes"),
+    )
+
+
+def rq_topk(
+    codes_df: DataFrame,
+    codebooks: DataFrame,
+    query: DataFrame,
+    dims: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    query_col: str = "q",
+    round_decimals: int = 4,
+) -> DataFrame:
+    """ADC top-k over an RQ-encoded corpus (2-stage layout): per
+    corpus row, the approximate cosine of the ADDITIVE reconstruction
+    ``c1 + c2`` against the query —
+
+        sim = (q.c1 + q.c2) /
+              (sqrt(|c1|^2 + |c2|^2 + 2 c1.c2) * |q|)
+
+    — via O(1) positional lookups into TWO bounded broadcast tables:
+    the per-(stage, cid) ``(dq, cc)`` table (2 k_sub entries) and the
+    ``k_sub^2`` cross-dot table for the one term additivity does not
+    separate. A code outside the codebook yields NULL sim (the
+    foreign-codebook contract); top-k is TakeOrdered (sim desc, id
+    asc). Only the 2-stage form is served — deeper chains compose as
+    shortlist + :func:`rq_rerank_topk`'s exact stage anyway."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    # bounded validation read (the pq_topk discipline): stage coverage
+    # + dense cids, capped so a corpus frame passed by mistake raises
+    # instead of OOMing the driver
+    _CB_CAP = 1 << 20
+    rows = codebooks.select("lvl", "cid").limit(_CB_CAP + 1).collect()
+    if len(rows) > _CB_CAP:
+        raise ValueError(
+            f"codebooks frame exceeds {_CB_CAP} rows — expected the "
+            "bounded n_levels * k_sub codebook frame"
+        )
+    per: dict[int, list] = {}
+    for r in rows:
+        per.setdefault(r["lvl"], []).append(r["cid"])
+    if sorted(per) != [0, 1]:
+        raise ValueError(
+            f"rq_topk serves the 2-stage layout (lvl 0 and 1), got "
+            f"stages {sorted(per)}"
+        )
+    k_sub = len(per[0])
+    for lvl in (0, 1):
+        if sorted(per[lvl]) != list(range(k_sub)):
+            raise ValueError(
+                f"stage {lvl} cids must be dense 0..{k_sub - 1} "
+                "(rq_train emits dense cids)"
+            )
+    q = query.select(F.col(query_col).cast("array<double>").alias("qv"))
+    probe = q.limit(2).collect()
+    if len(probe) > 1:
+        raise ValueError(
+            "rq_topk expects exactly one query vector, got a multi-row "
+            "query frame — issue one call per query"
+        )
+    if not probe:
+        return codes_df.where(F.lit(False)).select(
+            F.col(id_col), F.lit(None).cast("double").alias("sim")
+        )
+    # table 1: per (lvl, cid) -> (dq = q.c, cc = |c|^2), flat at
+    # position lvl * k_sub + cid; plus |q| — ONE broadcast row
+    tab = (
+        codebooks.crossJoin(F.broadcast(q))
+        .select(
+            (F.col("lvl") * k_sub + F.col("cid")).alias("_idx"),
+            _dot("c", "qv").alias("dq"),
+            _dot("c", "c").alias("cc"),
+            F.sqrt(_dot("qv", "qv")).alias("_qn"),
+        )
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_idx", "dq", "cc"))
+                ),
+                lambda s: F.struct(s["dq"].alias("dq"), s["cc"].alias("cc")),
+            ).alias("_tab"),
+            F.max("_qn").alias("_qn"),
+        )
+    )
+    # table 2: the k_sub^2 cross dots c1.c2, flat at cid1 * k_sub +
+    # cid2 — the additive reconstruction's non-separable term
+    c0 = codebooks.where(F.col("lvl") == 0).select(
+        F.col("cid").alias("_c1"), F.col("c").alias("_ca")
+    )
+    c1 = codebooks.where(F.col("lvl") == 1).select(
+        F.col("cid").alias("_c2"), F.col("c").alias("_cb")
+    )
+    cross = (
+        c0.crossJoin(c1)
+        .select(
+            (F.col("_c1") * k_sub + F.col("_c2")).alias("_idx"),
+            _dot("_ca", "_cb").alias("x"),
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "x"))),
+                lambda s: s["x"],
+            ).alias("_xs")
+        )
+    )
+    code0 = F.get(F.col(codes_col), 0)
+    code1 = F.get(F.col(codes_col), 1)
+    # every lookup bound in ONE select before the sim expression
+    # references them (CollapseProject)
+    with_lk = (
+        codes_df.select(F.col(id_col), F.col(codes_col))
+        .crossJoin(F.broadcast(tab))
+        .crossJoin(F.broadcast(cross))
+        .select(
+            F.col(id_col),
+            F.get(F.col("_tab"), code0).alias("_t0"),
+            F.get(F.col("_tab"), F.lit(k_sub) + code1).alias("_t1"),
+            F.get(F.col("_xs"), code0 * k_sub + code1).alias("_x"),
+            F.col("_qn"),
+        )
+    )
+    recon_sq = (
+        with_lk["_t0"]["cc"] + with_lk["_t1"]["cc"] + 2.0 * F.col("_x")
+    )
+    sim = F.round(
+        F.try_divide(
+            with_lk["_t0"]["dq"] + with_lk["_t1"]["dq"],
+            F.sqrt(recon_sq) * F.col("_qn"),
+        ),
+        round_decimals,
+    )
+    return (
+        with_lk.select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def rq_rerank_topk(
+    codes_df: DataFrame,
+    codebooks: DataFrame,
+    vectors_df: DataFrame,
+    query: DataFrame,
+    dims: int,
+    k: int = 10,
+    shortlist_n: int = 100,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    vec_col: str = "embedding",
+    query_col: str = "q",
+) -> DataFrame:
+    """The two-stage RQ deployment contract: ADC shortlist over the
+    additive codes, exact round-4 cosine over the shortlisted ids'
+    float vectors — the same :func:`..pq._exact_rerank` stage the PQ
+    paths share (one definition, serve paths cannot diverge)."""
+    _validate_shortlist(shortlist_n, k)
+    shortlist = rq_topk(
+        codes_df,
+        codebooks,
+        query,
+        dims=dims,
+        k=shortlist_n,
+        id_col=id_col,
+        codes_col=codes_col,
+        query_col=query_col,
+    )
+    return _exact_rerank(
+        shortlist, vectors_df, query, k, id_col, vec_col, query_col
+    )

@@ -1,0 +1,127 @@
+"""Residual quantization (operators/rq.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_rq_train_shape_and_determinism(spark, emb):
+    """n_levels * k_sub rows, dense cids per stage, full-dim
+    centroids, bit-identical across runs."""
+    from dgraph_dbpedia_spark.operators.rq import rq_train
+
+    cb = rq_train(emb, dims=64, k_sub=8, n_levels=2, n_iter=2)
+    rows = cb.collect()
+    assert len(rows) == 2 * 8
+    per = {}
+    for r in rows:
+        per.setdefault(r["lvl"], []).append(r["cid"])
+        assert len(r["c"]) == 64
+    assert sorted(per) == [0, 1]
+    assert sorted(per[0]) == sorted(per[1]) == list(range(8))
+    rows2 = rq_train(emb, dims=64, k_sub=8, n_levels=2, n_iter=2).collect()
+    key = lambda t: (t[0], t[1])  # noqa: E731
+    assert sorted(map(tuple, rows), key=key) == sorted(
+        map(tuple, rows2), key=key
+    )
+
+
+def test_rq_residual_training_reduces_error(spark, emb):
+    """The point of the second stage: mean squared reconstruction
+    error of c1 + c2 must be strictly below stage 1 alone."""
+    from dgraph_dbpedia_spark.operators.rq import rq_encode, rq_train
+
+    cb = rq_train(emb, dims=64, k_sub=16, n_levels=2, n_iter=2)
+    codes = rq_encode(emb, cb, dims=64, n_levels=2)
+    cents = {(r["lvl"], r["cid"]): list(r["c"]) for r in cb.collect()}
+    vecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    e1 = e2 = 0.0
+    for r in codes.collect():
+        v = vecs[r["vec_id"]]
+        c1 = cents[(0, r["codes"][0])]
+        c2 = cents[(1, r["codes"][1])]
+        e1 += sum((a - b) ** 2 for a, b in zip(v, c1))
+        e2 += sum(
+            (a - b - c) ** 2 for a, b, c in zip(v, c1, c2)
+        )
+    assert e2 < e1 * 0.98
+
+
+def test_rq_topk_planted_twin_and_rerank(spark, emb):
+    """An identical twin shares both codes with the query's own
+    encoding and ranks #1 by ADC; the exact re-rank returns it at
+    sim 1.0; shortlist guard raises."""
+    from dgraph_dbpedia_spark.operators.rq import (
+        rq_encode,
+        rq_rerank_topk,
+        rq_topk,
+        rq_train,
+    )
+
+    cb = rq_train(emb, dims=64, k_sub=16, n_levels=2, n_iter=1)
+    twin = emb.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    corpus = (
+        emb.where(F.col("vec_id") > 0)
+        .select("vec_id", "embedding")
+        .unionByName(twin)
+    )
+    codes = rq_encode(corpus, cb, dims=64, n_levels=2)
+    q = emb.orderBy("vec_id").limit(1).select(
+        F.col("embedding").alias("q")
+    )
+    rows = rq_topk(codes, cb, q, dims=64, k=3).collect()
+    assert rows[0]["vec_id"] == 10_000
+    rr = rq_rerank_topk(
+        codes, cb, corpus, q, dims=64, k=3, shortlist_n=30
+    ).collect()
+    assert rr[0]["vec_id"] == 10_000 and rr[0]["sim"] == 1.0
+    with pytest.raises(ValueError, match="shortlist_n"):
+        rq_rerank_topk(codes, cb, corpus, q, dims=64, k=5, shortlist_n=2)
+
+
+def test_rq_validates_and_degenerates(spark, emb):
+    from dgraph_dbpedia_spark.operators.rq import (
+        rq_encode,
+        rq_topk,
+        rq_train,
+    )
+
+    with pytest.raises(ValueError):
+        rq_train(emb, dims=0)
+    with pytest.raises(ValueError):
+        rq_train(emb, dims=64, k_sub=0)
+    with pytest.raises(ValueError):
+        rq_train(emb, dims=64, n_levels=0)
+    cb = rq_train(emb, dims=64, k_sub=4, n_levels=2, n_iter=0)
+    codes = rq_encode(emb, cb, dims=64, n_levels=2)
+    q = emb.limit(1).select(F.col("embedding").alias("q"))
+    with pytest.raises(ValueError, match="k must be"):
+        rq_topk(codes, cb, q, dims=64, k=0)
+    # multi-row query raises; empty query -> typed empty result
+    multi = emb.limit(2).select(F.col("embedding").alias("q"))
+    with pytest.raises(ValueError, match="one query vector"):
+        rq_topk(codes, cb, multi, dims=64, k=5)
+    empty = emb.where(F.lit(False)).select(F.col("embedding").alias("q"))
+    out = rq_topk(codes, cb, empty, dims=64, k=5)
+    assert out.columns == ["vec_id", "sim"] and out.count() == 0
+    # non-dense / wrong-stage codebooks raise loudly
+    with pytest.raises(ValueError, match="dense"):
+        rq_topk(codes, cb.withColumn("cid", F.col("cid") + 1), q,
+                dims=64, k=5)
+    with pytest.raises(ValueError, match="2-stage"):
+        rq_topk(codes, cb.where(F.col("lvl") == 0), q, dims=64, k=5)
+    # foreign codes -> NULL sim, never a crash
+    bogus = spark.createDataFrame(
+        [(1, [999, 999])], "vec_id long, codes array<int>"
+    )
+    rows = rq_topk(bogus, cb, q, dims=64, k=5).collect()
+    assert len(rows) == 1 and rows[0]["sim"] is None
