@@ -2865,6 +2865,20 @@ def _sql_cosine(a: str, b: str, digits: int = 4) -> str:
     )
 
 
+def _sql_l2_round6(a: str, b: str) -> str:
+    """The round-6 squared-L2 every quantization oracle assigns by —
+    ONE definition shared by the PQ and RQ chain builders (the Lloyd
+    replay's tie rule lives here; list_zip yields an UNNAMED struct in
+    DuckDB, hence the numeric access). The Lloyd CTE BLOCKS themselves
+    stay per-builder (per-subspace sliced vs full-dim-with-residual
+    loops differ structurally), but they must keep citing this helper
+    plus the shared round-nd/+0 means discipline."""
+    return (
+        f"round(list_sum(list_transform(list_zip({a}, {b}), "
+        f"z -> (z[1] - z[2]) * (z[1] - z[2]))), 6)"
+    )
+
+
 def _ivf_train_ctes(n_centroids: int, n_iter: int, dims: int, nd: int) -> list[str]:
     """CTE chain replaying ivf_train in DuckDB: per iteration,
     nearest-centroid assignment (same round-6 cosine + cid tie-break as
@@ -2971,12 +2985,7 @@ def _sql_pq_topk(
     the Spark side runs)."""
     sub = dims // m
 
-    def l2(a: str, b: str) -> str:
-        # list_zip yields an UNNAMED struct in DuckDB — numeric access
-        return (
-            f"round(list_sum(list_transform(list_zip({a}, {b}), "
-            f"z -> (z[1] - z[2]) * (z[1] - z[2]))), 6)"
-        )
+    l2 = _sql_l2_round6
 
     # corpus_train: the served index trains codebooks/centroids on the
     # CORPUS (vec_id > 0) only — the query vector is held out, exactly
@@ -3206,11 +3215,7 @@ def _sql_rq_topk(
     switches to the two-stage serve form (ADC shortlist CTE + exact
     round-4 cosine top-k over the shortlist ids' float vectors)."""
 
-    def l2(a: str, b: str) -> str:
-        return (
-            f"round(list_sum(list_transform(list_zip({a}, {b}), "
-            f"z -> (z[1] - z[2]) * (z[1] - z[2]))), 6)"
-        )
+    l2 = _sql_l2_round6
 
     def sub(a: str, b: str) -> str:
         return (
@@ -3299,7 +3304,7 @@ def _sql_rq_topk(
     adc_select = f"""
         SELECT en2.vec_id,
                round((t0.dq + t1.dq) /
-                     (sqrt(t0.cc + t1.cc + 2 * xx.x) *
+                     (sqrt(greatest(t0.cc + t1.cc + 2 * xx.x, 0)) *
                       (SELECT sqrt(list_dot_product(q, q)) FROM q)), 4)
                    AS sim
         FROM en2

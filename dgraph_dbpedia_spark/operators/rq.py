@@ -71,6 +71,50 @@ def _stage_row(codebooks: DataFrame, lvl: int) -> DataFrame:
     )
 
 
+def _validate_rq_codebooks(
+    codebooks: DataFrame, dims: int, n_levels: int
+) -> int:
+    """Bounded validation read (the pq_topk discipline, shared by
+    encode and serve so a mismatched frame raises LOUDLY instead of
+    emitting silent NULL codes/sims): stages must cover exactly
+    0..n_levels-1, cids must be dense 0..k_sub-1 per stage, and every
+    centroid must be ``dims`` wide. Returns ``k_sub``. The collect is
+    capped so a corpus frame passed by mistake raises before it can
+    OOM the driver."""
+    _CB_CAP = 1 << 20
+    rows = (
+        codebooks.select("lvl", "cid", F.size("c").alias("w"))
+        .limit(_CB_CAP + 1)
+        .collect()
+    )
+    if len(rows) > _CB_CAP:
+        raise ValueError(
+            f"codebooks frame exceeds {_CB_CAP} rows — expected the "
+            "bounded n_levels * k_sub codebook frame"
+        )
+    per: dict[int, list] = {}
+    for r in rows:
+        per.setdefault(r["lvl"], []).append(r["cid"])
+        if r["w"] != dims:
+            raise ValueError(
+                f"stage {r['lvl']} centroid width {r['w']} != dims "
+                f"{dims}"
+            )
+    if sorted(per) != list(range(n_levels)):
+        raise ValueError(
+            f"codebooks must cover stages 0..{n_levels - 1}, got "
+            f"{sorted(per)}"
+        )
+    k_sub = len(per[0])
+    for lvl in range(n_levels):
+        if sorted(per[lvl]) != list(range(k_sub)):
+            raise ValueError(
+                f"stage {lvl} cids must be dense 0..{k_sub - 1} "
+                "(rq_train emits dense cids)"
+            )
+    return k_sub
+
+
 def _winning_c():
     """The winning centroid's vector, picked from the bound ``_cent``
     broadcast list by the bound ``_b`` struct's cid (both must already
@@ -150,9 +194,12 @@ def rq_train(
             ).localCheckpoint()
             cps.append(cur)
     # stage residual checkpoints are only read while the NEXT stage
-    # trains; free all but the last (which callers never see either,
-    # but may still be lazily referenced by `out`'s lineage-free plan)
-    for cp in cps[:-1]:
+    # trains, and `out` is built solely from pq_train's own
+    # checkpointed (lineage-free) frames — so EVERY residual
+    # checkpoint is garbage by now; free them all (the r12 review
+    # caught a cps[:-1] slice here stranding one corpus-sized frame
+    # per training run)
+    for cp in cps:
         release_local_checkpoint(cp)
     return out
 
@@ -174,6 +221,7 @@ def rq_encode(
     select so the fold runs once per row — the CollapseProject
     trap)."""
     _rq_validate(dims, k_sub=1, n_levels=n_levels)
+    _validate_rq_codebooks(codebooks, dims, n_levels)
     cur = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_rv")
     )
@@ -228,37 +276,22 @@ def rq_topk(
     shortlist + :func:`rq_rerank_topk`'s exact stage anyway."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    # bounded validation read (the pq_topk discipline): stage coverage
-    # + dense cids, capped so a corpus frame passed by mistake raises
-    # instead of OOMing the driver
-    _CB_CAP = 1 << 20
-    rows = codebooks.select("lvl", "cid").limit(_CB_CAP + 1).collect()
-    if len(rows) > _CB_CAP:
-        raise ValueError(
-            f"codebooks frame exceeds {_CB_CAP} rows — expected the "
-            "bounded n_levels * k_sub codebook frame"
-        )
-    per: dict[int, list] = {}
-    for r in rows:
-        per.setdefault(r["lvl"], []).append(r["cid"])
-    if sorted(per) != [0, 1]:
-        raise ValueError(
-            f"rq_topk serves the 2-stage layout (lvl 0 and 1), got "
-            f"stages {sorted(per)}"
-        )
-    k_sub = len(per[0])
-    for lvl in (0, 1):
-        if sorted(per[lvl]) != list(range(k_sub)):
-            raise ValueError(
-                f"stage {lvl} cids must be dense 0..{k_sub - 1} "
-                "(rq_train emits dense cids)"
-            )
+    # shared bounded validation (coverage, density, centroid width):
+    # rq_topk serves the 2-stage layout — deeper chains compose as
+    # shortlist + exact re-rank anyway
+    k_sub = _validate_rq_codebooks(codebooks, dims, n_levels=2)
     q = query.select(F.col(query_col).cast("array<double>").alias("qv"))
     probe = q.limit(2).collect()
     if len(probe) > 1:
         raise ValueError(
             "rq_topk expects exactly one query vector, got a multi-row "
             "query frame — issue one call per query"
+        )
+    if probe and probe[0]["qv"] is not None and len(probe[0]["qv"]) != dims:
+        raise ValueError(
+            f"query width {len(probe[0]['qv'])} != dims {dims} — a "
+            "mismatched zip_with dot would NULL-pad into silently "
+            "all-NULL sims"
         )
     if not probe:
         return codes_df.where(F.lit(False)).select(
@@ -321,8 +354,14 @@ def rq_topk(
             F.col("_qn"),
         )
     )
-    recon_sq = (
-        with_lk["_t0"]["cc"] + with_lk["_t1"]["cc"] + 2.0 * F.col("_x")
+    # clamp: unlike PQ's recon (a sum of non-negative cc terms), the
+    # additive |c1 + c2|^2 is computed by CANCELLATION (cc0 + cc1 +
+    # 2x with x possibly ~ -(cc0+cc1)/2) and can round to a tiny
+    # NEGATIVE — sqrt would then yield NaN, which sorts FIRST under
+    # desc ordering and would TOP the k instead of ranking last
+    recon_sq = F.greatest(
+        with_lk["_t0"]["cc"] + with_lk["_t1"]["cc"] + 2.0 * F.col("_x"),
+        F.lit(0.0),
     )
     sim = F.round(
         F.try_divide(

@@ -113,12 +113,24 @@ def test_rq_validates_and_degenerates(spark, emb):
     empty = emb.where(F.lit(False)).select(F.col("embedding").alias("q"))
     out = rq_topk(codes, cb, empty, dims=64, k=5)
     assert out.columns == ["vec_id", "sim"] and out.count() == 0
-    # non-dense / wrong-stage codebooks raise loudly
+    # non-dense / wrong-stage / wrong-width codebooks raise loudly on
+    # BOTH the serve and the encode side (silent NULL codes were the
+    # review-flagged mode)
     with pytest.raises(ValueError, match="dense"):
         rq_topk(codes, cb.withColumn("cid", F.col("cid") + 1), q,
                 dims=64, k=5)
-    with pytest.raises(ValueError, match="2-stage"):
+    with pytest.raises(ValueError, match="stages"):
         rq_topk(codes, cb.where(F.col("lvl") == 0), q, dims=64, k=5)
+    with pytest.raises(ValueError, match="stages"):
+        rq_encode(emb, cb, dims=64, n_levels=3)
+    with pytest.raises(ValueError, match="width"):
+        rq_topk(codes, cb, q, dims=32, k=5)
+    with pytest.raises(ValueError, match="width"):
+        wide_q = emb.limit(1).select(
+            F.slice(F.col("embedding").cast("array<double>"), 1, 32)
+            .alias("q")
+        )
+        rq_topk(codes, cb, wide_q, dims=64, k=5)
     # foreign codes -> NULL sim, never a crash
     bogus = spark.createDataFrame(
         [(1, [999, 999])], "vec_id long, codes array<int>"
