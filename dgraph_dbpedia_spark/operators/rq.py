@@ -204,6 +204,88 @@ def rq_train(
     return out
 
 
+def rq_codes_arrow(cmats):
+    """Vectorized twin of the native greedy encode for ``n_levels``
+    stages: per Arrow batch and stage, ONE norm-expansion matmul
+    ``||x||^2 - 2 x.C^T + ||c||^2`` (the :func:`..pq.encode_codes_arrow`
+    memory shape — ``(batch, k_sub)``, never a broadcast tensor) +
+    round-6 HALF_UP + first-min ``argmin`` (the native L2-asc/cid-asc
+    tie rule), then the residual ``x - C[code]`` feeds the next stage.
+    Bit-equality posture matches the PQ kernel (pinned on real data by
+    pytest; cancellation negatives clamped to 0 so a self-match can't
+    round to -0.0). Degenerate rows match the native lane: a NULL or
+    width-mismatched vector takes code 0 at EVERY stage (the native
+    NULL-distance tie lands on the lowest dense cid)."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 — pandas_udf type resolution
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    from dgraph_dbpedia_spark.operators.similarity import _round_half_up_np
+
+    n_levels = len(cmats)
+    dims = int(cmats[0].shape[1])
+    cnorms = [(C * C).sum(axis=1) for C in cmats]
+
+    def enc(emb):
+        import numpy as np  # noqa: F811 — resolve inside the worker
+
+        n = len(emb)
+        if n == 0:
+            import pandas as pd  # noqa: F811
+
+            return pd.Series([], dtype=object)
+        vals = emb.tolist()
+        bad = np.fromiter(
+            (v is None or len(v) != dims for v in vals),
+            dtype=bool,
+            count=n,
+        )
+        X = np.zeros((n, dims), dtype=np.float64)
+        for i, v in enumerate(vals):
+            if not bad[i]:
+                X[i] = v
+        codes = np.zeros((n, n_levels), dtype=np.int64)
+        R = X
+        for lvl, C in enumerate(cmats):
+            D = (
+                (R * R).sum(axis=1)[:, None]
+                - 2.0 * (R @ C.T)
+                + cnorms[lvl][None, :]
+            )
+            np.maximum(D, 0.0, out=D)
+            cl = np.argmin(_round_half_up_np(D, 6), axis=1)
+            cl[bad] = 0
+            codes[:, lvl] = cl
+            if lvl < n_levels - 1:
+                R = R - C[cl]
+        import pandas as pd  # noqa: F811
+
+        return pd.Series([[int(c) for c in row] for row in codes])
+
+    return pandas_udf(enc, ArrayType(IntegerType()))
+
+
+def _collect_rq_codebooks(codebooks: DataFrame, dims: int, n_levels: int):
+    """Bounded driver read of the validated ``(lvl, cid, c)`` frame as
+    per-stage ``(k_sub, dims)`` matrices in dense cid order (argmin's
+    first-min tie equals the native L2-asc/cid-asc rule)."""
+    import numpy as np
+
+    rows = codebooks.select(
+        "lvl", "cid", F.col("c").cast("array<double>").alias("c")
+    ).collect()
+    per: dict[int, list] = {}
+    for r in rows:
+        per.setdefault(r["lvl"], []).append((r["cid"], list(r["c"])))
+    return [
+        np.asarray(
+            [c for _, c in sorted(per[lvl])], dtype=np.float64
+        )
+        for lvl in range(n_levels)
+    ]
+
+
 def rq_encode(
     df: DataFrame,
     codebooks: DataFrame,
@@ -211,17 +293,34 @@ def rq_encode(
     n_levels: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Greedy RQ encoding: per stage, the nearest centroid of the
     running residual (round-6 L2 asc, cid asc). Returns ``(id, codes:
     array<int>)`` with ``codes[l]`` the stage-``l`` dense cid —
-    SHUFFLE-FREE over the corpus: one projection per stage against
-    ONE broadcast codebook row, residuals carried as generated
-    columns between binds (each stage's nearest is bound in its own
-    select so the fold runs once per row — the CollapseProject
-    trap)."""
+    SHUFFLE-FREE over the corpus either way (the pq_encode posture):
+
+    - ``use_arrow=True`` (default): the validated bounded codebook
+      frame is collected driver-side and both stages encode as one
+      norm-expansion matmul per Arrow batch (:func:`rq_codes_arrow`)
+      — the interpreted full-dim ``k_sub``-centroid fold per row per
+      stage is the measured encode cost at the 200k/k_sub=256 scale
+      point. Pinned bit-equal to the native lane by pytest.
+    - ``use_arrow=False``: the JVM-only oracle surface — one
+      projection per stage against ONE broadcast codebook row,
+      residuals carried as generated columns between binds (each
+      stage's nearest bound in its own select — the CollapseProject
+      trap)."""
     _rq_validate(dims, k_sub=1, n_levels=n_levels)
     _validate_rq_codebooks(codebooks, dims, n_levels)
+    if use_arrow:
+        enc = rq_codes_arrow(
+            _collect_rq_codebooks(codebooks, dims, n_levels)
+        )
+        return df.select(
+            F.col(id_col),
+            enc(F.col(vec_col).cast("array<double>")).alias("codes"),
+        )
     cur = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_rv")
     )

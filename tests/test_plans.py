@@ -64,6 +64,10 @@ _PYTHON_OK = {
     "semantic_decontaminate",
     "cluster_balanced_sample",
     "stream_semantic_tag",  # ivf_assign arrow lane (stateless tagger)
+    # r12: rq_codes_arrow greedy-encode lane (bit-equal pinned in
+    # test_rq.py) — both RQ rows return the lazy encode+score plan
+    "rq_topk",
+    "rq_rerank_topk",
 }
 
 

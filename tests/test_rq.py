@@ -137,3 +137,51 @@ def test_rq_validates_and_degenerates(spark, emb):
     )
     rows = rq_topk(bogus, cb, q, dims=64, k=5).collect()
     assert len(rows) == 1 and rows[0]["sim"] is None
+
+
+def test_rq_encode_arrow_pinned_equal_to_native(spark, emb):
+    """The Arrow greedy-encode kernel must reproduce the native
+    two-stage fold's codes exactly on real data; NULL and
+    width-mismatched vectors take code 0 at every stage on both
+    lanes (RQ uses the FULL vector, so unlike PQ an over-long vector
+    is a mismatch, not a truncation)."""
+    from dgraph_dbpedia_spark.operators.rq import rq_encode, rq_train
+
+    cb = rq_train(emb, dims=64, k_sub=16, n_levels=2, n_iter=1)
+    nat = {
+        r["vec_id"]: r["codes"]
+        for r in rq_encode(
+            emb, cb, dims=64, n_levels=2, use_arrow=False
+        ).collect()
+    }
+    arr = {
+        r["vec_id"]: r["codes"]
+        for r in rq_encode(
+            emb, cb, dims=64, n_levels=2, use_arrow=True
+        ).collect()
+    }
+    assert nat == arr and len(nat) == emb.count()
+    first = emb.orderBy("vec_id").first()["embedding"]
+    deg = spark.createDataFrame(
+        [
+            (1, None),
+            (2, []),
+            (3, [float(x) for x in first[:32]]),
+            (4, [float(x) for x in first] + [9.9]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    dn = {
+        r["vec_id"]: r["codes"]
+        for r in rq_encode(
+            deg, cb, dims=64, n_levels=2, use_arrow=False
+        ).collect()
+    }
+    da = {
+        r["vec_id"]: r["codes"]
+        for r in rq_encode(
+            deg, cb, dims=64, n_levels=2, use_arrow=True
+        ).collect()
+    }
+    assert dn == da
+    assert dn[1] == dn[2] == dn[3] == dn[4] == [0, 0]
