@@ -322,8 +322,14 @@ def encode_codes_arrow(cmats):
             np.maximum(D, 0.0, out=D)
             cj = np.argmin(_round_half_up_np(D, 6), axis=1)
             # subspace complete only when the vector covers the whole
-            # slice — short/NULL slices take code 0 (native NULL tie)
+            # slice — short/NULL slices take code 0 (native NULL tie).
+            # Non-finite slice values also take code 0: the native
+            # fold yields d = inf (or NaN) against EVERY centroid and
+            # ties to the lowest cid, while the expansion's inf - inf
+            # = NaN would let argmin pick an arbitrary first-NaN
+            # column (r12 review finding)
             cj[lens < off] = 0
+            cj[~np.isfinite(Xj).all(axis=1)] = 0
             codes[:, j] = cj
         return pd.Series([[int(c) for c in row] for row in codes])
 

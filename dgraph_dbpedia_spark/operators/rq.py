@@ -37,6 +37,7 @@ never assumed; the deployed contract is shortlist-for-exact-re-rank
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -213,11 +214,13 @@ def rq_codes_arrow(cmats):
     tie rule), then the residual ``x - C[code]`` feeds the next stage.
     Bit-equality posture matches the PQ kernel (pinned on real data by
     pytest; cancellation negatives clamped to 0 so a self-match can't
-    round to -0.0). Degenerate rows match the native lane: a NULL or
-    width-mismatched vector takes code 0 at EVERY stage (the native
-    NULL-distance tie lands on the lowest dense cid)."""
+    round to -0.0). Degenerate rows match the native lane: a NULL,
+    width-mismatched, or non-finite vector takes code 0 at EVERY
+    stage (native: NULL-padded or inf/NaN distances against every
+    centroid tie to the lowest dense cid — RQ uses the FULL vector,
+    so one bad component degrades the whole row, unlike PQ's
+    per-subspace containment)."""
     import numpy as np
-    import pandas as pd  # noqa: F401 — pandas_udf type resolution
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, IntegerType
 
@@ -227,13 +230,11 @@ def rq_codes_arrow(cmats):
     dims = int(cmats[0].shape[1])
     cnorms = [(C * C).sum(axis=1) for C in cmats]
 
-    def enc(emb):
+    def enc(emb: pd.Series) -> pd.Series:
         import numpy as np  # noqa: F811 — resolve inside the worker
 
         n = len(emb)
         if n == 0:
-            import pandas as pd  # noqa: F811
-
             return pd.Series([], dtype=object)
         vals = emb.tolist()
         bad = np.fromiter(
@@ -245,6 +246,12 @@ def rq_codes_arrow(cmats):
         for i, v in enumerate(vals):
             if not bad[i]:
                 X[i] = v
+        # non-finite rows join the code-0 class AND are zeroed so
+        # inf - inf = NaN can't poison argmin or the next stage's
+        # residual matmul (r12 review finding)
+        nonfin = ~np.isfinite(X).all(axis=1)
+        bad |= nonfin
+        X[nonfin] = 0.0
         codes = np.zeros((n, n_levels), dtype=np.int64)
         R = X
         for lvl, C in enumerate(cmats):
@@ -259,25 +266,55 @@ def rq_codes_arrow(cmats):
             codes[:, lvl] = cl
             if lvl < n_levels - 1:
                 R = R - C[cl]
-        import pandas as pd  # noqa: F811
-
         return pd.Series([[int(c) for c in row] for row in codes])
 
     return pandas_udf(enc, ArrayType(IntegerType()))
 
 
 def _collect_rq_codebooks(codebooks: DataFrame, dims: int, n_levels: int):
-    """Bounded driver read of the validated ``(lvl, cid, c)`` frame as
-    per-stage ``(k_sub, dims)`` matrices in dense cid order (argmin's
-    first-min tie equals the native L2-asc/cid-asc rule)."""
+    """ONE bounded driver read serving BOTH the validation and the
+    Arrow gather (the r12 review flagged a validate-then-collect
+    double read): coverage, density and width checked on the collected
+    rows, then per-stage ``(k_sub, dims)`` matrices in dense cid order
+    (argmin's first-min tie equals the native L2-asc/cid-asc rule).
+    Near-twin of pq's ``_collect_codebooks`` — kept separate because
+    the stage column and the full-dim width contract differ, but any
+    fix to one should be checked against the other."""
     import numpy as np
 
-    rows = codebooks.select(
-        "lvl", "cid", F.col("c").cast("array<double>").alias("c")
-    ).collect()
+    _CB_CAP = 1 << 20
+    rows = (
+        codebooks.select(
+            "lvl", "cid", F.col("c").cast("array<double>").alias("c")
+        )
+        .limit(_CB_CAP + 1)
+        .collect()
+    )
+    if len(rows) > _CB_CAP:
+        raise ValueError(
+            f"codebooks frame exceeds {_CB_CAP} rows — expected the "
+            "bounded n_levels * k_sub codebook frame"
+        )
     per: dict[int, list] = {}
     for r in rows:
         per.setdefault(r["lvl"], []).append((r["cid"], list(r["c"])))
+        if len(r["c"]) != dims:
+            raise ValueError(
+                f"stage {r['lvl']} centroid width {len(r['c'])} != "
+                f"dims {dims}"
+            )
+    if sorted(per) != list(range(n_levels)):
+        raise ValueError(
+            f"codebooks must cover stages 0..{n_levels - 1}, got "
+            f"{sorted(per)}"
+        )
+    k_sub = len(per[0])
+    for lvl in range(n_levels):
+        if sorted(c for c, _ in per[lvl]) != list(range(k_sub)):
+            raise ValueError(
+                f"stage {lvl} cids must be dense 0..{k_sub - 1} "
+                "(rq_train emits dense cids)"
+            )
     return [
         np.asarray(
             [c for _, c in sorted(per[lvl])], dtype=np.float64
@@ -312,8 +349,9 @@ def rq_encode(
       stage's nearest bound in its own select — the CollapseProject
       trap)."""
     _rq_validate(dims, k_sub=1, n_levels=n_levels)
-    _validate_rq_codebooks(codebooks, dims, n_levels)
     if use_arrow:
+        # the gather validates (ONE bounded collect, not
+        # validate-then-collect — r12 review)
         enc = rq_codes_arrow(
             _collect_rq_codebooks(codebooks, dims, n_levels)
         )
@@ -321,6 +359,7 @@ def rq_encode(
             F.col(id_col),
             enc(F.col(vec_col).cast("array<double>")).alias("codes"),
         )
+    _validate_rq_codebooks(codebooks, dims, n_levels)
     cur = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_rv")
     )

@@ -331,3 +331,31 @@ def test_pq_foreign_code_yields_null_sim(spark, emb):
     q = emb.limit(1).select(F.col("embedding").alias("q"))
     rows = pq_topk(bogus, cb, q, dims=64, m=4, k=5).collect()
     assert len(rows) == 1 and rows[0]["sim"] is None
+
+
+def test_pq_encode_nonfinite_subspace_takes_code_zero_both_lanes(spark, emb):
+    """A non-finite component zeroes ONLY its own subspace's code on
+    both lanes (PQ's per-subspace containment): the native fold's
+    inf/NaN distances tie to cid 0 there, while the other subspaces
+    keep their real codes."""
+    from dgraph_dbpedia_spark.operators.pq import pq_encode, pq_train
+
+    cb = pq_train(emb, dims=64, m=4, k_sub=8, n_iter=1)
+    first_row = emb.orderBy("vec_id").first()
+    first = [float(x) for x in first_row["embedding"]]
+    inf_v = list(first)
+    inf_v[20] = float("inf")  # subspace 1 (dims 16..31)
+    deg = spark.createDataFrame(
+        [(1, inf_v)], "vec_id long, embedding array<double>"
+    )
+    clean = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode(emb, cb, dims=64, m=4, use_arrow=False).collect()
+    }
+    for lane in (False, True):
+        got = pq_encode(
+            deg, cb, dims=64, m=4, use_arrow=lane
+        ).collect()[0]["codes"]
+        assert got[1] == 0, f"arrow={lane}"
+        ref = clean[first_row["vec_id"]]
+        assert got[0] == ref[0] and got[2:] == ref[2:], f"arrow={lane}"

@@ -185,3 +185,30 @@ def test_rq_encode_arrow_pinned_equal_to_native(spark, emb):
     }
     assert dn == da
     assert dn[1] == dn[2] == dn[3] == dn[4] == [0, 0]
+
+
+def test_rq_encode_nonfinite_takes_code_zero_both_lanes(spark, emb):
+    """inf/NaN components: the native fold yields inf/NaN distances
+    against every centroid and ties to cid 0; the Arrow kernel's
+    norm expansion would produce inf - inf = NaN and let argmin pick
+    an arbitrary column — both lanes must emit [0, 0]."""
+    from dgraph_dbpedia_spark.operators.rq import rq_encode, rq_train
+
+    cb = rq_train(emb, dims=64, k_sub=8, n_levels=2, n_iter=1)
+    first = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    inf_v = list(first)
+    inf_v[0] = float("inf")
+    nan_v = list(first)
+    nan_v[7] = float("nan")
+    deg = spark.createDataFrame(
+        [(1, inf_v), (2, nan_v)],
+        "vec_id long, embedding array<double>",
+    )
+    for lane in (False, True):
+        got = {
+            r["vec_id"]: r["codes"]
+            for r in rq_encode(
+                deg, cb, dims=64, n_levels=2, use_arrow=lane
+            ).collect()
+        }
+        assert got[1] == [0, 0] and got[2] == [0, 0], f"arrow={lane}"
