@@ -89,6 +89,7 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_decimals: int = 4,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Train the ``m`` per-subspace codebooks. Returns ``(j, cid, c)``
     — ``m * k_sub`` bounded rows (subspace ``j`` in 0..m-1, sub-
@@ -114,7 +115,22 @@ def pq_train(
     from ``_lloyd_refine``; training runs on DENSE cids from the start
     (dense rank preserves seed-id order, so every L2-asc/cid-asc
     tie-break — and therefore every trained value — is bit-identical
-    to the per-subspace form the DuckDB oracle replays)."""
+    to the per-subspace form the DuckDB oracle replays).
+
+    ``use_arrow=True`` (default) swaps each iteration's assignment
+    projection for :func:`encode_codes_arrow` — the SAME pinned
+    kernel the encode path runs, fed from a bounded per-iteration
+    driver read of the just-checkpointed ``m x k_sub`` codebook frame
+    (the ivf_train Arrow-lane pattern). The interpreted per-row HOF
+    fold is ``n x m x k_sub x dims/m`` multiply-adds per iteration —
+    the measured training wall at production codebook widths
+    (BENCH_SCALE r12: RQ's full-dim fold at k_sub=256 made no
+    progress in 20 minutes at 200k vectors; the kernel's matmul form
+    is the difference between "trainable on a sample" and "not").
+    Assignments are bit-equal to the native fold (pinned: codebooks
+    from both lanes compare exactly), so trained values — and the
+    DuckDB replay — are unchanged. ``use_arrow=False`` remains the
+    JVM-only oracle surface."""
     from pyspark.sql import Window
 
     from dgraph_dbpedia_spark.operators.cachectl import (
@@ -166,23 +182,51 @@ def pq_train(
         # through the inline(array(struct)) barrier so
         # InferFiltersFromGenerate can't duplicate the m broadcast
         # folds into a pushed-down size() filter
-        asg = e.crossJoin(F.broadcast(_codebook_row(cent))).select(
-            F.inline(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("j"),
-                            _nearest_l2(
-                                F.slice("_v", j * sub + 1, sub),
-                                F.filter(F.col("_cb"), match_j(j)),
-                            )["cid"].alias("cid"),
-                            F.slice("_v", j * sub + 1, sub).alias("sv"),
-                        )
-                        for j in range(m)
-                    ]
+        if use_arrow:
+            # per-iteration bounded collect of the m x k_sub frame
+            # just checkpointed (an X6 read, never a corpus job);
+            # the codes column binds in its OWN select so the m
+            # get()s below reference ONE Arrow eval, not m
+            # CollapseProject-duplicated kernel runs
+            enc = encode_codes_arrow(_collect_codebooks(cent, m, sub))
+            asg = e.select(
+                "_v", enc(F.col("_v")).alias("_codes")
+            ).select(
+                F.inline(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(j).alias("j"),
+                                F.get("_codes", j).alias("cid"),
+                                F.slice("_v", j * sub + 1, sub).alias(
+                                    "sv"
+                                ),
+                            )
+                            for j in range(m)
+                        ]
+                    )
                 )
             )
-        )
+        else:
+            asg = e.crossJoin(F.broadcast(_codebook_row(cent))).select(
+                F.inline(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(j).alias("j"),
+                                _nearest_l2(
+                                    F.slice("_v", j * sub + 1, sub),
+                                    F.filter(F.col("_cb"), match_j(j)),
+                                )["cid"].alias("cid"),
+                                F.slice("_v", j * sub + 1, sub).alias(
+                                    "sv"
+                                ),
+                            )
+                            for j in range(m)
+                        ]
+                    )
+                )
+            )
         means = (
             asg.select("j", "cid", F.posexplode("sv").alias("pos", "val"))
             .groupBy("j", "cid", "pos")
@@ -249,6 +293,70 @@ def _collect_codebooks(codebooks: DataFrame, m: int, sub: int):
     return mats
 
 
+def _l2_codes_np(Xj, C, cnorm):
+    """Round-6 first-min argmin over squared L2 distances computed by
+    the norm-expansion matmul — reproducing the NATIVE fold's ordering
+    even when centroids (or rows) carry non-finite components. The
+    expansion alone is wrong there: ``inf * 0`` inside ``Xj @ C.T``
+    yields NaN columns and ``np.argmin`` returns the first NaN index,
+    silently assigning normal rows to whatever cid holds the bad
+    centroid (found r12: training at n_iter >= 2 over a corpus with an
+    inf vector — iteration 1's cid-0 mean goes inf, iteration 2's
+    assignment then diverges between lanes). The native fold's terms
+    ``(x - c)^2`` are all >= 0 or NaN, so a bad centroid/row yields
+    d = inf (or NaN if any NaN appears) — never a finite value — and
+    Spark's ascending sort ranks finite < inf < NaN with ties to the
+    lowest cid. Bad columns/rows are recomputed elementwise (bounded:
+    only the bad slices) to the native inf/NaN class, then ranked by
+    that three-tier rule."""
+    import numpy as np
+
+    from dgraph_dbpedia_spark.operators.similarity import (
+        _round_half_up_np,
+    )
+
+    D = (
+        (Xj * Xj).sum(axis=1)[:, None]
+        - 2.0 * (Xj @ C.T)
+        + cnorm[None, :]
+    )
+    # cancellation can produce tiny negatives for (near-)self matches;
+    # clamp so the rounded distance is 0.0 like the exact fold's
+    np.maximum(D, 0.0, out=D)
+    val = _round_half_up_np(D, 6)
+    badc = ~np.isfinite(C).all(axis=1)
+    badr = ~np.isfinite(Xj).all(axis=1)
+    if badc.any():
+        for j in np.nonzero(badc)[0]:
+            # native class exactly: nonneg terms + inf -> inf, any NaN
+            # -> NaN (order-independent — no cancellation possible)
+            val[:, j] = ((Xj - C[j][None, :]) ** 2).sum(axis=1)
+    if badr.any():
+        # chunked so an adversarial mostly-non-finite batch can't
+        # resurrect the (batch, k, sub) tensor this module removed
+        idx = np.nonzero(badr)[0]
+        step = max(1, 10_000_000 // (C.shape[0] * C.shape[1]))
+        for s in range(0, len(idx), step):
+            rows = idx[s:s + step]
+            val[rows] = (
+                (Xj[rows][:, None, :] - C[None, :, :]) ** 2
+            ).sum(axis=2)
+    isnan = np.isnan(val)
+    if not (isnan.any() or badc.any() or badr.any()):
+        return np.argmin(val, axis=1)
+    # tier rank: finite by value first (NaN knocked above any finite
+    # via +inf), then true-inf columns, then all-NaN -> lowest cid
+    key = np.where(isnan, np.inf, val)
+    best = np.argmin(key, axis=1)
+    rowmin = key[np.arange(key.shape[0]), best]
+    fix = np.isinf(rowmin)
+    if fix.any():
+        infmask = np.isinf(val[fix])
+        hasinf = infmask.any(axis=1)
+        best[fix] = np.where(hasinf, infmask.argmax(axis=1), 0)
+    return best
+
+
 def encode_codes_arrow(cmats):
     """Vectorized twin of the native per-row encode fold: per Arrow
     batch and subspace, the norm-expansion matmul
@@ -277,8 +385,6 @@ def encode_codes_arrow(cmats):
     import numpy as np
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, IntegerType
-
-    from dgraph_dbpedia_spark.operators.similarity import _round_half_up_np
 
     m = len(cmats)
     dims = int(sum(c.shape[1] for c in cmats))
@@ -311,25 +417,17 @@ def encode_codes_arrow(cmats):
             Xj = X[:, off:off + sub_j]
             off += sub_j
             # ||x||^2 - 2 x.c + ||c||^2: (batch, k_sub) — never the
-            # (batch, k_sub, sub) broadcast tensor. Cancellation can
-            # produce tiny negatives for (near-)self matches; clamp so
-            # the rounded distance is 0.0 like the exact fold's.
-            D = (
-                (Xj * Xj).sum(axis=1)[:, None]
-                - 2.0 * (Xj @ C.T)
-                + cnorms[j][None, :]
-            )
-            np.maximum(D, 0.0, out=D)
-            cj = np.argmin(_round_half_up_np(D, 6), axis=1)
+            # (batch, k_sub, sub) broadcast tensor. _l2_codes_np owns
+            # the clamp, round-6 first-min rule AND the non-finite
+            # centroid/row tiers (finite < inf < NaN, native order).
+            cj = _l2_codes_np(Xj, C, cnorms[j])
             # subspace complete only when the vector covers the whole
             # slice — short/NULL slices take code 0 (native NULL tie).
-            # Non-finite slice values also take code 0: the native
-            # fold yields d = inf (or NaN) against EVERY centroid and
-            # ties to the lowest cid, while the expansion's inf - inf
-            # = NaN would let argmin pick an arbitrary first-NaN
-            # column (r12 review finding)
+            # Non-finite slices need NO mask here: _l2_codes_np's
+            # bad-row path recomputes them elementwise to the native
+            # inf/NaN class (code 0 against a finite codebook; the
+            # native inf-beats-NaN pick if the codebook itself is bad)
             cj[lens < off] = 0
-            cj[~np.isfinite(Xj).all(axis=1)] = 0
             codes[:, j] = cj
         return pd.Series([[int(c) for c in row] for row in codes])
 

@@ -138,6 +138,7 @@ def rq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_decimals: int = 4,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Train the ``n_levels`` stage codebooks greedily (the standard
     RQ recipe: stage ``l`` k-means the residuals stage ``l-1`` left).
@@ -151,7 +152,22 @@ def rq_train(
     shuffle-free assignment projection producing the residual frame
     (localCheckpoint-ed so stage ``l+1``'s iterations re-read a
     materialized frame instead of re-deriving ``l`` stages of
-    residuals per pass)."""
+    residuals per pass).
+
+    ``use_arrow=True`` (default) routes BOTH per-row L2 assignments
+    through the pinned :func:`..pq.encode_codes_arrow` kernel: the
+    stage Lloyd iterations (via ``pq_train(use_arrow=True)``) and the
+    between-stage residual assignment (an ``m=1`` single-stage encode
+    against the just-trained codebook; the winning centroid is still
+    picked natively from the broadcast stage row by the returned cid,
+    and the residual subtraction stays the exact native ``zip_with``).
+    RQ's native full-dim fold is the package's worst interpreted
+    assignment — ``n x k_sub x dims`` HOF multiply-adds per pass made
+    k_sub=256 training unrunnable at 200k vectors (BENCH_SCALE r12) —
+    while assignments stay bit-equal (pinned: both-lane codebooks
+    compare exactly), so trained values and the DuckDB replay are
+    unchanged. ``use_arrow=False`` remains the JVM-only oracle
+    surface."""
     from dgraph_dbpedia_spark.operators.cachectl import (
         release_local_checkpoint,
     )
@@ -172,27 +188,80 @@ def rq_train(
             id_col=id_col,
             vec_col="_rv",
             round_decimals=round_decimals,
+            use_arrow=use_arrow,
         ).select(F.lit(lvl).alias("lvl"), "cid", "c")
         out = cb if out is None else out.unionByName(cb)
         if lvl < n_levels - 1:
             stage = _stage_row(cb, lvl)
-            # nearest bound in its OWN select (the CollapseProject
-            # trap); _nearest_l2's sorted struct carries only
-            # (d, cid), so the winning centroid VECTOR is picked from
-            # the bounded broadcast list in the next select (an O(k)
-            # filter per row — cids are unique, exactly one match)
-            asg = cur.crossJoin(F.broadcast(stage)).select(
-                F.col(id_col),
-                F.col("_rv"),
-                F.col("_cent"),
-                _nearest_l2(F.col("_rv"), F.col("_cent")).alias("_b"),
-            )
-            cur = asg.select(
-                F.col(id_col),
-                F.zip_with(
-                    "_rv", _winning_c(), lambda a, b: a - b
-                ).alias("_rv"),
-            ).localCheckpoint()
+            if use_arrow:
+                # single-stage Arrow encode against the just-trained
+                # (checkpointed, bounded) codebook: one bounded
+                # driver read + one matmul kernel instead of the
+                # full-dim n x k_sub HOF fold. The cid binds in its
+                # OWN select (CollapseProject) and the winning
+                # centroid/residual stay native — identical values
+                # either lane.
+                from dgraph_dbpedia_spark.operators.pq import (
+                    _collect_codebooks,
+                    encode_codes_arrow,
+                )
+
+                enc = encode_codes_arrow(
+                    _collect_codebooks(
+                        cb.select(F.lit(0).alias("j"), "cid", "c"),
+                        1,
+                        dims,
+                    )
+                )
+                # width mask: the native residual fold zip_withs the
+                # FULL vector (no slicing), so a vector LONGER than
+                # dims NULL-pads the centroid side -> d NULL -> cid 0,
+                # while the encode kernel would prefix-encode it.
+                # Masking non-dims-width vectors to NULL reproduces
+                # the kernel's code-0 class for them (shorter/NULL
+                # rows already land there in both lanes).
+                masked = F.when(
+                    F.size("_rv") == F.lit(dims), F.col("_rv")
+                )
+                asg = cur.select(
+                    F.col(id_col),
+                    F.col("_rv"),
+                    F.get(enc(masked), 0).alias("_c0"),
+                ).crossJoin(F.broadcast(stage))
+                win = F.get(
+                    F.filter(
+                        F.col("_cent"),
+                        lambda s: s["cid"] == F.col("_c0"),
+                    ),
+                    0,
+                )["c"]
+                cur = asg.select(
+                    F.col(id_col),
+                    F.zip_with("_rv", win, lambda a, b: a - b).alias(
+                        "_rv"
+                    ),
+                ).localCheckpoint()
+            else:
+                # nearest bound in its OWN select (the CollapseProject
+                # trap); _nearest_l2's sorted struct carries only
+                # (d, cid), so the winning centroid VECTOR is picked
+                # from the bounded broadcast list in the next select
+                # (an O(k) filter per row — cids are unique, exactly
+                # one match)
+                asg = cur.crossJoin(F.broadcast(stage)).select(
+                    F.col(id_col),
+                    F.col("_rv"),
+                    F.col("_cent"),
+                    _nearest_l2(F.col("_rv"), F.col("_cent")).alias(
+                        "_b"
+                    ),
+                )
+                cur = asg.select(
+                    F.col(id_col),
+                    F.zip_with(
+                        "_rv", _winning_c(), lambda a, b: a - b
+                    ).alias("_rv"),
+                ).localCheckpoint()
             cps.append(cur)
     # stage residual checkpoints are only read while the NEXT stage
     # trains, and `out` is built solely from pq_train's own
@@ -214,17 +283,19 @@ def rq_codes_arrow(cmats):
     tie rule), then the residual ``x - C[code]`` feeds the next stage.
     Bit-equality posture matches the PQ kernel (pinned on real data by
     pytest; cancellation negatives clamped to 0 so a self-match can't
-    round to -0.0). Degenerate rows match the native lane: a NULL,
-    width-mismatched, or non-finite vector takes code 0 at EVERY
-    stage (native: NULL-padded or inf/NaN distances against every
-    centroid tie to the lowest dense cid — RQ uses the FULL vector,
-    so one bad component degrades the whole row, unlike PQ's
-    per-subspace containment)."""
+    round to -0.0). Degenerate rows match the native lane: a NULL or
+    width-mismatched vector takes code 0 at EVERY stage (native:
+    NULL-padded distances against every centroid tie to the lowest
+    dense cid), and a non-finite vector — or a non-finite CENTROID —
+    ranks by the native finite < inf < NaN tier rule via
+    :func:`..pq._l2_codes_np` (code 0 against a finite codebook; RQ
+    uses the FULL vector, so one bad component degrades the whole
+    row, unlike PQ's per-subspace containment)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, IntegerType
 
-    from dgraph_dbpedia_spark.operators.similarity import _round_half_up_np
+    from dgraph_dbpedia_spark.operators.pq import _l2_codes_np
 
     n_levels = len(cmats)
     dims = int(cmats[0].shape[1])
@@ -246,22 +317,16 @@ def rq_codes_arrow(cmats):
         for i, v in enumerate(vals):
             if not bad[i]:
                 X[i] = v
-        # non-finite rows join the code-0 class AND are zeroed so
-        # inf - inf = NaN can't poison argmin or the next stage's
-        # residual matmul (r12 review finding)
-        nonfin = ~np.isfinite(X).all(axis=1)
-        bad |= nonfin
-        X[nonfin] = 0.0
+        # non-finite rows are NOT zeroed: _l2_codes_np recomputes
+        # their distance rows elementwise to the native inf/NaN class
+        # and ranks finite < inf < NaN, so their codes — and their
+        # propagated non-finite residuals — match the native lane
+        # even against a codebook that itself carries non-finite
+        # centroids (the r12 training-lane finding)
         codes = np.zeros((n, n_levels), dtype=np.int64)
         R = X
         for lvl, C in enumerate(cmats):
-            D = (
-                (R * R).sum(axis=1)[:, None]
-                - 2.0 * (R @ C.T)
-                + cnorms[lvl][None, :]
-            )
-            np.maximum(D, 0.0, out=D)
-            cl = np.argmin(_round_half_up_np(D, 6), axis=1)
+            cl = _l2_codes_np(R, C, cnorms[lvl])
             cl[bad] = 0
             codes[:, lvl] = cl
             if lvl < n_levels - 1:

@@ -1,5 +1,7 @@
 """Product quantization (operators/pq.py)."""
 
+import struct
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -359,3 +361,84 @@ def test_pq_encode_nonfinite_subspace_takes_code_zero_both_lanes(spark, emb):
         assert got[1] == 0, f"arrow={lane}"
         ref = clean[first_row["vec_id"]]
         assert got[0] == ref[0] and got[2:] == ref[2:], f"arrow={lane}"
+
+
+def test_pq_train_arrow_pinned_equal_to_native(spark, emb):
+    """Training's Arrow assignment lane (r12: the per-iteration
+    encode_codes_arrow swap) must yield BIT-IDENTICAL codebooks to the
+    native HOF fold — including with degenerate rows (NULL / short /
+    long / non-finite vectors) mixed into the corpus, which land in
+    the code-0 class identically on both lanes and therefore shift
+    the cid-0 means identically."""
+    from dgraph_dbpedia_spark.operators.pq import pq_train
+
+    deg = spark.createDataFrame(
+        [
+            (90_001, None),
+            (90_002, [1.0, 2.0]),
+            (90_003, [0.5] * 70),
+            (90_004, [float("inf")] * 64),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(deg)
+    key = lambda r: (r["j"], r["cid"])  # noqa: E731
+    # IEEE bit patterns, not ==: the inf row legitimately drives the
+    # cid-0 mean non-finite in BOTH lanes, and NaN != NaN would fail
+    # an equality check on a bit-identical codebook
+    bits = lambda rows: [  # noqa: E731
+        (r["j"], r["cid"], [struct.pack(">d", x) for x in r["c"]])
+        for r in rows
+    ]
+    nat = bits(
+        sorted(
+            pq_train(
+                corpus, dims=64, m=4, k_sub=8, n_iter=2, use_arrow=False
+            ).collect(),
+            key=key,
+        )
+    )
+    arr = bits(
+        sorted(
+            pq_train(
+                corpus, dims=64, m=4, k_sub=8, n_iter=2, use_arrow=True
+            ).collect(),
+            key=key,
+        )
+    )
+    assert nat == arr
+
+
+def test_pq_encode_nonfinite_codebook_never_wins_both_lanes(spark, emb):
+    """A codebook carrying a non-finite centroid (training over a
+    corpus with inf/NaN vectors produces these: the bad row's mean
+    poisons its cluster) must encode finite rows identically on both
+    lanes — the native fold gives d = inf/NaN for the bad centroid so
+    it never beats a finite distance, while the raw norm-expansion's
+    inf * 0 = NaN columns would send np.argmin to the bad cid."""
+    from dgraph_dbpedia_spark.operators.pq import pq_encode, pq_train
+
+    cb = pq_train(emb, dims=64, m=4, k_sub=8, n_iter=1)
+    poisoned = cb.withColumn(
+        "c",
+        F.when(
+            (F.col("j") == 1) & (F.col("cid") == 2),
+            F.array(*[F.lit(float("inf"))] * 16),
+        ).otherwise(F.col("c")),
+    )
+    nat = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode(
+            emb, poisoned, dims=64, m=4, use_arrow=False
+        ).collect()
+    }
+    arr = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode(
+            emb, poisoned, dims=64, m=4, use_arrow=True
+        ).collect()
+    }
+    assert nat == arr and len(nat) == emb.count()
+    assert all(c[1] != 2 for c in arr.values())

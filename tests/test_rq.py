@@ -1,5 +1,7 @@
 """Residual quantization (operators/rq.py)."""
 
+import struct
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -212,3 +214,60 @@ def test_rq_encode_nonfinite_takes_code_zero_both_lanes(spark, emb):
             ).collect()
         }
         assert got[1] == [0, 0] and got[2] == [0, 0], f"arrow={lane}"
+
+
+def test_rq_train_arrow_pinned_equal_to_native(spark, emb):
+    """rq_train's Arrow lane (stage Lloyds AND the between-stage
+    residual assignment) must yield BIT-IDENTICAL stage codebooks to
+    the native full-dim fold — including degenerate rows (NULL /
+    short / LONGER-than-dims / non-finite), which the residual lane's
+    width mask pins to the native code-0 class."""
+    from dgraph_dbpedia_spark.operators.rq import rq_train
+
+    deg = spark.createDataFrame(
+        [
+            (90_001, None),
+            (90_002, [1.0, 2.0]),
+            (90_003, [0.5] * 70),
+            (90_004, [float("nan")] * 64),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(deg)
+    key = lambda r: (r["lvl"], r["cid"])  # noqa: E731
+    # IEEE bit patterns, not ==: the NaN row legitimately drives the
+    # cid-0 mean to NaN in BOTH lanes, and NaN != NaN would fail an
+    # equality check on a bit-identical codebook
+    bits = lambda rows: [  # noqa: E731
+        (r["lvl"], r["cid"], [struct.pack(">d", x) for x in r["c"]])
+        for r in rows
+    ]
+    nat = bits(
+        sorted(
+            rq_train(
+                corpus,
+                dims=64,
+                k_sub=8,
+                n_levels=2,
+                n_iter=2,
+                use_arrow=False,
+            ).collect(),
+            key=key,
+        )
+    )
+    arr = bits(
+        sorted(
+            rq_train(
+                corpus,
+                dims=64,
+                k_sub=8,
+                n_levels=2,
+                n_iter=2,
+                use_arrow=True,
+            ).collect(),
+            key=key,
+        )
+    )
+    assert nat == arr
