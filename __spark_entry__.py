@@ -1837,6 +1837,74 @@ def _q_hybrid_search_rrf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lex, sem], k=60, topn=10)
 
 
+def _q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: the recall audit a served-ANN deployment runs — per query,
+    recall@5 of the partition-pruned IVF arm (n_probe=2, the
+    hybrid_search_rrf_served semantic arm exactly) against the exact
+    brute-cosine arm as truth. Two rank windows + one (query, id)
+    equi-join over top-5 lists; the oracle replays both arms and the
+    overlap count."""
+    from dgraph_dbpedia_spark.operators.fusion import rank_overlap
+    from dgraph_dbpedia_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk_served,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = _served_ivf_index(spark, sf_dir)
+    ref = cand = None
+    for qid, qvec in (("qa", 0), ("qb", 1)):
+        q = emb.where(F.col("vec_id") == qvec).select(
+            F.col("embedding").alias("q")
+        )
+        r = cosine_topk(
+            emb.where(F.col("vec_id") > 0).where(
+                F.col("vec_id") != qvec
+            ),
+            q,
+            k=5,
+        ).select(
+            F.lit(qid).alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            F.col("sim").alias("score"),
+        )
+        c = ivf_topk_served(
+            assigned.where(F.col("vec_id") != qvec),
+            centroids,
+            q,
+            k=5,
+            n_probe=2,
+        ).select(
+            F.lit(qid).alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            F.col("sim").alias("score"),
+        )
+        ref = r if ref is None else ref.unionByName(r)
+        cand = c if cand is None else cand.unionByName(c)
+    return rank_overlap(ref, cand, k=5)
+
+
+def _q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: Maximal Marginal Relevance diversity re-rank (Carbonell &
+    Goldstein, SIGIR 1998) over the exact cosine shortlist — top-20
+    candidates for vec 0's query, k=5 picks at lambda=0.7. The greedy
+    is O(k * shortlist) on the bounded driver-collected shortlist (the
+    probe-list X6 pattern); the oracle replays the selection as k
+    unrolled argmax stages (round-4 rel / round-6 pair cosines /
+    round-4 mmr, ties to the lowest id)."""
+    from dgraph_dbpedia_spark.operators.fusion import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("q"))
+    return mmr_rerank(
+        emb.where(F.col("vec_id") > 0),
+        q,
+        k=5,
+        lambda_=0.7,
+        shortlist_n=20,
+    )
+
+
 def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribution-style per-user interval join (batch twin of the
     watermarked stream-stream join in streaming/events.py): every click
@@ -2432,6 +2500,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # registry change.
     "corpus_divergence": _q_corpus_divergence,
     "corpus_divergence_counts": _q_corpus_divergence_counts,
+    # added in the r12 continuation session: MMR diversity re-rank
+    # (SIGIR 1998) over the exact shortlist (k unrolled oracle
+    # stages), and the served-ANN recall audit (exact arm as truth)
+    "mmr_rerank": _q_mmr_rerank,
+    "ann_recall_report": _q_ann_recall_report,
     "pq_rerank_topk": _q_pq_rerank_topk,
     "hybrid_search_rrf_served": _q_hybrid_search_rrf_served,
     "semantic_decontaminate": _q_semantic_decontaminate,
@@ -3320,6 +3393,90 @@ def _sql_rq_topk(
         SELECT e.vec_id, {_sql_cosine('e.v', 'q.q', 4)} AS sim
         FROM e SEMI JOIN short USING (vec_id) CROSS JOIN q
         ORDER BY sim DESC, e.vec_id LIMIT {k}"""
+
+
+def _sql_ann_recall_report() -> str:
+    """Recall@5 audit replay: exact brute arm (vec_id > 0 corpus,
+    self-excluded — the reference/truth) vs the served IVF arm
+    (:func:`_sql_sem_arm_ivf_served` verbatim), one (query, id) left
+    join, per-query counts, recall as a DOUBLE division."""
+
+    def brute(qid: str, qvec: int) -> str:
+        return f"""SELECT * FROM (
+                    WITH q AS (
+                        SELECT embedding::DOUBLE[] AS q FROM embeddings
+                        WHERE vec_id = {qvec}),
+                    scored AS (
+                        SELECT vec_id,
+                               {_sql_cosine('embedding::DOUBLE[]', 'q', 4)} AS sim
+                        FROM embeddings, q
+                        WHERE vec_id > 0 AND vec_id <> {qvec})
+                    SELECT '{qid}' AS query_id, vec_id AS doc_id,
+                           sim AS score
+                    FROM scored ORDER BY sim DESC, vec_id LIMIT 5)"""
+
+    return f"""
+        WITH ref AS ({brute('qa', 0)} UNION ALL {brute('qb', 1)}),
+        cand AS ({_sql_sem_arm_ivf_served('qa', 0)}
+                 UNION ALL {_sql_sem_arm_ivf_served('qb', 1)})
+        SELECT r.query_id, count(*) AS n_ref,
+               count(c.doc_id) AS n_common,
+               round(count(c.doc_id)::DOUBLE / count(*), 4) AS recall
+        FROM ref r LEFT JOIN cand c
+          ON r.query_id = c.query_id AND r.doc_id = c.doc_id
+        GROUP BY r.query_id"""
+
+
+def _sql_mmr_rerank(
+    k: int = 5, shortlist_n: int = 20, lam: float = 0.7
+) -> str:
+    """MMR greedy replay as ``k`` unrolled argmax stages: stage i
+    scores every unselected candidate ``round(lam * rel - (1 - lam) *
+    max(pair sim to the selected set), 4)`` and keeps the top row
+    (mmr desc, id asc). ``(1.0 - lam)`` stays an SQL EXPRESSION so
+    DuckDB computes the identical IEEE complement the operator's
+    ``1.0 - lambda_`` does (a 0.3 literal is a different double).
+    ``+ 0.0`` folds round()'s possible -0.0 (F.round never emits
+    one)."""
+    rel = _sql_cosine("embedding::DOUBLE[]", "q", 4)
+    pair = _sql_cosine("a.v", "b.v", 6)
+    stages = [
+        f"""s1 AS (
+            SELECT 1 AS rank, vec_id, rel,
+                   round({lam} * rel, 4) + 0.0 AS mmr
+            FROM cand ORDER BY mmr DESC, vec_id LIMIT 1)"""
+    ]
+    for i in range(2, k + 1):
+        sel = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(1, i)
+        )
+        stages.append(
+            f"""s{i} AS (
+            SELECT {i} AS rank, c.vec_id, c.rel,
+                   round({lam} * c.rel - (1.0 - {lam}) * (
+                       SELECT max(p.s) FROM p
+                       WHERE p.ia = c.vec_id AND p.ib IN ({sel})),
+                   4) + 0.0 AS mmr
+            FROM cand c WHERE c.vec_id NOT IN ({sel})
+            ORDER BY mmr DESC, c.vec_id LIMIT 1)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM s{i}" for i in range(1, k + 1)
+    )
+    return f"""
+        WITH q AS (
+            SELECT embedding::DOUBLE[] AS q FROM embeddings
+            ORDER BY vec_id LIMIT 1),
+        cand AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   {rel} + 0.0 AS rel
+            FROM embeddings, q WHERE vec_id > 0
+            ORDER BY rel DESC, vec_id LIMIT {shortlist_n}),
+        p AS (
+            SELECT a.vec_id AS ia, b.vec_id AS ib, {pair} AS s
+            FROM cand a, cand b WHERE a.vec_id != b.vec_id),
+        {', '.join(stages)}
+        SELECT rank, vec_id, rel, mmr FROM ({union}) ORDER BY rank"""
 
 
 def _sql_ivf_topk(k: int = 5, n_centroids: int = 16, n_probe: int = 2) -> str:
@@ -4553,6 +4710,10 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_topk_trained": _sql_ivf_topk_trained(),
         "pq_topk": _sql_pq_topk(),
         "pq_rerank_topk": _sql_pq_topk(k=5, rerank_shortlist=50),
+        # r12 continuation: MMR greedy replay, k unrolled argmax stages
+        "mmr_rerank": _sql_mmr_rerank(k=5, shortlist_n=20, lam=0.7),
+        # r12 continuation: served-ANN recall audit (brute arm truth)
+        "ann_recall_report": _sql_ann_recall_report(),
         # r12: residual quantization — the additive sibling (full
         # 2-stage train + residual + greedy encode + additive ADC)
         "rq_topk": _sql_rq_topk(),

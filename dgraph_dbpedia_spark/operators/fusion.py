@@ -104,3 +104,248 @@ def rrf_fuse(
             .drop("_rn")
         )
     return out
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    lambda_: float = 0.5,
+    shortlist_n: int = 50,
+    candidates: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_col: str = "q",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein,
+    SIGIR 1998): pick ``k`` results from a relevance shortlist
+    greedily, each step maximizing
+
+        mmr(d) = lambda * rel(d) - (1 - lambda) * max_{s in S} sim(d, s)
+
+    over the not-yet-selected candidates — the standard diversity
+    re-rank a RAG stack runs so the k retrieved chunks don't all say
+    the same thing. Returns ``(rank, id, rel, mmr)`` with ``rank``
+    1..k in selection order.
+
+    Shortlist: by default the exact brute-cosine top-``shortlist_n``
+    (round-4 ``rel``, ties id asc — the :func:`..similarity.
+    cosine_topk` contract). Pass ``candidates`` — any bounded
+    ``(id, sim)`` frame, e.g. an IVF/PQ serve arm's output — to
+    diversify an APPROXIMATE shortlist instead; its vectors are
+    fetched from ``df`` by a broadcast join (the shortlist is k-ish
+    rows; the corpus scan stays pruned to (id, vec)).
+
+    Determinism contract (oracle-replayable): rel is round-4;
+    pairwise candidate sims are round-6 HALF_UP cosines (numpy twin
+    via :func:`..similarity._round_half_up_np` — the Arrow-kernel
+    bridge posture: engines agree except within ~1e-11 of a rounding
+    boundary); each step's mmr is round-4; every argmax breaks ties
+    on the lowest id; rank 1 scores ``round(lambda * rel, 4)`` (the
+    empty-set max-sim-0 convention).
+
+    100 TB shape: the ONLY corpus-sized work is the shortlist stage —
+    a pruned scan + broadcast-query projection (or the caller's own
+    ANN serve path). The greedy loop is O(k * shortlist_n) over a
+    driver-collected list BOUNDED by ``shortlist_n`` (validated
+    <= 10_000 — the probe-list X6 pattern, never a data collect):
+    inherently sequential, trivially small, exactly what a serving
+    node computes per request. No iterative Spark jobs are launched
+    for it."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        _round_half_up_np,
+        cosine,
+    )
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0.0 <= lambda_ <= 1.0:
+        raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
+    if shortlist_n < k:
+        raise ValueError(
+            f"shortlist_n ({shortlist_n}) must be >= k ({k})"
+        )
+    if shortlist_n > 10_000:
+        raise ValueError(
+            f"shortlist_n ({shortlist_n}) exceeds the bounded-collect "
+            "cap (10000) — diversify a served shortlist instead"
+        )
+    import numpy as np
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    q = query.select(F.col(query_col).cast("array<double>").alias("q"))
+    probe = q.limit(2).collect()
+    if len(probe) > 1:
+        raise ValueError(
+            "mmr_rerank expects exactly one query vector, got a "
+            "multi-row query frame"
+        )
+    id_type = df.schema[id_col].dataType
+    ret = StructType(
+        [
+            StructField("rank", IntegerType()),
+            StructField(id_col, id_type),
+            StructField("rel", DoubleType()),
+            StructField("mmr", DoubleType()),
+        ]
+    )
+    spark = df.sparkSession
+    if not probe:
+        return spark.createDataFrame([], ret)
+    if candidates is None:
+        short = (
+            df.select(
+                F.col(id_col),
+                F.col(vec_col).cast("array<double>").alias("e"),
+            )
+            .crossJoin(F.broadcast(q))
+            .select(
+                F.col(id_col),
+                "e",
+                F.round(cosine("e", "q"), 4).alias("rel"),
+            )
+            # a candidate without a score isn't a candidate (NULL /
+            # width-mismatched vectors) — dropped on BOTH engines
+            .where(F.col("rel").isNotNull())
+            .orderBy(F.col("rel").desc(), F.col(id_col))
+            .limit(shortlist_n)
+        )
+    else:
+        cand = (
+            candidates.select(F.col(id_col), F.col("sim").alias("rel"))
+            .where(F.col("rel").isNotNull())
+            .orderBy(F.col("rel").desc(), F.col(id_col))
+            .limit(shortlist_n)
+        )
+        short = df.join(F.broadcast(cand), id_col).select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("e"),
+            "rel",
+        )
+    rows = sorted(short.collect(), key=lambda r: (-r["rel"], r[id_col]))
+    if not rows:
+        return spark.createDataFrame([], ret)
+    ids = [r[id_col] for r in rows]
+    rel = np.asarray([float(r["rel"]) for r in rows])
+    V = [
+        np.asarray(r["e"], dtype=np.float64)
+        if r["e"] is not None
+        else None
+        for r in rows
+    ]
+    n = len(ids)
+
+    def pair6(i: int, j: int) -> float:
+        a, b = V[i], V[j]
+        if a is None or b is None or a.shape != b.shape:
+            return -2.0
+        na = float(np.sqrt(a @ a))
+        nb = float(np.sqrt(b @ b))
+        s = (a @ b) / (na * nb) if na and nb else float("nan")
+        if not np.isfinite(s):
+            return -2.0
+        return float(_round_half_up_np(np.asarray(s), 6))
+
+    lam = float(lambda_)
+    picked: list[int] = []
+    maxsim = np.full(n, -np.inf)
+    out = []
+    chosen: set[int] = set()
+    for rank in range(1, min(k, n) + 1):
+        best_i, best_score = -1, None
+        for i in range(n):
+            if i in chosen:
+                continue
+            div = 0.0 if not picked else maxsim[i]
+            # HALF_UP like F.round / DuckDB round (python round() is
+            # half-even), -0.0 folded — the house bridge
+            score = float(
+                _round_half_up_np(
+                    np.asarray(lam * rel[i] - (1.0 - lam) * div), 4
+                )
+            )
+            # argmax ties fall to the LOWEST id (the oracle's
+            # ORDER BY mmr DESC, id ASC LIMIT 1) — not to shortlist
+            # order, which is rel-sorted and may put a higher id first
+            if (
+                best_score is None
+                or score > best_score
+                or (score == best_score and ids[i] < ids[best_i])
+            ):
+                best_i, best_score = i, score
+        picked.append(best_i)
+        chosen.add(best_i)
+        out.append((rank, ids[best_i], float(rel[best_i]), best_score))
+        for i in range(n):
+            if i not in chosen:
+                maxsim[i] = max(maxsim[i], pair6(i, best_i))
+    return spark.createDataFrame(out, ret)
+
+
+def rank_overlap(
+    reference: DataFrame,
+    candidate: DataFrame,
+    k: int = 10,
+    group_cols: Sequence[str] = ("query_id",),
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    round_decimals: int = 4,
+) -> DataFrame:
+    """Per-group recall@k of a candidate ranking against a reference
+    ranking — the evaluation loop every approximate-retrieval
+    deployment runs (FAISS-style recall audits: exact arm as truth,
+    served ANN arm under test). Both inputs carry ``(*group_cols,
+    id_col, score_col)``; each is independently cut to its top-``k``
+    per group by the package's deterministic rank rule (score desc,
+    id asc — the same order every top-k emitter here uses, so feeding
+    an arm's output back in is rank-stable). Returns ``(*group_cols,
+    n_ref, n_common, recall)`` with ``recall = round(n_common /
+    n_ref, round_decimals)``.
+
+    The REFERENCE is the spine: groups it lacks don't appear (no
+    truth, no recall); a group the candidate lacks reports recall 0.
+    ``n_ref`` can be < k when the reference list is short — recall
+    divides by what truth there IS, not by k.
+
+    100 TB shape: inputs are top-k lists (tiny by construction — the
+    corpora that produced them never enter); two per-group rank
+    windows, ONE (group, id) equi-join, one partial-aggregable
+    count pair. Safe to run over millions of query groups."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    gcols = list(group_cols)
+    keys = gcols + [id_col]
+
+    def topk(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*gcols).orderBy(
+            F.col(score_col).desc(), F.col(id_col).asc()
+        )
+        return (
+            df.select(*keys, F.row_number().over(w).alias("_rn"))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+
+    r = topk(reference)
+    c = topk(candidate).withColumn("_hit", F.lit(1))
+    return (
+        r.join(c, keys, "left")
+        .groupBy(*gcols)
+        .agg(
+            F.count(F.lit(1)).alias("n_ref"),
+            F.count("_hit").alias("n_common"),
+        )
+        .select(
+            *gcols,
+            "n_ref",
+            "n_common",
+            F.round(
+                F.col("n_common") / F.col("n_ref"), round_decimals
+            ).alias("recall"),
+        )
+    )

@@ -95,3 +95,155 @@ def test_rrf_fuse_no_group_cols(spark):
         2: round(1.0 / 12 + 1.0 / 11, 6),
         3: round(1.0 / 12, 6),
     }
+
+
+def _emb4(spark):
+    """Tiny corpus with an obvious redundancy structure: ids 1/2 are
+    near-duplicates highly relevant to the query, 3 is a different
+    direction, 4 is orthogonal."""
+    return spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.01]),
+            (2, [1.0, 0.0, 0.0, 0.02]),
+            (3, [0.7, 0.7, 0.0, 0.0]),
+            (4, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def _q4(spark, v=(1.0, 0.05, 0.0, 0.0)):
+    return spark.createDataFrame(
+        [(list(v),)], "q array<double>"
+    )
+
+
+def test_mmr_rerank_hand_computed_diversity(spark):
+    """lambda=1 reduces to pure relevance order (the near-dup pair
+    first); a diversity-weighted lambda must break the pair apart —
+    rank 2 goes to the differently-directed vector even though the
+    twin has higher relevance."""
+    from dgraph_dbpedia_spark.operators.fusion import mmr_rerank
+
+    pure = mmr_rerank(
+        _emb4(spark), _q4(spark), k=3, lambda_=1.0, shortlist_n=4
+    ).collect()
+    assert [r["vec_id"] for r in pure] == [1, 2, 3]
+    assert [r["rank"] for r in pure] == [1, 2, 3]
+    assert pure[0]["mmr"] == pure[0]["rel"]
+    div = mmr_rerank(
+        _emb4(spark), _q4(spark), k=3, lambda_=0.5, shortlist_n=4
+    ).collect()
+    assert [r["vec_id"] for r in div] == [1, 3, 4]
+    # hand check of rank 2: mmr(3) = .5*rel(3) - .5*sim(3,1) must
+    # beat mmr(2) = .5*rel(2) - .5*sim(2,1) ~ .5*(rel - ~1.0)
+    rel = {r["vec_id"]: r["rel"] for r in pure}
+    assert div[1]["mmr"] > 0.5 * rel[2] - 0.5 * 0.99
+
+
+def test_mmr_rerank_candidates_arm_and_determinism(spark):
+    """The candidates= path diversifies a caller-provided (id, sim)
+    shortlist — e.g. an ANN serve arm — and repeated runs are
+    identical."""
+    from dgraph_dbpedia_spark.operators.fusion import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [(1, 0.99), (2, 0.99), (3, 0.74), (4, 0.03)],
+        "vec_id long, sim double",
+    )
+    a = mmr_rerank(
+        _emb4(spark), _q4(spark), k=3, lambda_=0.5,
+        shortlist_n=4, candidates=cand,
+    ).collect()
+    b = mmr_rerank(
+        _emb4(spark), _q4(spark), k=3, lambda_=0.5,
+        shortlist_n=4, candidates=cand,
+    ).collect()
+    assert a == b
+    assert [r["vec_id"] for r in a] == [1, 3, 4]
+    # provided rel carried through, not recomputed
+    assert a[0]["rel"] == 0.99
+
+
+def test_mmr_rerank_contracts(spark):
+    """Knob validation, multi-row query guard, empty query / corpus
+    typed results, k exceeding the candidate pool."""
+    import pytest
+
+    from dgraph_dbpedia_spark.operators.fusion import mmr_rerank
+
+    emb, q = _emb4(spark), _q4(spark)
+    with pytest.raises(ValueError, match="k must be"):
+        mmr_rerank(emb, q, k=0)
+    with pytest.raises(ValueError, match="lambda_"):
+        mmr_rerank(emb, q, lambda_=1.5)
+    with pytest.raises(ValueError, match="shortlist_n"):
+        mmr_rerank(emb, q, k=5, shortlist_n=3)
+    with pytest.raises(ValueError, match="bounded-collect"):
+        mmr_rerank(emb, q, k=5, shortlist_n=20_000)
+    multi = spark.createDataFrame(
+        [([1.0, 0.0, 0.0, 0.0],), ([0.0, 1.0, 0.0, 0.0],)],
+        "q array<double>",
+    )
+    with pytest.raises(ValueError, match="one query"):
+        mmr_rerank(emb, multi, k=2)
+    empty_q = multi.where(F.lit(False))
+    out = mmr_rerank(emb, empty_q, k=2)
+    assert out.columns == ["rank", "vec_id", "rel", "mmr"]
+    assert out.count() == 0
+    # k larger than the pool -> all candidates, ranked
+    allp = mmr_rerank(emb, q, k=10, shortlist_n=10).collect()
+    assert [r["rank"] for r in allp] == [1, 2, 3, 4]
+    # NULL-vector rows are not candidates (no rel) on the brute path
+    with_null = emb.unionByName(
+        spark.createDataFrame(
+            [(9, None)], "vec_id long, embedding array<double>"
+        )
+    )
+    got = mmr_rerank(with_null, q, k=10, shortlist_n=10).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in allp]
+
+
+def test_rank_overlap_hand_computed(spark):
+    """recall@k against a hand-built truth: overlap counting, the
+    reference-spine rule (candidate-only groups vanish), the
+    missing-candidate rule (recall 0), short references divide by
+    n_ref, and the rank cut drops below-k rows before comparing."""
+    from dgraph_dbpedia_spark.operators.fusion import rank_overlap
+
+    ref = _mk(
+        spark,
+        [
+            ("qa", 1, 0.9), ("qa", 2, 0.8), ("qa", 3, 0.7),
+            ("qb", 7, 0.9),                       # short reference
+            ("qc", 8, 0.5),                       # candidate missing
+        ],
+    )
+    cand = _mk(
+        spark,
+        [
+            ("qa", 2, 0.95), ("qa", 9, 0.85), ("qa", 1, 0.10),
+            ("qb", 7, 0.4), ("qb", 6, 0.3),
+            ("qd", 1, 0.9),                       # no truth -> absent
+        ],
+    )
+    got = {
+        r["query_id"]: (r["n_ref"], r["n_common"], r["recall"])
+        for r in rank_overlap(ref, cand, k=3).collect()
+    }
+    # qa truth {1,2,3}; candidate top-3 {2,9,1} -> common {1,2}
+    assert got == {
+        "qa": (3, 2, 0.6667),
+        "qb": (1, 1, 1.0),
+        "qc": (1, 0, 0.0),
+    }
+    # k=2 cuts BOTH lists first: qa truth {1,2}, cand top-2 {2,9}
+    got2 = {
+        r["query_id"]: (r["n_common"], r["recall"])
+        for r in rank_overlap(ref, cand, k=2).collect()
+    }
+    assert got2["qa"] == (1, 0.5)
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        rank_overlap(ref, cand, k=0)
