@@ -1837,6 +1837,17 @@ def _q_hybrid_search_rrf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lex, sem], k=60, topn=10)
 
 
+def _q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: embedding-space drift monitor — per-label centroid vs the
+    global centroid (round-6 per-position means, round-4 cosine/norm).
+    ONE posexplode partial-aggregable (group, pos) shuffle; the global
+    centroid re-aggregates the bounded per-group sums."""
+    from dgraph_dbpedia_spark.operators.similarity import embedding_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_drift(emb, group_col="label")
+
+
 def _q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r12: the recall audit a served-ANN deployment runs — per query,
     recall@5 of the partition-pruned IVF arm (n_probe=2, the
@@ -2505,6 +2516,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # stages), and the served-ANN recall audit (exact arm as truth)
     "mmr_rerank": _q_mmr_rerank,
     "ann_recall_report": _q_ann_recall_report,
+    "embedding_drift": _q_embedding_drift,
     "pq_rerank_topk": _q_pq_rerank_topk,
     "hybrid_search_rrf_served": _q_hybrid_search_rrf_served,
     "semantic_decontaminate": _q_semantic_decontaminate,
@@ -4714,6 +4726,35 @@ def oracle_sql() -> dict[str, str]:
         "mmr_rerank": _sql_mmr_rerank(k=5, shortlist_n=20, lam=0.7),
         # r12 continuation: served-ANN recall audit (brute arm truth)
         "ann_recall_report": _sql_ann_recall_report(),
+        # r12 continuation: per-label centroid drift vs global
+        "embedding_drift": """
+            WITH x AS (
+                SELECT label,
+                       generate_subscripts(embedding::DOUBLE[], 1) AS pos,
+                       unnest(embedding::DOUBLE[]) AS v
+                FROM embeddings),
+            per AS (
+                SELECT label, pos, sum(v) AS s, count(*) AS c
+                FROM x GROUP BY label, pos),
+            gm AS (
+                SELECT label,
+                       list(round(s / c, 6) + 0.0 ORDER BY pos) AS gmv
+                FROM per GROUP BY label),
+            gl AS (
+                SELECT list(m ORDER BY pos) AS gv FROM (
+                    SELECT pos, round(sum(s) / sum(c), 6) + 0.0 AS m
+                    FROM per GROUP BY pos)),
+            counts AS (
+                SELECT label, count(*) AS n FROM embeddings
+                WHERE len(embedding) > 0 GROUP BY label)
+            SELECT gm.label, counts.n,
+                   round(sqrt(list_dot_product(gmv, gmv)), 4) AS mean_norm,
+                   round(list_dot_product(gmv, gv) /
+                         (sqrt(list_dot_product(gmv, gmv)) *
+                          sqrt(list_dot_product(gv, gv))), 4)
+                       AS cos_to_global
+            FROM gm JOIN counts USING (label) CROSS JOIN gl
+        """,
         # r12: residual quantization — the additive sibling (full
         # 2-stage train + residual + greedy encode + additive ADC)
         "rq_topk": _sql_rq_topk(),

@@ -1994,3 +1994,91 @@ def ann_join(
         .where(F.col("rnk") <= k)
         .select("a", "b", "sim", "rnk")
     )
+
+
+def embedding_drift(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    round_decimals: int = 4,
+    mean_decimals: int = 6,
+) -> DataFrame:
+    """Embedding-space distribution-shift monitor — the vector sibling
+    of the token-level ``corpus_divergence``: per group (a crawl
+    snapshot, a source domain, a classifier label), the centroid of
+    the group's embeddings compared to the GLOBAL centroid by cosine.
+    A slice whose centroid swings away from the corpus mean is the
+    standard first alarm that an upstream embedding model, crawler
+    mix, or dedup stage changed behavior between snapshots. Returns
+    ``(group, n, mean_norm, cos_to_global)`` — ``n`` the group's
+    usable-vector count, ``mean_norm`` the centroid's L2 norm (a
+    collapsing-embeddings alarm on its own: near-0 means the group's
+    directions cancel), ``cos_to_global`` the round-``round_decimals``
+    cosine between group and global centroids.
+
+    Determinism (oracle-replayable): per-position means are rounded to
+    ``mean_decimals`` with the -0.0 fold (the Lloyd-means rule —
+    partition-order float drift cannot reach the compared digits), and
+    the global centroid derives FROM the bounded per-group sums (one
+    corpus pass; the re-aggregation is groups x dims rows). Cosines
+    run the package's sequential fold on the ROUNDED arrays.
+
+    100 TB shape: ONE posexplode -> (group, pos) partial-aggregable
+    sum/count shuffle bounded by groups x dims rows per map partition;
+    everything after operates on the bounded per-group frame (the
+    global centroid is a broadcast 1-row crossJoin, X6). Rows with
+    NULL/empty vectors count toward nothing; ragged widths contribute
+    to the positions they have (mean per (group, pos) divides by that
+    position's own count)."""
+    from dgraph_dbpedia_spark.operators.cachectl import tag_persisted
+
+    g = F.col(group_col)
+    ex = df.select(
+        g.alias("_g"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "pos", "v"
+        ),
+    )
+    per = (
+        ex.groupBy("_g", "pos")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    rnd = lambda col: F.round(col, mean_decimals) + F.lit(0.0)  # noqa: E731
+    gm = per.groupBy("_g").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("pos", (F.col("s") / F.col("c")).alias("m")))
+            ),
+            lambda st: rnd(st["m"]),
+        ).alias("_gm")
+    )
+    glob = (
+        per.groupBy("pos")
+        .agg((F.sum("s") / F.sum("c")).alias("m"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda st: rnd(st["m"]),
+            ).alias("_glob")
+        )
+    )
+    counts = (
+        df.select(g.alias("_g"), F.col(vec_col).alias("_v"))
+        .where(F.size(F.col("_v").cast("array<double>")) > 0)
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = (
+        gm.join(counts, "_g")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            F.col("_g").alias(group_col),
+            "n",
+            F.round(_norm("_gm"), round_decimals).alias("mean_norm"),
+            F.round(cosine("_gm", "_glob"), round_decimals).alias(
+                "cos_to_global"
+            ),
+        )
+    )
+    return tag_persisted(out, per)

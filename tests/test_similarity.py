@@ -1367,3 +1367,49 @@ def test_semantic_decontaminate_drops_planted_leak(spark):
     assert semantic_decontaminate(
         bench.limit(2), bench.limit(1)
     ).count() >= 0
+
+
+def test_embedding_drift_hand_computed(spark):
+    """Two clean groups plus NULL/empty rows: per-group centroids,
+    global centroid from the SAME per-group sums, cosine/norm hand
+    checks, degenerate rows counted nowhere."""
+    from dgraph_dbpedia_spark.operators.cachectl import release
+    from dgraph_dbpedia_spark.operators.similarity import embedding_drift
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [3.0, 0.0], 0),
+            (3, [0.0, 2.0], 1),
+            (4, [0.0, 4.0], 1),
+            (5, None, 0),
+            (6, [], 1),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = embedding_drift(df, group_col="label")
+    rows = {r["label"]: r for r in out.collect()}
+    release(out)
+    # group 0 centroid (2, 0); group 1 centroid (0, 3); global (1, 1.5)
+    assert rows[0]["n"] == 2 and rows[1]["n"] == 2
+    assert rows[0]["mean_norm"] == 2.0
+    assert rows[1]["mean_norm"] == 3.0
+    import math
+
+    g = (1.0, 1.5)
+    ng = math.sqrt(g[0] ** 2 + g[1] ** 2)
+    assert rows[0]["cos_to_global"] == round(1.0 * g[0] / (1.0 * ng), 4)
+    assert rows[1]["cos_to_global"] == round(1.0 * g[1] / (1.0 * ng), 4)
+    # ragged widths: a 3-wide row contributes pos 2 alone to its group
+    ragged = df.union(
+        spark.createDataFrame(
+            [(7, [0.0, 0.0, 9.0], 1)],
+            "vec_id long, embedding array<double>, label int",
+        )
+    )
+    r1 = {
+        r["label"]: r for r in embedding_drift(ragged, "label").collect()
+    }[1]
+    # group-1 centroid now (0, 2, 9): pos-2 mean divides by ITS count
+    assert r1["n"] == 3
+    assert r1["mean_norm"] == round(math.sqrt(4.0 + 81.0), 4)
