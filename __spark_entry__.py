@@ -1895,6 +1895,36 @@ def _q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_overlap(ref, cand, k=5)
 
 
+def _q_mmr_rerank_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: MMR diversification of the SERVED shortlist — the
+    composition a production RAG stack actually runs: the
+    partition-pruned IVF arm (n_probe=2) supplies the top-20
+    approximate candidates, mmr_rerank's candidates= path fetches
+    their vectors by broadcast join and runs the identical greedy.
+    The oracle replays the serve arm verbatim, then the SAME unrolled
+    selection stages as the brute row (_sql_mmr_stages — one
+    definition)."""
+    from dgraph_dbpedia_spark.operators.fusion import mmr_rerank
+    from dgraph_dbpedia_spark.operators.similarity import ivf_topk_served
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = _served_ivf_index(spark, sf_dir)
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    arm = ivf_topk_served(
+        assigned.where(F.col("vec_id") != 0), centroids, q, k=20, n_probe=2
+    )
+    return mmr_rerank(
+        emb,
+        q,
+        k=5,
+        lambda_=0.7,
+        shortlist_n=20,
+        candidates=arm,
+    )
+
+
 def _q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r12: Maximal Marginal Relevance diversity re-rank (Carbonell &
     Goldstein, SIGIR 1998) over the exact cosine shortlist — top-20
@@ -2515,6 +2545,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (SIGIR 1998) over the exact shortlist (k unrolled oracle
     # stages), and the served-ANN recall audit (exact arm as truth)
     "mmr_rerank": _q_mmr_rerank,
+    "mmr_rerank_served": _q_mmr_rerank_served,
     "ann_recall_report": _q_ann_recall_report,
     "embedding_drift": _q_embedding_drift,
     "pq_rerank_topk": _q_pq_rerank_topk,
@@ -3439,24 +3470,27 @@ def _sql_ann_recall_report() -> str:
         GROUP BY r.query_id"""
 
 
-def _sql_mmr_rerank(
-    k: int = 5, shortlist_n: int = 20, lam: float = 0.7
-) -> str:
-    """MMR greedy replay as ``k`` unrolled argmax stages: stage i
-    scores every unselected candidate ``round(lam * rel - (1 - lam) *
-    max(pair sim to the selected set), 4)`` and keeps the top row
-    (mmr desc, id asc). ``(1.0 - lam)`` stays an SQL EXPRESSION so
-    DuckDB computes the identical IEEE complement the operator's
-    ``1.0 - lambda_`` does (a 0.3 literal is a different double).
-    ``+ 0.0`` folds round()'s possible -0.0 (F.round never emits
-    one)."""
-    rel = _sql_cosine("embedding::DOUBLE[]", "q", 4)
+def _sql_mmr_stages(k: int, lam: float) -> str:
+    """The MMR greedy selection as ``k`` unrolled argmax-stage CTEs
+    over an existing ``cand(vec_id, v, rel)`` CTE: stage i scores
+    every unselected candidate ``round(lam * rel - (1 - lam) * max(
+    pair sim to the selected set), 4)`` and keeps the top row (mmr
+    desc, id asc). ``(1.0 - lam)`` stays an SQL EXPRESSION so DuckDB
+    computes the identical IEEE complement the operator's ``1.0 -
+    lambda_`` does (a 0.3 literal is a different double); ``+ 0.0``
+    folds round()'s possible -0.0 (F.round never emits one). Pair
+    sims (CTE ``p``) are round-6, built here from cand's vectors.
+    Shared by the brute and served MMR rows — the selection replay
+    must be ONE definition."""
     pair = _sql_cosine("a.v", "b.v", 6)
     stages = [
+        f"""p AS (
+            SELECT a.vec_id AS ia, b.vec_id AS ib, {pair} AS s
+            FROM cand a, cand b WHERE a.vec_id != b.vec_id)""",
         f"""s1 AS (
             SELECT 1 AS rank, vec_id, rel,
                    round({lam} * rel, 4) + 0.0 AS mmr
-            FROM cand ORDER BY mmr DESC, vec_id LIMIT 1)"""
+            FROM cand ORDER BY mmr DESC, vec_id LIMIT 1)""",
     ]
     for i in range(2, k + 1):
         sel = " UNION ALL ".join(
@@ -3475,6 +3509,19 @@ def _sql_mmr_rerank(
     union = " UNION ALL ".join(
         f"SELECT * FROM s{i}" for i in range(1, k + 1)
     )
+    return (
+        ",\n        ".join(stages)
+        + f"""
+        SELECT rank, vec_id, rel, mmr FROM ({union}) ORDER BY rank"""
+    )
+
+
+def _sql_mmr_rerank(
+    k: int = 5, shortlist_n: int = 20, lam: float = 0.7
+) -> str:
+    """Brute-shortlist MMR replay: exact round-4 cosine top-n
+    candidates, then the shared greedy stages."""
+    rel = _sql_cosine("embedding::DOUBLE[]", "q", 4)
     return f"""
         WITH q AS (
             SELECT embedding::DOUBLE[] AS q FROM embeddings
@@ -3484,11 +3531,52 @@ def _sql_mmr_rerank(
                    {rel} + 0.0 AS rel
             FROM embeddings, q WHERE vec_id > 0
             ORDER BY rel DESC, vec_id LIMIT {shortlist_n}),
-        p AS (
-            SELECT a.vec_id AS ia, b.vec_id AS ib, {pair} AS s
-            FROM cand a, cand b WHERE a.vec_id != b.vec_id),
-        {', '.join(stages)}
-        SELECT rank, vec_id, rel, mmr FROM ({union}) ORDER BY rank"""
+        {_sql_mmr_stages(k, lam)}"""
+
+
+def _sql_mmr_rerank_served(
+    k: int = 5,
+    shortlist_n: int = 20,
+    lam: float = 0.7,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+) -> str:
+    """Served-shortlist MMR replay: the IVF serve arm (seed
+    centroids, n_probe probe cids, round-4 re-rank restricted to the
+    probed lists, self-excluded — the _sql_sem_arm_ivf_served shape)
+    cut to top-``shortlist_n``, then the IDENTICAL greedy stages."""
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id > 0),
+        cent AS (
+            SELECT vec_id AS cid, v AS c FROM e
+            ORDER BY vec_id LIMIT {n_centroids}),
+        q AS (
+            SELECT embedding::DOUBLE[] AS q FROM embeddings
+            WHERE vec_id = 0),
+        asg AS (
+            SELECT vec_id, v, cid FROM (
+                SELECT e.vec_id, e.v, cent.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_sql_cosine('e.v', 'cent.c', 6)} DESC,
+                                    cent.cid ASC) AS rn
+                FROM e CROSS JOIN cent) x
+            WHERE rn = 1),
+        probes AS (
+            SELECT cid FROM (
+                SELECT cid, {_sql_cosine('c', 'q', 6)} AS csim
+                FROM cent CROSS JOIN q
+                ORDER BY csim DESC, cid LIMIT {n_probe}) y),
+        cand AS (
+            SELECT a.vec_id, a.v,
+                   {_sql_cosine('a.v', 'q.q')} + 0.0 AS rel
+            FROM asg a SEMI JOIN probes p ON a.cid = p.cid
+            CROSS JOIN q
+            WHERE a.vec_id <> 0
+            ORDER BY rel DESC, a.vec_id LIMIT {shortlist_n}),
+        {_sql_mmr_stages(k, lam)}"""
 
 
 def _sql_ivf_topk(k: int = 5, n_centroids: int = 16, n_probe: int = 2) -> str:
@@ -4724,6 +4812,10 @@ def oracle_sql() -> dict[str, str]:
         "pq_rerank_topk": _sql_pq_topk(k=5, rerank_shortlist=50),
         # r12 continuation: MMR greedy replay, k unrolled argmax stages
         "mmr_rerank": _sql_mmr_rerank(k=5, shortlist_n=20, lam=0.7),
+        # r12 continuation: same greedy over the SERVED IVF shortlist
+        "mmr_rerank_served": _sql_mmr_rerank_served(
+            k=5, shortlist_n=20, lam=0.7
+        ),
         # r12 continuation: served-ANN recall audit (brute arm truth)
         "ann_recall_report": _sql_ann_recall_report(),
         # r12 continuation: per-label centroid drift vs global
