@@ -1209,6 +1209,26 @@ def _q_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: hard-negative mining (the DPR/Contriever data-prep step) —
+    label-0 queries against the WHOLE corpus, cosine band [0.0, 0.95),
+    same-label pairs excluded pre-rank (which also removes self-pairs
+    and the query's own family), top-3 per query. The band and family
+    filters apply BEFORE the rank window — rank among eligible."""
+    from dgraph_dbpedia_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        emb.where(F.col("label") == 0),
+        emb,
+        k=3,
+        lo=0.0,
+        hi=0.95,
+        exclude_same="label",
+        n_planes=4,
+    )
+
+
 def _q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r10: weekly retention matrix — cohort = first-activity week,
     count(*) over the deduped (user, week) frame IS distinct users."""
@@ -2546,6 +2566,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # stages), and the served-ANN recall audit (exact arm as truth)
     "mmr_rerank": _q_mmr_rerank,
     "mmr_rerank_served": _q_mmr_rerank_served,
+    "hard_negatives": _q_hard_negatives,
     "ann_recall_report": _q_ann_recall_report,
     "embedding_drift": _q_embedding_drift,
     "pq_rerank_topk": _q_pq_rerank_topk,
@@ -5489,6 +5510,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         # bulk ANN join: same literal hyperplanes, bucket equi-join,
         # per-a window top-3 with (sim desc, b) tie order
+        # r12 continuation: hard-negative band over the bucket join -
+        # same plane sketch as ann_join, band + family cuts PRE-rank
+        "hard_negatives": f"""
+            WITH ea AS (
+                SELECT vec_id AS a, label AS la, embedding::DOUBLE[] AS va,
+                       {_sql_bucket('embedding::DOUBLE[]', 4, 64)} AS bucket
+                FROM embeddings WHERE label = 0),
+            eb AS (
+                SELECT vec_id AS b, label AS lb, embedding::DOUBLE[] AS vb,
+                       {_sql_bucket('embedding::DOUBLE[]', 4, 64)} AS bucket
+                FROM embeddings),
+            cand AS (
+                SELECT a, b, {_sql_cosine('va', 'vb')} AS sim
+                FROM ea JOIN eb USING (bucket)
+                WHERE la IS DISTINCT FROM lb),
+            banded AS (
+                SELECT a, b, sim FROM cand
+                WHERE sim IS NOT NULL AND sim >= 0.0 AND sim < 0.95),
+            r AS (
+                SELECT a, b, sim,
+                       row_number() OVER (
+                           PARTITION BY a ORDER BY sim DESC, b) AS rnk
+                FROM banded)
+            SELECT a AS query_id, b AS neg_id, sim, rnk::INT AS rnk
+            FROM r WHERE rnk <= 3
+        """,
         "ann_join": f"""
             WITH ea AS (
                 SELECT vec_id AS a, embedding::DOUBLE[] AS va,

@@ -1925,6 +1925,8 @@ def ann_join(
     min_sim: float | None = None,
     use_arrow: bool = True,
     broadcast_a: bool = False,
+    max_sim: float | None = None,
+    exclude_same: str | None = None,
 ) -> DataFrame:
     """Cross-corpus approximate-nearest-neighbor JOIN: for every vector
     of ``df_a``, the top-``k`` most-cosine-similar vectors of ``df_b``
@@ -1946,6 +1948,13 @@ def ann_join(
     (recall follows the bucket-collision bound — raise recall by
     lowering ``n_planes``, exactly the LSH dial).
 
+    ``max_sim`` (strict ``sim < max_sim``, pre-rank) and
+    ``exclude_same`` (a column present in BOTH frames; pairs whose
+    values are null-safe-equal are dropped pre-rank) carve the
+    hard-negative band out of the candidate set BEFORE the top-k
+    window — the :func:`hard_negatives` contract: rank among the
+    eligible, never post-filter a ranked list.
+
     100 TB shape: both sides sketch in one narrow projection (signs on
     the Arrow lane by default, bit-equal pinned), candidates ride ONE
     bucket equi-join (never |A|x|B|), and the per-a top-k is a window
@@ -1959,12 +1968,15 @@ def ann_join(
 
     def sketch(df: DataFrame, out: str, e: str, n: str) -> DataFrame:
         v = F.col(vec_col).cast("array<double>")
-        return df.select(
+        cols = [
             F.col(id_col).alias(out),
             v.alias(e),
             _norm(v).alias(n),
             _bucket_col(v, n_planes, dims, use_arrow).alias("bucket"),
-        )
+        ]
+        if exclude_same is not None:
+            cols.append(F.col(exclude_same).alias(f"_x{out}"))
+        return df.select(*cols)
 
     if use_arrow:
         sim = pair_cosine_arrow(4)(
@@ -1979,20 +1991,86 @@ def ann_join(
         # the batch-probe regime: a small a-side (queries) rides a
         # broadcast so the only shuffle is the final per-a window
         a_sk = F.broadcast(a_sk)
+    joined = a_sk.join(sketch(df_b, "b", "eb", "nb"), "bucket")
+    if exclude_same is not None:
+        # null-safe inequality: a NULL group must not silently match
+        # (or miss) — two NULL-group rows ARE the same family
+        joined = joined.where(~F.col("_xa").eqNullSafe(F.col("_xb")))
     cand = (
-        a_sk.join(sketch(df_b, "b", "eb", "nb"), "bucket")
-        .select("a", "b", sim.alias("sim"))
+        joined.select("a", "b", sim.alias("sim"))
         # zero-norm vectors score NULL (the pair-cosine null contract);
         # without this a sparse bucket would hand a NULL-sim row a rank
         .where(F.col("sim").isNotNull())
     )
     if min_sim is not None:
         cand = cand.where(F.col("sim") >= min_sim)
+    if max_sim is not None:
+        cand = cand.where(F.col("sim") < max_sim)
     w = Window.partitionBy("a").orderBy(F.col("sim").desc(), F.col("b").asc())
     return (
         cand.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("a", "b", "sim", "rnk")
+    )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    lo: float = 0.0,
+    hi: float = 0.98,
+    exclude_same: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dims: int = 64,
+    use_arrow: bool = True,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Hard-negative mining for embedding-model training (the
+    DPR/Contriever data-prep step): for every query vector, the
+    top-``k`` corpus vectors that are SIMILAR-BUT-NOT-THE-SAME —
+    cosine in ``[lo, hi)``, optionally from a different
+    ``exclude_same`` family (source/domain/label; a positive from the
+    same document family is a false negative that poisons contrastive
+    training). The upper cut excludes near-duplicates (those are
+    positives or dedup targets, not negatives), the lower cut
+    excludes easy negatives random sampling already supplies.
+
+    Pure composition over :func:`ann_join` — the band and family
+    filters apply PRE-RANK (rank among eligible, never post-filter a
+    ranked list), so the result really is the k hardest eligible
+    negatives the bucket recall surfaces. Returns ``(query_id,
+    neg_id, sim, rnk)``.
+
+    100 TB shape: inherits ann_join's (one narrow sketch projection
+    per side, ONE bucket equi-join — never |Q| x |C| — and a per-query
+    window over candidates only); ``broadcast_queries`` (default, the
+    usual regime: queries are a training batch, the corpus is the
+    lake) makes the bucket join itself broadcast so the only shuffle
+    is the final window."""
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got lo={lo} hi={hi}")
+    out = ann_join(
+        queries,
+        corpus,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_planes=n_planes,
+        dims=dims,
+        min_sim=lo,
+        max_sim=hi,
+        exclude_same=exclude_same,
+        use_arrow=use_arrow,
+        broadcast_a=broadcast_queries,
+    )
+    return out.select(
+        F.col("a").alias("query_id"),
+        F.col("b").alias("neg_id"),
+        "sim",
+        "rnk",
     )
 
 

@@ -31,6 +31,7 @@ _PYTHON_OK = {
     "lsh_ann_topk",
     "lsh_ann_topk_batch",
     "ann_join",  # same bucket+pair Arrow kernels (bit-equal, pinned)
+    "hard_negatives",  # ann_join composition (same kernels)
     "simhash",           # Arrow vote fold (bit-equal to native, pinned)
     "simhash_near_dup",
     "minhash_signatures",  # Arrow lane kernel (bit-equal, pinned)

@@ -1413,3 +1413,46 @@ def test_embedding_drift_hand_computed(spark):
     # group-1 centroid now (0, 2, 9): pos-2 mean divides by ITS count
     assert r1["n"] == 3
     assert r1["mean_norm"] == round(math.sqrt(4.0 + 81.0), 4)
+
+
+def test_hard_negatives_band_family_and_rank_semantics(spark):
+    """The contrastive-training contract: (1) near-duplicates above
+    hi are excluded AND do not consume a rank slot (rank among
+    eligible, not post-filter); (2) same-family rows never appear —
+    including the query itself when the corpus contains it; (3) sims
+    respect [lo, hi); (4) lo < hi validated."""
+    import pytest
+
+    from dgraph_dbpedia_spark.operators.similarity import hard_negatives
+
+    # query q (family 0); corpus: q itself, a near-twin in family 1
+    # (sim ~1 -> above hi), a same-family sibling (must vanish), and
+    # two eligible negatives at distinct similarity levels
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),      # the query itself
+        (1, [1.0, 0.001, 0.0, 0.0], 1),    # near-twin, sim > hi
+        (2, [0.9, 0.1, 0.0, 0.0], 0),      # same family
+        (3, [0.8, 0.6, 0.0, 0.0], 1),      # eligible, harder
+        (4, [0.3, 0.95, 0.0, 0.0], 2),     # eligible, easier
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = hard_negatives(
+        emb.where(F.col("vec_id") == 0),
+        emb,
+        k=2,
+        lo=0.0,
+        hi=0.99,
+        exclude_same="label",
+        n_planes=1,   # one plane -> near-guaranteed bucket collision
+        dims=4,
+    ).collect()
+    ids = [r["neg_id"] for r in got]
+    assert 0 not in ids and 2 not in ids          # family excluded
+    assert 1 not in ids                           # above hi excluded
+    assert ids == [3, 4]                          # hardest first
+    assert [r["rnk"] for r in got] == [1, 2]      # ranks not consumed
+    assert all(0.0 <= r["sim"] < 0.99 for r in got)
+    with pytest.raises(ValueError, match="lo < hi"):
+        hard_negatives(emb, emb, lo=0.9, hi=0.9)
