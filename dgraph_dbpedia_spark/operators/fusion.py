@@ -227,63 +227,76 @@ def mmr_rerank(
             F.col(vec_col).cast("array<double>").alias("e"),
             "rel",
         )
-    rows = sorted(short.collect(), key=lambda r: (-r["rel"], r[id_col]))
+    import math
+
+    # a non-finite rel (NaN cosine from a degenerate vector) is not a
+    # candidate — it cannot be ranked; dropped on the driver so the
+    # vectorized argmax below never sees it
+    rows = sorted(
+        (r for r in short.collect() if math.isfinite(r["rel"])),
+        key=lambda r: (-r["rel"], r[id_col]),
+    )
     if not rows:
         return spark.createDataFrame([], ret)
     ids = [r[id_col] for r in rows]
     rel = np.asarray([float(r["rel"]) for r in rows])
-    V = [
-        np.asarray(r["e"], dtype=np.float64)
-        if r["e"] is not None
-        else None
-        for r in rows
-    ]
     n = len(ids)
-
-    def pair6(i: int, j: int) -> float:
-        a, b = V[i], V[j]
-        if a is None or b is None or a.shape != b.shape:
-            return -2.0
-        na = float(np.sqrt(a @ a))
-        nb = float(np.sqrt(b @ b))
-        s = (a @ b) / (na * nb) if na and nb else float("nan")
-        if not np.isfinite(s):
-            return -2.0
-        return float(_round_half_up_np(np.asarray(s), 6))
+    # per-width vector groups (the pair_cosine_arrow ragged rule:
+    # a pair scores only when widths match; NULL/mismatched pairs
+    # read -2.0) so each pick's max-sim update is ONE matvec per
+    # width group instead of n python-level dots — at the 10k
+    # shortlist cap the difference between milliseconds and a
+    # k * n interpreted loop
+    widths = np.fromiter(
+        (len(r["e"]) if r["e"] is not None else -1 for r in rows),
+        dtype=np.int64,
+        count=n,
+    )
+    groups: dict[int, tuple] = {}
+    for w in set(widths.tolist()):
+        if w < 0:
+            continue
+        idx = np.nonzero(widths == w)[0]
+        M = np.asarray(
+            [list(rows[i]["e"]) for i in idx], dtype=np.float64
+        )
+        nr = np.sqrt((M * M).sum(axis=1))
+        groups[w] = (idx, M, nr, {int(i): p for p, i in enumerate(idx)})
 
     lam = float(lambda_)
-    picked: list[int] = []
-    maxsim = np.full(n, -np.inf)
+    maxsim = np.full(n, -2.0)
+    first = True
     out = []
-    chosen: set[int] = set()
+    chosen = np.zeros(n, dtype=bool)
     for rank in range(1, min(k, n) + 1):
-        best_i, best_score = -1, None
-        for i in range(n):
-            if i in chosen:
-                continue
-            div = 0.0 if not picked else maxsim[i]
-            # HALF_UP like F.round / DuckDB round (python round() is
-            # half-even), -0.0 folded — the house bridge
-            score = float(
-                _round_half_up_np(
-                    np.asarray(lam * rel[i] - (1.0 - lam) * div), 4
-                )
+        div = np.zeros(n) if first else maxsim
+        # HALF_UP like F.round / DuckDB round (python round() is
+        # half-even), -0.0 folded — the house bridge
+        scores = _round_half_up_np(lam * rel - (1.0 - lam) * div, 4)
+        m = scores[~chosen].max()
+        # argmax ties fall to the LOWEST id (the oracle's ORDER BY
+        # mmr DESC, id ASC LIMIT 1) — not to shortlist order, which
+        # is rel-sorted and may put a higher id first
+        tied = np.nonzero((scores == m) & ~chosen)[0]
+        best_i = int(min(tied, key=lambda i: ids[i]))
+        chosen[best_i] = True
+        first = False
+        out.append((rank, ids[best_i], float(rel[best_i]), float(m)))
+        wb = int(widths[best_i])
+        if wb >= 0:
+            idx, M, nr, pos = groups[wb]
+            vb = M[pos[best_i]]
+            nb = nr[pos[best_i]]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = (M @ vb) / (nr * nb)
+            s = np.where(
+                np.isfinite(s), _round_half_up_np(s, 6), -2.0
             )
-            # argmax ties fall to the LOWEST id (the oracle's
-            # ORDER BY mmr DESC, id ASC LIMIT 1) — not to shortlist
-            # order, which is rel-sorted and may put a higher id first
-            if (
-                best_score is None
-                or score > best_score
-                or (score == best_score and ids[i] < ids[best_i])
-            ):
-                best_i, best_score = i, score
-        picked.append(best_i)
-        chosen.add(best_i)
-        out.append((rank, ids[best_i], float(rel[best_i]), best_score))
-        for i in range(n):
-            if i not in chosen:
-                maxsim[i] = max(maxsim[i], pair6(i, best_i))
+            upd = np.full(n, -2.0)
+            upd[idx] = s
+        else:
+            upd = np.full(n, -2.0)
+        np.maximum(maxsim, upd, out=maxsim)
     return spark.createDataFrame(out, ret)
 
 
