@@ -134,15 +134,26 @@ def mmr_rerank(
     ``(id, sim)`` frame, e.g. an IVF/PQ serve arm's output — to
     diversify an APPROXIMATE shortlist instead; its vectors are
     fetched from ``df`` by a broadcast join (the shortlist is k-ish
-    rows; the corpus scan stays pruned to (id, vec)).
+    rows; the corpus scan stays pruned to (id, vec)). A candidate id
+    with no ``df`` row at all is dropped by that fetch — there is
+    nothing to diversify against; one whose ``df`` vector is NULL
+    stays, as an incomparable candidate (NULL ``mmr``, ranked
+    last).
 
-    Determinism contract (oracle-replayable): rel is round-4;
+    Determinism contract (oracle-replayable): rel is round-4 and must
+    be a REAL number (NULL/NaN rows are dropped BEFORE the shortlist
+    cut — a NaN would top the desc sort and evict real candidates);
     pairwise candidate sims are round-6 HALF_UP cosines (numpy twin
     via :func:`..similarity._round_half_up_np` — the Arrow-kernel
     bridge posture: engines agree except within ~1e-11 of a rounding
-    boundary); each step's mmr is round-4; every argmax breaks ties
-    on the lowest id; rank 1 scores ``round(lambda * rel, 4)`` (the
-    empty-set max-sim-0 convention).
+    boundary); a pair with a missing/width-mismatched vector or a
+    non-finite cosine is NO pair: it contributes nothing to the
+    max-sim term (the oracle's ``max`` skips NULLs), and a candidate
+    with no comparable pair to the selected set carries NULL ``mmr``
+    and ranks last (NULLS-LAST), ties to the lowest id; each step's
+    mmr is round-4; every argmax breaks ties on the lowest id;
+    rank 1 scores ``round(lambda * rel, 4)`` (the empty-set
+    max-sim-0 convention).
 
     100 TB shape: the ONLY corpus-sized work is the shortlist stage —
     a pruned scan + broadcast-query projection (or the caller's own
@@ -209,16 +220,23 @@ def mmr_rerank(
                 "e",
                 F.round(cosine("e", "q"), 4).alias("rel"),
             )
-            # a candidate without a score isn't a candidate (NULL /
-            # width-mismatched vectors) — dropped on BOTH engines
-            .where(F.col("rel").isNotNull())
+            # a candidate without a real score isn't a candidate
+            # (NULL / NaN cosines from degenerate vectors) — dropped
+            # BEFORE the limit, or NaN rows (which sort above every
+            # real score under desc) would silently evict real
+            # candidates from the shortlist (r12 review; the 41cbf67
+            # NaN-tops-the-k class)
+            .where(F.col("rel").isNotNull() & ~F.isnan("rel"))
             .orderBy(F.col("rel").desc(), F.col(id_col))
             .limit(shortlist_n)
         )
     else:
         cand = (
             candidates.select(F.col(id_col), F.col("sim").alias("rel"))
-            .where(F.col("rel").isNotNull())
+            .where(
+                F.col("rel").isNotNull()
+                & ~F.isnan(F.col("rel").cast("double"))
+            )
             .orderBy(F.col("rel").desc(), F.col(id_col))
             .limit(shortlist_n)
         )
@@ -241,12 +259,12 @@ def mmr_rerank(
     ids = [r[id_col] for r in rows]
     rel = np.asarray([float(r["rel"]) for r in rows])
     n = len(ids)
-    # per-width vector groups (the pair_cosine_arrow ragged rule:
-    # a pair scores only when widths match; NULL/mismatched pairs
-    # read -2.0) so each pick's max-sim update is ONE matvec per
-    # width group instead of n python-level dots — at the 10k
-    # shortlist cap the difference between milliseconds and a
-    # k * n interpreted loop
+    # per-width vector groups (the pair_cosine_arrow ragged rule: a
+    # pair scores only when both vectors exist with matching width;
+    # anything else is NO pair, not a sentinel) so each pick's
+    # max-sim update is ONE matvec per width group instead of n
+    # python-level dots — at the 10k shortlist cap the difference
+    # between milliseconds and a k * n interpreted loop
     widths = np.fromiter(
         (len(r["e"]) if r["e"] is not None else -1 for r in rows),
         dtype=np.int64,
@@ -264,7 +282,15 @@ def mmr_rerank(
         groups[w] = (idx, M, nr, {int(i): p for p, i in enumerate(idx)})
 
     lam = float(lambda_)
-    maxsim = np.full(n, -2.0)
+    # NaN = "no comparable pair to any selected yet": a pair scores
+    # only when both vectors exist with matching width and the cosine
+    # is finite — an UNKNOWN similarity contributes NOTHING to the
+    # max, exactly like the oracle's max(p.s) skipping NULL pairs. A
+    # row with no comparable pair at all carries NULL mmr and ranks
+    # LAST (the oracle's NULLS-LAST), ties to the lowest id — never a
+    # -2.0 sentinel in the subtract position, which would act as a
+    # diversity BONUS and hand rank 2 to junk rows (r12 review)
+    maxsim = np.full(n, np.nan)
     first = True
     out = []
     chosen = np.zeros(n, dtype=bool)
@@ -273,15 +299,23 @@ def mmr_rerank(
         # HALF_UP like F.round / DuckDB round (python round() is
         # half-even), -0.0 folded — the house bridge
         scores = _round_half_up_np(lam * rel - (1.0 - lam) * div, 4)
-        m = scores[~chosen].max()
-        # argmax ties fall to the LOWEST id (the oracle's ORDER BY
-        # mmr DESC, id ASC LIMIT 1) — not to shortlist order, which
-        # is rel-sorted and may put a higher id first
-        tied = np.nonzero((scores == m) & ~chosen)[0]
-        best_i = int(min(tied, key=lambda i: ids[i]))
+        open_scores = scores[~chosen]
+        finite = np.isfinite(open_scores)
+        if finite.any():
+            m = open_scores[finite].max()
+            # argmax ties fall to the LOWEST id (the oracle's ORDER
+            # BY mmr DESC, id ASC LIMIT 1) — not to shortlist order,
+            # which is rel-sorted and may put a higher id first
+            tied = np.nonzero((scores == m) & ~chosen)[0]
+            best_i = int(min(tied, key=lambda i: ids[i]))
+            mmr_out = float(m)
+        else:
+            tied = np.nonzero(~chosen)[0]
+            best_i = int(min(tied, key=lambda i: ids[i]))
+            mmr_out = None
         chosen[best_i] = True
         first = False
-        out.append((rank, ids[best_i], float(rel[best_i]), float(m)))
+        out.append((rank, ids[best_i], float(rel[best_i]), mmr_out))
         wb = int(widths[best_i])
         if wb >= 0:
             idx, M, nr, pos = groups[wb]
@@ -290,13 +324,11 @@ def mmr_rerank(
             with np.errstate(divide="ignore", invalid="ignore"):
                 s = (M @ vb) / (nr * nb)
             s = np.where(
-                np.isfinite(s), _round_half_up_np(s, 6), -2.0
+                np.isfinite(s), _round_half_up_np(s, 6), np.nan
             )
-            upd = np.full(n, -2.0)
-            upd[idx] = s
-        else:
-            upd = np.full(n, -2.0)
-        np.maximum(maxsim, upd, out=maxsim)
+            # fmax: real sims override NaN "no pair yet"; NaN
+            # operands never erase a real max
+            maxsim[idx] = np.fmax(maxsim[idx], s)
     return spark.createDataFrame(out, ret)
 
 
@@ -335,11 +367,23 @@ def rank_overlap(
     keys = gcols + [id_col]
 
     def topk(df: DataFrame) -> DataFrame:
+        # rank over DISTINCT ids at their best score: a doc retrieved
+        # twice by an arm is one retrieval, and letting row_number
+        # treat the duplicate as a distinct row would fan out the
+        # overlap join (recall > 1.0); NaN scores cannot claim rank
+        # slots (the 41cbf67 NaN-tops-the-k class — NaN sorts above
+        # every real score under desc)
         w = Window.partitionBy(*gcols).orderBy(
-            F.col(score_col).desc(), F.col(id_col).asc()
+            F.col("_s").desc(), F.col(id_col).asc()
         )
         return (
-            df.select(*keys, F.row_number().over(w).alias("_rn"))
+            df.where(
+                F.col(score_col).isNotNull()
+                & ~F.isnan(F.col(score_col).cast("double"))
+            )
+            .groupBy(*keys)
+            .agg(F.max(score_col).alias("_s"))
+            .select(*keys, F.row_number().over(w).alias("_rn"))
             .where(F.col("_rn") <= k)
             .drop("_rn")
         )

@@ -171,6 +171,26 @@ def pq_train(
         .localCheckpoint()
     )
     last_cp = cent
+    # loud seed validation, BOTH lanes (one bounded m x k_sub read of
+    # the frame just checkpointed — the Arrow lane re-reads it per
+    # iteration anyway): a NULL or short vector among the k_sub
+    # lowest ids would otherwise train a DEGENERATE codebook —
+    # silently on the native fold (NULL-distance centroid), as an
+    # opaque width error inside _collect_codebooks on the Arrow lane
+    # (r12 review: the lanes must stay a pure physical swap, and a
+    # poisoned seed is caller error either way)
+    seed_rows = cent.collect()
+    if not seed_rows:
+        raise ValueError(
+            "pq_train: empty corpus — no vectors to seed centroids"
+        )
+    for r in seed_rows:
+        if r["c"] is None or len(r["c"]) != sub:
+            raise ValueError(
+                f"pq_train: seed (j={r['j']}, cid={r['cid']}) has a "
+                f"NULL or non-{sub}-wide slice — the lowest-id seed "
+                f"vectors must be complete {dims}-dim vectors"
+            )
 
     # closure factory, NOT `lambda s, jj=j` (the two-param HOF arity
     # trap — see pq_encode's native lane)

@@ -2141,11 +2141,11 @@ def embedding_drift(
             ).alias("_glob")
         )
     )
-    counts = (
-        df.select(g.alias("_g"), F.col(vec_col).alias("_v"))
-        .where(F.size(F.col("_v").cast("array<double>")) > 0)
-        .groupBy("_g")
-        .agg(F.count(F.lit(1)).alias("n"))
+    # n = the pos-0 count already sitting in the persisted per-group
+    # frame (every non-empty vector emits pos 0) — a separate count
+    # scan would double the operator's one corpus pass (r12 review)
+    counts = per.where(F.col("pos") == 0).select(
+        "_g", F.col("c").alias("n")
     )
     out = (
         gm.join(counts, "_g")

@@ -247,3 +247,72 @@ def test_rank_overlap_hand_computed(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         rank_overlap(ref, cand, k=0)
+
+
+def test_mmr_rerank_nan_and_incomparable_guards(spark):
+    """r12 review fixes: (1) a NaN-cosine row must not consume a
+    shortlist slot (NaN sorts above every real score under desc);
+    (2) a shortlisted candidate whose vector is missing has NO
+    comparable pair — it ranks LAST with NULL mmr, never getting a
+    -2.0 'diversity bonus' that would beat real candidates."""
+    from dgraph_dbpedia_spark.operators.fusion import mmr_rerank
+
+    nan_corpus = _emb4(spark).unionByName(
+        spark.createDataFrame(
+            [(9, [float("nan"), 0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    # shortlist_n=4: without the pre-limit NaN filter, vec 9 evicts a
+    # real candidate; with it, the pick set matches the clean corpus
+    got = mmr_rerank(
+        nan_corpus, _q4(spark), k=3, lambda_=0.5, shortlist_n=4
+    ).collect()
+    assert [r["vec_id"] for r in got] == [1, 3, 4]
+    # candidates path: id 8 has a high provided sim but a NULL vector
+    # in df -> no comparable pair ever -> NULL mmr, ranked last (and
+    # NEVER a -2.0 bonus that would hand it rank 2); an id absent
+    # from df entirely is dropped by the vector fetch (nothing to
+    # diversify against)
+    cand = spark.createDataFrame(
+        [(1, 0.99), (8, 0.98), (3, 0.74), (4, 0.03), (99, 0.97)],
+        "vec_id long, sim double",
+    )
+    df8 = _emb4(spark).unionByName(
+        spark.createDataFrame(
+            [(8, None)], "vec_id long, embedding array<double>"
+        )
+    )
+    got2 = mmr_rerank(
+        df8, _q4(spark), k=5, lambda_=0.5,
+        shortlist_n=5, candidates=cand,
+    ).collect()
+    assert got2[0]["vec_id"] == 1
+    assert [r["vec_id"] for r in got2[1:3]] == [3, 4]
+    assert got2[3]["vec_id"] == 8 and got2[3]["mmr"] is None
+    assert len(got2) == 4  # id 99 never fetched
+
+
+def test_rank_overlap_duplicate_and_nan_guards(spark):
+    """r12 review fixes: duplicate (group, id) rows are ONE retrieval
+    at their best score (no join fan-out, recall <= 1.0), and NaN
+    scores cannot claim rank slots."""
+    from dgraph_dbpedia_spark.operators.fusion import rank_overlap
+
+    ref = _mk(spark, [("qa", 1, 0.9), ("qa", 2, 0.8), ("qa", 3, 0.7)])
+    dup_cand = _mk(
+        spark,
+        [
+            ("qa", 1, 0.9), ("qa", 1, 0.8),      # same doc twice
+            ("qa", 9, 0.7),
+            ("qa", 7, float("nan")),             # NaN must not rank
+        ],
+    )
+    got = rank_overlap(ref, dup_cand, k=3).collect()[0]
+    assert (got["n_ref"], got["n_common"], got["recall"]) == (3, 1, 0.3333)
+    # duplicate REF rows must not inflate n_ref either
+    dup_ref = _mk(
+        spark, [("qa", 1, 0.9), ("qa", 1, 0.85), ("qa", 2, 0.8)]
+    )
+    got2 = rank_overlap(dup_ref, dup_cand, k=3).collect()[0]
+    assert got2["n_ref"] == 2 and got2["recall"] == 0.5

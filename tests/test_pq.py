@@ -442,3 +442,25 @@ def test_pq_encode_nonfinite_codebook_never_wins_both_lanes(spark, emb):
     }
     assert nat == arr and len(nat) == emb.count()
     assert all(c[1] != 2 for c in arr.values())
+
+
+def test_pq_train_rejects_degenerate_seeds_both_lanes(spark, emb):
+    """A NULL or short vector among the k_sub lowest ids (the seed
+    set) raises LOUDLY on BOTH lanes — the native fold would train a
+    degenerate codebook silently, the Arrow lane would crash inside
+    the codebook gather with an opaque width error (r12 review)."""
+    from dgraph_dbpedia_spark.operators.pq import pq_train
+
+    bad = spark.createDataFrame(
+        [(-1, None)], "vec_id long, embedding array<double>"
+    )
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(bad)
+    for lane in (False, True):
+        with pytest.raises(ValueError, match="seed"):
+            pq_train(corpus, dims=64, m=4, k_sub=8, n_iter=1,
+                     use_arrow=lane)
+    empty = emb.where(F.lit(False))
+    with pytest.raises(ValueError, match="empty corpus"):
+        pq_train(empty, dims=64, m=4, k_sub=8, n_iter=1)
