@@ -2519,6 +2519,49 @@ def _q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_jl_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss shortlist scorer: corpus and query
+    projected to 16 dims by the deterministic md5 plane matrix
+    (the LSH family — the oracle recomputes it bit-identically),
+    then exact cosine top-5 in the PROJECTED space. The narrow
+    projection is the 100 TB dimensionality cut before any ANN
+    index build (dims/out_dims fewer bytes through every downstream
+    shuffle)."""
+    from dgraph_dbpedia_spark.operators.similarity import jl_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.orderBy("vec_id").limit(1).select(
+        F.col("embedding").alias("q")
+    )
+    return jl_topk(
+        emb.where(F.col("vec_id") > 0), query, k=5, out_dims=16, dims=64
+    )
+
+
+def _q_corpus_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot release audit: OLD = documents minus every 7th id,
+    NEW = documents minus every 11th id with every 5th id's text
+    edited — a deterministic two-release derivation from the one
+    parquet table, diffed BY CONTENT HASH through one full-outer
+    id join (operators/versioning.py)."""
+    from dgraph_dbpedia_spark.operators.versioning import (
+        corpus_diff_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 7 != 0)
+    new = docs.where(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" v2")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return corpus_diff_report(old, new)
+
+
 # Dict order matters: the driver's correctness gate runs the FIRST 50
 # entries (observed: CORRECTNESS_r03/r04/r05 each record exactly the
 # first 50, in order). TRACKED RISK: this is driver-internal behavior;
@@ -2561,6 +2604,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # registry change.
     "corpus_divergence": _q_corpus_divergence,
     "corpus_divergence_counts": _q_corpus_divergence_counts,
+    # added in the second r12 continuation session: the JL
+    # random-projection shortlist scorer and the content-hash
+    # snapshot release audit
+    "jl_ann_topk": _q_jl_ann_topk,
+    "corpus_diff_report": _q_corpus_diff_report,
     # added in the r12 continuation session: MMR diversity re-rank
     # (SIGIR 1998) over the exact shortlist (k unrolled oracle
     # stages), and the served-ANN recall audit (exact arm as truth)
@@ -2993,6 +3041,37 @@ def _sql_bucket(vec_expr: str, n_planes: int, dims: int) -> str:
         for p, plane in enumerate(planes)
     )
     return f"({terms})"
+
+
+def _sql_jl_topk(out_dims: int = 16, dims: int = 64, k: int = 5) -> str:
+    """Replay of jl_topk: project corpus (vec_id > 0) and the
+    lowest-id query with the SAME md5-derived plane matrix
+    (components round-6, -0.0 folded), then round-4 cosine top-k in
+    the projected space."""
+    import math as _math
+
+    planes = _planes(out_dims, dims)
+    scale = repr(_math.sqrt(3.0 / out_dims))
+
+    def proj(vec: str) -> str:
+        comps = ", ".join(
+            f"round({scale} * list_dot_product({vec}, "
+            f"[{', '.join(repr(v) for v in p)}]), 6) + 0"
+            for p in planes
+        )
+        return f"[{comps}]"
+
+    return f"""
+        WITH q AS (
+            SELECT embedding::DOUBLE[] AS v FROM embeddings
+            ORDER BY vec_id LIMIT 1),
+        qp AS (SELECT {proj('v')} AS q FROM q),
+        pr AS (
+            SELECT vec_id, {proj('embedding::DOUBLE[]')} AS e
+            FROM embeddings WHERE vec_id > 0)
+        SELECT vec_id, {_sql_cosine('e', 'q')} AS sim
+        FROM pr, qp ORDER BY sim DESC, vec_id LIMIT {k}
+    """
 
 
 def _sql_cosine(a: str, b: str, digits: int = 4) -> str:
@@ -4427,6 +4506,44 @@ def oracle_sql() -> dict[str, str]:
                             sqrt(list_dot_product(q, q))), 4) AS sim
                 FROM embeddings, q WHERE vec_id > 0)
             SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 5
+        """,
+        # r12 (second continuation session): JL random-projection
+        # shortlist scorer — identical md5 plane matrix host-side
+        "jl_ann_topk": _sql_jl_topk(out_dims=16, dims=64, k=5),
+        # r12 (second continuation session): content-hash snapshot
+        # diff — the operator's full-outer join replayed over the
+        # deterministic two-release derivation (drop %7 ids / drop
+        # %11 ids + edit %5 texts)
+        "corpus_diff_report": """
+            WITH old AS (
+                SELECT doc_id,
+                       ('0x' || substring(md5(text), 1, 15))::BIGINT AS h
+                FROM documents WHERE doc_id % 7 != 0),
+            new AS (
+                SELECT doc_id,
+                       ('0x' || substring(md5(
+                           CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                                ELSE text END), 1, 15))::BIGINT AS h
+                FROM documents WHERE doc_id % 11 != 0),
+            d AS (
+                SELECT CASE
+                    WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.h IS NOT DISTINCT FROM n.h THEN 'unchanged'
+                    ELSE 'changed' END AS status
+                FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+            SELECT
+                sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)::BIGINT AS n_added,
+                sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+                sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+                sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)::BIGINT AS n_unchanged,
+                round((sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)
+                       + sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END))
+                      / nullif(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)
+                               + sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+                               + sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END), 0)::DOUBLE,
+                      4) AS churn
+            FROM d
         """,
         "ttl_parse": """
             WITH lines AS (

@@ -21,6 +21,7 @@ result every run and every engine.
 
 from __future__ import annotations
 
+import math
 from functools import lru_cache
 
 import pandas as pd  # module-level: pandas_udf type hints must resolve
@@ -2160,3 +2161,119 @@ def embedding_drift(
         )
     )
     return tag_persisted(out, per)
+
+
+def jl_project(
+    df: DataFrame,
+    out_dims: int,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: map each ``dims``-wide
+    vector to ``out_dims`` components ``round(sqrt(3 / out_dims) *
+    (v . p_i), round_decimals)`` against the deterministic pseudo-random
+    hyperplanes of :func:`plane_values` (the LSH family — same
+    cross-engine md5 derivation, so oracles recompute the matrix
+    bit-identically; no RNG state). The ``sqrt(3 / out_dims)`` scale
+    makes the projection norm-preserving in expectation for our
+    uniform[-1, 1) entries (variance 1/3), so L2 consumers see
+    calibrated magnitudes; cosine consumers are scale-invariant either
+    way. JL lemma: pairwise distances distort by at most ``1 +/- eps``
+    with ``out_dims = O(log n / eps^2)`` — the cheap pre-ANN
+    dimensionality cut when no trained MRL prefix exists
+    (:func:`normalize_embeddings`'s ``dims=`` truncation is the
+    trained-model alternative).
+
+    Returns ``(id, e)`` with ``e`` an ``out_dims``-wide double array;
+    a NULL or non-``dims``-wide input yields NULL ``e`` (the
+    :func:`normalize_embeddings` degenerate-row convention — dropped
+    by downstream try_divide scoring, never silently mis-projected).
+
+    100 TB shape: pure narrow projection — no shuffle, no UDF,
+    scan-speed; downstream ANN index build / probe shuffles shrink by
+    ``dims / out_dims``. The plane matrix rides the PLAN as a foldable
+    literal (``out_dims * dims`` doubles — 1k doubles at 64->16; keep
+    shapes modest or hoist to a broadcast join at e.g. 768->256).
+    Components round to ``round_decimals`` and fold -0.0 so both
+    engines serve bit-equal projections."""
+    if out_dims < 1:
+        raise ValueError(f"out_dims must be >= 1, got {out_dims}")
+    if dims < 1:
+        raise ValueError(f"dims must be >= 1, got {dims}")
+    scale = float(math.sqrt(3.0 / out_dims))
+    planes = _plane_literal(out_dims, dims)
+    v = F.col("_v")
+    comps = F.array(
+        *[
+            F.round(
+                F.lit(scale)
+                * F.aggregate(
+                    F.zip_with(
+                        F.slice(F.col("_p"), j * dims + 1, dims),
+                        v,
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                round_decimals,
+            )
+            + F.lit(0.0)
+            for j in range(out_dims)
+        ]
+    )
+    return (
+        df.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        )
+        # planes bound as an attribute so each of the out_dims folds
+        # slices ONE shared array value, not out_dims copies of the
+        # full literal re-materialized per component
+        .select(F.col(id_col), v, planes.alias("_p"))
+        .select(
+            F.col(id_col),
+            F.when(F.size(v) == dims, comps).alias("e"),
+        )
+    )
+
+
+def jl_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    out_dims: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_col: str = "q",
+) -> DataFrame:
+    """Approximate cosine top-k in the :func:`jl_project` space: project
+    corpus and query with the SAME deterministic plane matrix, then
+    exact top-k over the ``out_dims``-wide projections
+    (:func:`cosine_topk` semantics — round-4 sims, id tie-break).
+    Returns ``(id, sim)`` where ``sim`` is the PROJECTED-space cosine:
+    an unbiased-angle shortlist scorer, not the exact similarity — a
+    deployment re-ranks the shortlist against the float vectors
+    (:func:`pq.pq_rerank_topk`'s two-stage contract).
+
+    100 TB shape: the corpus-sized work is one narrow projection +
+    the ``out_dims``-wide scoring scan — ``dims / out_dims`` fewer
+    bytes through the top-k than brute :func:`cosine_topk`; the query
+    projects via the same broadcast literal."""
+    proj = jl_project(
+        df, out_dims, dims, id_col=id_col, vec_col=vec_col
+    )
+    qproj = jl_project(
+        query.select(F.col(query_col).alias("__qv")).withColumn(
+            "__qid", F.lit(0)
+        ),
+        out_dims,
+        dims,
+        id_col="__qid",
+        vec_col="__qv",
+    ).select(F.col("e").alias("q"))
+    return cosine_topk(
+        proj, qproj, k=k, id_col=id_col, vec_col="e", query_col="q"
+    )

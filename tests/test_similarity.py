@@ -1456,3 +1456,94 @@ def test_hard_negatives_band_family_and_rank_semantics(spark):
     assert all(0.0 <= r["sim"] < 0.99 for r in got)
     with pytest.raises(ValueError, match="lo < hi"):
         hard_negatives(emb, emb, lo=0.9, hi=0.9)
+
+
+def test_jl_project_numpy_twin_and_degenerate_rows(spark):
+    """Components equal the host-side numpy twin (same plane_values
+    matrix, sqrt(3/out_dims) scale, round-6 HALF-UP-adjacent via
+    F.round); a NULL or width-mismatched vector projects to NULL
+    (never silently mis-projected); plan stays Python-free and
+    shuffle-free."""
+    import numpy as np
+
+    from dgraph_dbpedia_spark.operators.similarity import (
+        jl_project,
+        plane_values,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, -2.0, 0.5]),
+        (1, [0.25, -0.75, 3.0, 1.5]),
+        (2, None),
+        (3, [1.0, 2.0]),  # wrong width
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: r["e"]
+        for r in jl_project(df, 3, 4, round_decimals=6).collect()
+    }
+    P = np.asarray(plane_values(3, 4)).reshape(3, 4)
+    s = math.sqrt(3.0 / 3)
+    for vid, vec in rows[:2]:
+        exp = [round(float(x), 6) for x in s * (P @ np.asarray(vec))]
+        assert got[vid] == pytest.approx(exp, abs=1e-12)
+    assert got[2] is None and got[3] is None
+
+    plan = (
+        jl_project(df, 3, 4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_jl_topk_twin_rank1_and_shortlist_recall(spark):
+    """The sf0.001 embeddings: a planted twin (identical vector under
+    a fresh id) projects identically, so it ranks first at sim 1.0
+    through the JL space; and the honest shortlist contract — the
+    exact top-10 ids are recovered at a pinned floor by a 50-deep
+    16-dim shortlist (measured 0.4 on this corpus; JL at eps ~
+    sqrt(log n / k) is a SHORTLIST scorer, re-rank for final
+    order)."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        cosine_topk,
+        jl_topk,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    twin = emb.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(twin)
+    top = jl_topk(corpus, q, k=3, out_dims=16, dims=64).collect()
+    assert [r["vec_id"] for r in top[:2]] == [0, 100000]
+    assert top[0]["sim"] == 1.0 and top[1]["sim"] == 1.0
+
+    exact = {
+        r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()
+    }
+    shortlist = {
+        r["vec_id"]
+        for r in jl_topk(emb, q, k=50, out_dims=16, dims=64).collect()
+    }
+    assert len(exact & shortlist) / 10 >= 0.4
+
+
+def test_jl_project_validation(spark):
+    from dgraph_dbpedia_spark.operators.similarity import jl_project
+
+    df = spark.createDataFrame(
+        [(0, [1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="out_dims"):
+        jl_project(df, 0, 1)
+    with pytest.raises(ValueError, match="dims"):
+        jl_project(df, 1, 0)
