@@ -2538,6 +2538,26 @@ def _q_jl_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage JL serve (the pq_rerank_topk contract): 50-deep
+    shortlist in the 16-dim projected space, exact round-4 cosine
+    top-5 over ONLY those rows' float vectors."""
+    from dgraph_dbpedia_spark.operators.similarity import jl_rerank_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.orderBy("vec_id").limit(1).select(
+        F.col("embedding").alias("q")
+    )
+    return jl_rerank_topk(
+        emb.where(F.col("vec_id") > 0),
+        query,
+        k=5,
+        shortlist_n=50,
+        out_dims=16,
+        dims=64,
+    )
+
+
 def _q_corpus_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot release audit: OLD = documents minus every 7th id,
     NEW = documents minus every 11th id with every 5th id's text
@@ -2608,6 +2628,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # random-projection shortlist scorer and the content-hash
     # snapshot release audit
     "jl_ann_topk": _q_jl_ann_topk,
+    "jl_rerank_topk": _q_jl_rerank_topk,
     "corpus_diff_report": _q_corpus_diff_report,
     # added in the r12 continuation session: MMR diversity re-rank
     # (SIGIR 1998) over the exact shortlist (k unrolled oracle
@@ -3071,6 +3092,30 @@ def _sql_jl_topk(out_dims: int = 16, dims: int = 64, k: int = 5) -> str:
             FROM embeddings WHERE vec_id > 0)
         SELECT vec_id, {_sql_cosine('e', 'q')} AS sim
         FROM pr, qp ORDER BY sim DESC, vec_id LIMIT {k}
+    """
+
+
+def _sql_jl_rerank_topk(
+    out_dims: int = 16,
+    dims: int = 64,
+    k: int = 5,
+    shortlist_n: int = 50,
+) -> str:
+    """Replay of jl_rerank_topk: the projected-space shortlist
+    (jl_topk at k=shortlist_n), then exact round-4 float cosine top-k
+    over only the shortlisted ids."""
+    sl = _sql_jl_topk(out_dims=out_dims, dims=dims, k=shortlist_n)
+    return f"""
+        WITH sl AS ({sl}),
+        fq AS (
+            SELECT embedding::DOUBLE[] AS q FROM embeddings
+            ORDER BY vec_id LIMIT 1),
+        cand AS (
+            SELECT e.vec_id, e.embedding::DOUBLE[] AS v
+            FROM embeddings e SEMI JOIN sl USING (vec_id)
+            WHERE e.vec_id > 0)
+        SELECT vec_id, {_sql_cosine('v', 'q')} AS sim
+        FROM cand, fq ORDER BY sim DESC, vec_id LIMIT {k}
     """
 
 
@@ -4510,6 +4555,11 @@ def oracle_sql() -> dict[str, str]:
         # r12 (second continuation session): JL random-projection
         # shortlist scorer — identical md5 plane matrix host-side
         "jl_ann_topk": _sql_jl_topk(out_dims=16, dims=64, k=5),
+        # r12 (second continuation session): the two-stage JL serve —
+        # projected shortlist, exact float re-rank over only those ids
+        "jl_rerank_topk": _sql_jl_rerank_topk(
+            out_dims=16, dims=64, k=5, shortlist_n=50
+        ),
         # r12 (second continuation session): content-hash snapshot
         # diff — the operator's full-outer join replayed over the
         # deterministic two-release derivation (drop %7 ids / drop

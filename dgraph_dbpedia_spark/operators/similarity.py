@@ -2277,3 +2277,53 @@ def jl_topk(
     return cosine_topk(
         proj, qproj, k=k, id_col=id_col, vec_col="e", query_col="q"
     )
+
+
+def jl_rerank_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    shortlist_n: int = 100,
+    out_dims: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_col: str = "q",
+) -> DataFrame:
+    """The two-stage contract :func:`jl_topk` deploys under (the
+    :func:`..pq.pq_rerank_topk` shape): the JL-projected space
+    produces a ``shortlist_n`` candidate list, then ONLY those rows'
+    float vectors pay the exact round-4 cosine top-``k``
+    (:func:`cosine_topk`'s sim desc / id asc tie rule). The projected
+    space's job is never final ranking — it is shrinking the
+    full-width scoring from the corpus to ``shortlist_n`` rows while
+    reading ``out_dims / dims`` of the bytes in stage 1.
+
+    100 TB shape: stage 1 is :func:`jl_topk`'s narrow projection +
+    ``out_dims``-wide scan; stage 2 broadcast-semi-joins the bounded
+    shortlist back into the float table (the `_exact_rerank`
+    discipline — no corpus-sized shuffle, the semi-join prunes the
+    float scan to shortlist rows)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if shortlist_n < k:
+        raise ValueError(
+            f"shortlist_n ({shortlist_n}) must be >= k ({k})"
+        )
+    shortlist = jl_topk(
+        df,
+        query,
+        k=shortlist_n,
+        out_dims=out_dims,
+        dims=dims,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_col=query_col,
+    )
+    cand = df.join(
+        F.broadcast(shortlist.select(id_col)), id_col, "left_semi"
+    )
+    return cosine_topk(
+        cand, query, k=k, id_col=id_col, vec_col=vec_col,
+        query_col=query_col,
+    )

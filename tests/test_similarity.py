@@ -1547,3 +1547,55 @@ def test_jl_project_validation(spark):
         jl_project(df, 0, 1)
     with pytest.raises(ValueError, match="dims"):
         jl_project(df, 1, 0)
+
+
+def test_jl_rerank_topk_twin_and_recall(spark):
+    """Two-stage JL serve: the planted twin survives the projected
+    shortlist and the exact re-rank puts it at rank 1-2 with sim 1.0;
+    composed recall@10 vs exact equals the shortlist's containment
+    (the re-rank stage itself is lossless over its candidates); knob
+    validation is loud."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        cosine_topk,
+        jl_rerank_topk,
+        jl_topk,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    twin = emb.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(twin)
+    top = jl_rerank_topk(
+        corpus, q, k=3, shortlist_n=20, out_dims=16, dims=64
+    ).collect()
+    assert [r["vec_id"] for r in top[:2]] == [0, 100000]
+    assert top[0]["sim"] == 1.0 and top[1]["sim"] == 1.0
+
+    exact = {r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()}
+    sl = {
+        r["vec_id"]
+        for r in jl_topk(emb, q, k=50, out_dims=16, dims=64).collect()
+    }
+    got = {
+        r["vec_id"]
+        for r in jl_rerank_topk(
+            emb, q, k=10, shortlist_n=50, out_dims=16, dims=64
+        ).collect()
+    }
+    # lossless stage 2: every exact-top-10 id the shortlist contains
+    # must appear in the composed top-10
+    assert exact & sl <= got
+
+    with pytest.raises(ValueError, match="shortlist_n"):
+        jl_rerank_topk(emb, q, k=10, shortlist_n=5)
+    with pytest.raises(ValueError, match="k must be"):
+        jl_rerank_topk(emb, q, k=0)
