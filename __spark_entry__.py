@@ -2558,6 +2558,33 @@ def _q_jl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level outlier scores vs the row's own label centroid
+    (round-6 per-position means, round-4 cosine)."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        embedding_outliers,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_outliers(emb, group_col="label")
+
+
+def _q_classifier_training_set(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet/fastText quality-classifier prep: label 1 = 100
+    lowest-coin docs from the trusted source ('src0' as the wiki
+    proxy), label 0 = 100 lowest-coin docs from everything else (ids
+    in the trusted set excluded by anti-join)."""
+    from dgraph_dbpedia_spark.operators.sampling import (
+        classifier_training_set,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("source") == "src0")
+    return classifier_training_set(docs, ref, n_per_class=100)
+
+
 def _q_corpus_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot release audit: OLD = documents minus every 7th id,
     NEW = documents minus every 11th id with every 5th id's text
@@ -2630,6 +2657,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jl_ann_topk": _q_jl_ann_topk,
     "jl_rerank_topk": _q_jl_rerank_topk,
     "corpus_diff_report": _q_corpus_diff_report,
+    "classifier_training_set": _q_classifier_training_set,
+    "embedding_outliers": _q_embedding_outliers,
     # added in the r12 continuation session: MMR diversity re-rank
     # (SIGIR 1998) over the exact shortlist (k unrolled oracle
     # stages), and the served-ANN recall audit (exact arm as truth)
@@ -4595,6 +4624,22 @@ def oracle_sql() -> dict[str, str]:
                       4) AS churn
             FROM d
         """,
+        # r12 (second continuation session): quality-classifier prep —
+        # per-class lowest-coin cut, negatives anti-joined on the ref
+        "classifier_training_set": f"""
+            WITH ref AS (
+                SELECT doc_id FROM documents WHERE source = 'src0'),
+            pos AS (
+                SELECT doc_id, 1 AS label FROM ref
+                ORDER BY {_sql_hash64('doc_id::VARCHAR', 5)}, doc_id
+                LIMIT 100),
+            neg AS (
+                SELECT d.doc_id, 0 AS label FROM documents d
+                ANTI JOIN ref r ON d.doc_id = r.doc_id
+                ORDER BY {_sql_hash64('d.doc_id::VARCHAR', 5)}, d.doc_id
+                LIMIT 100)
+            SELECT * FROM pos UNION ALL SELECT * FROM neg
+        """,
         "ttl_parse": """
             WITH lines AS (
                 SELECT '<doc:' || doc_id::VARCHAR || '> <p:source> "' || text || '" .' AS value
@@ -5034,6 +5079,31 @@ def oracle_sql() -> dict[str, str]:
                           sqrt(list_dot_product(gv, gv))), 4)
                        AS cos_to_global
             FROM gm JOIN counts USING (label) CROSS JOIN gl
+        """,
+        # r12 (second continuation session): per-row outlier score vs
+        # the row's own label centroid (embedding_drift's gm CTE, one
+        # row-level join instead of the global comparison)
+        "embedding_outliers": """
+            WITH x AS (
+                SELECT label,
+                       generate_subscripts(embedding::DOUBLE[], 1) AS pos,
+                       unnest(embedding::DOUBLE[]) AS v
+                FROM embeddings),
+            per AS (
+                SELECT label, pos, sum(v) AS s, count(*) AS c
+                FROM x GROUP BY label, pos),
+            gm AS (
+                SELECT label,
+                       list(round(s / c, 6) + 0.0 ORDER BY pos) AS gmv
+                FROM per GROUP BY label)
+            SELECT e.vec_id, e.label,
+                   CASE WHEN len(e.embedding) > 0 THEN
+                       round(list_dot_product(e.embedding::DOUBLE[], gmv) /
+                             (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                    e.embedding::DOUBLE[])) *
+                              sqrt(list_dot_product(gmv, gmv))), 4)
+                   END AS sim_to_centroid
+            FROM embeddings e JOIN gm USING (label)
         """,
         # r12: residual quantization — the additive sibling (full
         # 2-stage train + residual + greedy encode + additive ADC)

@@ -751,3 +751,47 @@ def token_budget_sample(
         .where(F.col("__cum") - F.col(ntok) < F.lit(budget_tokens))
         .drop("__cum")
     )
+
+
+def classifier_training_set(
+    df: DataFrame,
+    ref: DataFrame,
+    n_per_class: int,
+    id_col: str = "doc_id",
+    seed: int = 5,
+) -> DataFrame:
+    """Quality-classifier data prep (the CCNet / fastText recipe,
+    Wenzek et al. LREC 2020): label 1 = documents sampled from a
+    TRUSTED reference corpus (wiki/books — whatever ``ref`` is),
+    label 0 = documents sampled from the general corpus ``df``
+    EXCLUDING any id present in ``ref`` (a doc cannot be its own
+    negative). Each class keeps the ``n_per_class`` lowest rows in
+    the RNG-free id-hash coin order (:func:`hash_sample`'s ranking —
+    exact-n, engine-replayable, stable under repartitioning; fewer if
+    the class universe is smaller). Returns ``(id, label)`` — join
+    back to the text/features by id; the frame deliberately carries
+    no text so the heavy column never rides the sample shuffle.
+
+    100 TB shape: the exclusion is one id-keyed left-anti join (hash
+    join; broadcast when ``ref`` is small); each class cut is an
+    orderBy-limit = TakeOrdered (per-partition partial top-n, then a
+    single bounded merge — never a full sort); the union is
+    metadata-only."""
+    if n_per_class < 1:
+        raise ValueError(
+            f"n_per_class must be >= 1, got {n_per_class}"
+        )
+    coin = hash64(F.col(id_col).cast("string"), seed=seed)
+
+    def cut(frame: DataFrame, label: int) -> DataFrame:
+        return (
+            frame.select(F.col(id_col), coin.alias("__c"))
+            .orderBy(F.col("__c").asc(), F.col(id_col).asc())
+            .limit(n_per_class)
+            .select(F.col(id_col), F.lit(label).alias("label"))
+        )
+
+    neg_universe = df.join(
+        ref.select(id_col), id_col, "left_anti"
+    )
+    return cut(ref, 1).unionByName(cut(neg_universe, 0))

@@ -2163,6 +2163,57 @@ def embedding_drift(
     return tag_persisted(out, per)
 
 
+def jl_project_arrow(out_dims: int, dims: int, round_decimals: int = 6):
+    """Vectorized production twin of :func:`jl_project`'s native fold:
+    ONE ``(batch x dims) @ (dims x out_dims)`` matrix product per Arrow
+    batch (the :func:`hyperplane_signs_arrow` pattern), components
+    rounded HALF-UP to ``round_decimals`` with -0.0 folded. NULL or
+    non-``dims``-wide rows yield NULL (the native lane's degenerate-row
+    convention), handled by masking so one ragged row never forces the
+    whole batch onto an object-dtype slow path.
+
+    Bit-compatibility: numpy's dot re-associates the float sum vs the
+    native sequential fold — the house bridge posture (engines agree
+    except within ~1e-11 of a round-6 boundary; pinned equality on the
+    test corpus in tests/test_similarity.py). The native lane remains
+    the oracle surface.
+
+    Returns a ``Column``-producing callable."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    planes_t = (
+        np.asarray(plane_values(out_dims, dims), dtype=np.float64)
+        .reshape(out_dims, dims)
+        .T.copy()
+    )
+    scale = float(math.sqrt(3.0 / out_dims))
+
+    def project_batch(emb: pd.Series) -> pd.Series:
+        import numpy as np  # noqa: F811 — resolve inside the worker
+
+        vals = emb.tolist()
+        ok = np.fromiter(
+            (v is not None and len(v) == dims for v in vals),
+            dtype=bool,
+            count=len(vals),
+        )
+        out: list = [None] * len(vals)
+        if ok.any():
+            mat = np.asarray(
+                [vals[i] for i in np.nonzero(ok)[0]], dtype=np.float64
+            )
+            proj = _round_half_up_np(
+                scale * (mat @ planes_t), round_decimals
+            ) + 0.0
+            for row, i in zip(proj, np.nonzero(ok)[0]):
+                out[int(i)] = row.tolist()
+        return pd.Series(out, dtype="object")
+
+    return pandas_udf(project_batch, ArrayType(DoubleType()))
+
+
 def jl_project(
     df: DataFrame,
     out_dims: int,
@@ -2170,6 +2221,7 @@ def jl_project(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_decimals: int = 6,
+    use_arrow: bool = False,
 ) -> DataFrame:
     """Johnson-Lindenstrauss random projection: map each ``dims``-wide
     vector to ``out_dims`` components ``round(sqrt(3 / out_dims) *
@@ -2197,11 +2249,26 @@ def jl_project(
     literal (``out_dims * dims`` doubles — 1k doubles at 64->16; keep
     shapes modest or hoist to a broadcast join at e.g. 768->256).
     Components round to ``round_decimals`` and fold -0.0 so both
-    engines serve bit-equal projections."""
+    engines serve bit-equal projections.
+
+    ``use_arrow=True`` swaps the per-component native folds for ONE
+    numpy matmul per Arrow batch (:func:`jl_project_arrow`): measured
+    2.3x at the 200k x (64->16) scale point (tools/scale_jl.py —
+    272k vs 118k vecs/s; the fold is only ~1k flops/row at this
+    shape, so Arrow's margin GROWS with out_dims x dims), bit-equal
+    on the measured corpora. The native lane stays the oracle
+    surface."""
     if out_dims < 1:
         raise ValueError(f"out_dims must be >= 1, got {out_dims}")
     if dims < 1:
         raise ValueError(f"dims must be >= 1, got {dims}")
+    if use_arrow:
+        return df.select(
+            F.col(id_col),
+            jl_project_arrow(out_dims, dims, round_decimals)(
+                F.col(vec_col).cast("array<double>")
+            ).alias("e"),
+        )
     scale = float(math.sqrt(3.0 / out_dims))
     planes = _plane_literal(out_dims, dims)
     v = F.col("_v")
@@ -2248,6 +2315,7 @@ def jl_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_col: str = "q",
+    use_arrow: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k in the :func:`jl_project` space: project
     corpus and query with the SAME deterministic plane matrix, then
@@ -2263,8 +2331,12 @@ def jl_topk(
     bytes through the top-k than brute :func:`cosine_topk`; the query
     projects via the same broadcast literal."""
     proj = jl_project(
-        df, out_dims, dims, id_col=id_col, vec_col=vec_col
+        df, out_dims, dims, id_col=id_col, vec_col=vec_col,
+        use_arrow=use_arrow,
     )
+    # the 1-row query always projects on the native lane (no Arrow
+    # batch to amortize, and it keeps the scored sims on the oracle
+    # surface whenever the corpus-side rounding agrees)
     qproj = jl_project(
         query.select(F.col(query_col).alias("__qv")).withColumn(
             "__qid", F.lit(0)
@@ -2289,6 +2361,7 @@ def jl_rerank_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_col: str = "q",
+    use_arrow: bool = False,
 ) -> DataFrame:
     """The two-stage contract :func:`jl_topk` deploys under (the
     :func:`..pq.pq_rerank_topk` shape): the JL-projected space
@@ -2319,6 +2392,7 @@ def jl_rerank_topk(
         id_col=id_col,
         vec_col=vec_col,
         query_col=query_col,
+        use_arrow=use_arrow,
     )
     cand = df.join(
         F.broadcast(shortlist.select(id_col)), id_col, "left_semi"
@@ -2327,3 +2401,74 @@ def jl_rerank_topk(
         cand, query, k=k, id_col=id_col, vec_col=vec_col,
         query_col=query_col,
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 4,
+    mean_decimals: int = 6,
+) -> DataFrame:
+    """Per-ROW outlier scoring against the row's own group centroid —
+    the row-level companion of :func:`embedding_drift` (SemDeDup /
+    SSL-prototype data-cleaning staple: a document whose embedding
+    sits far from its cluster/source/label centroid is mislabelled,
+    off-topic, or embedding-model garbage). Returns ``(id, group,
+    sim_to_centroid)`` with the round-``round_decimals`` cosine
+    between the row's vector and its group's centroid; LOW sims are
+    the outliers. Consumers threshold or window-rank per group — the
+    operator itself adds no corpus-wide sort. A NULL/empty vector
+    scores NULL (no direction to compare; rank it last or drop).
+
+    Determinism (oracle-replayable): centroids are per-position means
+    rounded to ``mean_decimals`` with the -0.0 fold (the
+    :func:`embedding_drift` / Lloyd rule); the per-row cosine is the
+    package's sequential fold over the ROUNDED centroid.
+
+    100 TB shape: centroid build is ONE posexplode ->
+    partial-aggregable (group, pos) shuffle bounded by groups x dims
+    rows per map partition; the bounded groups x dims centroid frame
+    broadcast-joins back, so scoring is a second NARROW corpus pass —
+    no corpus-sized shuffle anywhere."""
+    from dgraph_dbpedia_spark.operators.cachectl import tag_persisted
+
+    g = F.col(group_col)
+    ex = df.select(
+        g.alias("_g"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "pos", "v"
+        ),
+    )
+    per = (
+        ex.groupBy("_g", "pos")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    gm = per.groupBy("_g").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("pos", (F.col("s") / F.col("c")).alias("m"))
+                )
+            ),
+            lambda st: F.round(st["m"], mean_decimals) + F.lit(0.0),
+        ).alias("_gm")
+    )
+    out = (
+        df.select(
+            F.col(id_col),
+            g.alias("_g"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .join(F.broadcast(gm), "_g")
+        .select(
+            F.col(id_col),
+            F.col("_g").alias(group_col),
+            F.round(cosine("_v", "_gm"), round_decimals).alias(
+                "sim_to_centroid"
+            ),
+        )
+    )
+    return tag_persisted(out, per)

@@ -491,3 +491,34 @@ def test_token_budget_sample_budget_and_determinism(spark):
     clash = df.withColumn("n_tokens", df.doc_id)
     with pytest.raises(ValueError, match="n_tokens"):
         token_budget_sample(clash, budget_tokens=10)
+
+
+def test_classifier_training_set(spark):
+    """Label 1 = lowest-coin ids from ref, label 0 = lowest-coin ids
+    from df minus ref ids; exact-n per class, no id in both classes,
+    deterministic across runs; loud knob validation."""
+    import pytest
+
+    from dgraph_dbpedia_spark.operators.sampling import (
+        classifier_training_set,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)], "doc_id long, text string"
+    )
+    ref = docs.where(F.col("doc_id") % 4 == 0)  # 10 trusted docs
+    got = classifier_training_set(docs, ref, n_per_class=5).collect()
+    pos = {r["doc_id"] for r in got if r["label"] == 1}
+    neg = {r["doc_id"] for r in got if r["label"] == 0}
+    assert len(pos) == 5 and len(neg) == 5
+    assert all(i % 4 == 0 for i in pos)
+    assert all(i % 4 != 0 for i in neg)          # exclusion holds
+    assert pos.isdisjoint(neg)
+    again = classifier_training_set(docs, ref, n_per_class=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    # class smaller than n_per_class: keeps what exists
+    tiny_ref = docs.where(F.col("doc_id") < 2)
+    got2 = classifier_training_set(docs, tiny_ref, n_per_class=5).collect()
+    assert sum(1 for r in got2 if r["label"] == 1) == 2
+    with pytest.raises(ValueError, match="n_per_class"):
+        classifier_training_set(docs, ref, n_per_class=0)

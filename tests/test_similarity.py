@@ -1599,3 +1599,84 @@ def test_jl_rerank_topk_twin_and_recall(spark):
         jl_rerank_topk(emb, q, k=10, shortlist_n=5)
     with pytest.raises(ValueError, match="k must be"):
         jl_rerank_topk(emb, q, k=0)
+
+
+def test_jl_project_arrow_lane_matches_native(spark):
+    """The Arrow matmul lane projects the sf0.001 corpus bit-equal to
+    the native fold lane (the house bridge posture — this corpus sits
+    nowhere near a round-6 boundary), and handles NULL / ragged rows
+    with the same NULL-out convention without derailing the batch."""
+    from dgraph_dbpedia_spark.operators.similarity import jl_project
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    nat = {
+        r["vec_id"]: r["e"]
+        for r in jl_project(emb, 16, 64).collect()
+    }
+    arr = {
+        r["vec_id"]: r["e"]
+        for r in jl_project(emb, 16, 64, use_arrow=True).collect()
+    }
+    assert nat == arr and len(nat) == emb.count()
+
+    ragged = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0, 3.0, 4.0]),
+            (1, None),
+            (2, [1.0]),
+            (3, [0.5, -0.5, 0.25, -0.25]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    nat2 = {
+        r["vec_id"]: r["e"] for r in jl_project(ragged, 2, 4).collect()
+    }
+    arr2 = {
+        r["vec_id"]: r["e"]
+        for r in jl_project(ragged, 2, 4, use_arrow=True).collect()
+    }
+    assert nat2 == arr2
+    assert nat2[1] is None and nat2[2] is None
+    assert nat2[0] is not None and nat2[3] is not None
+
+
+def test_embedding_outliers_hand_computed(spark):
+    """Centroid = round-6 per-position group mean; each row scores the
+    round-4 cosine to its OWN group's centroid; NULL/empty vectors
+    score NULL; a planted far vector scores lowest in its group."""
+    import numpy as np
+
+    from dgraph_dbpedia_spark.operators.similarity import (
+        embedding_outliers,
+    )
+
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [0.9, 0.1]),
+        (2, 0, [-1.0, 0.0]),      # planted outlier in group 0
+        (3, 1, [0.0, 1.0]),
+        (4, 1, [0.0, 0.8]),
+        (5, 1, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: r["sim_to_centroid"]
+        for r in embedding_outliers(df).collect()
+    }
+    assert len(got) == 6 and got[5] is None
+
+    def cos(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    c0 = [round(x, 6) for x in np.mean([[1.0, 0.0], [0.9, 0.1], [-1.0, 0.0]], axis=0)]
+    c1 = [round(x, 6) for x in np.mean([[0.0, 1.0], [0.0, 0.8]], axis=0)]
+    for vid, lab, v in rows[:5]:
+        exp = round(cos(v, c0 if lab == 0 else c1), 4)
+        assert got[vid] == pytest.approx(exp, abs=1e-9)
+    # the planted outlier is the group's minimum
+    assert got[2] == min(got[0], got[1], got[2])
