@@ -2558,6 +2558,20 @@ def _q_jl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hashed_doc_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hashing-trick document vectors (ICML 2009): token -> md5
+    bucket, L2-normalized 64-bucket histogram, round-6 components —
+    the model-free text->embedding bridge."""
+    from dgraph_dbpedia_spark.operators.textstats import (
+        hashed_doc_embeddings,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return hashed_doc_embeddings(docs, dims=64)
+
+
 def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level outlier scores vs the row's own label centroid
     (round-6 per-position means, round-4 cosine)."""
@@ -2659,6 +2673,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_diff_report": _q_corpus_diff_report,
     "classifier_training_set": _q_classifier_training_set,
     "embedding_outliers": _q_embedding_outliers,
+    "hashed_doc_embeddings": _q_hashed_doc_embeddings,
     # added in the r12 continuation session: MMR diversity re-rank
     # (SIGIR 1998) over the exact shortlist (k unrolled oracle
     # stages), and the served-ANN recall audit (exact arm as truth)
@@ -5079,6 +5094,36 @@ def oracle_sql() -> dict[str, str]:
                           sqrt(list_dot_product(gv, gv))), 4)
                        AS cos_to_global
             FROM gm JOIN counts USING (label) CROSS JOIN gl
+        """,
+        # r12 (second continuation session): hashing-trick doc vectors
+        # — md5 bucket histogram, L2-normalized, round-6; token-less
+        # docs NULL via the left join
+        "hashed_doc_embeddings": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_SQL_TOKS}) AS tok
+                FROM documents),
+            cnt AS (
+                SELECT doc_id,
+                       ({_sql_hash64('tok', 9)} % 64) AS b,
+                       count(*)::DOUBLE AS c
+                FROM toks GROUP BY doc_id, b),
+            nrm AS (
+                SELECT doc_id, sqrt(sum(c * c)) AS n
+                FROM cnt GROUP BY doc_id),
+            grid AS (
+                SELECT d.doc_id, t.p
+                FROM (SELECT DISTINCT doc_id FROM cnt) d
+                CROSS JOIN (SELECT range AS p FROM range(64)) t),
+            vec AS (
+                SELECT g.doc_id,
+                       list(round(coalesce(c.c, 0) / n.n, 6) + 0.0
+                            ORDER BY g.p) AS e
+                FROM grid g
+                JOIN nrm n USING (doc_id)
+                LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.b = g.p
+                GROUP BY g.doc_id)
+            SELECT d.doc_id, v.e
+            FROM documents d LEFT JOIN vec v USING (doc_id)
         """,
         # r12 (second continuation session): per-row outlier score vs
         # the row's own label centroid (embedding_drift's gm CTE, one

@@ -907,3 +907,82 @@ def corpus_divergence(
         )
     )
     return tag_persisted(out, j)
+
+
+def hashed_doc_embeddings(
+    df: DataFrame,
+    dims: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 9,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Model-free document embeddings via the hashing trick
+    (Weinberger et al., ICML 2009): every token hashes to one of
+    ``dims`` buckets (the cross-engine md5 coin, seeded), the doc's
+    vector is its L2-normalized bucket-count histogram, components
+    rounded to ``round_decimals`` with the -0.0 fold. Cosine between
+    two such vectors approximates token-distribution overlap — the
+    bridge that lets the whole embedding-side surface (semantic
+    dedup, ANN serves, :func:`..similarity.embedding_outliers`,
+    :func:`..similarity.jl_project`) run over a TEXT corpus with no
+    model in the loop. Returns ``(id, e)``; a doc with no tokens
+    carries NULL ``e`` (no direction — the
+    :func:`..similarity.normalize_embeddings` convention).
+
+    100 TB shape: one explode -> partial-aggregable (doc, bucket)
+    count, re-agg to the doc key (both shuffles bounded by docs x
+    dims rows after map-side combine); the dense array materializes
+    via a map lookup over ``sequence(0, dims-1)`` — never a
+    dims-wide join. All native expressions; no UDFs."""
+    if dims < 1:
+        raise ValueError(f"dims must be >= 1, got {dims}")
+    bucket = F.pmod(hash64(F.col("tok"), seed=seed), F.lit(dims))
+    counts = (
+        df.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+        )
+        .select(F.col(id_col), bucket.alias("b"))
+        .groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # element_at on a MAP is a by-KEY lookup (not the 1-based array
+    # form), so the 0..dims-1 sequence probes the bucket keys directly
+    dense = counts.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(F.col("b").cast("int"), F.col("c"))
+            )
+        ).alias("_m")
+    )
+    v = F.transform(
+        F.sequence(F.lit(0), F.lit(dims - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_m"), i.cast("int")), F.lit(0)
+        ).cast("double"),
+    )
+    n = F.col("_n")
+    out = (
+        dense.select(F.col(id_col), v.alias("_v"))
+        .select(
+            F.col(id_col),
+            F.col("_v"),
+            F.sqrt(
+                F.aggregate(
+                    "_v", F.lit(0.0), lambda a, x: a + x * x
+                )
+            ).alias("_n"),
+        )
+        .select(
+            F.col(id_col),
+            F.when(
+                n > 0,
+                F.transform(
+                    F.col("_v"),
+                    lambda x: F.round(x / n, round_decimals)
+                    + F.lit(0.0),
+                ),
+            ).alias("e"),
+        )
+    )
+    return df.select(F.col(id_col)).join(out, id_col, "left")

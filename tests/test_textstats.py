@@ -506,3 +506,55 @@ def test_bigram_logprob_interpolated_lm(spark):
         bigram_logprob(df, smoothing=0)
     with pytest.raises(ValueError, match="lam"):
         bigram_logprob(df, lam=1.5)
+
+
+def test_hashed_doc_embeddings_numpy_twin(spark):
+    """Vectors equal the host-side twin (same md5 bucket coin, count
+    histogram, L2 norm, round-6); token-less docs carry NULL; plan is
+    native (no Python eval)."""
+    import hashlib
+    import math as m
+
+    import pytest
+
+    from dgraph_dbpedia_spark.operators.textstats import (
+        hashed_doc_embeddings,
+    )
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "cat cat cat"),
+        (2, "   "),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["e"]
+        for r in hashed_doc_embeddings(df, dims=8, seed=9).collect()
+    }
+    assert len(got) == 4
+    assert got[2] is None and got[3] is None
+
+    def coin(tok):
+        return int(
+            hashlib.md5(f"{tok}#9".encode()).hexdigest()[:15], 16
+        ) % 8
+
+    for did, text in rows[:2]:
+        hist = [0.0] * 8
+        for t in text.split():
+            hist[coin(t)] += 1.0
+        nrm = m.sqrt(sum(x * x for x in hist))
+        exp = [round(x / nrm, 6) + 0.0 for x in hist]
+        assert got[did] == pytest.approx(exp, abs=1e-12)
+
+    plan = (
+        hashed_doc_embeddings(df, dims=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan
+
+    with pytest.raises(ValueError, match="dims"):
+        hashed_doc_embeddings(df, dims=0)
