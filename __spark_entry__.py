@@ -2572,6 +2572,33 @@ def _q_hashed_doc_embeddings(
     return hashed_doc_embeddings(docs, dims=64)
 
 
+def _q_text_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bridge composition: hashed doc vectors -> LSH-bucketed
+    round-4 cosine pairs >= 0.95 — semantic near-dup over a TEXT
+    corpus with no model in the loop. The native pair lane is the
+    oracle surface (use_arrow=False; the Arrow einsum lane is the
+    production default, bit-bridged per pair_cosine_arrow)."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+    from dgraph_dbpedia_spark.operators.textstats import (
+        hashed_doc_embeddings,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = hashed_doc_embeddings(docs, dims=64).where(
+        F.col("e").isNotNull()
+    )
+    return cosine_near_dup_pairs(
+        emb,
+        id_col="doc_id",
+        vec_col="e",
+        threshold=0.95,
+        n_planes=4,
+        dims=64,
+    )
+
+
 def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level outlier scores vs the row's own label centroid
     (round-6 per-position means, round-4 cosine)."""
@@ -2674,6 +2701,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_training_set": _q_classifier_training_set,
     "embedding_outliers": _q_embedding_outliers,
     "hashed_doc_embeddings": _q_hashed_doc_embeddings,
+    "text_near_dup_pairs": _q_text_near_dup_pairs,
     # added in the r12 continuation session: MMR diversity re-rank
     # (SIGIR 1998) over the exact shortlist (k unrolled oracle
     # stages), and the served-ANN recall audit (exact arm as truth)
@@ -4054,6 +4082,35 @@ def _sql_lsh_ann_topk_batch(k: int = 3, n_planes: int = 4, dims: int = 64) -> st
     """
 
 
+def _sql_hashed_embs(dims: int = 64, seed: int = 9) -> str:
+    """CTE chain fragment (no leading WITH) ending in ``vec(doc_id,
+    e)`` — the hashing-trick doc-vector replay shared by the
+    ``hashed_doc_embeddings`` row and the text near-dup composition."""
+    return f"""toks AS (
+                SELECT doc_id, unnest({_SQL_TOKS}) AS tok
+                FROM documents),
+            cnt AS (
+                SELECT doc_id,
+                       ({_sql_hash64('tok', seed)} % {dims}) AS b,
+                       count(*)::DOUBLE AS c
+                FROM toks GROUP BY doc_id, b),
+            nrm AS (
+                SELECT doc_id, sqrt(sum(c * c)) AS n
+                FROM cnt GROUP BY doc_id),
+            grid AS (
+                SELECT d.doc_id, t.p
+                FROM (SELECT DISTINCT doc_id FROM cnt) d
+                CROSS JOIN (SELECT range AS p FROM range({dims})) t),
+            vec AS (
+                SELECT g.doc_id,
+                       list(round(coalesce(c.c, 0) / n.n, 6) + 0.0
+                            ORDER BY g.p) AS e
+                FROM grid g
+                JOIN nrm n USING (doc_id)
+                LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.b = g.p
+                GROUP BY g.doc_id)"""
+
+
 def _sql_cosine_near_dup(threshold: float = 0.3, n_planes: int = 4, dims: int = 64) -> str:
     return f"""
         WITH e AS (
@@ -5099,31 +5156,25 @@ def oracle_sql() -> dict[str, str]:
         # — md5 bucket histogram, L2-normalized, round-6; token-less
         # docs NULL via the left join
         "hashed_doc_embeddings": f"""
-            WITH toks AS (
-                SELECT doc_id, unnest({_SQL_TOKS}) AS tok
-                FROM documents),
-            cnt AS (
-                SELECT doc_id,
-                       ({_sql_hash64('tok', 9)} % 64) AS b,
-                       count(*)::DOUBLE AS c
-                FROM toks GROUP BY doc_id, b),
-            nrm AS (
-                SELECT doc_id, sqrt(sum(c * c)) AS n
-                FROM cnt GROUP BY doc_id),
-            grid AS (
-                SELECT d.doc_id, t.p
-                FROM (SELECT DISTINCT doc_id FROM cnt) d
-                CROSS JOIN (SELECT range AS p FROM range(64)) t),
-            vec AS (
-                SELECT g.doc_id,
-                       list(round(coalesce(c.c, 0) / n.n, 6) + 0.0
-                            ORDER BY g.p) AS e
-                FROM grid g
-                JOIN nrm n USING (doc_id)
-                LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.b = g.p
-                GROUP BY g.doc_id)
+            WITH {_sql_hashed_embs(dims=64, seed=9)}
             SELECT d.doc_id, v.e
             FROM documents d LEFT JOIN vec v USING (doc_id)
+        """,
+        # r12 (second continuation session): the bridge composition —
+        # semantic near-dup over a TEXT corpus with no model in the
+        # loop (hashed vectors -> hyperplane buckets -> round-4
+        # cosine pairs >= 0.95)
+        "text_near_dup_pairs": f"""
+            WITH {_sql_hashed_embs(dims=64, seed=9)},
+            sk AS (
+                SELECT doc_id, e,
+                       {_sql_bucket('e', 4, 64)} AS bucket
+                FROM vec WHERE e IS NOT NULL)
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   {_sql_cosine('a.e', 'b.e')} AS sim
+            FROM sk a JOIN sk b
+              ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+            WHERE {_sql_cosine('a.e', 'b.e')} >= 0.95
         """,
         # r12 (second continuation session): per-row outlier score vs
         # the row's own label centroid (embedding_drift's gm CTE, one
