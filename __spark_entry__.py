@@ -2575,9 +2575,11 @@ def _q_hashed_doc_embeddings(
 def _q_text_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bridge composition: hashed doc vectors -> LSH-bucketed
     round-4 cosine pairs >= 0.95 — semantic near-dup over a TEXT
-    corpus with no model in the loop. The native pair lane is the
-    oracle surface (use_arrow=False; the Arrow einsum lane is the
-    production default, bit-bridged per pair_cosine_arrow)."""
+    corpus with no model in the loop. Runs the production Arrow
+    einsum pair lane (the cosine_near_dup default, bit-bridged per
+    pair_cosine_arrow and allowlisted in test_plans._PYTHON_OK); the
+    native fold lane is the oracle surface the DuckDB replay
+    mirrors."""
     from dgraph_dbpedia_spark.operators.similarity import (
         cosine_near_dup_pairs,
     )
@@ -5199,7 +5201,7 @@ def oracle_sql() -> dict[str, str]:
                                                     e.embedding::DOUBLE[])) *
                               sqrt(list_dot_product(gmv, gmv))), 4)
                    END AS sim_to_centroid
-            FROM embeddings e JOIN gm USING (label)
+            FROM embeddings e LEFT JOIN gm USING (label)
         """,
         # r12: residual quantization — the additive sibling (full
         # 2-stage train + residual + greedy encode + additive ADC)

@@ -155,42 +155,51 @@ def pq_train(
         )
         .select(
             "cid",
+            # w = the SOURCE vector's full width, carried beside every
+            # slice: a slice-only check cannot tell a 2*dims-wide
+            # vector (whose every slice is still sub-wide) from a
+            # complete one (r12 review — the guard must reject BOTH
+            # directions of width mismatch)
             F.inline(
                 F.array(
                     *[
                         F.struct(
                             F.lit(j).alias("j"),
                             F.slice("_v", j * sub + 1, sub).alias("c"),
+                            F.size("_v").alias("w"),
                         )
                         for j in range(m)
                     ]
                 )
             ),
         )
-        .select("j", "cid", "c")
+        .select("j", "cid", "c", "w")
         .localCheckpoint()
     )
     last_cp = cent
     # loud seed validation, BOTH lanes (one bounded m x k_sub read of
     # the frame just checkpointed — the Arrow lane re-reads it per
-    # iteration anyway): a NULL or short vector among the k_sub
-    # lowest ids would otherwise train a DEGENERATE codebook —
-    # silently on the native fold (NULL-distance centroid), as an
-    # opaque width error inside _collect_codebooks on the Arrow lane
-    # (r12 review: the lanes must stay a pure physical swap, and a
-    # poisoned seed is caller error either way)
+    # iteration anyway): a NULL, short, or over-long vector among the
+    # k_sub lowest ids would otherwise train a DEGENERATE codebook —
+    # silently on the native fold (NULL-distance centroid or a
+    # dims-prefix of a wider vector), as an opaque width error inside
+    # _collect_codebooks on the Arrow lane (r12 review: the lanes
+    # must stay a pure physical swap, and a poisoned seed is caller
+    # error either way)
     seed_rows = cent.collect()
     if not seed_rows:
         raise ValueError(
             "pq_train: empty corpus — no vectors to seed centroids"
         )
     for r in seed_rows:
-        if r["c"] is None or len(r["c"]) != sub:
+        if r["c"] is None or len(r["c"]) != sub or r["w"] != dims:
             raise ValueError(
-                f"pq_train: seed (j={r['j']}, cid={r['cid']}) has a "
-                f"NULL or non-{sub}-wide slice — the lowest-id seed "
-                f"vectors must be complete {dims}-dim vectors"
+                f"pq_train: seed (j={r['j']}, cid={r['cid']}) comes "
+                f"from a NULL or non-{dims}-wide vector (width "
+                f"{r['w']}) — the lowest-id seed vectors must be "
+                f"complete {dims}-dim vectors"
             )
+    cent = cent.select("j", "cid", "c")
 
     # closure factory, NOT `lambda s, jj=j` (the two-param HOF arity
     # trap — see pq_encode's native lane)

@@ -2075,6 +2075,42 @@ def hard_negatives(
     )
 
 
+def _group_centroids(
+    df: DataFrame, group_col: str, vec_col: str, mean_decimals: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared centroid pipeline for :func:`embedding_drift` and
+    :func:`embedding_outliers` (r12 review: ONE definition of the
+    Lloyd-rule rounding / -0.0 fold / persist discipline): returns
+    ``(per, gm)`` where ``per`` is the PERSISTED partial-aggregable
+    ``(_g, pos, s, c)`` frame (caller must ride it on the result's
+    release handle) and ``gm`` the bounded ``(_g, _gm)`` per-group
+    centroid frame with round-``mean_decimals`` -0.0-folded
+    components."""
+    g = F.col(group_col)
+    ex = df.select(
+        g.alias("_g"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "pos", "v"
+        ),
+    )
+    per = (
+        ex.groupBy("_g", "pos")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    gm = per.groupBy("_g").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("pos", (F.col("s") / F.col("c")).alias("m"))
+                )
+            ),
+            lambda st: F.round(st["m"], mean_decimals) + F.lit(0.0),
+        ).alias("_gm")
+    )
+    return per, gm
+
+
 def embedding_drift(
     df: DataFrame,
     group_col: str = "label",
@@ -2111,27 +2147,8 @@ def embedding_drift(
     position's own count)."""
     from dgraph_dbpedia_spark.operators.cachectl import tag_persisted
 
-    g = F.col(group_col)
-    ex = df.select(
-        g.alias("_g"),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
-            "pos", "v"
-        ),
-    )
-    per = (
-        ex.groupBy("_g", "pos")
-        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
-        .persist()
-    )
+    per, gm = _group_centroids(df, group_col, vec_col, mean_decimals)
     rnd = lambda col: F.round(col, mean_decimals) + F.lit(0.0)  # noqa: E731
-    gm = per.groupBy("_g").agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct("pos", (F.col("s") / F.col("c")).alias("m")))
-            ),
-            lambda st: rnd(st["m"]),
-        ).alias("_gm")
-    )
     glob = (
         per.groupBy("pos")
         .agg((F.sum("s") / F.sum("c")).alias("m"))
@@ -2330,6 +2347,16 @@ def jl_topk(
     the ``out_dims``-wide scoring scan — ``dims / out_dims`` fewer
     bytes through the top-k than brute :func:`cosine_topk`; the query
     projects via the same broadcast literal."""
+    # bounded one-row guard (the _probe_single limit-before-validate
+    # discipline): a multi-row query frame would cross-join every
+    # corpus row against EVERY query and the single ORDER BY/LIMIT
+    # would mix sims across queries — garbage that answers no query
+    # (r12 review)
+    if query.limit(2).count() > 1:
+        raise ValueError(
+            "jl_topk expects exactly one query vector, got a "
+            "multi-row query frame — one call per query"
+        )
     proj = jl_project(
         df, out_dims, dims, id_col=id_col, vec_col=vec_col,
         use_arrow=use_arrow,
@@ -2419,8 +2446,13 @@ def embedding_outliers(
     sim_to_centroid)`` with the round-``round_decimals`` cosine
     between the row's vector and its group's centroid; LOW sims are
     the outliers. Consumers threshold or window-rank per group — the
-    operator itself adds no corpus-wide sort. A NULL/empty vector
-    scores NULL (no direction to compare; rank it last or drop).
+    operator itself adds no corpus-wide sort. EVERY input row comes
+    back: a NULL/empty vector scores NULL (no direction to compare),
+    and a row whose group has NO centroid at all (every vector in the
+    group NULL/empty — e.g. one source's embedding batch failed, the
+    exact population an outlier monitor exists to surface — or a NULL
+    group key) also scores NULL via the left join, instead of
+    silently vanishing from the report (r12 review).
 
     Determinism (oracle-replayable): centroids are per-position means
     rounded to ``mean_decimals`` with the -0.0 fold (the
@@ -2434,35 +2466,14 @@ def embedding_outliers(
     no corpus-sized shuffle anywhere."""
     from dgraph_dbpedia_spark.operators.cachectl import tag_persisted
 
-    g = F.col(group_col)
-    ex = df.select(
-        g.alias("_g"),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
-            "pos", "v"
-        ),
-    )
-    per = (
-        ex.groupBy("_g", "pos")
-        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
-        .persist()
-    )
-    gm = per.groupBy("_g").agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.struct("pos", (F.col("s") / F.col("c")).alias("m"))
-                )
-            ),
-            lambda st: F.round(st["m"], mean_decimals) + F.lit(0.0),
-        ).alias("_gm")
-    )
+    per, gm = _group_centroids(df, group_col, vec_col, mean_decimals)
     out = (
         df.select(
             F.col(id_col),
-            g.alias("_g"),
+            F.col(group_col).alias("_g"),
             F.col(vec_col).cast("array<double>").alias("_v"),
         )
-        .join(F.broadcast(gm), "_g")
+        .join(F.broadcast(gm), "_g", "left")
         .select(
             F.col(id_col),
             F.col("_g").alias(group_col),

@@ -41,11 +41,11 @@ def corpus_diff(
       row did not change).
 
     Returns ``(id, status)``, one row per id present in either
-    snapshot. A duplicated id within one snapshot is caller error the
-    join would silently fan out, so it raises loudly downstream via
-    :func:`corpus_diff_report`'s count check being the caller's
-    responsibility — pass deduplicated snapshots
-    (:func:`..dedup.exact_dedup`).
+    snapshot. Each snapshot must carry UNIQUE ids — a duplicated id
+    fans out the full-outer join (2 rows for a one-side dup, 4 for a
+    both-side dup) and inflates :func:`corpus_diff_report`'s counts;
+    deduplicate first (:func:`..dedup.exact_dedup`) if the source can
+    repeat ids, as re-crawl snapshots often do.
 
     100 TB shape: content hashes are narrow per-side projections
     (scan-speed, 8-byte hash instead of the text through the join);

@@ -28,6 +28,8 @@ _PYTHON_OK = {
     "frame_sample",
     "embed_binary",
     "cosine_near_dup",
+    # same bucket+pair Arrow kernels over the hashed doc vectors
+    "text_near_dup_pairs",
     "lsh_ann_topk",
     "lsh_ann_topk_batch",
     "ann_join",  # same bucket+pair Arrow kernels (bit-equal, pinned)

@@ -464,3 +464,15 @@ def test_pq_train_rejects_degenerate_seeds_both_lanes(spark, emb):
     empty = emb.where(F.lit(False))
     with pytest.raises(ValueError, match="empty corpus"):
         pq_train(empty, dims=64, m=4, k_sub=8, n_iter=1)
+    # over-long vectors: every slice is still sub-wide, so only the
+    # carried source-width check can catch the silent dims-prefix
+    # truncation (r12 review)
+    wide = emb.select(
+        "vec_id",
+        F.concat(
+            F.col("embedding").cast("array<double>"),
+            F.col("embedding").cast("array<double>"),
+        ).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="non-64-wide"):
+        pq_train(wide, dims=64, m=4, k_sub=8, n_iter=1)

@@ -1680,3 +1680,50 @@ def test_embedding_outliers_hand_computed(spark):
         assert got[vid] == pytest.approx(exp, abs=1e-9)
     # the planted outlier is the group's minimum
     assert got[2] == min(got[0], got[1], got[2])
+
+
+def test_embedding_outliers_keeps_centroidless_groups(spark):
+    """r12 review: a group whose vectors are ALL NULL (a failed
+    embedding batch) and rows with NULL group keys still appear in
+    the report with NULL scores — never silently vanish."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        embedding_outliers,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, 0, [1.0, 0.0]),
+            (1, 0, [0.8, 0.2]),
+            (2, 7, None),          # whole group 7 has no usable vecs
+            (3, 7, None),
+            (4, None, [1.0, 1.0]),  # NULL group key
+        ],
+        "vec_id long, label int, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["sim_to_centroid"]
+        for r in embedding_outliers(df).collect()
+    }
+    assert set(got) == {0, 1, 2, 3, 4}
+    assert got[2] is None and got[3] is None and got[4] is None
+    assert got[0] is not None and got[1] is not None
+
+
+def test_jl_topk_rejects_multi_row_query(spark):
+    import pytest as _pytest
+
+    from dgraph_dbpedia_spark.operators.similarity import (
+        jl_rerank_topk,
+        jl_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    two_q = spark.createDataFrame(
+        [([1.0, 0.0],), ([0.0, 1.0],)], "q array<double>"
+    )
+    for fn in (jl_topk, jl_rerank_topk):
+        with _pytest.raises(ValueError, match="exactly one query"):
+            fn(df, two_q, k=1, out_dims=2, dims=2)
