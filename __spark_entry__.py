@@ -2601,6 +2601,30 @@ def _q_text_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model-free SemDeDup composition end-to-end: hashed doc
+    vectors -> bucketed cosine pairs >= 0.95 -> greedy
+    keep-the-lowest-id filter (near_dup_filter's anti-join). Returns
+    the surviving documents."""
+    from dgraph_dbpedia_spark.operators.dedup import near_dup_filter
+    from dgraph_dbpedia_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+    from dgraph_dbpedia_spark.operators.textstats import (
+        hashed_doc_embeddings,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = hashed_doc_embeddings(docs, dims=64).where(
+        F.col("e").isNotNull()
+    )
+    pairs = cosine_near_dup_pairs(
+        emb, id_col="doc_id", vec_col="e",
+        threshold=0.95, n_planes=4, dims=64,
+    )
+    return near_dup_filter(docs, pairs)
+
+
 def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level outlier scores vs the row's own label centroid
     (round-6 per-position means, round-4 cosine)."""
@@ -2704,6 +2728,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_outliers": _q_embedding_outliers,
     "hashed_doc_embeddings": _q_hashed_doc_embeddings,
     "text_near_dup_pairs": _q_text_near_dup_pairs,
+    "text_semantic_dedup": _q_text_semantic_dedup,
     # added in the r12 continuation session: MMR diversity re-rank
     # (SIGIR 1998) over the exact shortlist (k unrolled oracle
     # stages), and the served-ANN recall audit (exact arm as truth)
@@ -5177,6 +5202,23 @@ def oracle_sql() -> dict[str, str]:
             FROM sk a JOIN sk b
               ON a.bucket = b.bucket AND a.doc_id < b.doc_id
             WHERE {_sql_cosine('a.e', 'b.e')} >= 0.95
+        """,
+        # r12 (second continuation session): the SemDeDup composition
+        # over the hashed vectors — survivors after the greedy
+        # keep-the-lowest-id anti-join on the >= 0.95 pairs
+        "text_semantic_dedup": f"""
+            WITH {_sql_hashed_embs(dims=64, seed=9)},
+            sk AS (
+                SELECT doc_id, e,
+                       {_sql_bucket('e', 4, 64)} AS bucket
+                FROM vec WHERE e IS NOT NULL),
+            losers AS (
+                SELECT DISTINCT b.doc_id AS doc_id
+                FROM sk a JOIN sk b
+                  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+                WHERE {_sql_cosine('a.e', 'b.e')} >= 0.95)
+            SELECT d.* FROM documents d
+            ANTI JOIN losers l ON d.doc_id = l.doc_id
         """,
         # r12 (second continuation session): per-row outlier score vs
         # the row's own label centroid (embedding_drift's gm CTE, one
