@@ -1529,6 +1529,15 @@ def cosine_near_dup_pairs(
     the same bucket are compared (high-cosine pairs land together with
     probability (1 - theta/pi)^n_planes). Returns ``(a, b, sim)``.
 
+    Scale guidance (measured, tools/scale_textdedup.py at 200k docs):
+    ``n_planes`` must grow with log2(n) to keep the bucket join
+    sub-quadratic — 8 planes = 256 buckets makes the join carry ~n^2/256
+    pair rows (343 s / recall 0.83 on planted twins), 16 planes cuts it
+    4x (86 s / recall 0.725). The single-band generator trades recall
+    for join size; for near-1.0 thresholds at larger n, use the
+    OR-amplified banding (:func:`semantic_decontaminate`'s generator)
+    or the cid equi-join (:func:`semantic_dedup_pairs`) instead.
+
     The result carries its persisted sketch handle — release with
     :func:`dgraph_dbpedia_spark.operators.cachectl.release` after
     materializing (long-lived sessions would otherwise accumulate
