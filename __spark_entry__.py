@@ -2718,9 +2718,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # registry change.
     "corpus_divergence": _q_corpus_divergence,
     "corpus_divergence_counts": _q_corpus_divergence_counts,
-    # added in the second r12 continuation session: the JL
-    # random-projection shortlist scorer and the content-hash
-    # snapshot release audit
+    # added in the second r12 continuation session (EIGHT rows): the
+    # JL random-projection shortlist scorer + its two-stage exact
+    # re-rank, the content-hash snapshot release audit, CCNet-style
+    # classifier prep, row-level centroid outlier scoring, the
+    # hashing-trick text->embedding bridge, and the model-free
+    # semantic near-dup pair scan + end-to-end dedup composition over
+    # it. Eight more long-green queries slide past position 50; every
+    # out-of-window query holds a green prior driver row AND the
+    # refreshed 147-row CORRECTNESS_FULL.json sweep (repeat x3,
+    # committed with this registry state).
     "jl_ann_topk": _q_jl_ann_topk,
     "jl_rerank_topk": _q_jl_rerank_topk,
     "corpus_diff_report": _q_corpus_diff_report,
