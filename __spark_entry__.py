@@ -2606,6 +2606,10 @@ def _q_text_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors -> bucketed cosine pairs >= 0.95 -> greedy
     keep-the-lowest-id filter (near_dup_filter's anti-join). Returns
     the surviving documents."""
+    from dgraph_dbpedia_spark.operators.cachectl import (
+        persisted_frames,
+        tag_persisted,
+    )
     from dgraph_dbpedia_spark.operators.dedup import near_dup_filter
     from dgraph_dbpedia_spark.operators.similarity import (
         cosine_near_dup_pairs,
@@ -2622,7 +2626,13 @@ def _q_text_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, id_col="doc_id", vec_col="e",
         threshold=0.95, n_planes=4, dims=64,
     )
-    return near_dup_filter(docs, pairs)
+    # near_dup_filter returns an untagged frame — re-tag the pairs
+    # frame's persisted sketch so the harness's release() frees it
+    # (r12 review: dropping the handle leaks the corpus-sized sketch
+    # past every materialization)
+    return tag_persisted(
+        near_dup_filter(docs, pairs), *persisted_frames(pairs)
+    )
 
 
 def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -30,6 +30,7 @@ _PYTHON_OK = {
     "cosine_near_dup",
     # same bucket+pair Arrow kernels over the hashed doc vectors
     "text_near_dup_pairs",
+    "text_semantic_dedup",
     "lsh_ann_topk",
     "lsh_ann_topk_batch",
     "ann_join",  # same bucket+pair Arrow kernels (bit-equal, pinned)

@@ -512,11 +512,11 @@ def test_hashed_doc_embeddings_numpy_twin(spark):
     """Vectors equal the host-side twin (same md5 bucket coin, count
     histogram, L2 norm, round-6); token-less docs carry NULL; plan is
     native (no Python eval)."""
-    import hashlib
     import math as m
 
     import pytest
 
+    from dgraph_dbpedia_spark.functions.hashing import hash64_py
     from dgraph_dbpedia_spark.operators.textstats import (
         hashed_doc_embeddings,
     )
@@ -536,9 +536,7 @@ def test_hashed_doc_embeddings_numpy_twin(spark):
     assert got[2] is None and got[3] is None
 
     def coin(tok):
-        return int(
-            hashlib.md5(f"{tok}#9".encode()).hexdigest()[:15], 16
-        ) % 8
+        return hash64_py(tok, seed=9) % 8
 
     for did, text in rows[:2]:
         hist = [0.0] * 8

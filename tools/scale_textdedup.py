@@ -31,6 +31,15 @@ def main() -> None:
     words = int(sys.argv[3]) if len(sys.argv) > 3 else 50
     dims = int(sys.argv[4]) if len(sys.argv) > 4 else 64
     n_planes = int(sys.argv[5]) if len(sys.argv) > 5 else 8
+    offset = 10_000_000
+    if n_twins < 1:
+        raise SystemExit("n_twins must be >= 1 (recall is per-twin)")
+    if n + n_twins > offset:
+        raise SystemExit(
+            f"n + n_twins must stay below the twin-id offset {offset} "
+            "(base ids would collide with twin ids and corrupt the "
+            "recall metric)"
+        )
     spark = build_session(app_name="scale-textdedup")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -66,7 +75,7 @@ def main() -> None:
         F.col("id").alias("doc_id"), text.alias("text")
     )
     twins = base.where(F.col("doc_id") < n_twins).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        (F.col("doc_id") + offset).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" extraTok")).alias("text"),
     )
     corpus = base.unionByName(twins).localCheckpoint()
@@ -90,7 +99,7 @@ def main() -> None:
     chain_s = round(time.perf_counter() - t0, 3)
 
     twins_dropped = n_twins - survivors.where(
-        F.col("doc_id") >= 10_000_000
+        F.col("doc_id") >= offset
     ).count()
 
     print(
