@@ -2635,6 +2635,27 @@ def _q_text_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free topic bucketing for a text corpus: hashed doc
+    vectors tagged with the nearest of the 8 lowest-id seed centroids
+    (the stream-compatible stateless assignment) — the mixture-balance
+    grouping step with no embedding model in the loop."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        ivf_seed_centroids,
+    )
+    from dgraph_dbpedia_spark.operators.textstats import (
+        hashed_doc_embeddings,
+    )
+    from dgraph_dbpedia_spark.streaming.events import tag_embeddings_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = hashed_doc_embeddings(docs, dims=64).where(
+        F.col("e").isNotNull()
+    )
+    cents = ivf_seed_centroids(emb, 8, id_col="doc_id", vec_col="e")
+    return tag_embeddings_stream(emb, cents, id_col="doc_id", vec_col="e")
+
+
 def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level outlier scores vs the row's own label centroid
     (round-6 per-position means, round-4 cosine)."""
@@ -2728,16 +2749,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # registry change.
     "corpus_divergence": _q_corpus_divergence,
     "corpus_divergence_counts": _q_corpus_divergence_counts,
-    # added in the second r12 continuation session (EIGHT rows): the
+    # added in the second r12 continuation session (NINE rows): the
     # JL random-projection shortlist scorer + its two-stage exact
     # re-rank, the content-hash snapshot release audit, CCNet-style
     # classifier prep, row-level centroid outlier scoring, the
     # hashing-trick text->embedding bridge, and the model-free
-    # semantic near-dup pair scan + end-to-end dedup composition over
-    # it. Eight more long-green queries slide past position 50; every
-    # out-of-window query holds a green prior driver row AND the
-    # refreshed 147-row CORRECTNESS_FULL.json sweep (repeat x3,
-    # committed with this registry state).
+    # semantic near-dup pair scan + end-to-end dedup + topic-tagging
+    # compositions over it. Nine more long-green queries slide past
+    # position 50; every out-of-window query holds a green prior
+    # driver row AND the refreshed 148-row CORRECTNESS_FULL.json
+    # sweep (repeat x3, committed with this registry state).
     "jl_ann_topk": _q_jl_ann_topk,
     "jl_rerank_topk": _q_jl_rerank_topk,
     "corpus_diff_report": _q_corpus_diff_report,
@@ -2746,6 +2767,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hashed_doc_embeddings": _q_hashed_doc_embeddings,
     "text_near_dup_pairs": _q_text_near_dup_pairs,
     "text_semantic_dedup": _q_text_semantic_dedup,
+    "text_topics": _q_text_topics,
     # added in the r12 continuation session: MMR diversity re-rank
     # (SIGIR 1998) over the exact shortlist (k unrolled oracle
     # stages), and the served-ANN recall audit (exact arm as truth)
@@ -5219,6 +5241,26 @@ def oracle_sql() -> dict[str, str]:
             FROM sk a JOIN sk b
               ON a.bucket = b.bucket AND a.doc_id < b.doc_id
             WHERE {_sql_cosine('a.e', 'b.e')} >= 0.95
+        """,
+        # r12 (second continuation session): model-free topic tagging
+        # — nearest-of-8-lowest-id-seed-centroids over the hashed
+        # vectors (the stream_semantic_tag assignment pattern)
+        "text_topics": f"""
+            WITH {_sql_hashed_embs(dims=64, seed=9)},
+            e AS (
+                SELECT doc_id, e AS v FROM vec WHERE e IS NOT NULL),
+            cent AS (
+                SELECT doc_id AS cid, v AS c FROM e
+                ORDER BY doc_id LIMIT 8)
+            SELECT doc_id, cid, sim FROM (
+                SELECT e.doc_id, cent.cid,
+                       {_sql_cosine('e.v', 'cent.c', 6)} AS sim,
+                       row_number() OVER (
+                           PARTITION BY e.doc_id
+                           ORDER BY {_sql_cosine('e.v', 'cent.c', 6)} DESC,
+                                    cent.cid ASC) AS rn
+                FROM e CROSS JOIN cent) x
+            WHERE rn = 1
         """,
         # r12 (second continuation session): the SemDeDup composition
         # over the hashed vectors — survivors after the greedy

@@ -31,6 +31,9 @@ _PYTHON_OK = {
     # same bucket+pair Arrow kernels over the hashed doc vectors
     "text_near_dup_pairs",
     "text_semantic_dedup",
+    # same Arrow assignment kernel as stream_semantic_tag, over the
+    # hashed doc vectors
+    "text_topics",
     "lsh_ann_topk",
     "lsh_ann_topk_batch",
     "ann_join",  # same bucket+pair Arrow kernels (bit-equal, pinned)
