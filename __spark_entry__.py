@@ -2640,6 +2640,7 @@ def _q_text_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors tagged with the nearest of the 8 lowest-id seed centroids
     (the stream-compatible stateless assignment) — the mixture-balance
     grouping step with no embedding model in the loop."""
+    from dgraph_dbpedia_spark.operators.cachectl import tag_persisted
     from dgraph_dbpedia_spark.operators.similarity import (
         ivf_seed_centroids,
     )
@@ -2649,11 +2650,21 @@ def _q_text_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dgraph_dbpedia_spark.streaming.events import tag_embeddings_stream
 
     docs = _t(spark, sf_dir, "documents")
-    emb = hashed_doc_embeddings(docs, dims=64).where(
-        F.col("e").isNotNull()
+    # persisted: the centroid collect (eager, at DataFrame construction
+    # on the Arrow lane) and the tag job both consume the EXPENSIVE
+    # derived frame — without the persist the hashing-trick
+    # aggregation runs twice per execution (r12 review); re-tagged so
+    # the harness release() frees it
+    emb = (
+        hashed_doc_embeddings(docs, dims=64)
+        .where(F.col("e").isNotNull())
+        .persist()
     )
     cents = ivf_seed_centroids(emb, 8, id_col="doc_id", vec_col="e")
-    return tag_embeddings_stream(emb, cents, id_col="doc_id", vec_col="e")
+    return tag_persisted(
+        tag_embeddings_stream(emb, cents, id_col="doc_id", vec_col="e"),
+        emb,
+    )
 
 
 def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3262,6 +3273,28 @@ def _sql_cosine(a: str, b: str, digits: int = 4) -> str:
         f"round(list_dot_product({a}, {b}) / "
         f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), {digits})"
     )
+
+
+def _sql_seed_assign(source_sql: str, id_col: str, n: int = 8) -> str:
+    """CTE fragment + final SELECT replaying the shared
+    nearest-of-n-lowest-id-seed-centroids assignment (ivf_assign's
+    round-6 cosine, sim DESC / cid ASC tie) — ONE definition for the
+    ``stream_semantic_tag`` and ``text_topics`` oracles so the
+    assignment rule cannot silently desynchronize between them (r12
+    review). ``source_sql`` must yield ``({id_col}, v)``."""
+    return f"""e AS ({source_sql}),
+            cent AS (
+                SELECT {id_col} AS cid, v AS c FROM e
+                ORDER BY {id_col} LIMIT {n})
+            SELECT {id_col}, cid, sim FROM (
+                SELECT e.{id_col}, cent.cid,
+                       {_sql_cosine('e.v', 'cent.c', 6)} AS sim,
+                       row_number() OVER (
+                           PARTITION BY e.{id_col}
+                           ORDER BY {_sql_cosine('e.v', 'cent.c', 6)} DESC,
+                                    cent.cid ASC) AS rn
+                FROM e CROSS JOIN cent) x
+            WHERE rn = 1"""
 
 
 def _sql_l2_round6(a: str, b: str) -> str:
@@ -5247,20 +5280,10 @@ def oracle_sql() -> dict[str, str]:
         # vectors (the stream_semantic_tag assignment pattern)
         "text_topics": f"""
             WITH {_sql_hashed_embs(dims=64, seed=9)},
-            e AS (
-                SELECT doc_id, e AS v FROM vec WHERE e IS NOT NULL),
-            cent AS (
-                SELECT doc_id AS cid, v AS c FROM e
-                ORDER BY doc_id LIMIT 8)
-            SELECT doc_id, cid, sim FROM (
-                SELECT e.doc_id, cent.cid,
-                       {_sql_cosine('e.v', 'cent.c', 6)} AS sim,
-                       row_number() OVER (
-                           PARTITION BY e.doc_id
-                           ORDER BY {_sql_cosine('e.v', 'cent.c', 6)} DESC,
-                                    cent.cid ASC) AS rn
-                FROM e CROSS JOIN cent) x
-            WHERE rn = 1
+            {_sql_seed_assign(
+                'SELECT doc_id, e AS v FROM vec WHERE e IS NOT NULL',
+                'doc_id',
+            )}
         """,
         # r12 (second continuation session): the SemDeDup composition
         # over the hashed vectors — survivors after the greedy
@@ -5475,20 +5498,10 @@ def oracle_sql() -> dict[str, str]:
         # r12: batch twin of the stateless stream tagger — round-6
         # cosine nearest of the 8 seed centroids, cid-asc ties
         "stream_semantic_tag": f"""
-            WITH e AS (
-                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            cent AS (
-                SELECT vec_id AS cid, v AS c FROM e
-                ORDER BY vec_id LIMIT 8)
-            SELECT vec_id, cid, sim FROM (
-                SELECT e.vec_id, cent.cid,
-                       {_sql_cosine('e.v', 'cent.c', 6)} AS sim,
-                       row_number() OVER (
-                           PARTITION BY e.vec_id
-                           ORDER BY {_sql_cosine('e.v', 'cent.c', 6)} DESC,
-                                    cent.cid ASC) AS rn
-                FROM e CROSS JOIN cent) x
-            WHERE rn = 1
+            WITH {_sql_seed_assign(
+                'SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings',
+                'vec_id',
+            )}
         """,
         "stream_enrich": """
             SELECT c_mktsegment,
