@@ -556,3 +556,42 @@ def test_hashed_doc_embeddings_numpy_twin(spark):
 
     with pytest.raises(ValueError, match="dims"):
         hashed_doc_embeddings(df, dims=0)
+
+
+def test_text_dedup_composition_planted_twin(spark):
+    """End-to-end model-free dedup pin at unit scale: a doc and its
+    near-identical twin (one extra token) score >= 0.95 in the hashed
+    space, the pair surfaces through the bucket join, and
+    near_dup_filter keeps the LOWER id; an unrelated doc survives."""
+    from pyspark.sql import functions as F
+
+    from dgraph_dbpedia_spark.operators.dedup import near_dup_filter
+    from dgraph_dbpedia_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+    from dgraph_dbpedia_spark.operators.textstats import (
+        hashed_doc_embeddings,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),          # near-dup twin, higher id
+            (3, "totally different words unrelated content here"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = hashed_doc_embeddings(docs, dims=16).where(
+        F.col("e").isNotNull()
+    )
+    pairs = cosine_near_dup_pairs(
+        emb, id_col="doc_id", vec_col="e",
+        threshold=0.95, n_planes=1, dims=16,
+    )
+    got = [(r["a"], r["b"]) for r in pairs.collect()]
+    assert (1, 2) in got
+    survivors = {
+        r["doc_id"] for r in near_dup_filter(docs, pairs).collect()
+    }
+    assert 1 in survivors and 3 in survivors and 2 not in survivors
