@@ -2563,13 +2563,34 @@ def _q_hashed_doc_embeddings(
 ) -> DataFrame:
     """Hashing-trick document vectors (ICML 2009): token -> md5
     bucket, L2-normalized 64-bucket histogram, round-6 components —
-    the model-free text->embedding bridge."""
+    the model-free text->embedding bridge. Scalar projection of the
+    first 16 components (the driver canonicalizer cannot sort list
+    columns — the r12 `err`; same convention as
+    ``_q_normalize_embeddings``)."""
     from dgraph_dbpedia_spark.operators.textstats import (
         hashed_doc_embeddings,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return hashed_doc_embeddings(docs, dims=64)
+    out = hashed_doc_embeddings(docs, dims=64)
+    return out.select(
+        "doc_id",
+        *[F.col("e").getItem(i).alias(f"e_{i}") for i in range(16)],
+    )
+
+
+def _adaptive_planes(n_rows: int) -> int:
+    """Scale-adaptive hyperplane count for the single-band LSH bucket
+    join: ~ceil(log2(n)) planes => ~n buckets => the bucket self-join
+    carries ~n pair rows instead of n^2/16 (the operator's own scale
+    guidance, operators/similarity.py cosine_near_dup_pairs; VERDICT
+    r12 #5 — the hard-coded n_planes=4 rows were the bench's #1/#4
+    slowest and die first at 100x). Exact integer math
+    ((n-1).bit_length(), no libm log2) so the oracle's
+    ``length(bin(greatest(2, count(*)) - 1))`` replay matches
+    bit-for-bit at every SF; capped at 16 — the plane budget the
+    oracle's masked 16-plane bucket expression precomputes."""
+    return min(16, max(4, (max(2, int(n_rows)) - 1).bit_length()))
 
 
 def _q_text_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2579,7 +2600,8 @@ def _q_text_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     einsum pair lane (the cosine_near_dup default, bit-bridged per
     pair_cosine_arrow and allowlisted in test_plans._PYTHON_OK); the
     native fold lane is the oracle surface the DuckDB replay
-    mirrors."""
+    mirrors. n_planes scales with corpus size (``_adaptive_planes``;
+    one parquet-footer count job at construction)."""
     from dgraph_dbpedia_spark.operators.similarity import (
         cosine_near_dup_pairs,
     )
@@ -2596,7 +2618,7 @@ def _q_text_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         vec_col="e",
         threshold=0.95,
-        n_planes=4,
+        n_planes=_adaptive_planes(docs.count()),
         dims=64,
     )
 
@@ -2624,7 +2646,8 @@ def _q_text_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = cosine_near_dup_pairs(
         emb, id_col="doc_id", vec_col="e",
-        threshold=0.95, n_planes=4, dims=64,
+        threshold=0.95, n_planes=_adaptive_planes(docs.count()),
+        dims=64,
     )
     # near_dup_filter returns an untagged frame — re-tag the pairs
     # frame's persisted sketch so the harness's release() frees it
@@ -2738,7 +2761,13 @@ def _q_corpus_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # schema_derivation, rdf_lines and node_lang_filter (positions 51-60)
 # out of the window — a DELIBERATE rotation: all ten have green
 # driver rows r01-r08, pytest coverage, and their code is untouched
-# this round.
+# this round. STANDING POLICY (ADVICE r12, adopted r13): new rows
+# APPEND AFTER position 50 — the window keeps exercising long-standing
+# queries; rotate a new row into the window only when a verdict
+# prescribes it. r13 adds no new rows; the four in-window changes
+# (corpus_divergence/_counts oracle ::BIGINT casts, the
+# hashed_doc_embeddings scalar projection, the adaptive-n_planes
+# text-dedup reshape) re-green existing rows in place.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # changed or new this round (r12) — first in line for driver rows:
     # the corpus_divergence contract fix (round-4 on both engines +
@@ -3211,6 +3240,25 @@ def _sql_bucket(vec_expr: str, n_planes: int, dims: int) -> str:
         for p, plane in enumerate(planes)
     )
     return f"({terms})"
+
+
+# scale-adaptive plane count for the text-dedup bucket joins (VERDICT
+# r12 #5): n = min(16, max(4, ceil(log2(n_docs)))) via exact integer
+# bit-length (length(bin(n-1)) == (n-1).bit_length() — no libm log2,
+# so the Spark side's _adaptive_planes matches at every SF). The
+# bucket is the 16-plane expression masked to n bits — valid because
+# plane p is a function of (p, d) only, so an n-plane bucket is a
+# bit-prefix of the 16-plane bucket.
+_SQL_NP_CTE = (
+    "np AS (SELECT least(16, greatest(4, "
+    "length(bin(greatest(2, count(*)) - 1)))) AS n FROM documents)"
+)
+
+
+def _sql_adaptive_bucket(vec_expr: str) -> str:
+    """16-plane bucket masked to the adaptive plane count; requires
+    ``_SQL_NP_CTE`` in scope and a ``CROSS JOIN np``."""
+    return f"({_sql_bucket(vec_expr, 16, 64)} & ((1::BIGINT << np.n) - 1))"
 
 
 def _sql_jl_topk(out_dims: int = 16, dims: int = 64, k: int = 5) -> str:
@@ -3799,10 +3847,20 @@ def _sql_mmr_stages(k: int, lam: float) -> str:
     Shared by the brute and served MMR rows — the selection replay
     must be ONE definition."""
     pair = _sql_cosine("a.v", "b.v", 6)
+    # ADVICE r12: the pair CTE replays the operator's "no comparable
+    # pair" rule — a pair with a NULL/width-mismatched vector or a
+    # non-finite cosine contributes NOTHING (fusion.py mmr_rerank's
+    # determinism contract). Without the len() guard DuckDB errors on
+    # ragged shortlists instead of reproducing the rule.
     stages = [
         f"""p AS (
-            SELECT a.vec_id AS ia, b.vec_id AS ib, {pair} AS s
-            FROM cand a, cand b WHERE a.vec_id != b.vec_id)""",
+            SELECT * FROM (
+                SELECT a.vec_id AS ia, b.vec_id AS ib, {pair} AS s
+                FROM cand a, cand b
+                WHERE a.vec_id != b.vec_id
+                  AND a.v IS NOT NULL AND b.v IS NOT NULL
+                  AND len(a.v) = len(b.v))
+            WHERE isfinite(s))""",
         f"""s1 AS (
             SELECT 1 AS rank, vec_id, rel,
                    round({lam} * rel, 4) + 0.0 AS mmr
@@ -5253,10 +5311,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         # r12 (second continuation session): hashing-trick doc vectors
         # — md5 bucket histogram, L2-normalized, round-6; token-less
-        # docs NULL via the left join
+        # docs NULL via the left join. r13: scalar projection of the
+        # first 16 components (VERDICT r12 #2 — the raw list column
+        # crashed the driver's pandas canonicalizer; same convention
+        # as normalize_embeddings)
         "hashed_doc_embeddings": f"""
             WITH {_sql_hashed_embs(dims=64, seed=9)}
-            SELECT d.doc_id, v.e
+            SELECT d.doc_id,
+                   {", ".join(f"v.e[{i + 1}] AS e_{i}" for i in range(16))}
             FROM documents d LEFT JOIN vec v USING (doc_id)
         """,
         # r12 (second continuation session): the bridge composition —
@@ -5265,10 +5327,11 @@ def oracle_sql() -> dict[str, str]:
         # cosine pairs >= 0.95)
         "text_near_dup_pairs": f"""
             WITH {_sql_hashed_embs(dims=64, seed=9)},
+            {_SQL_NP_CTE},
             sk AS (
                 SELECT doc_id, e,
-                       {_sql_bucket('e', 4, 64)} AS bucket
-                FROM vec WHERE e IS NOT NULL)
+                       {_sql_adaptive_bucket('e')} AS bucket
+                FROM vec CROSS JOIN np WHERE e IS NOT NULL)
             SELECT a.doc_id AS a, b.doc_id AS b,
                    {_sql_cosine('a.e', 'b.e')} AS sim
             FROM sk a JOIN sk b
@@ -5290,10 +5353,11 @@ def oracle_sql() -> dict[str, str]:
         # keep-the-lowest-id anti-join on the >= 0.95 pairs
         "text_semantic_dedup": f"""
             WITH {_sql_hashed_embs(dims=64, seed=9)},
+            {_SQL_NP_CTE},
             sk AS (
                 SELECT doc_id, e,
-                       {_sql_bucket('e', 4, 64)} AS bucket
-                FROM vec WHERE e IS NOT NULL),
+                       {_sql_adaptive_bucket('e')} AS bucket
+                FROM vec CROSS JOIN np WHERE e IS NOT NULL),
             losers AS (
                 SELECT DISTINCT b.doc_id AS doc_id
                 FROM sk a JOIN sk b
@@ -6171,8 +6235,8 @@ def oracle_sql() -> dict[str, str]:
                        ca / greatest(ta, 1)::DOUBLE AS p,
                        cb / greatest(tb, 1)::DOUBLE AS q
                 FROM j CROSS JOIN tot)
-            SELECT any_value(ta) AS n_tokens_a,
-                   any_value(tb) AS n_tokens_b,
+            SELECT any_value(ta)::BIGINT AS n_tokens_a,
+                   any_value(tb)::BIGINT AS n_tokens_b,
                    sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_a,
                    sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_b,
                    sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)::BIGINT
@@ -6203,8 +6267,8 @@ def oracle_sql() -> dict[str, str]:
             j AS (
                 SELECT coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
                 FROM ca FULL JOIN cb ON ca.tok = cb.tok)
-            SELECT sum(ca) AS n_tokens_a,
-                   sum(cb) AS n_tokens_b,
+            SELECT sum(ca)::BIGINT AS n_tokens_a,
+                   sum(cb)::BIGINT AS n_tokens_b,
                    sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_a,
                    sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_b,
                    sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)::BIGINT

@@ -34,6 +34,52 @@ import __spark_entry__ as entry_mod
 from dgraph_dbpedia_spark.session import build_session
 
 
+def machine_canary() -> dict[str, float]:
+    """Fixed machine-state probe (VERDICT r12 #4): a single-threaded
+    512x512 numpy matmul (GFLOPS) and a pure-Python xorshift loop
+    (M ops/s), each in a SUBPROCESS with BLAS pinned to one thread so
+    the reading is a direct CPU-clock measurement independent of the
+    suite's thread pools. Recorded at bench start AND end: a sandbox
+    CPU-throttled run (BENCH_SCALE r12 documented monotone afternoon
+    degradation) now self-documents in the artifact instead of being
+    narrated. Healthy band on this box (measured 2026-08-16, quiet):
+    ~43-56 GFLOPS 1T, ~7-8 M py-ops/s."""
+    code = (
+        "import time\n"
+        "import numpy as np\n"
+        "a = np.ones((512, 512)); b = np.ones((512, 512))\n"
+        "a @ b; a @ b\n"
+        "t0 = time.perf_counter()\n"
+        "for _ in range(40): a @ b\n"
+        "dt = time.perf_counter() - t0\n"
+        "x = 0x9E3779B9\n"
+        "t1 = time.perf_counter()\n"
+        "for _ in range(2_000_000):\n"
+        "    x ^= (x << 13) & 0xFFFFFFFF; x ^= x >> 17\n"
+        "dp = time.perf_counter() - t1\n"
+        "import json\n"
+        "print(json.dumps({'gflops_1t': round(2 * 512**3 * 40 / dt / 1e9, 2),"
+        " 'py_mops': round(2 * 2_000_000 / dp / 1e6, 2)}))\n"
+    )
+    env = dict(
+        os.environ,
+        OMP_NUM_THREADS="1",
+        OPENBLAS_NUM_THREADS="1",
+        MKL_NUM_THREADS="1",
+        BLIS_NUM_THREADS="1",
+    )
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        env=env,
+        check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def bench_pipelines(sf: float) -> dict[str, float]:
     """Ingest (.ttl -> parquet) and transform (parquet -> RDF + schema)
     wall-clock + triples/s, run in a SUBPROCESS (tools/pipeline_bench.py)
@@ -58,6 +104,7 @@ def bench_pipelines(sf: float) -> dict[str, float]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    canary_start = machine_canary()
     spark = build_session(app_name="dgraph_dbpedia_spark-bench")
 
     # warm the JVM/codegen paths so the first timed query doesn't carry
@@ -141,6 +188,15 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # fixed Spark-side canary (post-warm-up so it reads machine state,
+    # not JIT): 200M-row range sum over exactly 32 partitions —
+    # independent of the session's shuffle/config knobs
+    _ct0 = time.perf_counter()
+    spark.range(0, 200_000_000, 1, 32).selectExpr(
+        "sum(id % 7) AS s"
+    ).collect()
+    spark_canary_sec = round(time.perf_counter() - _ct0, 3)
+
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     for name, fn in qs.items():
@@ -189,6 +245,13 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_PIPELINE", "1") != "0":
         pipelines = bench_pipelines(sf)
 
+    canary_end = machine_canary()
+    canary = {
+        "start": canary_start,
+        "end": canary_end,
+        "spark_range_200m_32p_sec": spark_canary_sec,
+    }
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "headline_queries_total",
@@ -199,6 +262,7 @@ def main() -> None:
         "slowest_samples": samples,
         "sf": sf,
         "pipelines": pipelines,
+        "canary": canary,
     }
     # full per-query detail on its own (long) line first...
     print(json.dumps(detail))
@@ -226,6 +290,11 @@ def main() -> None:
                 # damped the same way (warm-up + best-of-3).
                 "query_timing": "slowest-5 warm best-of-3; rest single-shot",
                 "pipelines": pipelines,
+                # machine-state canary (r12 #4): fixed 1T numpy matmul
+                # GFLOPS + pure-Python M ops/s at start/end, and a fixed
+                # 200M-row/32-partition Spark range-sum — a throttled
+                # sandbox self-documents here instead of being narrated
+                "canary": canary,
             }
         )
     )

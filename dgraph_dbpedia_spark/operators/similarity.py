@@ -2356,15 +2356,26 @@ def jl_topk(
     the ``out_dims``-wide scoring scan — ``dims / out_dims`` fewer
     bytes through the top-k than brute :func:`cosine_topk`; the query
     projects via the same broadcast literal."""
-    # bounded one-row guard (the _probe_single limit-before-validate
-    # discipline): a multi-row query frame would cross-join every
-    # corpus row against EVERY query and the single ORDER BY/LIMIT
-    # would mix sims across queries — garbage that answers no query
-    # (r12 review)
-    if query.limit(2).count() > 1:
+    # bounded one-row probe, collected ONCE and reused (the mmr_rerank
+    # pattern — ADVICE r12): a multi-row query frame would cross-join
+    # every corpus row against EVERY query and the single ORDER BY/
+    # LIMIT would mix sims across queries; a 0-row or NULL-vector
+    # query answers nothing and now raises instead of silently
+    # returning an empty result. The probe is the ONE eager job this
+    # composition runs — qproj below is built from the collected
+    # vector, not a second scan of the query frame.
+    qrows = query.select(F.col(query_col).alias("__qv")).limit(2).collect()
+    if len(qrows) != 1 or qrows[0][0] is None:
+        got = (
+            "a multi-row query frame"
+            if len(qrows) > 1
+            else "an empty query frame"
+            if not qrows
+            else "a NULL query vector"
+        )
         raise ValueError(
-            "jl_topk expects exactly one query vector, got a "
-            "multi-row query frame — one call per query"
+            f"jl_topk expects exactly one query vector, got {got} "
+            "— one call per query"
         )
     proj = jl_project(
         df, out_dims, dims, id_col=id_col, vec_col=vec_col,
@@ -2373,14 +2384,12 @@ def jl_topk(
     # the 1-row query always projects on the native lane (no Arrow
     # batch to amortize, and it keeps the scored sims on the oracle
     # surface whenever the corpus-side rounding agrees)
+    qdf = df.sparkSession.createDataFrame(
+        [(0, [float(x) for x in qrows[0][0]])],
+        schema="__qid bigint, __qv array<double>",
+    )
     qproj = jl_project(
-        query.select(F.col(query_col).alias("__qv")).withColumn(
-            "__qid", F.lit(0)
-        ),
-        out_dims,
-        dims,
-        id_col="__qid",
-        vec_col="__qv",
+        qdf, out_dims, dims, id_col="__qid", vec_col="__qv"
     ).select(F.col("e").alias("q"))
     return cosine_topk(
         proj, qproj, k=k, id_col=id_col, vec_col="e", query_col="q"

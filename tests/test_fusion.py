@@ -204,6 +204,50 @@ def test_mmr_rerank_contracts(spark):
     assert [r["vec_id"] for r in got] == [r["vec_id"] for r in allp]
 
 
+def test_mmr_ragged_pair_oracle_parity(spark):
+    """ADVICE r12: the DuckDB stage replay must reproduce the
+    operator's per-width 'no comparable pair' rule on RAGGED
+    shortlists instead of erroring on list_dot_product width
+    mismatch. Candidate 2 is width-3 in a width-2 corpus: its pair
+    sims to the selected set do not exist, so its mmr is NULL and it
+    ranks last — on BOTH engines."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from dgraph_dbpedia_spark.operators.fusion import mmr_rerank
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1, 0.3]),  # ragged: width 3
+            (3, [0.8, 0.2]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cand = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7)], "vec_id long, sim double"
+    )
+    q = spark.createDataFrame([([1.0, 0.0],)], "q array<double>")
+    got = mmr_rerank(
+        df, q, k=3, lambda_=0.5, shortlist_n=3, candidates=cand
+    ).collect()
+
+    sql = (
+        "WITH cand AS (SELECT * FROM (VALUES "
+        "(1, [1.0, 0.0]::DOUBLE[], 0.9::DOUBLE), "
+        "(2, [0.9, 0.1, 0.3]::DOUBLE[], 0.8::DOUBLE), "
+        "(3, [0.8, 0.2]::DOUBLE[], 0.7::DOUBLE)"
+        ") t(vec_id, v, rel)),\n        "
+        + entry_mod._sql_mmr_stages(3, 0.5)
+    )
+    oracle = duckdb.sql(sql).fetchall()
+    assert [
+        (r["rank"], r["vec_id"], r["rel"], r["mmr"]) for r in got
+    ] == [tuple(r) for r in oracle]
+    # the ragged candidate ranks LAST with NULL mmr on both engines
+    assert got[-1]["vec_id"] == 2 and got[-1]["mmr"] is None
+
+
 def test_rank_overlap_hand_computed(spark):
     """recall@k against a hand-built truth: overlap counting, the
     reference-spine rule (candidate-only groups vanish), the

@@ -1724,6 +1724,15 @@ def test_jl_topk_rejects_multi_row_query(spark):
     two_q = spark.createDataFrame(
         [([1.0, 0.0],), ([0.0, 1.0],)], "q array<double>"
     )
+    # r13 (ADVICE r12): empty and NULL-vector query frames raise like
+    # multi-row ones — previously an empty frame silently returned an
+    # empty result
+    empty_q = two_q.limit(0)
+    null_q = spark.createDataFrame([(None,)], "q array<double>")
     for fn in (jl_topk, jl_rerank_topk):
         with _pytest.raises(ValueError, match="exactly one query"):
             fn(df, two_q, k=1, out_dims=2, dims=2)
+        with _pytest.raises(ValueError, match="empty query frame"):
+            fn(df, empty_q, k=1, out_dims=2, dims=2)
+        with _pytest.raises(ValueError, match="NULL query vector"):
+            fn(df, null_q, k=1, out_dims=2, dims=2)

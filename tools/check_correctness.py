@@ -63,6 +63,38 @@ def norm_rows(cols, rows):
     return sorted(tuple(norm_value(r[i]) for i in order) for r in rows)
 
 
+_DRIVER_UNSAFE_DUCK = ("HUGEINT", "DECIMAL", "STRUCT", "MAP", "UNION")
+
+
+def duck_unsafe_types(con, sql: str) -> list[str]:
+    """Driver-unsafe DuckDB output types (VERDICT r12 #1/#3): the
+    driver canonicalizes through pandas, where HUGEINT/DECIMAL become
+    float64/object ('1435.0' != Spark's '1435' — the three-round
+    corpus_divergence red) and LIST/STRUCT columns crash the sort
+    ('unhashable type: list' — the hashed_doc_embeddings err).
+    Returns offending 'col: TYPE' strings; [] when safe."""
+    rel = con.sql(f"SELECT * FROM ({sql}) LIMIT 0")
+    bad = []
+    for col, t in zip(rel.columns, rel.types):
+        ts = str(t).upper()
+        if "[]" in ts or any(k in ts for k in _DRIVER_UNSAFE_DUCK):
+            bad.append(f"{col}: {ts}")
+    return bad
+
+
+def spark_unsafe_fields(schema) -> list[str]:
+    """Top-level array/map/struct output columns — the driver's pandas
+    canonicalizer cannot sort them (the r12 hashed_doc_embeddings
+    err); registered rows must scalar-project instead."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
 def _has_float_field(schema) -> bool:
     """True if any field (recursing through struct/array/map) is a
     floating type — the determinism-exposure signal for --repeat."""
@@ -172,6 +204,16 @@ def main(
             failures += 1
             continue
         problems = []
+        # driver-harness type gate (VERDICT r12 #3): fetchall() above
+        # renders Decimal('1435') as '1435' and so CANNOT see what the
+        # driver's pandas canonicalizer sees ('1435.0') — check the
+        # declared types, not the rendered values
+        bad_duck = duck_unsafe_types(con, oracles[name])
+        if bad_duck:
+            problems.append(f"driver-unsafe oracle types {bad_duck}")
+        bad_spark = spark_unsafe_fields(sdf.schema)
+        if bad_spark:
+            problems.append(f"driver-unsortable spark columns {bad_spark}")
         if len(s_rows) != len(d_rows):
             problems.append(f"rows {len(s_rows)} vs {len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
