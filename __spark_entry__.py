@@ -2741,6 +2741,26 @@ def _q_corpus_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_diff_report(old, new)
 
 
+def _q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: per-source token-count percentile audit — exact
+    nearest-rank (rational rank arithmetic, no interpolation), the
+    pre-chunking length report. The exact lane is registered; the
+    operator's ``approx=True`` t-digest lane is the sort-free 100 TB
+    path (pinned within-bounds by pytest, not oracle-replayable)."""
+    from dgraph_dbpedia_spark.operators.textstats import token_percentiles
+
+    return token_percentiles(_t(spark, sf_dir, "documents"))
+
+
+def _q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: Heaps-law vocabulary-growth checkpoints at 1/100..1/1 of
+    the corpus id range — integer-only cuts, two partial-aggregable
+    passes, no global sort."""
+    from dgraph_dbpedia_spark.operators.textstats import vocab_growth
+
+    return vocab_growth(_t(spark, sf_dir, "documents"))
+
+
 # Dict order matters: the driver's correctness gate runs the FIRST 50
 # entries (observed: CORRECTNESS_r03/r04/r05 each record exactly the
 # first 50, in order). TRACKED RISK: this is driver-internal behavior;
@@ -2981,6 +3001,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": _q_quality_score,
     "fingerprint": _q_fingerprint,
     "clean_text": _q_clean_text,
+    # ---- r13 additions (APPENDED after position 50 per the standing
+    # ADVICE-r12 policy — the driver window keeps exercising
+    # long-standing rows; these two earn their gate via the committed
+    # repeat x3 sweep): the exact nearest-rank token-length audit and
+    # the Heaps-law vocabulary-growth audit
+    "token_percentiles": _q_token_percentiles,
+    "vocab_growth": _q_vocab_growth,
 }
 
 
@@ -6401,6 +6428,61 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, d.lang, d.source
         FROM documents d SEMI JOIN comp
           ON d.doc_id = comp.doc_id AND comp.cluster_id = d.doc_id
+    """
+    # r13: exact nearest-rank token-length audit. The rank is pure
+    # integer math — (num*n + den - 1) // den — NOT a double ceil
+    # (0.9 rounds UP in binary so ceil(0.9*n) over-shoots when 10|9n,
+    # and DuckDB's decimal literals would disagree with Spark's
+    # doubles); the operator computes the identical expression via
+    # Fraction(str(p)) (operators/textstats.py token_percentiles)
+    d["token_percentiles"] = f"""
+        WITH tc AS (
+            SELECT source, doc_id, len({_SQL_TOKS}) AS n_tokens
+            FROM documents),
+        r AS (
+            SELECT source, n_tokens,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_tokens, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY source) AS n
+            FROM tc)
+        SELECT source,
+               max(n)::BIGINT AS n_docs,
+               sum(n_tokens)::BIGINT AS total_tokens,
+               max(n_tokens)::BIGINT AS max_tokens,
+               max(CASE WHEN rn = (1 * n + 1) // 2
+                   THEN n_tokens END)::BIGINT AS p50_tokens,
+               max(CASE WHEN rn = (9 * n + 9) // 10
+                   THEN n_tokens END)::BIGINT AS p90_tokens,
+               max(CASE WHEN rn = (99 * n + 99) // 100
+                   THEN n_tokens END)::BIGINT AS p99_tokens
+        FROM r GROUP BY source
+    """
+    # r13: Heaps-law vocabulary growth at integer id-range cuts
+    # (value cuts, not rank cuts — the operator's no-global-sort
+    # contract); correlated scalar subqueries are fine at oracle scale
+    d["vocab_growth"] = f"""
+        WITH b AS (
+            SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+        dd AS (
+            SELECT doc_id, len({_SQL_TOKS}) AS nt FROM documents),
+        cuts AS (
+            SELECT num, den, lo + ((hi - lo) * num) // den AS cut
+            FROM (VALUES (1, 100), (1, 10), (1, 4), (1, 2), (1, 1))
+                t(num, den) CROSS JOIN b),
+        firsts AS (
+            SELECT tok, min(doc_id) AS first_id FROM (
+                SELECT doc_id, unnest({_SQL_TOKS}) AS tok
+                FROM documents) GROUP BY tok)
+        SELECT (num::VARCHAR || '/' || den::VARCHAR) AS fraction,
+               cut::BIGINT AS cutoff_id,
+               (SELECT count(*) FROM dd
+                WHERE dd.doc_id <= cuts.cut)::BIGINT AS n_docs,
+               (SELECT coalesce(sum(nt), 0) FROM dd
+                WHERE dd.doc_id <= cuts.cut)::BIGINT AS n_tokens,
+               (SELECT count(*) FROM firsts
+                WHERE firsts.first_id <= cuts.cut)::BIGINT AS vocab
+        FROM cuts
     """
     # a generator that could not build its oracle (compression_ratio
     # when the fixed corpus is unreadable) returns None — drop the key

@@ -986,3 +986,203 @@ def hashed_doc_embeddings(
         )
     )
     return df.select(F.col(id_col)).join(out, id_col, "left")
+
+
+def token_percentiles(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group token-count percentile report — the corpus audit a
+    curation pipeline runs before setting chunk/pack budgets: how long
+    are this source's documents, really? Returns one row per group:
+    ``(group, n_docs, total_tokens, max_tokens, p50_tokens,
+    p90_tokens, p99_tokens)`` (column names follow ``percentiles``).
+
+    Exact semantics (the oracle-replayable default): the p-th
+    percentile is the DISCRETE value at rank ``ceil(p * n)`` of the
+    group's token counts sorted ``(n_tokens, id)`` — the nearest-rank
+    definition, with the rank computed in EXACT RATIONAL arithmetic
+    (``Fraction(str(p))``, so 0.99 means 99/100, and ``ceil(a/b) =
+    (a + b - 1) div b`` in integer math) — no interpolation and no
+    IEEE literal quirks (a double ``0.9 * n`` ceils to n*9/10 + 1 when
+    10 | 9n because 0.9 rounds UP in binary; DuckDB's decimal
+    literals would disagree), so both engines agree exactly.
+
+    100 TB shape: the exact path is one shuffle on ``group_col`` plus
+    a per-group sort (rank window) — correct but sort-bound when one
+    source holds billions of docs. ``approx=True`` is the production
+    path at that scale: a single partial-aggregable pass through
+    ``percentile_approx`` (t-digest sketch, no sort, map-side
+    combinable), same output columns, approximate values — NOT
+    oracle-replayable, so the registered row pins the exact lane."""
+    from pyspark.sql import Window
+
+    if not percentiles or any(not 0.0 < p <= 1.0 for p in percentiles):
+        raise ValueError(
+            f"percentiles must be in (0, 1], got {percentiles}"
+        )
+
+    def _pname(p: float) -> str:
+        s = f"{p * 100:g}".replace(".", "_")
+        return f"p{s}_tokens"
+
+    def _nearest_rank(p: float) -> Column:
+        from fractions import Fraction
+
+        fr = Fraction(str(p))
+        num, den = fr.numerator, fr.denominator
+        return F.expr(f"({num} * n + {den} - 1) div {den}")
+
+    counts = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+    )
+    if approx:
+        return counts.groupBy(group_col).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            *[
+                F.percentile_approx("n_tokens", p).alias(_pname(p))
+                for p in percentiles
+            ],
+        )
+    w_rank = Window.partitionBy(group_col).orderBy("n_tokens", id_col)
+    w_all = Window.partitionBy(group_col)
+    ranked = counts.select(
+        F.col(group_col),
+        F.col("n_tokens"),
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    return ranked.groupBy(group_col).agg(
+        F.max("n").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        *[
+            F.max(
+                F.when(
+                    F.col("rn") == _nearest_rank(p), F.col("n_tokens")
+                )
+            ).alias(_pname(p))
+            for p in percentiles
+        ],
+    )
+
+
+# Heaps-law checkpoint fractions as exact integer ratios (num, den):
+# thresholds are id-VALUE cuts, t_f = lo + (hi - lo) * num DIV den —
+# integer math both engines, no global row_number (see vocab_growth).
+VOCAB_GROWTH_FRACTIONS: tuple[tuple[int, int], ...] = (
+    (1, 100), (1, 10), (1, 4), (1, 2), (1, 1),
+)
+
+
+def vocab_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fractions: tuple[tuple[int, int], ...] = VOCAB_GROWTH_FRACTIONS,
+) -> DataFrame:
+    """Heaps-law vocabulary-growth audit: distinct-token vocabulary
+    size after the first 1%/10%/25%/50%/100% of the corpus (by id
+    order) — the curation diagnostic for "is this source still adding
+    new vocabulary, or is it saturated/templated?" (a near-flat tail
+    is the signature of boilerplate or a crawler trap; natural text
+    grows ~n^0.5-0.8, Heaps 1978). Returns one row per fraction:
+    ``(fraction, cutoff_id, n_docs, n_tokens, vocab)``, fraction as
+    the exact string ``'num/den'``.
+
+    Checkpoints are id-VALUE cuts, not rank cuts: ``t_f = lo + (hi -
+    lo) * num DIV den`` over the corpus id range — exact integer math
+    (oracle-identical), and crucially NO global row_number (a rank
+    definition would force a single-partition sort of the whole
+    corpus at 100 TB). With the synthetic monotone doc_ids the two
+    definitions coincide up to id gaps.
+
+    100 TB shape: two partial-aggregable passes — (1) doc-level
+    conditional counts/sums against the broadcast 1-row bounds frame;
+    (2) token first-occurrence ``groupBy(tok).agg(min(id))`` (the
+    shuffle, map-side combinable) followed by conditional counts.
+    Nothing sorts, nothing collects."""
+    if not fractions or any(
+        n <= 0 or d <= 0 or n > d for n, d in fractions
+    ):
+        raise ValueError(
+            f"fractions must be ratios in (0, 1], got {fractions}"
+        )
+    bounds = df.agg(
+        F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi")
+    )
+
+    def cutoff(num: int, den: int) -> Column:
+        # integer `div`, never float: bit-identical to the oracle's
+        # `//` for the non-negative span (both truncate toward zero)
+        return F.col("__lo") + F.expr(
+            f"((__hi - __lo) * {int(num)}) div {int(den)}"
+        )
+
+    # pass 1: per-fraction doc counts + token totals (doc-level scan)
+    docs = (
+        df.select(
+            F.col(id_col),
+            F.size(tokens(F.col(text_col))).alias("__nt"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col(id_col) <= cutoff(n, d), 1).otherwise(0)
+                ).alias(f"__nd_{n}_{d}")
+                for n, d in fractions
+            ],
+            *[
+                F.sum(
+                    F.when(
+                        F.col(id_col) <= cutoff(n, d), F.col("__nt")
+                    ).otherwise(0)
+                ).alias(f"__tt_{n}_{d}")
+                for n, d in fractions
+            ],
+            *[
+                F.max(cutoff(n, d)).alias(f"__cut_{n}_{d}")
+                for n, d in fractions
+            ],
+        )
+    )
+    # pass 2: token first occurrence, then per-fraction vocab counts
+    first = (
+        df.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
+        )
+        .groupBy("__tok")
+        .agg(F.min(id_col).alias("__first"))
+        .crossJoin(F.broadcast(bounds))
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("__first") <= cutoff(n, d), 1).otherwise(0)
+                ).alias(f"__v_{n}_{d}")
+                for n, d in fractions
+            ]
+        )
+    )
+    wide = docs.crossJoin(F.broadcast(first))
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(f"{n}/{d}").alias("fraction"),
+                F.col(f"__cut_{n}_{d}").cast("long").alias("cutoff_id"),
+                F.col(f"__nd_{n}_{d}").cast("long").alias("n_docs"),
+                F.col(f"__tt_{n}_{d}").cast("long").alias("n_tokens"),
+                F.col(f"__v_{n}_{d}").cast("long").alias("vocab"),
+            )
+            for n, d in fractions
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*")

@@ -595,3 +595,80 @@ def test_text_dedup_composition_planted_twin(spark):
         r["doc_id"] for r in near_dup_filter(docs, pairs).collect()
     }
     assert 1 in survivors and 3 in survivors and 2 not in survivors
+
+
+def test_token_percentiles_hand_computed(spark):
+    """Nearest-rank against a hand-built group: src-a has token counts
+    [1,2,3,4,5,6,7,8,9,10] -> p50 = rank ceil(10/2)=5 -> value 5,
+    p90 = rank 9 -> 9, p99 = rank ceil(9.9)=10 -> 10; src-b is a
+    single doc so every percentile is that doc's count."""
+    from dgraph_dbpedia_spark.operators.textstats import token_percentiles
+
+    rows = [
+        (i, "src-a", " ".join(["w"] * i)) for i in range(1, 11)
+    ] + [(99, "src-b", "x y z")]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {
+        r["source"]: r for r in token_percentiles(df).collect()
+    }
+    a = got["src-a"]
+    assert (a["n_docs"], a["total_tokens"], a["max_tokens"]) == (10, 55, 10)
+    assert (a["p50_tokens"], a["p90_tokens"], a["p99_tokens"]) == (5, 9, 10)
+    b = got["src-b"]
+    assert (b["n_docs"], b["total_tokens"], b["max_tokens"]) == (1, 3, 3)
+    assert (b["p50_tokens"], b["p90_tokens"], b["p99_tokens"]) == (3, 3, 3)
+
+
+def test_token_percentiles_rational_rank_not_double_ceil(spark):
+    """The 0.9-rounds-up-in-binary trap: with n=10 docs the true p90
+    rank is ceil(9) = 9, but IEEE ceil(0.9 * 10) = ceil(9.0000...2)
+    = 10 — the rational-rank contract must yield rank 9 (value 9
+    above), and a 20-doc group must yield rank 18."""
+    from dgraph_dbpedia_spark.operators.textstats import token_percentiles
+
+    rows = [(i, "s", " ".join(["w"] * i)) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = token_percentiles(df, percentiles=(0.9,)).collect()[0]
+    assert got["p90_tokens"] == 18  # ceil(0.9*20)=18 exactly; IEEE gives 19
+
+
+def test_token_percentiles_approx_lane_and_validation(spark):
+    """approx=True keeps the schema and lands within the sketch's
+    tolerance on a smooth distribution; bad percentiles raise."""
+    from dgraph_dbpedia_spark.operators.textstats import token_percentiles
+
+    rows = [(i, "s", " ".join(["w"] * (i % 50 + 1))) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    exact = token_percentiles(df).collect()[0]
+    approx = token_percentiles(df, approx=True).collect()[0]
+    assert approx.asDict().keys() == exact.asDict().keys()
+    for c in ("p50_tokens", "p90_tokens", "p99_tokens"):
+        assert abs(approx[c] - exact[c]) <= 2
+    with pytest.raises(ValueError, match="percentiles"):
+        token_percentiles(df, percentiles=(0.0,))
+    with pytest.raises(ValueError, match="percentiles"):
+        token_percentiles(df, percentiles=(1.5,))
+
+
+def test_vocab_growth_hand_computed(spark):
+    """ids 0..99, doc i contributes tokens {t0, t<i>}: cut at num/den
+    is id 0 + 99*num//den; vocab after cut c = c + 2 unique tokens
+    (t0 plus t1..t<c> and doc 0's extra), n_docs = c + 1."""
+    from dgraph_dbpedia_spark.operators.textstats import vocab_growth
+
+    rows = [(i, f"t0 t{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["fraction"]: r for r in vocab_growth(df).collect()}
+    assert set(got) == {"1/100", "1/10", "1/4", "1/2", "1/1"}
+    # cut ids: 99*1//100=0, 99//10=9, 99//4=24, 99//2=49, 99
+    for frac, cut in [
+        ("1/100", 0), ("1/10", 9), ("1/4", 24), ("1/2", 49), ("1/1", 99),
+    ]:
+        r = got[frac]
+        assert r["cutoff_id"] == cut
+        assert r["n_docs"] == cut + 1
+        assert r["n_tokens"] == 2 * (cut + 1)
+        # vocab: t0 plus t1..t<cut> (t0 repeats; doc 0 adds only t0)
+        assert r["vocab"] == cut + 1, frac
+    with pytest.raises(ValueError, match="fractions"):
+        vocab_growth(df, fractions=((2, 1),))
