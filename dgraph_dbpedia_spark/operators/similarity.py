@@ -2120,6 +2120,99 @@ def _group_centroids(
     return per, gm
 
 
+def ivf_update_report(
+    existing: DataFrame,
+    new: DataFrame,
+    n_centroids: int = 8,
+    split_factor: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Index-maintenance audit for an IVF index absorbing a new vector
+    batch WITHOUT retraining: assign the incoming vectors to the
+    EXISTING centroids (:func:`ivf_assign`'s round-6 cosine / cid-asc
+    rule — exactly what an online ingest does between rebuilds) and
+    report, per inverted list, ``(cid, n_old, n_new, n_total,
+    needs_split)``. ``needs_split`` = 1 when the list's post-ingest
+    size exceeds ``split_factor`` x the mean list size — the rebalance
+    signal that schedules a re-train/split before one hot list turns
+    every probe into a scan of half the corpus.
+
+    Determinism: counts are exact; the split test is evaluated in
+    pure INTEGER arithmetic (``n_total * den * k > num * total`` with
+    ``split_factor`` as an exact ``Fraction``) so the oracle replays
+    it without float-threshold edge risk; ``needs_split`` ships as
+    0/1 long, not boolean.
+
+    100 TB shape: two shuffle-free assignment projections (the
+    centroid set is a bounded X6 collect on the Arrow lane / one
+    broadcast row on the native lane), two map-side-combinable count
+    aggregations over cid (k-row outputs), and a k-row spine join —
+    the corpus is scanned once per side, nothing corpus-sized
+    shuffles or collects. ``centroids=None`` seeds from ``existing``
+    (:func:`ivf_seed_centroids`'s lowest-id rule); pass the served
+    index's trained centroid frame in production."""
+    from fractions import Fraction
+
+    if n_centroids < 1:
+        raise ValueError(f"n_centroids must be >= 1, got {n_centroids}")
+    if not split_factor > 0:
+        raise ValueError(
+            f"split_factor must be > 0, got {split_factor}"
+        )
+    fr = Fraction(str(split_factor))
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_seed_centroids(
+            existing, n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    )
+    k = n_centroids if centroids is None else cents.count()
+
+    def _sizes(df: DataFrame, out: str) -> DataFrame:
+        return (
+            ivf_assign(
+                df, cents, id_col=id_col, vec_col=vec_col,
+                use_arrow=use_arrow,
+            )
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    spine = (
+        cents.select("cid")
+        .join(_sizes(existing, "n_old"), "cid", "left")
+        .join(_sizes(new, "n_new"), "cid", "left")
+        .select(
+            "cid",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .withColumn("n_total", F.col("n_old") + F.col("n_new"))
+    )
+    total = spine.agg(F.sum("n_total").alias("__total"))
+    return (
+        spine.crossJoin(F.broadcast(total))
+        .select(
+            "cid",
+            "n_old",
+            "n_new",
+            "n_total",
+            F.when(
+                F.col("n_total") * F.lit(fr.denominator) * F.lit(k)
+                > F.lit(fr.numerator) * F.col("__total"),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("needs_split"),
+        )
+    )
+
+
 def embedding_drift(
     df: DataFrame,
     group_col: str = "label",

@@ -1186,3 +1186,70 @@ def vocab_growth(
         ]
     )
     return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def vocab_coverage(
+    df: DataFrame,
+    ref: DataFrame | None = None,
+    vocab_size: int = 1000,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-coverage / OOV-rate audit: build the top-
+    ``vocab_size`` token vocabulary from ``ref`` (count DESC, token
+    ASC tie-break — deterministic at the cut), then report, per
+    ``group_col`` of ``df``, how much of its token mass that
+    vocabulary covers. The standard "will my tokenizer/model built on
+    corpus A handle corpus B" diagnostic of a curation pipeline — a
+    high OOV source needs vocab growth or transliteration/cleanup
+    before it earns mixture weight. Returns one row per group:
+    ``(group, n_tokens, covered, oov, coverage_rate)`` with the rate
+    round-4.
+
+    ``ref=None`` audits ``df`` against its own vocabulary (coverage
+    then measures head-vs-tail mass, a Zipf summary).
+
+    100 TB shape: token mass is aggregated per ``(group, token)``
+    FIRST (one map-side-combinable shuffle — the join input shrinks
+    from corpus-token rows to distinct keys), then the bounded
+    vocabulary (``vocab_size`` rows, orderBy+limit on an already
+    token-aggregated frame) broadcast-left-joins onto it; nothing
+    corpus-sized crosses the broadcast."""
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    src = ref if ref is not None else df
+    vocab = (
+        src.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("__in"))
+    )
+    per_tok = (
+        df.select(
+            F.col(group_col),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .groupBy(group_col, "tok")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    joined = per_tok.join(F.broadcast(vocab), "tok", "left")
+    return (
+        joined.groupBy(group_col)
+        .agg(
+            F.sum("__n").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in").isNotNull(), F.col("__n")).otherwise(0)
+            ).alias("covered"),
+        )
+        .select(
+            F.col(group_col),
+            F.col("n_tokens"),
+            F.col("covered"),
+            (F.col("n_tokens") - F.col("covered")).alias("oov"),
+            F.round(
+                F.col("covered") / F.col("n_tokens"), 4
+            ).alias("coverage_rate"),
+        )
+    )

@@ -1736,3 +1736,54 @@ def test_jl_topk_rejects_multi_row_query(spark):
             fn(df, empty_q, k=1, out_dims=2, dims=2)
         with _pytest.raises(ValueError, match="NULL query vector"):
             fn(df, null_q, k=1, out_dims=2, dims=2)
+
+
+def test_ivf_update_report_hand_computed(spark):
+    """4 existing axis-aligned vectors seed k=2 lists (cids 0, 1);
+    3 new vectors land on their nearest seed; the 2x-mean split rule
+    fires only for the list holding > 2*(7/2)/... — hand-checked:
+    totals (5, 2), mean 3.5, threshold 7.0 -> no split at factor 2;
+    at factor 1.2 the 5-list (> 4.2) must flag."""
+    from dgraph_dbpedia_spark.operators.similarity import ivf_update_report
+
+    ex = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [0.9, 0.1]),   # -> cid 0
+            (3, [0.95, 0.05]),  # -> cid 0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    nw = spark.createDataFrame(
+        [
+            (10, [1.0, 0.05]),   # -> cid 0
+            (11, [0.05, 1.0]),   # -> cid 1
+            (12, [0.8, 0.2]),    # -> cid 0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    for use_arrow in (True, False):
+        got = {
+            r["cid"]: r
+            for r in ivf_update_report(
+                ex, nw, n_centroids=2, split_factor=2.0,
+                use_arrow=use_arrow,
+            ).collect()
+        }
+        assert (got[0]["n_old"], got[0]["n_new"], got[0]["n_total"]) == (3, 2, 5)
+        assert (got[1]["n_old"], got[1]["n_new"], got[1]["n_total"]) == (1, 1, 2)
+        assert got[0]["needs_split"] == 0 and got[1]["needs_split"] == 0
+    flagged = {
+        r["cid"]: r["needs_split"]
+        for r in ivf_update_report(
+            ex, nw, n_centroids=2, split_factor=1.2
+        ).collect()
+    }
+    assert flagged == {0: 1, 1: 0}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_centroids"):
+        ivf_update_report(ex, nw, n_centroids=0)
+    with _pytest.raises(ValueError, match="split_factor"):
+        ivf_update_report(ex, nw, split_factor=0.0)

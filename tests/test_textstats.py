@@ -672,3 +672,52 @@ def test_vocab_growth_hand_computed(spark):
         assert r["vocab"] == cut + 1, frac
     with pytest.raises(ValueError, match="fractions"):
         vocab_growth(df, fractions=((2, 1),))
+
+
+def test_vocab_coverage_hand_computed(spark):
+    """Vocabulary = top-2 tokens of the ref slice (count desc, token
+    asc tie-break at the cut); coverage counts TOKEN MASS, not types."""
+    from pyspark.sql import functions as F
+
+    from dgraph_dbpedia_spark.operators.textstats import vocab_coverage
+
+    df = spark.createDataFrame(
+        [
+            (1, "ref", "a a a b b c"),   # ref counts: a3 b2 c1
+            (2, "x", "a b c d"),         # covered a,b -> 2/4
+            (3, "y", "a a a a"),         # covered 4/4
+            (4, "z", "d e f"),           # covered 0/3
+        ],
+        ["doc_id", "source", "text"],
+    )
+    got = {
+        r["source"]: r
+        for r in vocab_coverage(
+            df.where(F.col("source") != "ref"),
+            ref=df.where(F.col("source") == "ref"),
+            vocab_size=2,
+        ).collect()
+    }
+    assert (got["x"]["n_tokens"], got["x"]["covered"], got["x"]["oov"]) == (4, 2, 2)
+    assert got["x"]["coverage_rate"] == 0.5
+    assert (got["y"]["covered"], got["y"]["coverage_rate"]) == (4, 1.0)
+    assert (got["z"]["covered"], got["z"]["coverage_rate"]) == (0, 0.0)
+
+
+def test_vocab_coverage_tie_break_and_self_ref(spark):
+    """At the vocabulary cut, equal counts break by token ASC ('b'
+    enters, 'c' stays out); ref=None audits the frame against its own
+    head vocabulary."""
+    import pytest as _pytest
+
+    from dgraph_dbpedia_spark.operators.textstats import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(1, "s", "a a b c")], ["doc_id", "source", "text"]
+    )
+    got = vocab_coverage(df, vocab_size=2).collect()[0]
+    # vocab = {a(2), b(1)} (b beats c on the asc tie) -> covered 3/4
+    assert (got["n_tokens"], got["covered"]) == (4, 3)
+    assert got["coverage_rate"] == 0.75
+    with _pytest.raises(ValueError, match="vocab_size"):
+        vocab_coverage(df, vocab_size=0)
