@@ -2579,31 +2579,38 @@ def _q_hashed_doc_embeddings(
     )
 
 
-def _adaptive_planes(n_rows: int) -> int:
-    """Scale-adaptive hyperplane count for the single-band LSH bucket
-    join: ~ceil(log2(n)) planes => ~n buckets => the bucket self-join
-    carries ~n pair rows instead of n^2/16 (the operator's own scale
-    guidance, operators/similarity.py cosine_near_dup_pairs; VERDICT
-    r12 #5 — the hard-coded n_planes=4 rows were the bench's #1/#4
-    slowest and die first at 100x). Exact integer math
-    ((n-1).bit_length(), no libm log2) so the oracle's
-    ``length(bin(greatest(2, count(*)) - 1))`` replay matches
-    bit-for-bit at every SF; capped at 16 — the plane budget the
-    oracle's masked 16-plane bucket expression precomputes."""
-    return min(16, max(4, (max(2, int(n_rows)) - 1).bit_length()))
+def _adaptive_centroids(n_rows: int) -> int:
+    """Scale-adaptive SemDeDup cluster count: k = max(8,
+    2^ceil(log2(n)/2)) ~ sqrt(n), the quadratic dial the operator's
+    own docstring prescribes (semantic_dedup_pairs: expected cluster
+    size ~sqrt(n), pair cost ~n^1.5 instead of n^2). Exact integer
+    math ((n-1).bit_length(), no libm log2) so the oracle's
+    ``1 << ((length(bin(greatest(2, count(*)) - 1)) + 1) // 2)``
+    replay matches bit-for-bit at every SF.
+
+    Chosen over the r12 single-band hyperplane bucketing for the
+    registered text-dedup rows (VERDICT r12 #5 offered both): a
+    single band at ceil(log2(n)) planes bounds the join but catches a
+    cosine-0.95 pair with probability only (1 - acos(.95)/pi)^n_planes
+    = 0.25 at 13 planes (r13 review) — the cid equi-join keeps
+    near-identical pairs together with near-1 probability (same
+    nearest centroid except at cluster boundaries, the SemDeDup
+    paper's documented miss class) while staying sub-quadratic."""
+    bl = (max(2, int(n_rows)) - 1).bit_length()
+    return max(8, 1 << ((bl + 1) // 2))
 
 
 def _q_text_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The bridge composition: hashed doc vectors -> LSH-bucketed
-    round-4 cosine pairs >= 0.95 — semantic near-dup over a TEXT
+    """The bridge composition: hashed doc vectors -> within-cluster
+    round-6 cosine pairs >= 0.95 (the SemDeDup cid equi-join,
+    k ~ sqrt(n) seed centroids) — semantic near-dup over a TEXT
     corpus with no model in the loop. Runs the production Arrow
-    einsum pair lane (the cosine_near_dup default, bit-bridged per
-    pair_cosine_arrow and allowlisted in test_plans._PYTHON_OK); the
-    native fold lane is the oracle surface the DuckDB replay
-    mirrors. n_planes scales with corpus size (``_adaptive_planes``;
-    one parquet-footer count job at construction)."""
+    assignment + pair kernels (pinned bit-equal to the native folds;
+    allowlisted in test_plans._PYTHON_OK); the native lane is the
+    oracle surface the DuckDB replay mirrors. One parquet-footer
+    count job at construction sizes k (``_adaptive_centroids``)."""
     from dgraph_dbpedia_spark.operators.similarity import (
-        cosine_near_dup_pairs,
+        semantic_dedup_pairs,
     )
     from dgraph_dbpedia_spark.operators.textstats import (
         hashed_doc_embeddings,
@@ -2613,28 +2620,27 @@ def _q_text_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = hashed_doc_embeddings(docs, dims=64).where(
         F.col("e").isNotNull()
     )
-    return cosine_near_dup_pairs(
+    return semantic_dedup_pairs(
         emb,
+        threshold=0.95,
+        n_centroids=_adaptive_centroids(docs.count()),
         id_col="doc_id",
         vec_col="e",
-        threshold=0.95,
-        n_planes=_adaptive_planes(docs.count()),
-        dims=64,
     )
 
 
 def _q_text_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The model-free SemDeDup composition end-to-end: hashed doc
-    vectors -> bucketed cosine pairs >= 0.95 -> greedy
-    keep-the-lowest-id filter (near_dup_filter's anti-join). Returns
-    the surviving documents."""
+    vectors -> within-cluster cosine pairs >= 0.95 (cid equi-join,
+    k ~ sqrt(n)) -> greedy keep-the-lowest-id filter
+    (near_dup_filter's anti-join). Returns the surviving documents."""
     from dgraph_dbpedia_spark.operators.cachectl import (
         persisted_frames,
         tag_persisted,
     )
     from dgraph_dbpedia_spark.operators.dedup import near_dup_filter
     from dgraph_dbpedia_spark.operators.similarity import (
-        cosine_near_dup_pairs,
+        semantic_dedup_pairs,
     )
     from dgraph_dbpedia_spark.operators.textstats import (
         hashed_doc_embeddings,
@@ -2644,15 +2650,17 @@ def _q_text_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = hashed_doc_embeddings(docs, dims=64).where(
         F.col("e").isNotNull()
     )
-    pairs = cosine_near_dup_pairs(
-        emb, id_col="doc_id", vec_col="e",
-        threshold=0.95, n_planes=_adaptive_planes(docs.count()),
-        dims=64,
+    pairs = semantic_dedup_pairs(
+        emb,
+        threshold=0.95,
+        n_centroids=_adaptive_centroids(docs.count()),
+        id_col="doc_id",
+        vec_col="e",
     )
     # near_dup_filter returns an untagged frame — re-tag the pairs
-    # frame's persisted sketch so the harness's release() frees it
-    # (r12 review: dropping the handle leaks the corpus-sized sketch
-    # past every materialization)
+    # frame's persisted assignment so the harness's release() frees
+    # it (r12 review: dropping the handle leaks the corpus-sized
+    # frame past every materialization)
     return tag_persisted(
         near_dup_filter(docs, pairs), *persisted_frames(pairs)
     )
@@ -2817,8 +2825,8 @@ def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vocab_growth, vocab_coverage, ivf_update_report) at the dict tail;
 # the four in-window changes (corpus_divergence/_counts oracle
 # ::BIGINT casts, the hashed_doc_embeddings scalar projection, the
-# adaptive-n_planes text-dedup reshape) re-green existing rows in
-# place.
+# text-dedup recompose onto the SemDeDup cid equi-join with
+# k ~ sqrt(n)) re-green existing rows in place.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # changed or new this round (r12) — first in line for driver rows:
     # the corpus_divergence contract fix (round-4 on both engines +
@@ -3034,9 +3042,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_text": _q_clean_text,
     # ---- r13 additions (APPENDED after position 50 per the standing
     # ADVICE-r12 policy — the driver window keeps exercising
-    # long-standing rows; these two earn their gate via the committed
-    # repeat x3 sweep): the exact nearest-rank token-length audit and
-    # the Heaps-law vocabulary-growth audit
+    # long-standing rows; these FOUR earn their gate via the committed
+    # repeat x3 sweep): the exact nearest-rank token-length audit, the
+    # Heaps-law vocabulary-growth audit, the src0-vocabulary OOV
+    # audit, and the IVF index-maintenance report
     "token_percentiles": _q_token_percentiles,
     "vocab_growth": _q_vocab_growth,
     "vocab_coverage": _q_vocab_coverage,
@@ -3300,25 +3309,6 @@ def _sql_bucket(vec_expr: str, n_planes: int, dims: int) -> str:
         for p, plane in enumerate(planes)
     )
     return f"({terms})"
-
-
-# scale-adaptive plane count for the text-dedup bucket joins (VERDICT
-# r12 #5): n = min(16, max(4, ceil(log2(n_docs)))) via exact integer
-# bit-length (length(bin(n-1)) == (n-1).bit_length() — no libm log2,
-# so the Spark side's _adaptive_planes matches at every SF). The
-# bucket is the 16-plane expression masked to n bits — valid because
-# plane p is a function of (p, d) only, so an n-plane bucket is a
-# bit-prefix of the 16-plane bucket.
-_SQL_NP_CTE = (
-    "np AS (SELECT least(16, greatest(4, "
-    "length(bin(greatest(2, count(*)) - 1)))) AS n FROM documents)"
-)
-
-
-def _sql_adaptive_bucket(vec_expr: str) -> str:
-    """16-plane bucket masked to the adaptive plane count; requires
-    ``_SQL_NP_CTE`` in scope and a ``CROSS JOIN np``."""
-    return f"({_sql_bucket(vec_expr, 16, 64)} & ((1::BIGINT << np.n) - 1))"
 
 
 def _sql_jl_topk(out_dims: int = 16, dims: int = 64, k: int = 5) -> str:
@@ -5381,22 +5371,40 @@ def oracle_sql() -> dict[str, str]:
                    {", ".join(f"v.e[{i + 1}] AS e_{i}" for i in range(16))}
             FROM documents d LEFT JOIN vec v USING (doc_id)
         """,
-        # r12 (second continuation session): the bridge composition —
-        # semantic near-dup over a TEXT corpus with no model in the
-        # loop (hashed vectors -> hyperplane buckets -> round-4
-        # cosine pairs >= 0.95)
+        # r13 recompose (review finding on the r12 reshape): the
+        # bridge composition as the SemDeDup cid equi-join — hashed
+        # vectors -> nearest of k ~ sqrt(n) lowest-id seed centroids
+        # (ivf_assign's round-6 cosine / cid-asc rule) -> round-6
+        # within-cluster pairs >= 0.95. k is exact integer math:
+        # 1 << ((bitlength(n-1) + 1) // 2), the _adaptive_centroids
+        # replay
         "text_near_dup_pairs": f"""
             WITH {_sql_hashed_embs(dims=64, seed=9)},
-            {_SQL_NP_CTE},
-            sk AS (
-                SELECT doc_id, e,
-                       {_sql_adaptive_bucket('e')} AS bucket
-                FROM vec CROSS JOIN np WHERE e IS NOT NULL)
+            nk AS (
+                SELECT greatest(8, 1 << ((length(bin(
+                    greatest(2, count(*)) - 1)) + 1) // 2)) AS k
+                FROM documents),
+            ev AS (SELECT doc_id, e AS v FROM vec WHERE e IS NOT NULL),
+            cent AS (
+                SELECT doc_id AS cid, v AS c FROM (
+                    SELECT doc_id, v,
+                           row_number() OVER (ORDER BY doc_id) AS rn
+                    FROM ev) CROSS JOIN nk
+                WHERE rn <= nk.k),
+            asg AS (
+                SELECT doc_id, v, cid FROM (
+                    SELECT ev.doc_id, ev.v, cent.cid,
+                           row_number() OVER (
+                               PARTITION BY ev.doc_id
+                               ORDER BY {_sql_cosine('ev.v', 'cent.c', 6)}
+                                        DESC, cent.cid ASC) AS rn
+                    FROM ev CROSS JOIN cent) x
+                WHERE rn = 1)
             SELECT a.doc_id AS a, b.doc_id AS b,
-                   {_sql_cosine('a.e', 'b.e')} AS sim
-            FROM sk a JOIN sk b
-              ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-            WHERE {_sql_cosine('a.e', 'b.e')} >= 0.95
+                   {_sql_cosine('a.v', 'b.v', 6)} AS sim
+            FROM asg a JOIN asg b
+              ON a.cid = b.cid AND a.doc_id < b.doc_id
+            WHERE {_sql_cosine('a.v', 'b.v', 6)} >= 0.95::DOUBLE
         """,
         # r12 (second continuation session): model-free topic tagging
         # — nearest-of-8-lowest-id-seed-centroids over the hashed
@@ -5408,21 +5416,37 @@ def oracle_sql() -> dict[str, str]:
                 'doc_id',
             )}
         """,
-        # r12 (second continuation session): the SemDeDup composition
-        # over the hashed vectors — survivors after the greedy
-        # keep-the-lowest-id anti-join on the >= 0.95 pairs
+        # r13 recompose: the SemDeDup composition over the hashed
+        # vectors — survivors after the greedy keep-the-lowest-id
+        # anti-join on the >= 0.95 WITHIN-CLUSTER pairs (same
+        # adaptive-k assignment chain as text_near_dup_pairs)
         "text_semantic_dedup": f"""
             WITH {_sql_hashed_embs(dims=64, seed=9)},
-            {_SQL_NP_CTE},
+            nk AS (
+                SELECT greatest(8, 1 << ((length(bin(
+                    greatest(2, count(*)) - 1)) + 1) // 2)) AS k
+                FROM documents),
+            ev AS (SELECT doc_id, e AS v FROM vec WHERE e IS NOT NULL),
+            cent AS (
+                SELECT doc_id AS cid, v AS c FROM (
+                    SELECT doc_id, v,
+                           row_number() OVER (ORDER BY doc_id) AS rn
+                    FROM ev) CROSS JOIN nk
+                WHERE rn <= nk.k),
             sk AS (
-                SELECT doc_id, e,
-                       {_sql_adaptive_bucket('e')} AS bucket
-                FROM vec CROSS JOIN np WHERE e IS NOT NULL),
+                SELECT doc_id, v, cid FROM (
+                    SELECT ev.doc_id, ev.v, cent.cid,
+                           row_number() OVER (
+                               PARTITION BY ev.doc_id
+                               ORDER BY {_sql_cosine('ev.v', 'cent.c', 6)}
+                                        DESC, cent.cid ASC) AS rn
+                    FROM ev CROSS JOIN cent) x
+                WHERE rn = 1),
             losers AS (
                 SELECT DISTINCT b.doc_id AS doc_id
                 FROM sk a JOIN sk b
-                  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-                WHERE {_sql_cosine('a.e', 'b.e')} >= 0.95)
+                  ON a.cid = b.cid AND a.doc_id < b.doc_id
+                WHERE {_sql_cosine('a.v', 'b.v', 6)} >= 0.95::DOUBLE)
             SELECT d.* FROM documents d
             ANTI JOIN losers l ON d.doc_id = l.doc_id
         """,
@@ -6584,12 +6608,12 @@ def oracle_sql() -> dict[str, str]:
             FROM cent
             LEFT JOIN co ON cent.cid = co.cid
             LEFT JOIN cn ON cent.cid = cn.cid),
-        tot AS (SELECT sum(n_total) AS t FROM sp)
+        tot AS (SELECT sum(n_total) AS t, count(*) AS k FROM sp)
         SELECT cid,
                n_old::BIGINT AS n_old,
                n_new::BIGINT AS n_new,
                n_total::BIGINT AS n_total,
-               (CASE WHEN n_total * 1 * 8 > 2 * t
+               (CASE WHEN n_total * 1 * k > 2 * t
                 THEN 1 ELSE 0 END)::BIGINT AS needs_split
         FROM sp CROSS JOIN tot
     """

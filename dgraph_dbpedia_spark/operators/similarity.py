@@ -2170,7 +2170,6 @@ def ivf_update_report(
             existing, n_centroids, id_col=id_col, vec_col=vec_col
         )
     )
-    k = n_centroids if centroids is None else cents.count()
 
     def _sizes(df: DataFrame, out: str) -> DataFrame:
         return (
@@ -2193,7 +2192,15 @@ def ivf_update_report(
         )
         .withColumn("n_total", F.col("n_old") + F.col("n_new"))
     )
-    total = spine.agg(F.sum("n_total").alias("__total"))
+    # k comes from the SPINE, not the n_centroids argument: when
+    # `existing` holds fewer than n_centroids vectors the seed
+    # limit() yields fewer lists, and a literal k would compare
+    # against the wrong mean and over-fire the split signal (r13
+    # review). Counting in the same 1-row agg keeps it lazy.
+    total = spine.agg(
+        F.sum("n_total").alias("__total"),
+        F.count(F.lit(1)).alias("__k"),
+    )
     return (
         spine.crossJoin(F.broadcast(total))
         .select(
@@ -2202,7 +2209,7 @@ def ivf_update_report(
             "n_new",
             "n_total",
             F.when(
-                F.col("n_total") * F.lit(fr.denominator) * F.lit(k)
+                F.col("n_total") * F.lit(fr.denominator) * F.col("__k")
                 > F.lit(fr.numerator) * F.col("__total"),
                 1,
             )
@@ -2458,13 +2465,19 @@ def jl_topk(
     # composition runs — qproj below is built from the collected
     # vector, not a second scan of the query frame.
     qrows = query.select(F.col(query_col).alias("__qv")).limit(2).collect()
-    if len(qrows) != 1 or qrows[0][0] is None:
+    if (
+        len(qrows) != 1
+        or qrows[0][0] is None
+        or any(x is None for x in qrows[0][0])
+    ):
         got = (
             "a multi-row query frame"
             if len(qrows) > 1
             else "an empty query frame"
             if not qrows
             else "a NULL query vector"
+            if qrows[0][0] is None
+            else "a query vector with NULL elements"
         )
         raise ValueError(
             f"jl_topk expects exactly one query vector, got {got} "

@@ -35,14 +35,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-]
-
 
 @pytest.fixture(scope="module")
 def oracle_con():
+    # ONE table list: the sweep's own (a private copy would drift and
+    # silently stop binding oracles that reference a new table)
+    from tools.check_correctness import TABLES
+
     if not os.path.isdir(SF_DIR):
         pytest.skip(f"testdata dir {SF_DIR} missing")
     con = duckdb.connect()
@@ -92,6 +91,12 @@ def test_guard_detects_the_r12_failure_classes(oracle_con):
     # a bare 1.5 literal types as DECIMAL(2,1) — the guard flags even
     # that (conservative by design); safe oracles say ::DOUBLE
     assert duck_unsafe_types(oracle_con, "SELECT 1.5 AS d")
+    # fixed-size ARRAY types ('DOUBLE[3]', no '[]' substring) are
+    # lists to pandas too
+    bad = duck_unsafe_types(
+        oracle_con, "SELECT [1.0, 2.0, 3.0]::DOUBLE[3] AS e"
+    )
+    assert bad and "[3]" in bad[0]
     assert not duck_unsafe_types(
         oracle_con,
         "SELECT sum(r_regionkey)::BIGINT AS s, 1.5::DOUBLE AS d, "

@@ -28,7 +28,8 @@ _PYTHON_OK = {
     "frame_sample",
     "embed_binary",
     "cosine_near_dup",
-    # same bucket+pair Arrow kernels over the hashed doc vectors
+    # r13: SemDeDup composition over the hashed doc vectors — the
+    # pinned nearest-centroid assignment + pair-cosine Arrow kernels
     "text_near_dup_pairs",
     "text_semantic_dedup",
     # same Arrow assignment kernel as stream_semantic_tag, over the
@@ -56,6 +57,10 @@ _PYTHON_OK = {
     # the inline probes carry the Python stage in their returned plan
     "ivf_ann_topk",
     "ivf_ann_topk_trained",
+    # r13: two ivf_assign projections on the same pinned
+    # nearest-centroid Arrow kernel (the returned plan is the lazy
+    # assign+count+join frame)
+    "ivf_update_report",
     # r11: pair_cosine_arrow dot lane over normalized embeddings
     # (bit-equal pinned in test_similarity.py)
     "semantic_dedup_pairs_normalized",

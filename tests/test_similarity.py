@@ -1787,3 +1787,30 @@ def test_ivf_update_report_hand_computed(spark):
         ivf_update_report(ex, nw, n_centroids=0)
     with _pytest.raises(ValueError, match="split_factor"):
         ivf_update_report(ex, nw, split_factor=0.0)
+
+
+def test_ivf_update_report_fewer_vectors_than_centroids(spark):
+    """When existing holds fewer vectors than n_centroids, the split
+    mean must use the ACTUAL list count (r13 review: a literal k=8
+    over 2 real lists would compare against a 4x-too-small mean and
+    over-fire needs_split)."""
+    from dgraph_dbpedia_spark.operators.similarity import ivf_update_report
+
+    ex = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    nw = spark.createDataFrame(
+        [(10, [1.0, 0.1]), (11, [0.9, 0.2])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["cid"]: r
+        for r in ivf_update_report(
+            ex, nw, n_centroids=8, split_factor=2.0
+        ).collect()
+    }
+    # 2 lists, totals (3, 1), mean 2 -> threshold 4: nothing splits
+    assert len(got) == 2
+    assert (got[0]["n_total"], got[1]["n_total"]) == (3, 1)
+    assert got[0]["needs_split"] == 0 and got[1]["needs_split"] == 0

@@ -721,3 +721,49 @@ def test_vocab_coverage_tie_break_and_self_ref(spark):
     assert got["coverage_rate"] == 0.75
     with _pytest.raises(ValueError, match="vocab_size"):
         vocab_coverage(df, vocab_size=0)
+
+
+def test_text_dedup_cid_composition_planted_twin(spark):
+    """The registered r13 composition shape (SemDeDup cid equi-join
+    over hashed vectors): the planted twin pair surfaces through the
+    WITHIN-CLUSTER join — near-identical vectors share a nearest seed
+    centroid — and near_dup_filter keeps the lower id; the unrelated
+    doc survives."""
+    from pyspark.sql import functions as F
+
+    from dgraph_dbpedia_spark.operators.dedup import near_dup_filter
+    from dgraph_dbpedia_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+    from dgraph_dbpedia_spark.operators.textstats import (
+        hashed_doc_embeddings,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    docs = spark.createDataFrame(
+        [
+            # ids 1-2 are the k=2 seed centroids; the twins sit at
+            # higher ids so they assign to a seed rather than to
+            # themselves (a seed always self-assigns at cosine 1.0 —
+            # the SemDeDup seed artifact a twin PAIR of seeds hits)
+            (1, base),
+            (2, "totally different words unrelated content here"),
+            (10, base + " extra"),          # twin of doc 1 / doc 11
+            (11, base + " extra more"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = hashed_doc_embeddings(docs, dims=16).where(
+        F.col("e").isNotNull()
+    )
+    pairs = semantic_dedup_pairs(
+        emb, threshold=0.95, n_centroids=2, id_col="doc_id", vec_col="e"
+    )
+    got = [(r["a"], r["b"]) for r in pairs.collect()]
+    # both twins assign to seed 1's cluster, so the (1, 10) and
+    # (10, 11) near-dup pairs both surface through the cid join
+    assert (1, 10) in got and (10, 11) in got
+    survivors = {
+        r["doc_id"] for r in near_dup_filter(docs, pairs).collect()
+    }
+    assert survivors == {1, 2}

@@ -77,7 +77,9 @@ def duck_unsafe_types(con, sql: str) -> list[str]:
     bad = []
     for col, t in zip(rel.columns, rel.types):
         ts = str(t).upper()
-        if "[]" in ts or any(k in ts for k in _DRIVER_UNSAFE_DUCK):
+        # '[' (not '[]') so fixed-size ARRAY types (DOUBLE[3]) are
+        # caught too — pandas gets an unhashable sequence either way
+        if "[" in ts or any(k in ts for k in _DRIVER_UNSAFE_DUCK):
             bad.append(f"{col}: {ts}")
     return bad
 
