@@ -1536,7 +1536,10 @@ def cosine_near_dup_pairs(
     4x (86 s / recall 0.725). The single-band generator trades recall
     for join size; for near-1.0 thresholds at larger n, use the
     OR-amplified banding (:func:`semantic_decontaminate`'s generator)
-    or the cid equi-join (:func:`semantic_dedup_pairs`) instead.
+    or the cid equi-join (:func:`semantic_dedup_pairs`) instead —
+    the cid shape measured on the same 200k harness (r13, ``cid``
+    mode, k=512 adaptive centroids): 61 s / recall 1.0, strictly
+    dominating both single-band points.
 
     The result carries its persisted sketch handle — release with
     :func:`dgraph_dbpedia_spark.operators.cachectl.release` after

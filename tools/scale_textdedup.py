@@ -9,6 +9,11 @@ chain drops exactly the twins among the planted population).
 
 Usage: python tools/scale_textdedup.py [n] [n_twins] [words] [dims] [n_planes]
 Prints ONE JSON line.
+
+Pass ``cid`` as the 5th argument to measure the r13 registered shape
+instead: semantic_dedup_pairs' within-cluster equi-join with the
+adaptive k = max(8, 2^ceil(log2(n)/2)) ~ sqrt(n) seed centroids
+(__spark_entry__._adaptive_centroids).
 """
 
 from __future__ import annotations
@@ -30,7 +35,9 @@ def main() -> None:
     n_twins = int(sys.argv[2]) if len(sys.argv) > 2 else 200
     words = int(sys.argv[3]) if len(sys.argv) > 3 else 50
     dims = int(sys.argv[4]) if len(sys.argv) > 4 else 64
-    n_planes = int(sys.argv[5]) if len(sys.argv) > 5 else 8
+    mode = sys.argv[5] if len(sys.argv) > 5 else "8"
+    use_cid = mode == "cid"
+    n_planes = None if use_cid else int(mode)
     offset = 10_000_000
     if n_twins < 1:
         raise SystemExit("n_twins must be >= 1 (recall is per-twin)")
@@ -89,10 +96,23 @@ def main() -> None:
 
     t0 = time.perf_counter()
     e = emb.where(F.col("e").isNotNull())
-    pairs = cosine_near_dup_pairs(
-        e, id_col="doc_id", vec_col="e",
-        threshold=0.95, n_planes=n_planes, dims=dims,
-    ).localCheckpoint()
+    if use_cid:
+        from dgraph_dbpedia_spark.operators.similarity import (
+            semantic_dedup_pairs,
+        )
+
+        bl = (max(2, n_total) - 1).bit_length()
+        n_centroids = max(8, 1 << ((bl + 1) // 2))
+        pairs = semantic_dedup_pairs(
+            e, threshold=0.95, n_centroids=n_centroids,
+            id_col="doc_id", vec_col="e",
+        ).localCheckpoint()
+    else:
+        n_centroids = None
+        pairs = cosine_near_dup_pairs(
+            e, id_col="doc_id", vec_col="e",
+            threshold=0.95, n_planes=n_planes, dims=dims,
+        ).localCheckpoint()
     n_pairs = pairs.count()
     survivors = near_dup_filter(corpus, pairs)
     n_surv = survivors.count()
@@ -107,6 +127,7 @@ def main() -> None:
             {
                 "n_docs": n_total,
                 "n_planes": n_planes,
+                "n_centroids": n_centroids,
                 "words": words,
                 "dims": dims,
                 "embed_sec": embed_s,
