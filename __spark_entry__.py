@@ -2769,6 +2769,38 @@ def _q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_growth(_t(spark, sf_dir, "documents"))
 
 
+def _q_trim_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: per-source length-outlier trim at [p10, p90] — the
+    actionable percentile gate (same exact rational rank rule as
+    token_percentiles; survivors keep all original columns). The
+    registered cuts are tighter than the production [p1, p99] default
+    so the gate provably bites at sf0.01's 25-doc groups (where p1 =
+    min and p99 = max trim nothing)."""
+    from dgraph_dbpedia_spark.operators.textclean import (
+        trim_length_outliers,
+    )
+
+    return trim_length_outliers(
+        _t(spark, sf_dir, "documents"), lo=0.1, hi=0.9
+    )
+
+
+def _q_category_shift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: source-mixture drift between two overlapping snapshot
+    views of the corpus (even ids vs non-multiples-of-3) — per-source
+    counts, shares, and total-variation terms."""
+    from dgraph_dbpedia_spark.operators.versioning import (
+        category_shift_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return category_shift_report(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 3 != 0),
+        group_col="source",
+    )
+
+
 def _q_ivf_update_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r13: IVF index-maintenance audit — every 10th vector arrives as
     the new batch, assigned to the existing 8-seed index; per-list
@@ -2821,8 +2853,9 @@ def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # this round. STANDING POLICY (ADVICE r12, adopted r13): new rows
 # APPEND AFTER position 50 — the window keeps exercising long-standing
 # queries; rotate a new row into the window only when a verdict
-# prescribes it. r13 APPENDS its four new rows (token_percentiles,
-# vocab_growth, vocab_coverage, ivf_update_report) at the dict tail;
+# prescribes it. r13 APPENDS its six new rows (token_percentiles,
+# vocab_growth, vocab_coverage, ivf_update_report,
+# trim_length_outliers, category_shift_report) at the dict tail;
 # the four in-window changes (corpus_divergence/_counts oracle
 # ::BIGINT casts, the hashed_doc_embeddings scalar projection, the
 # text-dedup recompose onto the SemDeDup cid equi-join with
@@ -3042,14 +3075,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_text": _q_clean_text,
     # ---- r13 additions (APPENDED after position 50 per the standing
     # ADVICE-r12 policy — the driver window keeps exercising
-    # long-standing rows; these FOUR earn their gate via the committed
+    # long-standing rows; these SIX earn their gate via the committed
     # repeat x3 sweep): the exact nearest-rank token-length audit, the
     # Heaps-law vocabulary-growth audit, the src0-vocabulary OOV
-    # audit, and the IVF index-maintenance report
+    # audit, the IVF index-maintenance report, the per-source
+    # percentile length gate, and the snapshot mixture-drift report
     "token_percentiles": _q_token_percentiles,
     "vocab_growth": _q_vocab_growth,
     "vocab_coverage": _q_vocab_coverage,
     "ivf_update_report": _q_ivf_update_report,
+    "trim_length_outliers": _q_trim_length_outliers,
+    "category_shift_report": _q_category_shift_report,
 }
 
 
@@ -6616,6 +6652,59 @@ def oracle_sql() -> dict[str, str]:
                (CASE WHEN n_total * 1 * k > 2 * t
                 THEN 1 ELSE 0 END)::BIGINT AS needs_split
         FROM sp CROSS JOIN tot
+    """
+    # r13: per-source [p10, p90] length trim — same integer
+    # nearest-rank rule as token_percentiles; kept range INCLUSIVE of
+    # the cut values
+    d["trim_length_outliers"] = f"""
+        WITH tc AS (
+            SELECT doc_id, text, lang, source, n_chars,
+                   len({_SQL_TOKS}) AS nt
+            FROM documents),
+        r AS (
+            SELECT source AS g, nt,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY nt, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY source) AS n
+            FROM tc),
+        b AS (
+            SELECT g,
+                   max(CASE WHEN rn = (1 * n + 9) // 10
+                       THEN nt END) AS lo_nt,
+                   max(CASE WHEN rn = (9 * n + 9) // 10
+                       THEN nt END) AS hi_nt
+            FROM r GROUP BY g)
+        SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+        FROM tc d JOIN b ON d.source = b.g
+        WHERE d.nt >= b.lo_nt AND d.nt <= b.hi_nt
+    """
+    # r13: source-mixture drift (counts exact; shares and the
+    # total-variation term round-6 over the same raw double shares
+    # the Spark side divides)
+    d["category_shift_report"] = """
+        WITH co AS (
+            SELECT source AS g, count(*) AS n_old FROM documents
+            WHERE doc_id % 2 = 0 GROUP BY source),
+        cn AS (
+            SELECT source AS g, count(*) AS n_new FROM documents
+            WHERE doc_id % 3 != 0 GROUP BY source),
+        sp AS (
+            SELECT coalesce(co.g, cn.g) AS g,
+                   coalesce(n_old, 0) AS n_old,
+                   coalesce(n_new, 0) AS n_new
+            FROM co FULL JOIN cn ON co.g = cn.g),
+        t AS (SELECT sum(n_old) AS toto, sum(n_new) AS totn FROM sp)
+        SELECT g AS source,
+               n_old::BIGINT AS n_old,
+               n_new::BIGINT AS n_new,
+               round(n_old / greatest(toto, 1)::DOUBLE, 6)
+                   AS share_old,
+               round(n_new / greatest(totn, 1)::DOUBLE, 6)
+                   AS share_new,
+               round(abs(n_old / greatest(toto, 1)::DOUBLE
+                         - n_new / greatest(totn, 1)::DOUBLE) / 2, 6)
+                   AS tvd_term
+        FROM sp CROSS JOIN t
     """
     # a generator that could not build its oracle (compression_ratio
     # when the fixed corpus is unreadable) returns None — drop the key

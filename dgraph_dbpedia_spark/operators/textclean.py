@@ -328,3 +328,80 @@ def normalize_text(
         )
 
     return df.select(F.col(id_col), _norm(F.col(text_col)).alias(text_col))
+
+
+def trim_length_outliers(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Per-group length-outlier trim — the actionable form of
+    :func:`..textstats.token_percentiles`: keep only documents whose
+    token count lies within the group's ``[p_lo, p_hi]`` nearest-rank
+    percentile VALUES (truncated fragments below, concatenation blobs
+    and crawler traps above — the standard pre-training length gate
+    applied per source so a long-form source isn't judged by a
+    tweet-length source's distribution). Returns the surviving rows,
+    all original columns.
+
+    Determinism: the cut ranks use the same exact rational arithmetic
+    as ``token_percentiles`` (``(num*n + den - 1) div den`` via
+    ``Fraction(str(p))``); the kept range is INCLUSIVE of the cut
+    values, so ties at the boundary never depend on row order.
+
+    100 TB shape: one shuffle on ``group_col`` for the rank window
+    over (count, id), a per-group 1-row bounds aggregate, and a
+    broadcast join of those bounds back onto the counted frame — the
+    corpus is scanned once; the heavy frame never joins itself."""
+    from fractions import Fraction
+
+    if not 0.0 < lo <= hi <= 1.0:
+        raise ValueError(
+            f"need 0 < lo <= hi <= 1, got lo={lo} hi={hi}"
+        )
+    from pyspark.sql import Window
+
+    flo, fhi = Fraction(str(lo)), Fraction(str(hi))
+    counts = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).alias("__id"),
+        F.size(tokens(F.col(text_col))).alias("__nt"),
+    )
+    w_rank = Window.partitionBy("__g").orderBy("__nt", "__id")
+    ranked = counts.select(
+        "__g",
+        "__nt",
+        F.row_number().over(w_rank).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("__g")).alias("__n"),
+    )
+
+    def rank_of(fr: Fraction) -> Column:
+        return F.expr(
+            f"({fr.numerator} * __n + {fr.denominator} - 1) "
+            f"div {fr.denominator}"
+        )
+
+    bounds = ranked.groupBy("__g").agg(
+        F.max(F.when(F.col("__rn") == rank_of(flo), F.col("__nt"))).alias(
+            "__lo_nt"
+        ),
+        F.max(F.when(F.col("__rn") == rank_of(fhi), F.col("__nt"))).alias(
+            "__hi_nt"
+        ),
+    )
+    return (
+        df.withColumn("__nt", F.size(tokens(F.col(text_col))))
+        .join(
+            F.broadcast(bounds),
+            F.col(group_col) == F.col("__g"),
+            "inner",
+        )
+        .where(
+            (F.col("__nt") >= F.col("__lo_nt"))
+            & (F.col("__nt") <= F.col("__hi_nt"))
+        )
+        .drop("__g", "__nt", "__lo_nt", "__hi_nt")
+    )

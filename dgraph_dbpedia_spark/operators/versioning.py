@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from dgraph_dbpedia_spark.functions.hashing import hash64
 
-__all__ = ["corpus_diff", "corpus_diff_report"]
+__all__ = ["corpus_diff", "corpus_diff_report", "category_shift_report"]
 
 
 def corpus_diff(
@@ -115,4 +115,58 @@ def corpus_diff_report(
             ),
             4,
         ).alias("churn"),
+    )
+
+
+def category_shift_report(
+    old: DataFrame,
+    new: DataFrame,
+    group_col: str = "source",
+) -> DataFrame:
+    """Metadata-distribution drift between two corpus snapshots: for
+    each ``group_col`` category, the document counts and shares on
+    both sides plus the category's total-variation contribution —
+    "did release v4 quietly halve the code share and double the
+    forums share?" (the mixture-audit sibling of
+    :func:`corpus_diff_report`, which diffs CONTENT; token-level
+    drift is :func:`..textstats.corpus_divergence`). Returns one row
+    per category present on either side: ``(group, n_old, n_new,
+    share_old, share_new, tvd_term)`` with shares and the term
+    round-6; ``sum(tvd_term)`` is the total variation distance.
+
+    100 TB shape: two map-side-combinable count aggregations
+    (category-key shuffles over k-row outputs), a full-outer k-row
+    join on the category spine, and two broadcast 1-row totals —
+    nothing corpus-sized shuffles."""
+    co = old.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n_old")
+    )
+    cn = new.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    spine = (
+        co.join(cn, "g", "full_outer")
+        .select(
+            F.col("g"),
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    totals = spine.agg(
+        F.sum("n_old").alias("__to"), F.sum("n_new").alias("__tn")
+    )
+    share_old = F.col("n_old") / F.greatest(F.col("__to"), F.lit(1))
+    share_new = F.col("n_new") / F.greatest(F.col("__tn"), F.lit(1))
+    return (
+        spine.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("g").alias(group_col),
+            "n_old",
+            "n_new",
+            F.round(share_old, 6).alias("share_old"),
+            F.round(share_new, 6).alias("share_new"),
+            F.round(F.abs(share_old - share_new) / 2, 6).alias(
+                "tvd_term"
+            ),
+        )
     )

@@ -268,3 +268,31 @@ def test_normalize_text_forms(spark):
 
     with _pytest.raises(ValueError, match="form must be"):
         normalize_text(df, "NFX")
+
+
+def test_trim_length_outliers_hand_computed(spark):
+    """Group 's' holds token counts 1..100 (doc_id = count): p1 rank
+    = ceil(0.01*100) = 1 -> lo value 1, p99 rank = 99 -> hi value 99;
+    the inclusive gate keeps counts 1..99 and drops only the
+    100-token blob. A one-doc group keeps its single doc (both cuts
+    land on it)."""
+    from dgraph_dbpedia_spark.operators.textclean import (
+        trim_length_outliers,
+    )
+
+    rows = [
+        (i, "s", " ".join(["w"] * i)) for i in range(1, 101)
+    ] + [(999, "tiny", "a b c")]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = trim_length_outliers(df, lo=0.01, hi=0.99).collect()
+    kept_s = sorted(r["doc_id"] for r in got if r["source"] == "s")
+    assert kept_s == list(range(1, 100))  # 100-token doc trimmed
+    assert [r["doc_id"] for r in got if r["source"] == "tiny"] == [999]
+    # survivors carry ALL original columns untouched
+    assert set(got[0].asDict()) == {"doc_id", "source", "text"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lo"):
+        trim_length_outliers(df, lo=0.9, hi=0.1)
+    with _pytest.raises(ValueError, match="lo"):
+        trim_length_outliers(df, lo=0.0)

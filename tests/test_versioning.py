@@ -98,3 +98,34 @@ def test_corpus_diff_single_shuffle_plan(spark):
         "BroadcastHashJoin"
     )
     assert joins == 1
+
+
+def test_category_shift_report_hand_computed(spark):
+    """old = 4 'a' + 4 'b'; new = 6 'a' + 2 'c': shares (0.5, 0.75 /
+    0.5, 0 / 0, 0.25), tvd terms (0.125, 0.25, 0.125) -> TVD 0.5; a
+    category present on one side only still spines in with zero
+    counts on the other."""
+    from dgraph_dbpedia_spark.operators.versioning import (
+        category_shift_report,
+    )
+
+    old = spark.createDataFrame(
+        [(i, "a") for i in range(4)] + [(i + 10, "b") for i in range(4)],
+        ["doc_id", "source"],
+    )
+    new = spark.createDataFrame(
+        [(i, "a") for i in range(6)] + [(i + 20, "c") for i in range(2)],
+        ["doc_id", "source"],
+    )
+    got = {
+        r["source"]: r
+        for r in category_shift_report(old, new, "source").collect()
+    }
+    assert set(got) == {"a", "b", "c"}
+    assert (got["a"]["n_old"], got["a"]["n_new"]) == (4, 6)
+    assert (got["a"]["share_old"], got["a"]["share_new"]) == (0.5, 0.75)
+    assert got["a"]["tvd_term"] == 0.125
+    assert (got["b"]["n_new"], got["b"]["share_new"]) == (0, 0.0)
+    assert got["b"]["tvd_term"] == 0.25
+    assert got["c"]["tvd_term"] == 0.125
+    assert round(sum(r["tvd_term"] for r in got.values()), 6) == 0.5
