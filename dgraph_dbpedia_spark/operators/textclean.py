@@ -354,8 +354,10 @@ def trim_length_outliers(
 
     100 TB shape: one shuffle on ``group_col`` for the rank window
     over (count, id), a per-group 1-row bounds aggregate, and a
-    broadcast join of those bounds back onto the counted frame — the
-    corpus is scanned once; the heavy frame never joins itself."""
+    broadcast join of those bounds back onto a second tokenizing scan
+    of the corpus — two cheap projection scans rather than a
+    corpus-sized id self-join; the heavy frame never shuffles by
+    id."""
     from fractions import Fraction
 
     if not 0.0 < lo <= hi <= 1.0:
