@@ -212,6 +212,10 @@ def percentile_stats(
 
     Returns one row per group with a rounded double column per
     percentile (default names ``p50, p90, p99``).
+
+    Interpolating sibling of :func:`..textstats.token_percentiles`,
+    which returns exact NEAREST-RANK integer token counts (the form a
+    length gate consumes) rather than interpolated doubles.
     """
     # round, not int(): int(0.29 * 100) float-truncates to 28
     names = names or [f"p{round(p * 100)}" for p in ps]

@@ -1001,6 +1001,12 @@ def token_percentiles(
     are this source's documents, really? Returns one row per group:
     ``(group, n_docs, total_tokens, max_tokens, p50_tokens,
     p90_tokens, p99_tokens)`` (column names follow ``percentiles``).
+    The nearest-rank sibling of :func:`..stats.percentile_stats`
+    (which interpolates, ``quantile_cont`` semantics, over any value
+    column): this one returns ACTUAL integer token counts from the
+    data — the form a length gate consumes
+    (:func:`..textclean.trim_length_outliers` applies the same rank
+    rule as a filter).
 
     Exact semantics (the oracle-replayable default): the p-th
     percentile is the DISCRETE value at rank ``ceil(p * n)`` of the
