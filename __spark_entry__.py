@@ -6538,7 +6538,7 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY source
                        ORDER BY n_tokens, doc_id) AS rn,
                    count(*) OVER (PARTITION BY source) AS n
-            FROM tc)
+            FROM tc WHERE n_tokens IS NOT NULL)
         SELECT source,
                max(n)::BIGINT AS n_docs,
                sum(n_tokens)::BIGINT AS total_tokens,
@@ -6666,7 +6666,7 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (
                        PARTITION BY source ORDER BY nt, doc_id) AS rn,
                    count(*) OVER (PARTITION BY source) AS n
-            FROM tc),
+            FROM tc WHERE nt IS NOT NULL),
         b AS (
             SELECT g,
                    max(CASE WHEN rn = (1 * n + 9) // 10

@@ -347,10 +347,17 @@ def trim_length_outliers(
     tweet-length source's distribution). Returns the surviving rows,
     all original columns.
 
-    Determinism: the cut ranks use the same exact rational arithmetic
-    as ``token_percentiles`` (``(num*n + den - 1) div den`` via
-    ``Fraction(str(p))``); the kept range is INCLUSIVE of the cut
-    values, so ties at the boundary never depend on row order.
+    Determinism: the cut ranks use EXACTLY the shared rank machinery
+    of :func:`..textstats.token_percentiles`
+    (:func:`..textstats.ranked_token_counts` +
+    :func:`..textstats.nearest_rank_expr` — one definition, so the
+    audit and the gate cannot desynchronize); the kept range is
+    INCLUSIVE of the cut values, so ties at the boundary never depend
+    on row order. Null-text rows are excluded from the distribution
+    AND dropped by the gate (a null count satisfies neither bound) —
+    not length-gradable is not keepable. Raises on input columns
+    colliding with the reserved dunder names (the shared machinery's
+    guard covers the join columns used here too).
 
     100 TB shape: one shuffle on ``group_col`` for the rank window
     over (count, id), a per-group 1-row bounds aggregate, and a
@@ -358,41 +365,30 @@ def trim_length_outliers(
     of the corpus — two cheap projection scans rather than a
     corpus-sized id self-join; the heavy frame never shuffles by
     id."""
-    from fractions import Fraction
-
     if not 0.0 < lo <= hi <= 1.0:
         raise ValueError(
             f"need 0 < lo <= hi <= 1, got lo={lo} hi={hi}"
         )
-    from pyspark.sql import Window
-
-    flo, fhi = Fraction(str(lo)), Fraction(str(hi))
-    counts = df.select(
-        F.col(group_col).alias("__g"),
-        F.col(id_col).alias("__id"),
-        F.size(tokens(F.col(text_col))).alias("__nt"),
-    )
-    w_rank = Window.partitionBy("__g").orderBy("__nt", "__id")
-    ranked = counts.select(
-        "__g",
-        "__nt",
-        F.row_number().over(w_rank).alias("__rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("__g")).alias("__n"),
+    from dgraph_dbpedia_spark.operators.textstats import (
+        _RANK_RESERVED,
+        nearest_rank_expr,
+        ranked_token_counts,
     )
 
-    def rank_of(fr: Fraction) -> Column:
-        return F.expr(
-            f"({fr.numerator} * __n + {fr.denominator} - 1) "
-            f"div {fr.denominator}"
+    clash = set(df.columns) & (set(_RANK_RESERVED) | {"__lo_nt", "__hi_nt"})
+    if clash:
+        raise ValueError(
+            f"input columns collide with reserved rank-machinery "
+            f"names: {sorted(clash)}"
         )
-
+    ranked = ranked_token_counts(df, group_col, text_col, id_col)
     bounds = ranked.groupBy("__g").agg(
-        F.max(F.when(F.col("__rn") == rank_of(flo), F.col("__nt"))).alias(
-            "__lo_nt"
-        ),
-        F.max(F.when(F.col("__rn") == rank_of(fhi), F.col("__nt"))).alias(
-            "__hi_nt"
-        ),
+        F.max(
+            F.when(F.col("__rn") == nearest_rank_expr(lo), F.col("__nt"))
+        ).alias("__lo_nt"),
+        F.max(
+            F.when(F.col("__rn") == nearest_rank_expr(hi), F.col("__nt"))
+        ).alias("__hi_nt"),
     )
     return (
         df.withColumn("__nt", F.size(tokens(F.col(text_col))))

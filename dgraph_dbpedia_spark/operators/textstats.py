@@ -1018,6 +1018,12 @@ def token_percentiles(
     10 | 9n because 0.9 rounds UP in binary; DuckDB's decimal
     literals would disagree), so both engines agree exactly.
 
+    Null-text rows are EXCLUDED from the distribution (``n_docs``
+    counts measurable documents only): a null token count is not
+    length-gradable, and admitting it would silently shift every rank
+    — Spark's window orders NULLS FIRST where the DuckDB oracle
+    orders NULLS LAST (r13 review).
+
     100 TB shape: the exact path is one shuffle on ``group_col`` plus
     a per-group sort (rank window) — correct but sort-bound when one
     source holds billions of docs. ``approx=True`` is the production
@@ -1025,8 +1031,6 @@ def token_percentiles(
     ``percentile_approx`` (t-digest sketch, no sort, map-side
     combinable), same output columns, approximate values — NOT
     oracle-replayable, so the registered row pins the exact lane."""
-    from pyspark.sql import Window
-
     if not percentiles or any(not 0.0 < p <= 1.0 for p in percentiles):
         raise ValueError(
             f"percentiles must be in (0, 1], got {percentiles}"
@@ -1036,19 +1040,11 @@ def token_percentiles(
         s = f"{p * 100:g}".replace(".", "_")
         return f"p{s}_tokens"
 
-    def _nearest_rank(p: float) -> Column:
-        from fractions import Fraction
-
-        fr = Fraction(str(p))
-        num, den = fr.numerator, fr.denominator
-        return F.expr(f"({num} * n + {den} - 1) div {den}")
-
-    counts = df.select(
-        F.col(group_col),
-        F.col(id_col),
-        F.size(tokens(F.col(text_col))).alias("n_tokens"),
-    )
     if approx:
+        counts = df.select(
+            F.col(group_col),
+            F.size(tokens(F.col(text_col))).alias("n_tokens"),
+        ).where(F.col("n_tokens").isNotNull())
         return counts.groupBy(group_col).agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
@@ -1058,26 +1054,76 @@ def token_percentiles(
                 for p in percentiles
             ],
         )
-    w_rank = Window.partitionBy(group_col).orderBy("n_tokens", id_col)
-    w_all = Window.partitionBy(group_col)
-    ranked = counts.select(
-        F.col(group_col),
-        F.col("n_tokens"),
-        F.row_number().over(w_rank).alias("rn"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
+    ranked = ranked_token_counts(df, group_col, text_col, id_col)
+    return (
+        ranked.groupBy("__g")
+        .agg(
+            F.max("__n").alias("n_docs"),
+            F.sum("__nt").alias("total_tokens"),
+            F.max("__nt").alias("max_tokens"),
+            *[
+                F.max(
+                    F.when(
+                        F.col("__rn") == nearest_rank_expr(p),
+                        F.col("__nt"),
+                    )
+                ).alias(_pname(p))
+                for p in percentiles
+            ],
+        )
+        .withColumnRenamed("__g", group_col)
     )
-    return ranked.groupBy(group_col).agg(
-        F.max("n").alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-        F.max("n_tokens").alias("max_tokens"),
-        *[
-            F.max(
-                F.when(
-                    F.col("rn") == _nearest_rank(p), F.col("n_tokens")
-                )
-            ).alias(_pname(p))
-            for p in percentiles
-        ],
+
+
+_RANK_RESERVED = ("__g", "__id", "__nt", "__rn", "__n")
+
+
+def nearest_rank_expr(p: float) -> Column:
+    """The nearest-rank percentile rank ``ceil(p * n)`` in EXACT
+    RATIONAL arithmetic over the ``__n`` group-size column of
+    :func:`ranked_token_counts`: ``Fraction(str(p))`` so 0.99 means
+    99/100, and ``ceil(a/b) = (a + b - 1) div b`` in integer math —
+    ONE definition shared by :func:`token_percentiles` and
+    :func:`..textclean.trim_length_outliers` so the audit and the
+    gate (and their oracles) cannot desynchronize (r13 review)."""
+    from fractions import Fraction
+
+    fr = Fraction(str(p))
+    num, den = fr.numerator, fr.denominator
+    return F.expr(f"({num} * __n + {den} - 1) div {den}")
+
+
+def ranked_token_counts(
+    df: DataFrame, group_col: str, text_col: str, id_col: str
+) -> DataFrame:
+    """``(__g, __nt, __rn, __n)`` — per-group token counts ranked by
+    ``(count, id)`` with the group size alongside, over NON-NULL
+    counts only (a null token count is not length-gradable, and Spark
+    windows order NULLS FIRST where the DuckDB oracle orders NULLS
+    LAST — admitting them would silently shift every rank). The
+    shared exact-rank core of :func:`token_percentiles` and
+    :func:`..textclean.trim_length_outliers`. Raises on input columns
+    that collide with the reserved dunder names."""
+    from pyspark.sql import Window
+
+    clash = set(df.columns) & set(_RANK_RESERVED)
+    if clash:
+        raise ValueError(
+            f"input columns collide with reserved rank-machinery "
+            f"names: {sorted(clash)}"
+        )
+    counts = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).alias("__id"),
+        F.size(tokens(F.col(text_col))).alias("__nt"),
+    ).where(F.col("__nt").isNotNull())
+    w_rank = Window.partitionBy("__g").orderBy("__nt", "__id")
+    w_all = Window.partitionBy("__g")
+    return counts.select(
+        "__g",
+        "__nt",
+        F.row_number().over(w_rank).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
     )
 
 

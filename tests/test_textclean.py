@@ -296,3 +296,39 @@ def test_trim_length_outliers_hand_computed(spark):
         trim_length_outliers(df, lo=0.9, hi=0.1)
     with _pytest.raises(ValueError, match="lo"):
         trim_length_outliers(df, lo=0.0)
+
+
+def test_trim_length_outliers_null_text_and_reserved_columns(spark):
+    """r13 review: a null-text row must neither shift the group's
+    ranks (whole-group data loss when a cut rank landed on the
+    NULLS-FIRST null row) nor survive the gate; reserved dunder
+    columns raise instead of being silently clobbered."""
+    import pytest as _pytest
+
+    from dgraph_dbpedia_spark.operators.textclean import (
+        trim_length_outliers,
+    )
+
+    rows = [(i, "s", " ".join(["w"] * i)) for i in range(1, 11)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    with_null = df.unionByName(
+        spark.createDataFrame(
+            [(99, "s", None)], "doc_id long, source string, text string"
+        )
+    )
+    kept_clean = sorted(
+        r["doc_id"] for r in trim_length_outliers(df, lo=0.1, hi=0.9).collect()
+    )
+    kept_null = sorted(
+        r["doc_id"]
+        for r in trim_length_outliers(with_null, lo=0.1, hi=0.9).collect()
+    )
+    # p10 rank 1 -> lo 1; p90 rank 9 -> hi 9: doc 10 trimmed, the
+    # null doc dropped, everything else identical
+    assert kept_clean == kept_null == list(range(1, 10))
+    with _pytest.raises(ValueError, match="reserved"):
+        trim_length_outliers(df.withColumn("__lo_nt", F.lit(1)))
+    with _pytest.raises(ValueError, match="reserved"):
+        trim_length_outliers(df.withColumn("__g", F.lit("x")))

@@ -767,3 +767,30 @@ def test_text_dedup_cid_composition_planted_twin(spark):
         r["doc_id"] for r in near_dup_filter(docs, pairs).collect()
     }
     assert survivors == {1, 2}
+
+
+def test_token_percentiles_excludes_null_text(spark):
+    """A null-text row is not length-gradable: it must not shift the
+    ranks (Spark windows order NULLS FIRST, the oracle NULLS LAST —
+    r13 review) and n_docs counts measurable docs only; reserved
+    column names raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dgraph_dbpedia_spark.operators.textstats import token_percentiles
+
+    rows = [(i, "s", " ".join(["w"] * i)) for i in range(1, 11)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    with_null = df.unionByName(
+        spark.createDataFrame(
+            [(99, "s", None)], "doc_id long, source string, text string"
+        )
+    )
+    a = token_percentiles(df).collect()[0]
+    b = token_percentiles(with_null).collect()[0]
+    assert a == b  # identical distribution, null row invisible
+    assert b["n_docs"] == 10
+    with _pytest.raises(ValueError, match="reserved"):
+        token_percentiles(df.withColumn("__nt", F.lit(1)))

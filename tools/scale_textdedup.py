@@ -101,8 +101,11 @@ def main() -> None:
             semantic_dedup_pairs,
         )
 
-        bl = (max(2, n_total) - 1).bit_length()
-        n_centroids = max(8, 1 << ((bl + 1) // 2))
+        # the registered dial itself, not a copy — if the adaptive k
+        # is ever retuned, this tool keeps measuring production
+        from __spark_entry__ import _adaptive_centroids
+
+        n_centroids = _adaptive_centroids(n_total)
         pairs = semantic_dedup_pairs(
             e, threshold=0.95, n_centroids=n_centroids,
             id_col="doc_id", vec_col="e",
