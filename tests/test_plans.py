@@ -234,3 +234,40 @@ def test_write_rdf_all_rows_filtered_reads_back_empty(spark, tmp_path):
     out2 = write_rdf(spark, bad, path)
     assert out2.count() == 0  # no crash, AND the old files are gone
     assert read_rdf(spark, path).count() == 0
+
+
+def test_r13_operator_plan_shapes(spark):
+    """Pin the scale-critical physical-plan properties of the r13
+    additions (the .explain audit, made permanent):
+
+    - token_percentiles exact lane: exactly ONE shuffle (the group
+      window) and a scan pruned to (doc_id, text, source);
+    - vocab_coverage: the bounded vocabulary meets the per-(group,
+      token) mass via a BROADCAST join (never a shuffled join), and
+      the src0 reference filter is PUSHED into its scan;
+    - ivf_update_report: both assignment projections are
+      broadcast/collect-based — no corpus Exchange before the cid
+      count aggregations (the only Exchanges are the k-row aggs and
+      joins, which is why it scales).
+    """
+    import __spark_entry__ as entry_mod
+
+    tp = entry_mod.QUERIES["token_percentiles"](spark, SF)
+    plan = _plan(tp)
+    assert plan.count("Exchange") == 1, plan
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan and "text" in scan[0] and "source" in scan[0]
+    assert "n_chars" not in scan[0]  # unused column pruned
+
+    vc = entry_mod.QUERIES["vocab_coverage"](spark, SF)
+    plan = _plan(vc)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "src0" in plan  # reference filter reached the scan side
+
+    iur = entry_mod.QUERIES["ivf_update_report"](spark, SF)
+    plan = _plan(iur)
+    # corpus-side work is projection-only: every join in the plan is
+    # broadcast (k-row spine/totals), never a shuffled corpus join
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
