@@ -2032,8 +2032,12 @@ def _q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # bump when build params / layout change; v3: arrow assignment lane +
-# the int8 quantized lists (scales/ + quantized/ parts)
-_IVF_INDEX_FORMAT = "v4-arrow-q8-pq"
+# the int8 quantized lists (scales/ + quantized/ parts); v4: the PQ
+# half (pq_codebooks/ + by-cid pq_codes/); v5: the RQ half
+# (rq_codebooks/ + by-cid rq_codes/ — VERDICT r13 #3: the RQ family's
+# missing deployment shape; rq_topk_served probes these instead of
+# re-running Lloyd training in-row)
+_IVF_INDEX_FORMAT = "v5-arrow-q8-pq-rq"
 
 
 def _ivf_index_root(sf_dir: str) -> str:
@@ -2087,7 +2091,7 @@ def _ivf_index_complete(root: str) -> bool:
         os.path.isfile(os.path.join(root, part, "_SUCCESS"))
         for part in (
             "centroids", "assigned", "scales", "quantized",
-            "pq_codebooks", "pq_codes",
+            "pq_codebooks", "pq_codes", "rq_codebooks", "rq_codes",
         )
     )
 
@@ -2157,6 +2161,29 @@ def _build_ivf_index_atomic(e, root: str) -> None:
         ).join(asg, "vec_id").write.mode("overwrite").partitionBy(
             "cid"
         ).parquet(f"{staging}/pq_codes")
+        # the RQ half (v5): per-level residual codebooks trained on
+        # the SAME corpus (greedy Lloyd, the rq_train contract),
+        # greedy 2-code encodes joined with the SAME coarse cid —
+        # materialized once so rq_topk_served times the ADC probe,
+        # not per-query Lloyd training (VERDICT r13 #3: the two RQ
+        # in-row training rows were the bench's slowest)
+        from dgraph_dbpedia_spark.operators.rq import rq_encode, rq_train
+
+        rcb = rq_train(
+            e, dims=64, k_sub=16, n_levels=2, n_iter=1, vec_col="e"
+        )
+        rcb.coalesce(1).write.mode("overwrite").parquet(
+            f"{staging}/rq_codebooks"
+        )
+        rq_encode(
+            e,
+            spark.read.parquet(f"{staging}/rq_codebooks"),
+            dims=64,
+            n_levels=2,
+            vec_col="e",
+        ).join(asg, "vec_id").write.mode("overwrite").partitionBy(
+            "cid"
+        ).parquet(f"{staging}/rq_codes")
         for _ in range(2):
             try:
                 os.rename(staging, root)
@@ -2234,6 +2261,38 @@ def _served_pq_index(spark: SparkSession, sf_dir: str):
         spark.read.parquet(f"{root}/pq_codebooks"),
         spark.read.parquet(f"{root}/centroids"),
     )
+
+
+def _served_rq_index(spark: SparkSession, sf_dir: str):
+    """(rq_codes, rq_codebooks) frames of the RQ half of the served
+    index (v5 layout), building the whole index atomically on first
+    use — shares the build with :func:`_served_ivf_index`. Codebooks
+    are trained on the INDEXED corpus (vec_id > 0), the deployment
+    shape: an index serves the corpus it holds."""
+    _served_ivf_index(spark, sf_dir)  # ensures a complete v5 root
+    root = _ivf_index_root(sf_dir)
+    return (
+        spark.read.parquet(f"{root}/rq_codes"),
+        spark.read.parquet(f"{root}/rq_codebooks"),
+    )
+
+
+def _q_rq_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 (VERDICT r13 #3): RQ serve path — additive-ADC top-5 over
+    the MATERIALIZED v5 RQ index (per-level codebooks + greedy 2-code
+    encodes built once per dataset, by-cid parquet like the PQ half).
+    The in-row rq_topk/rq_rerank_topk rows keep exercising the
+    oracle-replayable TRAINING chain; this row is the deployment
+    shape — per query it reads two bounded codebook tables and the
+    integer code lists, never the float corpus and never Lloyd. The
+    oracle replays training (on the vec_id > 0 index corpus) +
+    residuals + encode + ADC end to end."""
+    from dgraph_dbpedia_spark.operators.rq import rq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes, rcb = _served_rq_index(spark, sf_dir)
+    q = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("q"))
+    return rq_topk(codes.select("vec_id", "codes"), rcb, q, dims=64, k=5)
 
 
 def _q_quantized_ann_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2960,13 +3019,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_pipeline": _q_curation_pipeline,
     "dsir_logratio": _q_dsir_logratio,
     "dsir_sample": _q_dsir_sample,
+    # ---- r14 ROTATION (verdict-prescribed, VERDICT r13 #2): the six
+    # r13 operators move INTO the driver window to earn driver-graded
+    # rows; six of the longest-stable in-window rows (r10 cohort —
+    # green driver rows four rounds running r10-r13, pytest-covered,
+    # code untouched this round) rotate out to positions 51-56 and
+    # stay covered by the committed repeat x3 CORRECTNESS_FULL sweep.
+    "token_percentiles": _q_token_percentiles,
+    "vocab_growth": _q_vocab_growth,
+    "vocab_coverage": _q_vocab_coverage,
+    "ivf_update_report": _q_ivf_update_report,
+    "trim_length_outliers": _q_trim_length_outliers,
+    "category_shift_report": _q_category_shift_report,
+    "dedup_exact_normalized": _q_dedup_exact_normalized,
+    # ---- window boundary: position 50 = dedup_exact_normalized ----
+    "ngram_containment": _q_ngram_containment,
     "strip_spans": _q_strip_spans,
     "winnow_fingerprints": _q_winnow_fingerprints,
     "normalize_text": _q_normalize_text,
     "winnow_matches": _q_winnow_matches,
     "epoch_shuffle": _q_epoch_shuffle,
-    "dedup_exact_normalized": _q_dedup_exact_normalized,
-    "ngram_containment": _q_ngram_containment,
     "winnow_fingerprints_right": _q_winnow_fingerprints_right,
     "resample_events": _q_resample_events,
     "funnel_counts": _q_funnel_counts,
@@ -3073,19 +3145,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": _q_quality_score,
     "fingerprint": _q_fingerprint,
     "clean_text": _q_clean_text,
-    # ---- r13 additions (APPENDED after position 50 per the standing
-    # ADVICE-r12 policy — the driver window keeps exercising
-    # long-standing rows; these SIX earn their gate via the committed
-    # repeat x3 sweep): the exact nearest-rank token-length audit, the
-    # Heaps-law vocabulary-growth audit, the src0-vocabulary OOV
-    # audit, the IVF index-maintenance report, the per-source
-    # percentile length gate, and the snapshot mixture-drift report
-    "token_percentiles": _q_token_percentiles,
-    "vocab_growth": _q_vocab_growth,
-    "vocab_coverage": _q_vocab_coverage,
-    "ivf_update_report": _q_ivf_update_report,
-    "trim_length_outliers": _q_trim_length_outliers,
-    "category_shift_report": _q_category_shift_report,
+    # (the six r13 additions rotated INTO the window at positions
+    # 44-49 this round — VERDICT r13 #2; see the r14 ROTATION block)
+    # ---- r14 addition (APPENDED after position 50 per the standing
+    # policy): the RQ deployment shape — ADC probe of the
+    # materialized v5 RQ index (VERDICT r13 #3)
+    "rq_topk_served": _q_rq_topk_served,
 }
 
 
@@ -3769,6 +3834,7 @@ def _sql_rq_topk(
     k: int = 5, k_sub: int = 16, n_iter: int = 1,
     dims: int = 64, nd: int = 4,
     rerank_shortlist: int | None = None,
+    train_corpus_only: bool = False,
 ) -> str:
     """Full residual-quantization chain replay (2 stages): stage-1
     full-dim L2 Lloyd (the pq_train m=1 contract — lowest-id dense
@@ -3779,7 +3845,11 @@ def _sql_rq_topk(
     query: sim = (q.c1 + q.c2) / (sqrt(|c1|^2 + |c2|^2 + 2 c1.c2)
     * |q|), round 4, (sim desc, id asc) top-k. ``rerank_shortlist``
     switches to the two-stage serve form (ADC shortlist CTE + exact
-    round-4 cosine top-k over the shortlist ids' float vectors)."""
+    round-4 cosine top-k over the shortlist ids' float vectors).
+    ``train_corpus_only`` trains the codebooks on the vec_id > 0
+    index corpus instead of the full table — the rq_topk_served
+    contract (the materialized index trains on the corpus it holds);
+    the query vector still comes from the full table (vec 0)."""
 
     l2 = _sql_l2_round6
 
@@ -3793,7 +3863,8 @@ def _sql_rq_topk(
         for i in range(1, dims + 1)
     )
     ctes = [
-        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+        + (" WHERE vec_id > 0)" if train_corpus_only else ")")
     ]
     # one Lloyd stage over source CTE `src` (vec_id, v) -> codebook
     # CTE rc{s}_{n_iter} with dense cids
@@ -5515,6 +5586,9 @@ def oracle_sql() -> dict[str, str]:
         # 2-stage train + residual + greedy encode + additive ADC)
         "rq_topk": _sql_rq_topk(),
         "rq_rerank_topk": _sql_rq_topk(k=5, rerank_shortlist=50),
+        # r14: the served row replays the same chain with training on
+        # the vec_id > 0 index corpus (the materialized v5 RQ half)
+        "rq_topk_served": _sql_rq_topk(train_corpus_only=True),
         "pq_ivf_topk_served": _sql_pq_topk(
             coarse_k=16, n_probe=2, corpus_train=True
         ),

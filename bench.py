@@ -34,6 +34,19 @@ import __spark_entry__ as entry_mod
 from dgraph_dbpedia_spark.session import build_session
 
 
+#: Healthy quiet-machine band for the canary metrics, recorded AS DATA
+#: in the artifact (VERDICT r13 #4) so an arbiter doesn't need prose.
+#: Re-measured 2026-08-16 r14 session, idle box, 4 samples: 45.2-52.2
+#: GFLOPS / 5.8-6.7 M py-ops/s — the band itself drifted DOWN from the
+#: r13 measurement (53-57 / 7.5-8, three days earlier), which explains
+#: most of the r11->r13 "transform regression" on byte-identical code.
+HEALTHY_BAND = {
+    "gflops_1t": [45.0, 52.5],
+    "py_mops": [5.8, 6.7],
+    "measured": "2026-08-16",
+}
+
+
 def machine_canary() -> dict[str, float]:
     """Fixed machine-state probe (VERDICT r12 #4): a single-threaded
     512x512 numpy matmul (GFLOPS) and a pure-Python xorshift loop
@@ -42,8 +55,9 @@ def machine_canary() -> dict[str, float]:
     suite's thread pools. Recorded at bench start AND end: a sandbox
     CPU-throttled run (BENCH_SCALE r12 documented monotone afternoon
     degradation) now self-documents in the artifact instead of being
-    narrated. Healthy band on this box (measured 2026-08-16, quiet):
-    ~43-56 GFLOPS 1T, ~7-8 M py-ops/s."""
+    narrated. Healthy band: see HEALTHY_BAND (data, not prose). A
+    canary failure is recorded as {'error': ...} rather than aborting
+    the bench before a single measurement (ADVICE r13)."""
     code = (
         "import time\n"
         "import numpy as np\n"
@@ -70,14 +84,55 @@ def machine_canary() -> dict[str, float]:
     )
     import subprocess
 
-    out = subprocess.run(
-        [sys.executable, "-c", code],
-        capture_output=True,
-        text=True,
-        env=env,
-        check=True,
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            env=env,
+            check=True,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except (subprocess.SubprocessError, OSError, ValueError) as e:
+        # a transient canary failure must not abort the bench before a
+        # single measurement is taken (ADVICE r13); an errored canary
+        # also can't prove health, so canary_verdict treats it as
+        # unknown rather than healthy
+        return {"error": f"{type(e).__name__}: {e}"}
+
+
+def canary_verdict(canary: dict, transform_sec: float | None) -> dict:
+    """Machine-readable adjudication of the canary readings (VERDICT
+    r13 #4): the measured healthy band, a computed ``throttled`` flag
+    (end canary below 60% of the band floor on either metric — the
+    r13 driver run ended at 2.86 py_mops vs floor 5.8, which this flag
+    would have caught), and ``gate_estimate_healthy_sec`` — transform
+    wall-clock scaled by the end-canary health ratio, explicitly
+    labeled an ESTIMATE. The END canary is the one that matters for
+    the transform gate: the pipeline section runs last in the bench,
+    so its machine state is the end state, not the start state."""
+    out: dict = {"healthy_band": HEALTHY_BAND}
+    end = canary.get("end", {})
+    if "error" in end or not all(k in end for k in ("gflops_1t", "py_mops")):
+        out["throttled"] = None
+        out["note"] = "end canary unavailable; cannot adjudicate"
+        return out
+    floors = {k: HEALTHY_BAND[k][0] for k in ("gflops_1t", "py_mops")}
+    mids = {
+        k: (HEALTHY_BAND[k][0] + HEALTHY_BAND[k][1]) / 2
+        for k in ("gflops_1t", "py_mops")
+    }
+    out["throttled"] = any(end[k] < 0.6 * floors[k] for k in floors)
+    # health ratio: geometric mean of the two end-canary metrics vs the
+    # band midpoint, capped at 1.0 (a fast machine doesn't discount)
+    ratio = min(
+        1.0, (end["gflops_1t"] / mids["gflops_1t"] * end["py_mops"] / mids["py_mops"]) ** 0.5
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    out["health_ratio_end"] = round(ratio, 3)
+    if transform_sec:
+        out["gate_estimate_healthy_sec"] = round(transform_sec * ratio, 3)
+        out["gate_estimate_is_estimate"] = True
+    return out
 
 
 def bench_pipelines(sf: float) -> dict[str, float]:
@@ -251,6 +306,7 @@ def main() -> None:
         "end": canary_end,
         "spark_range_200m_32p_sec": spark_canary_sec,
     }
+    canary.update(canary_verdict(canary, pipelines.get("transform_sec")))
 
     total = round(sum(timings.values()), 3)
     detail = {

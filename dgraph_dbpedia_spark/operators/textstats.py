@@ -1187,17 +1187,27 @@ def vocab_growth(
         )
         .crossJoin(F.broadcast(bounds))
         .agg(
+            # coalesce(_, 0): a global sum over ZERO rows is NULL in
+            # Spark while the oracle's count(*)/coalesce(sum, 0)
+            # subqueries yield 0 — the empty-corpus row must match
+            # (ADVICE r13)
             *[
-                F.sum(
-                    F.when(F.col(id_col) <= cutoff(n, d), 1).otherwise(0)
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col(id_col) <= cutoff(n, d), 1).otherwise(0)
+                    ),
+                    F.lit(0),
                 ).alias(f"__nd_{n}_{d}")
                 for n, d in fractions
             ],
             *[
-                F.sum(
-                    F.when(
-                        F.col(id_col) <= cutoff(n, d), F.col("__nt")
-                    ).otherwise(0)
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col(id_col) <= cutoff(n, d), F.col("__nt")
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
                 ).alias(f"__tt_{n}_{d}")
                 for n, d in fractions
             ],
@@ -1217,8 +1227,11 @@ def vocab_growth(
         .crossJoin(F.broadcast(bounds))
         .agg(
             *[
-                F.sum(
-                    F.when(F.col("__first") <= cutoff(n, d), 1).otherwise(0)
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("__first") <= cutoff(n, d), 1).otherwise(0)
+                    ),
+                    F.lit(0),
                 ).alias(f"__v_{n}_{d}")
                 for n, d in fractions
             ]

@@ -137,17 +137,25 @@ def category_shift_report(
     100 TB shape: two map-side-combinable count aggregations
     (category-key shuffles over k-row outputs), a full-outer k-row
     join on the category spine, and two broadcast 1-row totals —
-    nothing corpus-sized shuffles."""
-    co = old.groupBy(F.col(group_col).alias("g")).agg(
+    nothing corpus-sized shuffles.
+
+    The spine join is NULL-SAFE (ADVICE r13): with a plain equality a
+    NULL category present in BOTH snapshots never matches itself, so
+    it produced two spine rows (one n_new=0, one n_old=0) and its
+    tvd_term was double-counted; ``eqNullSafe`` (oracle: ``IS NOT
+    DISTINCT FROM``) folds it into one row like any other category."""
+    co = old.groupBy(F.col(group_col).alias("__g_old")).agg(
         F.count(F.lit(1)).alias("n_old")
     )
-    cn = new.groupBy(F.col(group_col).alias("g")).agg(
+    cn = new.groupBy(F.col(group_col).alias("__g_new")).agg(
         F.count(F.lit(1)).alias("n_new")
     )
     spine = (
-        co.join(cn, "g", "full_outer")
+        co.join(
+            cn, F.col("__g_old").eqNullSafe(F.col("__g_new")), "full_outer"
+        )
         .select(
-            F.col("g"),
+            F.coalesce("__g_old", "__g_new").alias("g"),
             F.coalesce("n_old", F.lit(0)).alias("n_old"),
             F.coalesce("n_new", F.lit(0)).alias("n_new"),
         )

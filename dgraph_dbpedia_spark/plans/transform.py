@@ -599,10 +599,20 @@ def transform(
     # scale-measured value is the default.
     sink_workers = int(os.environ.get("SPARK_GRAFT_SINK_WORKERS", "5"))
     with ThreadPoolExecutor(max_workers=sink_workers) as pool:
-        schema_futures = [
-            pool.submit(write_schema, schema, f"{out}/schema.dgraph", False),
-            pool.submit(write_schema, schema, f"{out}/schema.indexed.dgraph", True),
-        ]
+        # LONGEST-JOB-FIRST submission (r14 profile at 600k subjects):
+        # types.rdf (13.8 s) and external_ids.rdf (12.6 s) are the two
+        # longest jobs — each folds a distinct over ~every retained
+        # frame — but as the LAST submissions they started at t=24.8/
+        # 25.4 of a 38.7 s cold transform, a ~9 s serial tail after the
+        # plain sinks had finished (profile: sinks done 29.5, types
+        # 38.7). Submitting them FIRST removes the tail, and their
+        # union-distinct is the one job that scans ALL retained frames,
+        # so it warms the DISK_ONLY cache for every later sink instead
+        # of each sink paying its own first materialization. The tiny
+        # schema writes (1.4 s each, already materialized by
+        # schema.count()) move LAST as gap-fillers — they were blocking
+        # two of the five workers at the front. Measured at 600k
+        # subjects, same session/canary: see BENCH_SCALE.md r14.
         if cfg.write_types:
             # DISK_ONLY for the retained cleaned frames (r6 sweep,
             # BENCH_SCALE.md): at 84M triples it matches MEMORY_AND_DISK
@@ -619,12 +629,6 @@ def transform(
             )
             retained = {
                 name: frame.persist(_lvl) for name, frame in frames
-            }
-            futures = {
-                name: pool.submit(
-                    write_rdf, spark, retained[name], f"{out}/{name}.rdf", False
-                )
-                for name in retained
             }
             # the written files' content = invalid_predicate_filter(pre-
             # write frame), so filtering the retained frames is value-
@@ -645,11 +649,6 @@ def transform(
                 pre["skos_categories"].select("s", "lang"),
             )
             types_future = pool.submit(write_rdf, spark, types, f"{out}/types.rdf")
-        else:
-            futures = {
-                name: pool.submit(write_rdf, spark, frame, f"{out}/{name}.rdf")
-                for name, frame in frames
-            }
         xid_future = None
         if cfg.externalise_uris:
             # NOTE (reference parity): infobox URI-typed OBJECTS are
@@ -678,6 +677,29 @@ def transform(
                 write_rdf, spark, external_id_triples(xid_inputs),
                 f"{out}/external_ids.rdf",
             )
+        # plain sinks next, in descending expected size (infobox /
+        # page_links dominate real DBpedia dumps and the bench corpus)
+        # so no large job lands behind a small one in the queue
+        by_name = dict(frames)
+        sink_order = (
+            "infobox_properties", "page_links", "interlanguage_links",
+            "labels", "article_categories", "geo_coordinates",
+            "skos_categories",
+        )
+        futures = {
+            name: pool.submit(
+                write_rdf,
+                spark,
+                retained[name] if cfg.write_types else by_name[name],
+                f"{out}/{name}.rdf",
+                not cfg.write_types,
+            )
+            for name in sink_order
+        }
+        schema_futures = [
+            pool.submit(write_schema, schema, f"{out}/schema.dgraph", False),
+            pool.submit(write_schema, schema, f"{out}/schema.indexed.dgraph", True),
+        ]
         outputs: dict[str, DataFrame] = {n: f.result() for n, f in futures.items()}
         for f in schema_futures:
             f.result()
