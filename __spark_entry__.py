@@ -2277,6 +2277,53 @@ def _served_rq_index(spark: SparkSession, sf_dir: str):
     )
 
 
+def _q_rq_ivf_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14: the COMPLETE IVF-RQ serve composition over the
+    materialized v5 index — coarse cosine probe (n_probe=2 of the
+    index's 16 lists) -> literal cid IN partition prune of the by-cid
+    rq_codes lists -> additive-ADC re-rank inside the probed lists
+    only (the residual-quantization twin of pq_ivf_topk_served). The
+    oracle replays corpus-rooted training + coarse assignment + probe
+    semi-join on top of the rq_topk chain."""
+    from dgraph_dbpedia_spark.operators.rq import rq_ivf_topk_served
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes, rcb = _served_rq_index(spark, sf_dir)
+    _, centroids = _served_ivf_index(spark, sf_dir)
+    q = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("q"))
+    return rq_ivf_topk_served(
+        codes, rcb, centroids, q, dims=64, k=5, n_probe=2
+    )
+
+
+def _q_knn_label_noise_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14: the confident-learning label-noise screen (Northcutt et
+    al. 2021) over the labeled embedding corpus, in its BLOCKED scale
+    shape: candidate pairs are the served IVF index's same-cid lists
+    (16 lists -> n^2/16 pairs; the exact O(n^2) form measured 117 s
+    at the 2k-vector bench point and is the sample-only mode), scored
+    through the pinned Arrow pair-cosine kernel. Within each block,
+    every vector's 5 nearest labeled neighbors (round-6 cosine desc,
+    id asc, NULL sims excluded) vote (count desc, label asc); per
+    label, how many rows' own label loses the vote. vec 0 is the
+    held-out query of the index build and so is not audited. Oracle
+    replays the seed-centroid cid assignment, the same-cid pair set,
+    pair scores, rank, vote and the per-label fold."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        knn_label_noise_report,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _ = _served_ivf_index(spark, sf_dir)
+    asg = assigned.select("vec_id", "cid")
+    pairs = (
+        asg.select(F.col("vec_id").alias("qid"), "cid")
+        .join(asg.select(F.col("vec_id").alias("nid"), "cid"), "cid")
+        .drop("cid")
+    )
+    return knn_label_noise_report(emb, k=5, candidate_pairs=pairs)
+
+
 def _q_rq_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r14 (VERDICT r13 #3): RQ serve path — additive-ADC top-5 over
     the MATERIALIZED v5 RQ index (per-level codebooks + greedy 2-code
@@ -3147,10 +3194,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_text": _q_clean_text,
     # (the six r13 additions rotated INTO the window at positions
     # 44-49 this round — VERDICT r13 #2; see the r14 ROTATION block)
-    # ---- r14 addition (APPENDED after position 50 per the standing
+    # ---- r14 additions (APPENDED after position 50 per the standing
     # policy): the RQ deployment shape — ADC probe of the
-    # materialized v5 RQ index (VERDICT r13 #3)
+    # materialized v5 RQ index (VERDICT r13 #3) — and the
+    # confident-learning k-NN label-noise screen over the labeled
+    # embedding corpus
     "rq_topk_served": _q_rq_topk_served,
+    "rq_ivf_topk_served": _q_rq_ivf_topk_served,
+    "knn_label_noise_report": _q_knn_label_noise_report,
 }
 
 
@@ -3835,6 +3886,8 @@ def _sql_rq_topk(
     dims: int = 64, nd: int = 4,
     rerank_shortlist: int | None = None,
     train_corpus_only: bool = False,
+    coarse_k: int | None = None,
+    n_probe: int = 2,
 ) -> str:
     """Full residual-quantization chain replay (2 stages): stage-1
     full-dim L2 Lloyd (the pq_train m=1 contract — lowest-id dense
@@ -3849,7 +3902,12 @@ def _sql_rq_topk(
     ``train_corpus_only`` trains the codebooks on the vec_id > 0
     index corpus instead of the full table — the rq_topk_served
     contract (the materialized index trains on the corpus it holds);
-    the query vector still comes from the full table (vec 0)."""
+    the query vector still comes from the full table (vec 0).
+    ``coarse_k`` switches to the IVF-RQ SERVED form: a coarse
+    seed-centroid cosine assignment over the corpus, the query's
+    ``n_probe`` nearest coarse cids, and the ADC restricted to the
+    probed lists (the partition prune the Spark side does at the
+    scan, expressed as a semi-join — the _sql_pq_topk rule)."""
 
     l2 = _sql_l2_round6
 
@@ -3938,6 +3996,30 @@ def _sql_rq_topk(
         SELECT a.cid AS c1, b.cid AS c2,
                list_dot_product(a.c, b.c) AS x
         FROM rc0_{n_iter} a CROSS JOIN rc1_{n_iter} b)""")
+    prune = ""
+    if coarse_k is not None:
+        ctes.append(
+            f"cc AS (SELECT vec_id AS cid, v AS c FROM e "
+            f"WHERE vec_id > 0 ORDER BY vec_id LIMIT {coarse_k})"
+        )
+        ctes.append(f"""casg AS (
+            SELECT vec_id, cid FROM (
+                SELECT e.vec_id, cc.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_sql_cosine('e.v', 'cc.c', 6)} DESC,
+                                    cc.cid ASC) AS rn
+                FROM e CROSS JOIN cc WHERE e.vec_id > 0) x
+            WHERE rn = 1)""")
+        ctes.append(f"""probes AS (
+            SELECT cid FROM (
+                SELECT cid, {_sql_cosine('c', 'q', 6)} AS csim
+                FROM cc CROSS JOIN q
+                ORDER BY csim DESC, cid LIMIT {n_probe}) y)""")
+        prune = (
+            " JOIN casg ON casg.vec_id = en2.vec_id"
+            " SEMI JOIN probes pr ON casg.cid = pr.cid"
+        )
     adc_select = f"""
         SELECT en2.vec_id,
                round((t0.dq + t1.dq) /
@@ -3947,7 +4029,7 @@ def _sql_rq_topk(
         FROM en2
         JOIN t0 ON t0.cid = en2.c1
         JOIN t1 ON t1.cid = en2.c2
-        JOIN xx ON xx.c1 = en2.c1 AND xx.c2 = en2.c2
+        JOIN xx ON xx.c1 = en2.c1 AND xx.c2 = en2.c2{prune}
         ORDER BY sim DESC, en2.vec_id
         LIMIT {k if rerank_shortlist is None else rerank_shortlist}"""
     if rerank_shortlist is None:
@@ -5586,9 +5668,14 @@ def oracle_sql() -> dict[str, str]:
         # 2-stage train + residual + greedy encode + additive ADC)
         "rq_topk": _sql_rq_topk(),
         "rq_rerank_topk": _sql_rq_topk(k=5, rerank_shortlist=50),
-        # r14: the served row replays the same chain with training on
-        # the vec_id > 0 index corpus (the materialized v5 RQ half)
+        # r14: the served rows replay the same chain with training on
+        # the vec_id > 0 index corpus (the materialized v5 RQ half);
+        # the IVF form adds coarse assignment + probe semi-join (the
+        # Spark-side partition prune) like the PQ twins
         "rq_topk_served": _sql_rq_topk(train_corpus_only=True),
+        "rq_ivf_topk_served": _sql_rq_topk(
+            train_corpus_only=True, coarse_k=16, n_probe=2
+        ),
         "pq_ivf_topk_served": _sql_pq_topk(
             coarse_k=16, n_probe=2, corpus_train=True
         ),
@@ -6766,7 +6853,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT coalesce(co.g, cn.g) AS g,
                    coalesce(n_old, 0) AS n_old,
                    coalesce(n_new, 0) AS n_new
-            FROM co FULL JOIN cn ON co.g = cn.g),
+            FROM co FULL JOIN cn
+                ON co.g IS NOT DISTINCT FROM cn.g),
         t AS (SELECT sum(n_old) AS toto, sum(n_new) AS totn FROM sp)
         SELECT g AS source,
                n_old::BIGINT AS n_old,
@@ -6779,6 +6867,67 @@ def oracle_sql() -> dict[str, str]:
                          - n_new / greatest(totn, 1)::DOUBLE) / 2, 6)
                    AS tvd_term
         FROM sp CROSS JOIN t
+    """
+    # r14: confident-learning k-NN label-noise screen in its BLOCKED
+    # shape — candidate pairs are the served IVF index's same-cid
+    # lists (16 lowest-vec_id seeds over the vec_id > 0 corpus, the
+    # _served_ivf_index build rule; assignment = round-6 cosine desc,
+    # cid asc — the casg CTE the pq/rq served oracles share), then
+    # pair cosine round-6 (NULL sims excluded pre-rank: Spark and
+    # DuckDB disagree on NULL placement under DESC), rank (sim desc,
+    # nid asc), vote (count desc, label asc), per-label suspect fold
+    d["knn_label_noise_report"] = f"""
+        WITH ce AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id > 0),
+        cc AS (
+            SELECT vec_id AS cid, v AS c FROM ce
+            ORDER BY vec_id LIMIT 16),
+        casg AS (
+            SELECT vec_id, cid FROM (
+                SELECT ce.vec_id, cc.cid,
+                       row_number() OVER (
+                           PARTITION BY ce.vec_id
+                           ORDER BY {_sql_cosine('ce.v', 'cc.c', 6)} DESC,
+                                    cc.cid ASC) AS rn
+                FROM ce CROSS JOIN cc) z
+            WHERE rn = 1),
+        e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v, label
+            FROM embeddings WHERE label IS NOT NULL),
+        top AS (
+            SELECT qid, qlab, nlab FROM (
+                SELECT qid, qlab, nlab,
+                       row_number() OVER (
+                           PARTITION BY qid
+                           ORDER BY sim DESC, nid ASC) AS rn
+                FROM (
+                    SELECT a.vec_id AS qid, a.label AS qlab,
+                           b.vec_id AS nid, b.label AS nlab,
+                           {_sql_cosine('a.v', 'b.v', 6)} AS sim
+                    FROM casg ca JOIN casg cb ON ca.cid = cb.cid
+                    JOIN e a ON a.vec_id = ca.vec_id
+                    JOIN e b ON b.vec_id = cb.vec_id
+                    WHERE a.vec_id != b.vec_id) s
+                WHERE sim IS NOT NULL) x
+            WHERE rn <= 5),
+        maj AS (
+            SELECT qid, qlab, nlab FROM (
+                SELECT qid, qlab, nlab,
+                       row_number() OVER (
+                           PARTITION BY qid
+                           ORDER BY c DESC, nlab ASC) AS mr
+                FROM (
+                    SELECT qid, qlab, nlab, count(*) AS c
+                    FROM top GROUP BY qid, qlab, nlab) v) y
+            WHERE mr = 1)
+        SELECT qlab AS label,
+               count(*)::BIGINT AS n,
+               sum(CASE WHEN nlab != qlab THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_suspect,
+               round(sum(CASE WHEN nlab != qlab THEN 1 ELSE 0 END)
+                     / count(*)::DOUBLE, 4) AS noise_rate
+        FROM maj GROUP BY qlab
     """
     # a generator that could not build its oracle (compression_ratio
     # when the fixed corpus is unreadable) returns None — drop the key

@@ -611,3 +611,58 @@ def rq_rerank_topk(
     return _exact_rerank(
         shortlist, vectors_df, query, k, id_col, vec_col, query_col
     )
+
+
+def rq_ivf_topk_served(
+    codes_df: DataFrame,
+    codebooks: DataFrame,
+    coarse_centroids: DataFrame,
+    query: DataFrame,
+    dims: int,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    query_col: str = "q",
+) -> DataFrame:
+    """The IVF-RQ serve path (the residual-quantization twin of
+    :func:`..pq.pq_ivf_topk_served`): coarse IVF probe over the
+    bounded float centroids (cosine, the package's standard probe
+    rule) -> ONE literal ``cid IN (...)`` predicate that
+    partition-prunes the RQ code lists at the scan -> additive-ADC
+    re-rank inside the probed lists only (:func:`rq_topk`).
+
+    ``codes_df`` is the materialized ``(id, codes, cid)`` frame —
+    encode with :func:`rq_encode`, attach the coarse cid from
+    :func:`..similarity.ivf_assign`, write partitioned by ``cid``
+    (the served-index v5 ``rq_codes/`` layout). At 100 TB a probe
+    reads ``n_probe/k_coarse`` of the corpus at ``n_levels`` code
+    ints per vector — the two pruning levers multiply. Empty
+    centroid frame or empty query -> empty result (the float twin's
+    contract)."""
+    from dgraph_dbpedia_spark.operators.similarity import _probe_single
+
+    q = query.select(F.col(query_col).cast("array<double>").alias("qv"))
+    probes = _probe_single(
+        coarse_centroids.select(
+            "cid", F.col("c").cast("array<double>").alias("c")
+        ),
+        q.select(F.col("qv")),
+        n_probe,
+        "rq_ivf_topk_served",
+    )
+    if not probes:
+        return codes_df.where(F.lit(False)).select(
+            F.col(id_col), F.lit(None).cast("double").alias("sim")
+        )
+    pruned = codes_df.where(F.col("cid").isin(probes))
+    return rq_topk(
+        pruned,
+        codebooks,
+        query,
+        dims=dims,
+        k=k,
+        id_col=id_col,
+        codes_col=codes_col,
+        query_col=query_col,
+    )

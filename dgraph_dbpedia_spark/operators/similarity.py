@@ -2610,3 +2610,124 @@ def embedding_outliers(
         )
     )
     return tag_persisted(out, per)
+
+
+def knn_label_noise_report(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    candidate_pairs: DataFrame | None = None,
+    round_decimals: int = 6,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Per-label k-NN label-noise audit (the confident-learning /
+    cleanlab screen, Northcutt et al. 2021): each labeled vector's
+    ``k`` nearest neighbors vote, and a majority label disagreeing
+    with the row's own label marks it SUSPECT — the mislabeled-data
+    detector a classifier-training pipeline runs before fitting.
+    Returns one row per label: ``(label, n, n_suspect, noise_rate)``
+    with ``noise_rate = round(n_suspect / n, 4)``.
+
+    Determinism (oracle-replayable): neighbor rank is the package's
+    standard (round-``round_decimals`` cosine DESC, neighbor id ASC);
+    the vote is (count DESC, label ASC) — ties always resolve to the
+    lowest label. NULL-labeled rows are excluded from BOTH sides
+    (they can neither be audited nor vote).
+
+    100 TB shape: exact mode is the O(n^2) audit you run on a sample
+    or a label-stratified slice. At corpus scale pass
+    ``candidate_pairs`` — a ``(qid, nid)`` frame from any blocked
+    pair source (the IVF cid equi-join, :func:`ann_join` buckets, an
+    LSH band join); the identical rank/vote then runs over the
+    restricted candidate set (n^2 / n_lists work), and the report is
+    exact over those candidates. Everything downstream of the pair
+    set is windows over per-query k-row groups plus two
+    partial-aggregable label-key counts — nothing corpus-sized
+    shuffles beyond the pair set itself.
+
+    ``use_arrow=True`` (default) scores the pairs through the pinned
+    :func:`pair_cosine_arrow` kernel (one einsum per Arrow batch —
+    the interpreted per-pair fold measured 117 s on the 4M exact
+    pairs at the 2k-vector bench point, the package's slow-path
+    class); ``use_arrow=False`` is the JVM-only oracle surface, both
+    lanes ``round(try_divide(dot, na * nb), round_decimals)`` with
+    norms precomputed per side (bit-equal, pinned in
+    tests/test_similarity.py)."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    lab = df.where(F.col(label_col).isNotNull())
+    a = lab.select(
+        F.col(id_col).alias("_qid"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+        F.col(label_col).alias("_qlab"),
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    b = lab.select(
+        F.col(id_col).alias("_nid"),
+        F.col(vec_col).cast("array<double>").alias("_nv"),
+        F.col(label_col).alias("_nlab"),
+    ).withColumn("_nn", _norm(F.col("_nv")))
+    if candidate_pairs is None:
+        pairs = a.crossJoin(b)
+    else:
+        pairs = (
+            candidate_pairs.select(
+                F.col("qid").alias("_qid"), F.col("nid").alias("_nid")
+            )
+            .join(a, "_qid")
+            .join(b, "_nid")
+        )
+    if use_arrow:
+        sim = pair_cosine_arrow(round_decimals)(
+            F.col("_qv"), F.col("_nv"), F.col("_qn"), F.col("_nn")
+        )
+    else:
+        sim = F.round(
+            F.try_divide(_dot("_qv", "_nv"), F.col("_qn") * F.col("_nn")),
+            round_decimals,
+        )
+    w_rank = Window.partitionBy("_qid").orderBy(
+        F.col("_sim").desc(), F.col("_nid").asc()
+    )
+    top = (
+        pairs.where(F.col("_qid") != F.col("_nid"))
+        .select(
+            "_qid",
+            "_qlab",
+            "_nid",
+            "_nlab",
+            sim.alias("_sim"),
+        )
+        # a zero-norm/NULL vector's cosine is NULL (try_divide) — it
+        # must not claim a rank slot, and Spark/DuckDB disagree on
+        # where NULLs sort under DESC, so exclude explicitly on both
+        # engines (the rank_overlap NaN rule)
+        .where(F.col("_sim").isNotNull())
+        .withColumn("_rn", F.row_number().over(w_rank))
+        .where(F.col("_rn") <= k)
+    )
+    w_maj = Window.partitionBy("_qid").orderBy(
+        F.col("_c").desc(), F.col("_nlab").asc()
+    )
+    maj = (
+        top.groupBy("_qid", "_qlab", "_nlab")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn("_mr", F.row_number().over(w_maj))
+        .where(F.col("_mr") == 1)
+    )
+    return maj.groupBy(F.col("_qlab").alias(label_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("_nlab") != F.col("_qlab"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_suspect"),
+    ).select(
+        label_col,
+        "n",
+        "n_suspect",
+        F.round(F.col("n_suspect") / F.col("n"), 4).alias("noise_rate"),
+    )

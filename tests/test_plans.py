@@ -80,6 +80,10 @@ _PYTHON_OK = {
     # test_rq.py) — both RQ rows return the lazy encode+score plan
     "rq_topk",
     "rq_rerank_topk",
+    # r14: pair_cosine_arrow lane over the served-index cid blocks
+    # (bit-equal pinned in test_similarity.py; the native fold is the
+    # oracle surface) — the returned plan is the lazy pair+vote frame
+    "knn_label_noise_report",
 }
 
 

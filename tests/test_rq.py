@@ -271,3 +271,81 @@ def test_rq_train_arrow_pinned_equal_to_native(spark, emb):
         )
     )
     assert nat == arr
+
+
+def test_rq_ivf_served_prunes_and_finds_twin(spark, emb, tmp_path):
+    """The IVF-RQ serve path over a cid-partitioned code table (the
+    v5 rq_codes layout): the probe's literal cid IN predicate must
+    partition-prune the scan (PartitionFilters in the plan), and a
+    planted identical twin of the query must come back rank 1 — its
+    coarse cid IS the query's nearest centroid, so the first probe
+    always covers it (the pq_ivf_topk_served contract, RQ twin)."""
+    from pyspark.sql import functions as F
+
+    from dgraph_dbpedia_spark.operators.rq import (
+        rq_encode,
+        rq_ivf_topk_served,
+        rq_train,
+    )
+    from dgraph_dbpedia_spark.operators.similarity import (
+        ivf_assign,
+        ivf_seed_centroids,
+    )
+
+    cb = rq_train(emb, dims=64, k_sub=16, n_levels=2, n_iter=1)
+    twin = emb.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    corpus = (
+        emb.where(F.col("vec_id") > 0)
+        .select("vec_id", "embedding")
+        .unionByName(twin)
+    )
+    e = corpus.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    coarse = ivf_seed_centroids(e, 8, vec_col="e")
+    asg = ivf_assign(e, coarse, vec_col="e").select("vec_id", "cid")
+    codes = rq_encode(corpus, cb, dims=64, n_levels=2).join(asg, "vec_id")
+    root = str(tmp_path / "rqidx")
+    codes.write.partitionBy("cid").parquet(root)
+    served = spark.read.parquet(root)
+    q = emb.orderBy("vec_id").limit(1).select(
+        F.col("embedding").alias("q")
+    )
+    out = rq_ivf_topk_served(served, cb, coarse, q, dims=64, k=5, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "PartitionFilters: [" in plan
+        and "cid" in plan.split("PartitionFilters:")[1][:120]
+    )
+    rows = out.collect()
+    # the twin carries vec 0's exact codes, so its additive ADC sim is
+    # the maximum achievable for this query — it must surface in the
+    # top-k AT the top sim (rank 1 unless a corpus vector happens to
+    # share both codes and a lower id, which the tie rule prefers)
+    twin_rows = [r for r in rows if r["vec_id"] == 10_000]
+    assert twin_rows, f"planted twin missing from top-5: {rows}"
+    assert twin_rows[0]["sim"] == rows[0]["sim"]
+
+
+def test_rq_ivf_served_empty_centroids_empty_result(spark, emb):
+    from pyspark.sql import functions as F
+
+    from dgraph_dbpedia_spark.operators.rq import (
+        rq_encode,
+        rq_ivf_topk_served,
+        rq_train,
+    )
+
+    cb = rq_train(emb, dims=64, k_sub=8, n_levels=2, n_iter=1)
+    codes = rq_encode(emb, cb, dims=64, n_levels=2).withColumn(
+        "cid", F.lit(0)
+    )
+    empty_cent = spark.createDataFrame(
+        [], "cid long, c array<double>"
+    )
+    q = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("q"))
+    out = rq_ivf_topk_served(codes, cb, empty_cent, q, dims=64, k=3)
+    assert out.columns == ["vec_id", "sim"]
+    assert out.count() == 0

@@ -1814,3 +1814,174 @@ def test_ivf_update_report_fewer_vectors_than_centroids(spark):
     assert len(got) == 2
     assert (got[0]["n_total"], got[1]["n_total"]) == (3, 1)
     assert got[0]["needs_split"] == 0 and got[1]["needs_split"] == 0
+
+
+def test_knn_label_noise_hand_computed(spark):
+    """Two tight 4-member clusters (x-axis = label 0, y-axis = label
+    1) with one PLANTED mislabel in each: every row's k=3 nearest are
+    its 3 cluster-mates, so the mislabeled rows lose their vote 3-0
+    and every clean row wins 2-1 — one suspect per label, rate
+    0.25."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        knn_label_noise_report,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.01, 0.0], 0),
+        (2, [0.98, 0.02, 0.0], 0),
+        (3, [0.97, 0.03, 0.0], 1),   # planted mislabel (x cluster)
+        (4, [0.0, 1.0, 0.0], 1),
+        (5, [0.01, 0.99, 0.0], 1),
+        (6, [0.02, 0.98, 0.0], 1),
+        (7, [0.03, 0.97, 0.0], 0),   # planted mislabel (y cluster)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {
+        r["label"]: r
+        for r in knn_label_noise_report(emb, k=3).collect()
+    }
+    # label 0 rows: 0, 1, 2 clean; 7 suspect -> 1/4
+    assert (got[0]["n"], got[0]["n_suspect"]) == (4, 1)
+    assert got[0]["noise_rate"] == 0.25
+    # label 1 rows: 4, 5, 6 clean; 3 suspect -> 1/4
+    assert (got[1]["n"], got[1]["n_suspect"]) == (4, 1)
+
+
+def test_knn_label_noise_vote_tie_lowest_label(spark):
+    """A 1-1 vote tie resolves to the LOWEST label (count desc, label
+    asc): with three collinear rows and k=2, every query sees both
+    other rows. Vec 0 (label 0) ties 1-1 -> majority 0 = own ->
+    clean; vec 1 (label 1) ties 1-1 -> majority 0 != own -> suspect;
+    vec 2 (label 0) ties 1-1 -> clean."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        knn_label_noise_report,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.01, 0.0], 1),
+        (2, [0.98, 0.02, 0.0], 0),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {
+        r["label"]: r
+        for r in knn_label_noise_report(emb, k=2).collect()
+    }
+    assert (got[0]["n"], got[0]["n_suspect"]) == (2, 0)
+    assert (got[1]["n"], got[1]["n_suspect"]) == (1, 1)
+
+
+def test_knn_label_noise_null_labels_excluded(spark):
+    """NULL-labeled rows neither vote nor get audited: vec 1 is vec
+    0's nearest vector by far, but carries a NULL label, so vec 0's
+    k=1 vote comes from the nearest LABELED row (the y-cluster, label
+    1) and its own label 0 loses; vec 1 itself never appears in the
+    report."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        knn_label_noise_report,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.01, 0.0], None),  # excluded both sides
+        (2, [0.0, 1.0, 0.0], 1),
+        (3, [0.01, 0.99, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {
+        r["label"]: r
+        for r in knn_label_noise_report(emb, k=1).collect()
+    }
+    assert set(got) == {0, 1}
+    assert (got[0]["n"], got[0]["n_suspect"]) == (1, 1)
+    assert (got[1]["n"], got[1]["n_suspect"]) == (2, 0)
+
+
+def test_knn_label_noise_candidate_pairs_path(spark):
+    """The blocked scale path: candidate_pairs restricts the neighbor
+    universe — with pairs only INSIDE each planted cluster, the
+    mislabeled row is still caught, and the report equals the exact
+    form restricted to those pairs."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        knn_label_noise_report,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.01, 0.0], 0),
+        (2, [0.98, 0.02, 0.0], 1),   # mislabel, x cluster
+        (3, [0.0, 1.0, 0.0], 1),
+        (4, [0.01, 0.99, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    pairs = spark.createDataFrame(
+        [(a, b) for a in (0, 1, 2) for b in (0, 1, 2) if a != b]
+        + [(a, b) for a in (3, 4) for b in (3, 4) if a != b],
+        ["qid", "nid"],
+    )
+    got = {
+        r["label"]: r
+        for r in knn_label_noise_report(
+            emb, k=2, candidate_pairs=pairs
+        ).collect()
+    }
+    assert (got[0]["n"], got[0]["n_suspect"]) == (2, 0)
+    # label-1 rows: 2 (votes 0,0 -> suspect), 3 and 4 (each has only
+    # one in-block neighbor, label 1 -> clean)
+    assert (got[1]["n"], got[1]["n_suspect"]) == (3, 1)
+
+
+def test_knn_label_noise_k_validation(spark):
+    from dgraph_dbpedia_spark.operators.similarity import (
+        knn_label_noise_report,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0], 0)], ["vec_id", "embedding", "label"]
+    )
+    try:
+        knn_label_noise_report(emb, k=0)
+        assert False, "k=0 must raise"
+    except ValueError:
+        pass
+
+
+def test_knn_label_noise_arrow_native_bit_equal(spark):
+    """The Arrow pair-cosine lane and the native fold produce the
+    IDENTICAL report on the real sf0.001 embeddings — in exact mode
+    AND in the blocked candidate_pairs mode (the registered row's
+    shape). The native lane is the oracle surface; this pin is what
+    lets the row default to use_arrow=True."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        ivf_assign,
+        ivf_seed_centroids,
+        knn_label_noise_report,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def norm(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert norm(knn_label_noise_report(emb, k=5, use_arrow=True)) == norm(
+        knn_label_noise_report(emb, k=5, use_arrow=False)
+    )
+    e = emb.where(F.col("vec_id") > 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    asg = ivf_assign(e, ivf_seed_centroids(e, 8, vec_col="e"), vec_col="e")
+    pairs = (
+        asg.select(F.col("vec_id").alias("qid"), "cid")
+        .join(asg.select(F.col("vec_id").alias("nid"), "cid"), "cid")
+        .drop("cid")
+    )
+    assert norm(
+        knn_label_noise_report(emb, k=5, candidate_pairs=pairs, use_arrow=True)
+    ) == norm(
+        knn_label_noise_report(
+            emb, k=5, candidate_pairs=pairs, use_arrow=False
+        )
+    )

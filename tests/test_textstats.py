@@ -794,3 +794,18 @@ def test_token_percentiles_excludes_null_text(spark):
     assert b["n_docs"] == 10
     with _pytest.raises(ValueError, match="reserved"):
         token_percentiles(df.withColumn("__nt", F.lit(1)))
+
+
+def test_vocab_growth_empty_corpus_zeros(spark):
+    """An EMPTY corpus reports 0 docs/tokens/vocab per fraction (not
+    NULLs — Spark's global sum over zero rows is NULL while the
+    DuckDB oracle's count(*)/coalesce(sum, 0) yield 0; ADVICE r13).
+    Cutoff ids stay NULL on both engines (no id range exists)."""
+    from dgraph_dbpedia_spark.operators.textstats import vocab_growth
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    rows = vocab_growth(empty).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert (r["n_docs"], r["n_tokens"], r["vocab"]) == (0, 0, 0)
+        assert r["cutoff_id"] is None

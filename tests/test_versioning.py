@@ -129,3 +129,27 @@ def test_category_shift_report_hand_computed(spark):
     assert got["b"]["tvd_term"] == 0.25
     assert got["c"]["tvd_term"] == 0.125
     assert round(sum(r["tvd_term"] for r in got.values()), 6) == 0.5
+
+
+def test_category_shift_report_null_category_single_row(spark):
+    """A NULL category present in BOTH snapshots folds into ONE spine
+    row via the null-safe join (ADVICE r13: a plain equality split it
+    into two rows — one n_new=0, one n_old=0 — double-counting its
+    tvd_term)."""
+    from dgraph_dbpedia_spark.operators.versioning import (
+        category_shift_report,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None)], ["doc_id", "source"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, None)], ["doc_id", "source"]
+    )
+    rows = category_shift_report(old, new, "source").collect()
+    null_rows = [r for r in rows if r["source"] is None]
+    assert len(null_rows) == 1
+    r = null_rows[0]
+    assert (r["n_old"], r["n_new"]) == (2, 1)
+    # shares 2/3 vs 1/2 -> tvd term |2/3 - 1/2| / 2 = 1/12
+    assert r["tvd_term"] == round(abs(2 / 3 - 1 / 2) / 2, 6)
