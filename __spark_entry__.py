@@ -2324,6 +2324,25 @@ def _q_knn_label_noise_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_label_noise_report(emb, k=5, candidate_pairs=pairs)
 
 
+def _q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14: semi-supervised k-NN label propagation — every 5th vector
+    plays the unlabeled corpus slice, the rest the gold set; each
+    query takes its 5 nearest gold neighbors' majority label with the
+    vote fraction as confidence (rank/vote rules shared one-definition
+    with knn_label_noise_report). Exact mode: the gold x query
+    crossJoin is the bounded-side sweet spot (Catalyst broadcasts the
+    small side); candidate_pairs= is the corpus-scale blocked path.
+    Oracle replays pair scores, rank, vote, and the confidence fold."""
+    from dgraph_dbpedia_spark.operators.similarity import knn_classify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_classify(
+        emb.where(F.col("vec_id") % 5 == 0),
+        emb.where(F.col("vec_id") % 5 != 0),
+        k=5,
+    )
+
+
 def _q_rq_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r14 (VERDICT r13 #3): RQ serve path — additive-ADC top-5 over
     the MATERIALIZED v5 RQ index (per-level codebooks + greedy 2-code
@@ -3202,6 +3221,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rq_topk_served": _q_rq_topk_served,
     "rq_ivf_topk_served": _q_rq_ivf_topk_served,
     "knn_label_noise_report": _q_knn_label_noise_report,
+    "knn_classify": _q_knn_classify,
 }
 
 
@@ -6928,6 +6948,47 @@ def oracle_sql() -> dict[str, str]:
                round(sum(CASE WHEN nlab != qlab THEN 1 ELSE 0 END)
                      / count(*)::DOUBLE, 4) AS noise_rate
         FROM maj GROUP BY qlab
+    """
+    # r14: k-NN label propagation — every 5th vector is the unlabeled
+    # slice, the rest vote; same round-6 score / rank / vote rules as
+    # the noise screen (shared _knn_majority definition Spark-side)
+    d["knn_classify"] = f"""
+        WITH q AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id % 5 = 0),
+        l AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v, label
+            FROM embeddings WHERE vec_id % 5 != 0
+                AND label IS NOT NULL),
+        top AS (
+            SELECT qid, nlab FROM (
+                SELECT qid, nlab,
+                       row_number() OVER (
+                           PARTITION BY qid
+                           ORDER BY sim DESC, nid ASC) AS rn
+                FROM (
+                    SELECT q.vec_id AS qid, l.vec_id AS nid,
+                           l.label AS nlab,
+                           {_sql_cosine('q.v', 'l.v', 6)} AS sim
+                    FROM q JOIN l ON q.vec_id != l.vec_id) s
+                WHERE sim IS NOT NULL) x
+            WHERE rn <= 5),
+        v AS (
+            SELECT qid, nlab, count(*) AS c
+            FROM top GROUP BY qid, nlab),
+        t AS (SELECT qid, sum(c) AS tot FROM v GROUP BY qid),
+        m AS (
+            SELECT qid, nlab, c FROM (
+                SELECT qid, nlab, c,
+                       row_number() OVER (
+                           PARTITION BY qid
+                           ORDER BY c DESC, nlab ASC) AS mr
+                FROM v) y
+            WHERE mr = 1)
+        SELECT m.qid AS vec_id, m.nlab AS predicted_label,
+               m.c::BIGINT AS n_votes,
+               round(m.c / t.tot::DOUBLE, 4) AS vote_frac
+        FROM m JOIN t USING (qid)
     """
     # a generator that could not build its oracle (compression_ratio
     # when the fixed corpus is unreadable) returns None — drop the key

@@ -233,6 +233,21 @@ def main() -> None:
     _w.write.format("noop").mode("overwrite").save()
     release(_w)
 
+    # ...and the JL random-projection lane: the first jl_topk in a
+    # session pays codegen of the out_dims x dims plane-literal array
+    # expression (measured 13-15 s first sample vs ~2 s warm on the
+    # jl rows at sf0.1 — r14), which otherwise lands the jl rows in
+    # the slowest-5 by cold sample alone and displaces genuinely-slow
+    # rows from the warm re-run budget
+    from dgraph_dbpedia_spark.operators.similarity import jl_topk
+
+    _emb64 = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(64)
+    jl_topk(
+        _emb64,
+        _emb64.limit(1).select(_F.col("embedding").alias("q")),
+        k=2,
+    ).write.format("noop").mode("overwrite").save()
+
     # ...and the iterative checkpoint loop (localCheckpoint +
     # observe() machinery), which otherwise lands on whichever
     # connected-components query runs first. Needs no input table, so

@@ -2612,6 +2612,80 @@ def embedding_outliers(
     return tag_persisted(out, per)
 
 
+def _knn_majority(
+    a: DataFrame,
+    b: DataFrame,
+    k: int,
+    candidate_pairs: DataFrame | None,
+    round_decimals: int,
+    use_arrow: bool,
+    carry: list[str],
+) -> DataFrame:
+    """ONE definition of the k-NN vote chain shared by
+    :func:`knn_label_noise_report` and :func:`knn_classify` (the
+    rank/vote rules cannot silently desynchronize): score the
+    candidate pairs (round-``round_decimals`` cosine; Arrow einsum
+    lane or the native fold — bit-equal, pinned), keep each query's
+    top-``k`` (sim desc, nid asc; NULL sims excluded — a zero-norm/
+    NULL vector must not claim a rank slot, and Spark/DuckDB disagree
+    on where NULLs sort under DESC), then the per-query majority vote
+    (count desc, label asc).
+
+    ``a`` carries ``(_qid, _qv, _qn, *carry)``; ``b`` carries
+    ``(_nid, _nv, _nn, _nlab)``. Returns one row per query:
+    ``(_qid, *carry, _nlab, _c, _tot)`` — the winning label, its vote
+    count, and the total top-k votes cast."""
+    from pyspark.sql import Window
+
+    if candidate_pairs is None:
+        pairs = a.crossJoin(b)
+    else:
+        pairs = (
+            candidate_pairs.select(
+                F.col("qid").alias("_qid"), F.col("nid").alias("_nid")
+            )
+            .join(a, "_qid")
+            .join(b, "_nid")
+        )
+    if use_arrow:
+        sim = pair_cosine_arrow(round_decimals)(
+            F.col("_qv"), F.col("_nv"), F.col("_qn"), F.col("_nn")
+        )
+    else:
+        sim = F.round(
+            F.try_divide(_dot("_qv", "_nv"), F.col("_qn") * F.col("_nn")),
+            round_decimals,
+        )
+    w_rank = Window.partitionBy("_qid").orderBy(
+        F.col("_sim").desc(), F.col("_nid").asc()
+    )
+    top = (
+        pairs.where(F.col("_qid") != F.col("_nid"))
+        .select(
+            "_qid",
+            *carry,
+            "_nid",
+            "_nlab",
+            sim.alias("_sim"),
+        )
+        .where(F.col("_sim").isNotNull())
+        .withColumn("_rn", F.row_number().over(w_rank))
+        .where(F.col("_rn") <= k)
+    )
+    w_maj = Window.partitionBy("_qid").orderBy(
+        F.col("_c").desc(), F.col("_nlab").asc()
+    )
+    w_all = Window.partitionBy("_qid")
+    return (
+        top.groupBy("_qid", *carry, "_nlab")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn("_tot", F.sum("_c").over(w_all))
+        .withColumn("_mr", F.row_number().over(w_maj))
+        .where(F.col("_mr") == 1)
+        .drop("_mr")
+    )
+
+
 def knn_label_noise_report(
     df: DataFrame,
     k: int = 5,
@@ -2655,8 +2729,6 @@ def knn_label_noise_report(
     lanes ``round(try_divide(dot, na * nb), round_decimals)`` with
     norms precomputed per side (bit-equal, pinned in
     tests/test_similarity.py)."""
-    from pyspark.sql import Window
-
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     lab = df.where(F.col(label_col).isNotNull())
@@ -2670,53 +2742,9 @@ def knn_label_noise_report(
         F.col(vec_col).cast("array<double>").alias("_nv"),
         F.col(label_col).alias("_nlab"),
     ).withColumn("_nn", _norm(F.col("_nv")))
-    if candidate_pairs is None:
-        pairs = a.crossJoin(b)
-    else:
-        pairs = (
-            candidate_pairs.select(
-                F.col("qid").alias("_qid"), F.col("nid").alias("_nid")
-            )
-            .join(a, "_qid")
-            .join(b, "_nid")
-        )
-    if use_arrow:
-        sim = pair_cosine_arrow(round_decimals)(
-            F.col("_qv"), F.col("_nv"), F.col("_qn"), F.col("_nn")
-        )
-    else:
-        sim = F.round(
-            F.try_divide(_dot("_qv", "_nv"), F.col("_qn") * F.col("_nn")),
-            round_decimals,
-        )
-    w_rank = Window.partitionBy("_qid").orderBy(
-        F.col("_sim").desc(), F.col("_nid").asc()
-    )
-    top = (
-        pairs.where(F.col("_qid") != F.col("_nid"))
-        .select(
-            "_qid",
-            "_qlab",
-            "_nid",
-            "_nlab",
-            sim.alias("_sim"),
-        )
-        # a zero-norm/NULL vector's cosine is NULL (try_divide) — it
-        # must not claim a rank slot, and Spark/DuckDB disagree on
-        # where NULLs sort under DESC, so exclude explicitly on both
-        # engines (the rank_overlap NaN rule)
-        .where(F.col("_sim").isNotNull())
-        .withColumn("_rn", F.row_number().over(w_rank))
-        .where(F.col("_rn") <= k)
-    )
-    w_maj = Window.partitionBy("_qid").orderBy(
-        F.col("_c").desc(), F.col("_nlab").asc()
-    )
-    maj = (
-        top.groupBy("_qid", "_qlab", "_nlab")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .withColumn("_mr", F.row_number().over(w_maj))
-        .where(F.col("_mr") == 1)
+    maj = _knn_majority(
+        a, b, k, candidate_pairs, round_decimals, use_arrow,
+        carry=["_qlab"],
     )
     return maj.groupBy(F.col("_qlab").alias(label_col)).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -2730,4 +2758,58 @@ def knn_label_noise_report(
         "n",
         "n_suspect",
         F.round(F.col("n_suspect") / F.col("n"), 4).alias("noise_rate"),
+    )
+
+
+def knn_classify(
+    unlabeled: DataFrame,
+    labeled: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    candidate_pairs: DataFrame | None = None,
+    round_decimals: int = 6,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Semi-supervised k-NN labeling: each unlabeled vector takes the
+    majority label of its ``k`` nearest LABELED neighbors — the
+    label-propagation step a weak-supervision pipeline runs to extend
+    a small gold set over a large corpus (the transductive 1-hop
+    form). Returns one row per classifiable query: ``(id,
+    predicted_label, n_votes, vote_frac)`` with ``vote_frac =
+    round(n_votes / total_topk_votes, 4)`` as the confidence proxy.
+    A query with NO scoreable labeled neighbor (empty labeled side,
+    all-NULL sims) is ABSENT — no vote, no guess.
+
+    Rank/vote/NULL rules are byte-identical to
+    :func:`knn_label_noise_report` (ONE definition,
+    :func:`_knn_majority`); NULL-labeled rows on the labeled side are
+    excluded (they cannot vote). Queries and voters may share ids —
+    a self-pair (same id both sides) is excluded like the audit's.
+
+    100 TB shape: same as the audit — exact mode crossJoins (the
+    small-gold-set x corpus case where ONE side is bounded is its
+    sweet spot: Catalyst broadcasts the small side); at corpus x
+    corpus scale pass ``candidate_pairs`` from a blocked source and
+    the vote runs over n^2 / n_lists work."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    a = unlabeled.select(
+        F.col(id_col).alias("_qid"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    b = labeled.where(F.col(label_col).isNotNull()).select(
+        F.col(id_col).alias("_nid"),
+        F.col(vec_col).cast("array<double>").alias("_nv"),
+        F.col(label_col).alias("_nlab"),
+    ).withColumn("_nn", _norm(F.col("_nv")))
+    maj = _knn_majority(
+        a, b, k, candidate_pairs, round_decimals, use_arrow, carry=[]
+    )
+    return maj.select(
+        F.col("_qid").alias(id_col),
+        F.col("_nlab").alias("predicted_label"),
+        F.col("_c").cast("long").alias("n_votes"),
+        F.round(F.col("_c") / F.col("_tot"), 4).alias("vote_frac"),
     )

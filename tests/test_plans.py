@@ -84,6 +84,7 @@ _PYTHON_OK = {
     # (bit-equal pinned in test_similarity.py; the native fold is the
     # oracle surface) — the returned plan is the lazy pair+vote frame
     "knn_label_noise_report",
+    "knn_classify",  # same pinned pair-cosine kernel, gold x query pairs
 }
 
 

@@ -1985,3 +1985,72 @@ def test_knn_label_noise_arrow_native_bit_equal(spark):
             emb, k=5, candidate_pairs=pairs, use_arrow=False
         )
     )
+
+
+def test_knn_classify_hand_computed(spark):
+    """Label propagation over two gold clusters: a query on the
+    x-axis takes the x cluster's label with full confidence; a query
+    between the clusters but nearer y takes y's label with a split
+    vote; an unlabeled GOLD row cannot vote."""
+    from dgraph_dbpedia_spark.operators.similarity import knn_classify
+
+    gold = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0], 0),
+            (11, [0.99, 0.01, 0.0], 0),
+            (12, [0.0, 1.0, 0.0], 1),
+            (13, [0.01, 0.99, 0.0], 1),
+            (14, [0.02, 0.98, 0.0], None),  # cannot vote
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    queries = spark.createDataFrame(
+        [
+            (0, [0.995, 0.005, 0.0]),   # x cluster
+            (1, [0.3, 0.95, 0.0]),      # nearer y, but x in top-3
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r for r in knn_classify(queries, gold, k=3).collect()
+    }
+    assert got[0]["predicted_label"] == 0
+    # query 0's top-3 gold: 10, 11 (label 0) then one y row -> 2/3
+    assert (got[0]["n_votes"], got[0]["vote_frac"]) == (2, round(2 / 3, 4))
+    assert got[1]["predicted_label"] == 1
+    assert got[1]["n_votes"] == 2
+
+
+def test_knn_classify_arrow_native_bit_equal(spark):
+    """Arrow and native lanes produce the identical propagation on
+    the real sf0.001 embeddings (the registered row's shape)."""
+    from dgraph_dbpedia_spark.operators.similarity import knn_classify
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 5 == 0)
+    g = emb.where(F.col("vec_id") % 5 != 0)
+
+    def norm(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert norm(knn_classify(q, g, k=5, use_arrow=True)) == norm(
+        knn_classify(q, g, k=5, use_arrow=False)
+    )
+
+
+def test_knn_classify_no_voters_absent(spark):
+    """A query with no scoreable gold neighbor is ABSENT (no vote, no
+    guess): empty gold side -> empty result with the contract schema."""
+    from dgraph_dbpedia_spark.operators.similarity import knn_classify
+
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    g = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, label int"
+    )
+    out = knn_classify(q, g, k=2)
+    assert out.columns == [
+        "vec_id", "predicted_label", "n_votes", "vote_frac"
+    ]
+    assert out.count() == 0
