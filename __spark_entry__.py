@@ -2343,6 +2343,27 @@ def _q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14: cross-split near-dup leakage audit — the eval-hygiene
+    check that val/test aren't paraphrases of train (Dodge et al.
+    2021's C4 contamination measurement). Composes the deterministic
+    split coin with the MinHash band join (both already
+    oracle-checked standalone as split_corpus / minhash_pairs) and
+    reports per split pair: leaked pair count, distinct leaked docs
+    per side, and the worst leak's Jaccard."""
+    from dgraph_dbpedia_spark.operators.dedup import split_leakage_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return split_leakage_report(
+        docs,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        w=3,
+        k=16,
+        bands=4,
+        threshold=0.4,
+    )
+
+
 def _q_rq_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r14 (VERDICT r13 #3): RQ serve path — additive-ADC top-5 over
     the MATERIALIZED v5 RQ index (per-level codebooks + greedy 2-code
@@ -3222,6 +3243,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rq_ivf_topk_served": _q_rq_ivf_topk_served,
     "knn_label_noise_report": _q_knn_label_noise_report,
     "knn_classify": _q_knn_classify,
+    "split_leakage_report": _q_split_leakage_report,
 }
 
 
@@ -6948,6 +6970,37 @@ def oracle_sql() -> dict[str, str]:
                round(sum(CASE WHEN nlab != qlab THEN 1 ELSE 0 END)
                      / count(*)::DOUBLE, 4) AS noise_rate
         FROM maj GROUP BY qlab
+    """
+    # r14: cross-split leakage — the minhash pair chain and the split
+    # coin are each reused WHOLESALE from their standalone oracles
+    # (_sql_minhash_pairs / _sql_split_corpus — one definition each),
+    # then the same lexical pair normalization and per-split-pair fold
+    d["split_leakage_report"] = f"""
+        WITH pr AS ({_sql_minhash_pairs(3, 16, 4, 0.4)}),
+        sp0 AS ({_sql_split_corpus()}),
+        sp AS (
+            SELECT doc_id, coalesce(split, 'holdout') AS split
+            FROM sp0),
+        lb AS (
+            SELECT pr.a, pr.b, sa.split AS sa, sb.split AS sb,
+                   pr.jaccard
+            FROM pr
+            JOIN sp sa ON sa.doc_id = pr.a
+            JOIN sp sb ON sb.doc_id = pr.b
+            WHERE sa.split != sb.split),
+        nm AS (
+            SELECT CASE WHEN sa > sb THEN sb ELSE sa END AS split_a,
+                   CASE WHEN sa > sb THEN sa ELSE sb END AS split_b,
+                   CASE WHEN sa > sb THEN b ELSE a END AS da,
+                   CASE WHEN sa > sb THEN a ELSE b END AS db,
+                   jaccard
+            FROM lb)
+        SELECT split_a, split_b,
+               count(*)::BIGINT AS n_pairs,
+               count(DISTINCT da)::BIGINT AS n_docs_a,
+               count(DISTINCT db)::BIGINT AS n_docs_b,
+               max(jaccard) AS max_jaccard
+        FROM nm GROUP BY split_a, split_b
     """
     # r14: k-NN label propagation — every 5th vector is the unlabeled
     # slice, the rest vote; same round-6 score / rank / vote rules as

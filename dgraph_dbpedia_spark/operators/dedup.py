@@ -1933,3 +1933,92 @@ def winnow_matches(
         .where(F.col("n_shared") >= min_shared)
     )
     return tag_persisted(out, *handles)
+
+
+def split_leakage_report(
+    df: DataFrame,
+    fractions: dict[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    seed: int = 1,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Cross-split near-dup LEAKAGE audit: split the corpus with
+    :func:`..sampling.split_corpus`'s deterministic id-hash coin, find
+    near-dup pairs with the MinHash band join
+    (:func:`minhash_dedup_pairs`), keep only pairs whose two sides
+    land in DIFFERENT splits, and report one row per split pair:
+    ``(split_a, split_b, n_pairs, n_docs_a, n_docs_b, max_jaccard)``
+    — the eval-hygiene check that a test set isn't a paraphrase of
+    the training set (the measurement behind train-test contamination
+    findings, e.g. Dodge et al. 2021 on C4). Rows not covered by the
+    fractions (the explicit holdout) report as split ``'holdout'`` so
+    leakage INTO the holdout is visible, not silently dropped.
+
+    Split names order each pair lexically (``split_a < split_b``) and
+    the pair's doc ids travel with the swap, so ``n_docs_a`` counts
+    distinct leaked docs on the ``split_a`` side. ``max_jaccard`` is
+    the worst leak's similarity (max is float-order-safe across
+    engines; the pair scores are the band join's round-6 Jaccards).
+
+    100 TB shape: the split coin is a narrow codegen'd projection and
+    the split labels join the pair set by id (two broadcast-able or
+    shuffle joins on the PAIR volume, not the corpus); the pair set
+    itself is the banded-join skeleton that already bounds every
+    minhash row. The report is a |splits|^2-row aggregate."""
+    from dgraph_dbpedia_spark.operators.cachectl import (
+        persisted_frames,
+        tag_persisted,
+    )
+    from dgraph_dbpedia_spark.operators.sampling import split_corpus
+
+    pairs = minhash_dedup_pairs(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        w=w,
+        k=k,
+        bands=bands,
+        threshold=threshold,
+        use_arrow=use_arrow,
+    )
+    splits = split_corpus(df, fractions, id_col=id_col, seed=seed).select(
+        F.col(id_col),
+        F.coalesce(F.col("split"), F.lit("holdout")).alias("split"),
+    )
+    labeled = (
+        pairs.join(
+            splits.select(
+                F.col(id_col).alias("a"), F.col("split").alias("_sa")
+            ),
+            "a",
+        )
+        .join(
+            splits.select(
+                F.col(id_col).alias("b"), F.col("split").alias("_sb")
+            ),
+            "b",
+        )
+        .where(F.col("_sa") != F.col("_sb"))
+    )
+    swap = F.col("_sa") > F.col("_sb")
+    normalized = labeled.select(
+        F.when(swap, F.col("_sb")).otherwise(F.col("_sa")).alias("split_a"),
+        F.when(swap, F.col("_sa")).otherwise(F.col("_sb")).alias("split_b"),
+        F.when(swap, F.col("b")).otherwise(F.col("a")).alias("_da"),
+        F.when(swap, F.col("a")).otherwise(F.col("b")).alias("_db"),
+        "jaccard",
+    )
+    out = normalized.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("_da").cast("long").alias("n_docs_a"),
+        F.countDistinct("_db").cast("long").alias("n_docs_b"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    # transfer the inner pair op's persisted handles (the shared
+    # shingle frame), not the unpersisted pairs frame itself
+    return tag_persisted(out, *persisted_frames(pairs))

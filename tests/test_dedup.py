@@ -949,3 +949,64 @@ def test_contamination_report_counts(spark):
         for r in contamination_report(docs, bench, w=3).collect()
     }
     assert got == {100: (2, 3), 200: (1, 1)}
+
+
+def test_split_leakage_report_hand_computed(spark):
+    """Three identical docs forced into different splits by a
+    controlled fractions dict leak into each other; a fourth,
+    unrelated doc leaks nowhere. With fractions covering only part of
+    [0, 1), uncovered rows report as the named 'holdout' split rather
+    than vanishing."""
+    from dgraph_dbpedia_spark.operators.cachectl import release
+    from dgraph_dbpedia_spark.operators.dedup import split_leakage_report
+    from dgraph_dbpedia_spark.operators.sampling import split_corpus
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, text) for i in range(20)] + [
+        (100, "completely unrelated content with zero shared shingles x")
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fractions = {"train": 0.5, "test": 0.25}  # remainder -> holdout
+    out = split_leakage_report(
+        docs, fractions, w=3, k=16, bands=4, threshold=0.9
+    )
+    got = {(r["split_a"], r["split_b"]): r for r in out.collect()}
+    release(out)
+    # the 20 identical docs pair across every split boundary their
+    # coins land in; recompute the expected pair counts from the same
+    # deterministic coin
+    sp = {
+        r["doc_id"]: r["split"] or "holdout"
+        for r in split_corpus(docs, fractions).collect()
+    }
+    import itertools
+
+    expected: dict[tuple[str, str], int] = {}
+    for a, b in itertools.combinations(range(20), 2):
+        sa, sb = sp[a], sp[b]
+        if sa == sb:
+            continue
+        key = (min(sa, sb), max(sa, sb))
+        expected[key] = expected.get(key, 0) + 1
+    assert {k: v["n_pairs"] for k, v in got.items()} == expected
+    for r in got.values():
+        assert r["max_jaccard"] == 1.0
+    assert all(100 not in (r["n_docs_a"], None) for r in got.values())
+
+
+def test_split_leakage_report_no_cross_pairs_empty(spark):
+    """A corpus whose near-dups all land in ONE split (fractions put
+    every row in 'train') reports nothing — the audit is silent when
+    there is no leakage."""
+    from dgraph_dbpedia_spark.operators.cachectl import release
+    from dgraph_dbpedia_spark.operators.dedup import split_leakage_report
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(6)], "doc_id long, text string"
+    )
+    out = split_leakage_report(
+        docs, {"train": 1.0}, w=3, k=16, bands=4, threshold=0.9
+    )
+    assert out.count() == 0
+    release(out)

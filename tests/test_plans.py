@@ -85,6 +85,9 @@ _PYTHON_OK = {
     # oracle surface) — the returned plan is the lazy pair+vote frame
     "knn_label_noise_report",
     "knn_classify",  # same pinned pair-cosine kernel, gold x query pairs
+    # r14: composes minhash_pairs (pinned minhash Arrow lane) with the
+    # narrow split coin — the returned plan is the lazy band-join frame
+    "split_leakage_report",
 }
 
 
