@@ -2302,7 +2302,10 @@ def _q_knn_label_noise_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: candidate pairs are the served IVF index's same-cid lists
     (16 lists -> n^2/16 pairs; the exact O(n^2) form measured 117 s
     at the 2k-vector bench point and is the sample-only mode), scored
-    through the pinned Arrow pair-cosine kernel. Within each block,
+    through the pinned Arrow pair-cosine kernel; at corpus scale the
+    same blocking runs as the block kernel (block_assign= — pinned
+    value-identical, 22x at the 50k point, BENCH_SCALE r14). Within
+    each block,
     every vector's 5 nearest labeled neighbors (round-6 cosine desc,
     id asc, NULL sims excluded) vote (count desc, label asc); per
     label, how many rows' own label loses the vote. vec 0 is the

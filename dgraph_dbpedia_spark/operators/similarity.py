@@ -2686,6 +2686,127 @@ def _knn_majority(
     )
 
 
+#: blocks above this many rows raise in the block-kernel k-NN lane: the
+#: kernel holds one m x m sims matrix per block (m=32768 -> 8 GiB of
+#: doubles) — a bigger block means the blocking is too coarse, and the
+#: right fix is more centroids, not a bigger matrix
+KNN_MAX_BLOCK_ROWS = 32_768
+
+
+def _knn_block_majority(
+    lab: DataFrame,
+    block_assign: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    round_decimals: int,
+) -> DataFrame:
+    """Block-kernel twin of :func:`_knn_majority` for the
+    SAME-BLOCK candidate structure: instead of expanding every
+    candidate pair into a row that carries BOTH full vectors (the
+    pair lane ships ~n^2/n_blocks * 2 * dims doubles through Arrow —
+    measured 324 s at the 50k/256-centroid point), group the corpus
+    by block and run ONE ``applyInPandas`` kernel per block: one
+    ``X @ X.T`` per block over vectors shipped ONCE, then the
+    identical rank (round-``round_decimals`` sim desc, id asc via a
+    stable argsort over id-sorted rows) and vote (count desc, label
+    asc via dense ``np.unique`` codes + first-argmax) rules. Norms
+    are computed SPARK-SIDE with the native fold and shipped in (the
+    pair-lane rule — the kernel never re-associates the norm sum);
+    ``sim = round(dot / (n_i * n_j), d)`` HALF_UP, NULL/zero-norm
+    rows neither vote nor query. Returns the :func:`_knn_majority`
+    shape ``(_qid, _qlab, _nlab, _c, _tot)``.
+
+    Bit-equality with the pair lane is pinned in
+    tests/test_similarity.py (same matmul-vs-fold damping argument as
+    :func:`pair_cosine_arrow`). Restrictions (loud, not silent):
+    uniform vector width within a block, and at most
+    ``KNN_MAX_BLOCK_ROWS`` rows per block — both raise."""
+    joined = lab.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.col(label_col).alias("_lab"),
+    ).withColumn("_n", _norm(F.col("_v"))).join(
+        block_assign.select(
+            F.col(id_col).alias("_id"), F.col("cid").alias("_blk")
+        ),
+        "_id",
+    )
+    lab_type = lab.schema[label_col].dataType.simpleString()
+    id_type = lab.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"_qid {id_type}, _qlab {lab_type}, _nlab {lab_type}, "
+        "_c long, _tot long"
+    )
+
+    def vote_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np  # noqa: F811 — resolve inside the worker
+
+        pdf = pdf.sort_values("_id").reset_index(drop=True)
+        m = len(pdf)
+        if m > KNN_MAX_BLOCK_ROWS:
+            raise ValueError(
+                f"k-NN block of {m} rows exceeds KNN_MAX_BLOCK_ROWS="
+                f"{KNN_MAX_BLOCK_ROWS} — use more centroids in the "
+                "blocking, not a bigger in-kernel matrix"
+            )
+        vs = pdf["_v"].tolist()
+        widths = {len(v) for v in vs if v is not None}
+        if len(widths) > 1:
+            raise ValueError(
+                f"k-NN block mixes vector widths {sorted(widths)} — "
+                "the block kernel requires a uniform width per block "
+                "(the pair lane handles ragged corpora)"
+            )
+        dim = widths.pop() if widths else 0
+        valid = np.fromiter(
+            (v is not None for v in vs), dtype=bool, count=m
+        )
+        ns = pdf["_n"].to_numpy(dtype=np.float64, na_value=np.nan)
+        valid &= np.isfinite(ns) & (ns > 0.0)
+        if dim == 0 or not valid.any() or m < 2:
+            return pd.DataFrame(
+                {c: [] for c in ("_qid", "_qlab", "_nlab", "_c", "_tot")}
+            )
+        X = np.zeros((m, dim), dtype=np.float64)
+        for i in np.nonzero(valid)[0]:
+            X[i] = vs[i]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = (X @ X.T) / np.outer(ns, ns)
+        sims = _round_half_up_np(sims, round_decimals)
+        sims = np.where(np.isnan(sims), -np.inf, sims)
+        sims[:, ~valid] = -np.inf
+        sims[~valid, :] = -np.inf
+        np.fill_diagonal(sims, -np.inf)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+        top_ok = np.take_along_axis(sims, order, axis=1) > -np.inf
+        labs = pdf["_lab"].to_numpy()
+        uniq, codes = np.unique(labs, return_inverse=True)
+        counts = np.zeros((m, len(uniq)), dtype=np.int64)
+        rows = np.repeat(np.arange(m), order.shape[1])
+        flat_ok = top_ok.ravel()
+        np.add.at(
+            counts,
+            (rows[flat_ok], codes[order.ravel()[flat_ok]]),
+            1,
+        )
+        tot = counts.sum(axis=1)
+        keep = tot > 0
+        win = counts.argmax(axis=1)  # first max = lowest label code
+        return pd.DataFrame(
+            {
+                "_qid": pdf["_id"].to_numpy()[keep],
+                "_qlab": labs[keep],
+                "_nlab": uniq[win][keep],
+                "_c": counts[np.arange(m), win][keep],
+                "_tot": tot[keep],
+            }
+        )
+
+    return joined.groupBy("_blk").applyInPandas(vote_block, out_schema)
+
+
 def knn_label_noise_report(
     df: DataFrame,
     k: int = 5,
@@ -2693,6 +2814,7 @@ def knn_label_noise_report(
     vec_col: str = "embedding",
     label_col: str = "label",
     candidate_pairs: DataFrame | None = None,
+    block_assign: DataFrame | None = None,
     round_decimals: int = 6,
     use_arrow: bool = True,
 ) -> DataFrame:
@@ -2728,24 +2850,43 @@ def knn_label_noise_report(
     class); ``use_arrow=False`` is the JVM-only oracle surface, both
     lanes ``round(try_divide(dot, na * nb), round_decimals)`` with
     norms precomputed per side (bit-equal, pinned in
-    tests/test_similarity.py)."""
+    tests/test_similarity.py).
+
+    ``block_assign`` (an ``(id, cid)`` frame, mutually exclusive with
+    ``candidate_pairs``) is the same-block candidate structure in its
+    EFFICIENT form: equivalent to passing the cid equi-join pairs,
+    but executed as one :func:`_knn_block_majority` kernel per block
+    — vectors cross Arrow once per block instead of twice per pair
+    (50k/256-centroid point: 324 s pair lane -> see BENCH_SCALE r14
+    for the block lane), identical results (pinned)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if candidate_pairs is not None and block_assign is not None:
+        raise ValueError(
+            "candidate_pairs and block_assign are mutually exclusive "
+            "candidate structures"
+        )
     lab = df.where(F.col(label_col).isNotNull())
-    a = lab.select(
-        F.col(id_col).alias("_qid"),
-        F.col(vec_col).cast("array<double>").alias("_qv"),
-        F.col(label_col).alias("_qlab"),
-    ).withColumn("_qn", _norm(F.col("_qv")))
-    b = lab.select(
-        F.col(id_col).alias("_nid"),
-        F.col(vec_col).cast("array<double>").alias("_nv"),
-        F.col(label_col).alias("_nlab"),
-    ).withColumn("_nn", _norm(F.col("_nv")))
-    maj = _knn_majority(
-        a, b, k, candidate_pairs, round_decimals, use_arrow,
-        carry=["_qlab"],
-    )
+    if block_assign is not None:
+        maj = _knn_block_majority(
+            lab, block_assign, k, id_col, vec_col, label_col,
+            round_decimals,
+        )
+    else:
+        a = lab.select(
+            F.col(id_col).alias("_qid"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+            F.col(label_col).alias("_qlab"),
+        ).withColumn("_qn", _norm(F.col("_qv")))
+        b = lab.select(
+            F.col(id_col).alias("_nid"),
+            F.col(vec_col).cast("array<double>").alias("_nv"),
+            F.col(label_col).alias("_nlab"),
+        ).withColumn("_nn", _norm(F.col("_nv")))
+        maj = _knn_majority(
+            a, b, k, candidate_pairs, round_decimals, use_arrow,
+            carry=["_qlab"],
+        )
     return maj.groupBy(F.col("_qlab").alias(label_col)).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(

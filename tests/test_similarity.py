@@ -2054,3 +2054,83 @@ def test_knn_classify_no_voters_absent(spark):
         "vec_id", "predicted_label", "n_votes", "vote_frac"
     ]
     assert out.count() == 0
+
+
+def test_knn_label_noise_block_lane_equals_pair_lane(spark):
+    """The block kernel (one matmul per cid group, vectors cross
+    Arrow once) produces the IDENTICAL report as the cid equi-join
+    pair lane on the real sf0.001 embeddings — same blocking, both
+    Arrow and native pair lanes. This pin is what lets the scale tool
+    and large-corpus callers use block_assign."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        ivf_assign,
+        ivf_seed_centroids,
+        knn_label_noise_report,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    e = emb.where(F.col("vec_id") > 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    asg = ivf_assign(e, ivf_seed_centroids(e, 8, vec_col="e"), vec_col="e")
+    asg = asg.select("vec_id", "cid")
+    pairs = (
+        asg.select(F.col("vec_id").alias("qid"), "cid")
+        .join(asg.select(F.col("vec_id").alias("nid"), "cid"), "cid")
+        .drop("cid")
+    )
+
+    def norm(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    via_blocks = norm(
+        knn_label_noise_report(emb, k=5, block_assign=asg)
+    )
+    assert via_blocks == norm(
+        knn_label_noise_report(emb, k=5, candidate_pairs=pairs)
+    )
+    assert via_blocks == norm(
+        knn_label_noise_report(
+            emb, k=5, candidate_pairs=pairs, use_arrow=False
+        )
+    )
+
+
+def test_knn_label_noise_block_lane_guards(spark):
+    """The block kernel raises LOUDLY on its two restrictions (ragged
+    widths within a block, candidate structures passed together)
+    instead of silently diverging from the pair lane."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        knn_label_noise_report,
+    )
+
+    ragged = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.9, 0.1], 0),
+            (2, [1.0, 0.0, 0.0], 1),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    one_block = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0)], "vec_id long, cid long"
+    )
+    try:
+        knn_label_noise_report(
+            ragged, k=2, block_assign=one_block
+        ).collect()
+        assert False, "ragged block must raise"
+    except Exception as e:  # Py4J wraps the worker's ValueError
+        assert "uniform width" in str(e)
+    try:
+        knn_label_noise_report(
+            ragged,
+            k=2,
+            block_assign=one_block,
+            candidate_pairs=one_block.selectExpr(
+                "vec_id AS qid", "cid AS nid"
+            ),
+        )
+        assert False, "both candidate structures must raise"
+    except ValueError as e:
+        assert "mutually exclusive" in str(e)
