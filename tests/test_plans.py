@@ -279,3 +279,43 @@ def test_r13_operator_plan_shapes(spark):
     # broadcast (k-row spine/totals), never a shuffled corpus join
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_r14_operator_plan_shapes(spark):
+    """Pin the scale-critical physical-plan properties of the r14
+    additions (the .explain audit, made permanent):
+
+    - rq_topk_served: the returned plan SCANS the materialized v5
+      index (a parquet FileScan of rq_codes) and carries no encode/
+      training subtree — the in-row rq_topk plan computes codes
+      through the Arrow encode lane (a Python stage), the served plan
+      reads them from parquet (no Python stage at all; the only
+      aggregation is the bounded 2*k_sub-row codebook fold);
+    - rq_ivf_topk_served: the coarse probe's literal cid predicate
+      PARTITION-PRUNES the by-cid code lists at the scan;
+    - knn_classify (registered row): the bounded gold/query sides
+      meet in a broadcast-joined plan (the crossJoin broadcasts one
+      side), never a SortMergeJoin.
+    """
+    import __spark_entry__ as entry_mod
+
+    rts = entry_mod.QUERIES["rq_topk_served"](spark, SF)
+    plan = _plan(rts)
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert any("rq_codes" in ln or "codes" in ln for ln in scans), plan
+    # no Python stage = codes come from the index, not the Arrow
+    # encode lane the in-row training chain uses
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+    ris = entry_mod.QUERIES["rq_ivf_topk_served"](spark, SF)
+    plan = _plan(ris)
+    assert (
+        "PartitionFilters: [" in plan
+        and "cid" in plan.split("PartitionFilters:")[1][:160]
+    ), plan
+
+    kc = entry_mod.QUERIES["knn_classify"](spark, SF)
+    plan = _plan(kc)
+    assert "SortMergeJoin" not in plan, plan
+    assert "Broadcast" in plan, plan
