@@ -2296,6 +2296,50 @@ def _q_rq_ivf_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rq_rerank_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14: the COMPLETE RQ serve composition — additive-ADC
+    shortlist-50 from the materialized v5 code lists (no in-row
+    training, no in-row encode), exact round-4 cosine top-5 over only
+    the shortlisted ids' float vectors (the shared _exact_rerank
+    stage every serve ladder ends in). Completes the RQ ladder next
+    to rq_topk_served / rq_ivf_topk_served; rq_rerank_topk remains
+    the oracle-replayable in-row training chain."""
+    from dgraph_dbpedia_spark.operators.rq import rq_rerank_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes, rcb = _served_rq_index(spark, sf_dir)
+    q = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("q"))
+    return rq_rerank_topk(
+        codes.select("vec_id", "codes"),
+        rcb,
+        emb.where(F.col("vec_id") > 0),
+        q,
+        dims=64,
+        k=5,
+        shortlist_n=50,
+    )
+
+
+def _q_knn_label_noise_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14: the SAME blocked label-noise audit as
+    knn_label_noise_report, executed through the block kernel
+    (block_assign= — one applyInPandas matmul per cid block, vectors
+    cross Arrow once) instead of the cid equi-join pair lane. Values
+    are identical by construction (pinned bit-equal in
+    tests/test_similarity.py; 22x at the 50k scale point, BENCH_SCALE
+    r14), so the two rows share ONE oracle — this row puts the scale
+    lane itself under the driver's gate."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        knn_label_noise_report,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _ = _served_ivf_index(spark, sf_dir)
+    return knn_label_noise_report(
+        emb, k=5, block_assign=assigned.select("vec_id", "cid")
+    )
+
+
 def _q_knn_label_noise_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r14: the confident-learning label-noise screen (Northcutt et
     al. 2021) over the labeled embedding corpus, in its BLOCKED scale
@@ -3247,6 +3291,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_label_noise_report": _q_knn_label_noise_report,
     "knn_classify": _q_knn_classify,
     "split_leakage_report": _q_split_leakage_report,
+    "rq_rerank_topk_served": _q_rq_rerank_topk_served,
+    "knn_label_noise_blocked": _q_knn_label_noise_blocked,
 }
 
 
@@ -5721,6 +5767,9 @@ def oracle_sql() -> dict[str, str]:
         "rq_ivf_topk_served": _sql_rq_topk(
             train_corpus_only=True, coarse_k=16, n_probe=2
         ),
+        "rq_rerank_topk_served": _sql_rq_topk(
+            k=5, rerank_shortlist=50, train_corpus_only=True
+        ),
         "pq_ivf_topk_served": _sql_pq_topk(
             coarse_k=16, n_probe=2, corpus_train=True
         ),
@@ -6974,6 +7023,10 @@ def oracle_sql() -> dict[str, str]:
                      / count(*)::DOUBLE, 4) AS noise_rate
         FROM maj GROUP BY qlab
     """
+    # the block-kernel row computes the SAME audit over the SAME cid
+    # blocking (lanes pinned value-identical in pytest) — one oracle,
+    # two execution lanes under the gate
+    d["knn_label_noise_blocked"] = d["knn_label_noise_report"]
     # r14: cross-split leakage — the minhash pair chain and the split
     # coin are each reused WHOLESALE from their standalone oracles
     # (_sql_minhash_pairs / _sql_split_corpus — one definition each),

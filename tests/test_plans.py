@@ -85,6 +85,10 @@ _PYTHON_OK = {
     # oracle surface) — the returned plan is the lazy pair+vote frame
     "knn_label_noise_report",
     "knn_classify",  # same pinned pair-cosine kernel, gold x query pairs
+    # r14: the block-kernel lane (applyInPandas/FlatMapGroupsInPandas,
+    # one matmul per cid block; pinned value-identical to both pair
+    # lanes in test_similarity.py)
+    "knn_label_noise_blocked",
     # r14: composes minhash_pairs (pinned minhash Arrow lane) with the
     # narrow split coin — the returned plan is the lazy band-join frame
     "split_leakage_report",
@@ -101,9 +105,14 @@ def test_no_row_python_udfs(spark, name):
     plan = _plan(df)
     assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python"
     if name not in _PYTHON_OK:
-        assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, (
-            f"{name} crosses into Python unexpectedly"
-        )
+        # FlatMapGroupsInPandas (applyInPandas) does NOT contain the
+        # "MapInPandas" substring — check it explicitly or grouped
+        # kernels slip the guard (r14)
+        assert (
+            "MapInPandas" not in plan
+            and "ArrowEvalPython" not in plan
+            and "FlatMapGroupsInPandas" not in plan
+        ), f"{name} crosses into Python unexpectedly"
 
 
 def test_semi_join_broadcasts(spark):
