@@ -2372,21 +2372,43 @@ def _q_knn_label_noise_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r14: semi-supervised k-NN label propagation — every 5th vector
-    plays the unlabeled corpus slice, the rest the gold set; each
-    query takes its 5 nearest gold neighbors' majority label with the
-    vote fraction as confidence (rank/vote rules shared one-definition
-    with knn_label_noise_report). Exact mode: the gold x query
-    crossJoin is the bounded-side sweet spot (Catalyst broadcasts the
-    small side); candidate_pairs= is the corpus-scale blocked path.
-    Oracle replays pair scores, rank, vote, and the confidence fold."""
+    """r14, de-quadratized r15 (VERDICT r14 #1): semi-supervised k-NN
+    label propagation — every 5th vector plays the unlabeled corpus
+    slice, the rest the gold set; each query takes its 5 nearest
+    SAME-CID gold neighbors' majority label with the vote fraction as
+    confidence (rank/vote rules shared one-definition with
+    knn_label_noise_report). The registered row is the BLOCKED form:
+    candidate pairs are the served IVF index's same-cid lists with
+    the gold/query split applied inside the blocked pair set (the
+    same n^2/n_lists blocking as _q_knn_label_noise_report — the
+    exact gold x query crossJoin it replaces was the bench's #1
+    slowest row and quadratic in corpus size; exact mode remains the
+    operator's sample-only default per its docstring). vec 0 is the
+    index build's held-out query, not in the cid lists, so it is
+    never classified here — mirrored by the oracle's vec_id > 0
+    assignment corpus. Oracle replays the seed-centroid cid
+    assignment, the split-restricted same-cid pair set, pair scores,
+    rank, vote, and the confidence fold."""
     from dgraph_dbpedia_spark.operators.similarity import knn_classify
 
     emb = _t(spark, sf_dir, "embeddings")
+    assigned, _ = _served_ivf_index(spark, sf_dir)
+    asg = assigned.select("vec_id", "cid")
+    pairs = (
+        asg.where(F.col("vec_id") % 5 == 0)
+        .select(F.col("vec_id").alias("qid"), "cid")
+        .join(
+            asg.where(F.col("vec_id") % 5 != 0)
+            .select(F.col("vec_id").alias("nid"), "cid"),
+            "cid",
+        )
+        .drop("cid")
+    )
     return knn_classify(
         emb.where(F.col("vec_id") % 5 == 0),
         emb.where(F.col("vec_id") % 5 != 0),
         k=5,
+        candidate_pairs=pairs,
     )
 
 
@@ -3112,7 +3134,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_report": _q_contamination_report,
     "stream_semantic_tag": _q_stream_semantic_tag,
     "rq_topk": _q_rq_topk,
-    "rq_rerank_topk": _q_rq_rerank_topk,
+    # ---- r15 ROTATION (verdict-prescribed, VERDICT r14 #2): the
+    # seven r14 operators move INTO the driver window to earn
+    # driver-graded rows — the RQ serve ladder, the confident-learning
+    # k-NN family (knn_classify in its de-quadratized blocked form,
+    # VERDICT r14 #1), and the cross-split leakage audit. Rotated out
+    # to positions 51-57: rq_rerank_topk (its served twin takes the
+    # slot — rq_topk above stays the ONE oracle-replayable in-row
+    # Lloyd training chain, VERDICT r14 "What's wrong" #3) and six
+    # r10-cohort rows (green driver rows five rounds running r10-r14,
+    # pytest-covered, code untouched this round), all still covered by
+    # the committed repeat x3 CORRECTNESS_FULL sweep.
+    "rq_topk_served": _q_rq_topk_served,
+    "rq_ivf_topk_served": _q_rq_ivf_topk_served,
+    "rq_rerank_topk_served": _q_rq_rerank_topk_served,
+    "knn_label_noise_report": _q_knn_label_noise_report,
+    "knn_label_noise_blocked": _q_knn_label_noise_blocked,
+    "knn_classify": _q_knn_classify,
+    "split_leakage_report": _q_split_leakage_report,
     # r11 cohort — continues earning driver rows:
     # the pretraining-prep composition (curate -> chunk -> split ->
     # epoch-shuffle, VERDICT r10 #4), RRF hybrid retrieval, the
@@ -3145,14 +3184,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # is the committed 115-query CORRECTNESS_FULL.json sweep, re-run
     # in full after the last query change.
     "quantized_ann_topk_served": _q_quantized_ann_topk_served,
-    "stream_near_dup": _q_stream_near_dup,
     "semantic_dedup_keep_far": _q_semantic_dedup_keep_far,
-    "temperature_sample": _q_temperature_sample,
-    "perplexity_buckets": _q_perplexity_buckets,
-    "quantized_ann_topk_served_batch": _q_quantized_ann_topk_served_batch,
     "curation_pipeline": _q_curation_pipeline,
-    "dsir_logratio": _q_dsir_logratio,
-    "dsir_sample": _q_dsir_sample,
     # ---- r14 ROTATION (verdict-prescribed, VERDICT r13 #2): the six
     # r13 operators move INTO the driver window to earn driver-graded
     # rows; six of the longest-stable in-window rows (r10 cohort —
@@ -3167,6 +3200,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "category_shift_report": _q_category_shift_report,
     "dedup_exact_normalized": _q_dedup_exact_normalized,
     # ---- window boundary: position 50 = dedup_exact_normalized ----
+    # r15 rotation's outbound rows land here (51-57): rq_rerank_topk's
+    # in-row Lloyd training chain (rq_topk stays in-window as THE
+    # oracle-replayable training row) and six five-round-green r10
+    # cohort rows — all still swept repeat x3 every round
+    "rq_rerank_topk": _q_rq_rerank_topk,
+    "stream_near_dup": _q_stream_near_dup,
+    "temperature_sample": _q_temperature_sample,
+    "perplexity_buckets": _q_perplexity_buckets,
+    "quantized_ann_topk_served_batch": _q_quantized_ann_topk_served_batch,
+    "dsir_logratio": _q_dsir_logratio,
+    "dsir_sample": _q_dsir_sample,
     "ngram_containment": _q_ngram_containment,
     "strip_spans": _q_strip_spans,
     "winnow_fingerprints": _q_winnow_fingerprints,
@@ -3280,19 +3324,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": _q_fingerprint,
     "clean_text": _q_clean_text,
     # (the six r13 additions rotated INTO the window at positions
-    # 44-49 this round — VERDICT r13 #2; see the r14 ROTATION block)
-    # ---- r14 additions (APPENDED after position 50 per the standing
-    # policy): the RQ deployment shape — ADC probe of the
-    # materialized v5 RQ index (VERDICT r13 #3) — and the
-    # confident-learning k-NN label-noise screen over the labeled
-    # embedding corpus
-    "rq_topk_served": _q_rq_topk_served,
-    "rq_ivf_topk_served": _q_rq_ivf_topk_served,
-    "knn_label_noise_report": _q_knn_label_noise_report,
-    "knn_classify": _q_knn_classify,
-    "split_leakage_report": _q_split_leakage_report,
-    "rq_rerank_topk_served": _q_rq_rerank_topk_served,
-    "knn_label_noise_blocked": _q_knn_label_noise_blocked,
+    # 44-49 in r14 — VERDICT r13 #2; the seven r14 additions rotated
+    # INTO the window in r15 — VERDICT r14 #2; see the r15 ROTATION
+    # block)
 }
 
 
@@ -7058,11 +7092,32 @@ def oracle_sql() -> dict[str, str]:
                max(jaccard) AS max_jaccard
         FROM nm GROUP BY split_a, split_b
     """
-    # r14: k-NN label propagation — every 5th vector is the unlabeled
-    # slice, the rest vote; same round-6 score / rank / vote rules as
-    # the noise screen (shared _knn_majority definition Spark-side)
+    # r14, de-quadratized r15 (VERDICT r14 #1): k-NN label propagation
+    # in its BLOCKED registered form — every 5th vector is the
+    # unlabeled slice, the rest vote, and the candidate set is the
+    # served IVF index's same-cid lists (the casg CTE shared with the
+    # label-noise oracles: 16 lowest-vec_id seeds over the vec_id > 0
+    # corpus, round-6 cosine desc / cid asc assignment) with the
+    # gold/query split applied inside the blocked pair set; same
+    # round-6 score / rank / vote rules as the noise screen (shared
+    # _knn_majority definition Spark-side)
     d["knn_classify"] = f"""
-        WITH q AS (
+        WITH ce AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id > 0),
+        cc AS (
+            SELECT vec_id AS cid, v AS c FROM ce
+            ORDER BY vec_id LIMIT 16),
+        casg AS (
+            SELECT vec_id, cid FROM (
+                SELECT ce.vec_id, cc.cid,
+                       row_number() OVER (
+                           PARTITION BY ce.vec_id
+                           ORDER BY {_sql_cosine('ce.v', 'cc.c', 6)} DESC,
+                                    cc.cid ASC) AS rn
+                FROM ce CROSS JOIN cc) z
+            WHERE rn = 1),
+        q AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
             WHERE vec_id % 5 = 0),
         l AS (
@@ -7079,7 +7134,10 @@ def oracle_sql() -> dict[str, str]:
                     SELECT q.vec_id AS qid, l.vec_id AS nid,
                            l.label AS nlab,
                            {_sql_cosine('q.v', 'l.v', 6)} AS sim
-                    FROM q JOIN l ON q.vec_id != l.vec_id) s
+                    FROM casg ca JOIN casg cb ON ca.cid = cb.cid
+                    JOIN q ON q.vec_id = ca.vec_id
+                    JOIN l ON l.vec_id = cb.vec_id
+                    WHERE q.vec_id != l.vec_id) s
                 WHERE sim IS NOT NULL) x
             WHERE rn <= 5),
         v AS (

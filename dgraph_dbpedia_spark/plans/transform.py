@@ -335,6 +335,33 @@ def type_triples(article_frames: list[DataFrame], category_objects: DataFrame,
 #: scale.)
 ROWS_PER_RDF_FILE = int(os.environ.get("SPARK_GRAFT_ROWS_PER_FILE", 2_000_000))
 
+#: sink-pool submission order for the seven dataset frames: LONGEST
+#: JOB FIRST — descending expected size (infobox/page_links dominate
+#: real DBpedia dumps and the bench corpus), so no large job lands
+#: behind a small one in the queue (profiled r14: cold 38.7 -> 32.0 s
+#: at 600k bench subjects; don't re-shuffle without re-profiling via
+#: tools/profile_transform.py)
+SINK_ORDER = (
+    "infobox_properties", "page_links", "interlanguage_links",
+    "labels", "article_categories", "geo_coordinates",
+    "skos_categories",
+)
+
+
+def _ordered_sink_names(by_name: dict[str, DataFrame]) -> tuple[str, ...]:
+    """Validate the hand-ordered :data:`SINK_ORDER` tuple against the
+    frames actually built by :func:`transform` (VERDICT r14 #5 /
+    ADVICE r14): a dataset added to ``frames`` but not to the tuple
+    would otherwise silently never get its ``.rdf`` sink written (the
+    futures dict would just omit it). Loud, not silent."""
+    if set(SINK_ORDER) != set(by_name):
+        raise AssertionError(
+            "SINK_ORDER out of sync with transform's frames list: "
+            f"unordered={sorted(set(by_name) - set(SINK_ORDER))} "
+            f"unknown={sorted(set(SINK_ORDER) - set(by_name))}"
+        )
+    return SINK_ORDER
+
 
 def write_rdf(
     spark: SparkSession, df: DataFrame, path: str, persist: bool = True
@@ -681,11 +708,7 @@ def transform(
         # page_links dominate real DBpedia dumps and the bench corpus)
         # so no large job lands behind a small one in the queue
         by_name = dict(frames)
-        sink_order = (
-            "infobox_properties", "page_links", "interlanguage_links",
-            "labels", "article_categories", "geo_coordinates",
-            "skos_categories",
-        )
+        sink_order = _ordered_sink_names(by_name)
         futures = {
             name: pool.submit(
                 write_rdf,

@@ -302,9 +302,11 @@ def test_r14_operator_plan_shapes(spark):
       aggregation is the bounded 2*k_sub-row codebook fold);
     - rq_ivf_topk_served: the coarse probe's literal cid predicate
       PARTITION-PRUNES the by-cid code lists at the scan;
-    - knn_classify (registered row): the bounded gold/query sides
-      meet in a broadcast-joined plan (the crossJoin broadcasts one
-      side), never a SortMergeJoin.
+    - knn_classify (registered row, de-quadratized r15 — VERDICT r14
+      #1): the candidate set is the served IVF index's same-cid
+      lists, so the plan carries NO corpus x corpus crossJoin shape
+      (no CartesianProduct, no BroadcastNestedLoopJoin) — every join
+      is an equi-join on cid / qid / nid.
     """
     import __spark_entry__ as entry_mod
 
@@ -326,5 +328,5 @@ def test_r14_operator_plan_shapes(spark):
 
     kc = entry_mod.QUERIES["knn_classify"](spark, SF)
     plan = _plan(kc)
-    assert "SortMergeJoin" not in plan, plan
-    assert "Broadcast" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

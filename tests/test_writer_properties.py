@@ -69,3 +69,30 @@ def test_layout_guarantees(spark, out_root, rows):
         t = pq.read_table(f, columns=["s", "p", "o"])
         triples = list(zip(*[t.column(c).to_pylist() for c in ("s", "p", "o")]))
         assert triples == sorted(triples), f
+
+
+def test_sink_order_lockstep_guard():
+    """The hand-ordered SINK_ORDER tuple (longest-job-first sink
+    submission, profiled r14) must stay in lockstep with transform's
+    frames list: a dataset present on one side but not the other
+    raises LOUDLY instead of silently never writing its .rdf sink
+    (VERDICT r14 #5 / ADVICE r14). Pure-dict guard — no Spark needed."""
+    import pytest as _pytest
+
+    from dgraph_dbpedia_spark.plans.transform import (
+        SINK_ORDER,
+        _ordered_sink_names,
+    )
+
+    exact = {name: None for name in SINK_ORDER}
+    assert _ordered_sink_names(exact) == SINK_ORDER
+
+    # a synthetic extra frame (added to frames, not to SINK_ORDER)
+    with _pytest.raises(AssertionError, match="synthetic_extra"):
+        _ordered_sink_names({**exact, "synthetic_extra": None})
+
+    # a frame removed from frames but still in SINK_ORDER
+    short = dict(exact)
+    short.pop(SINK_ORDER[-1])
+    with _pytest.raises(AssertionError, match=SINK_ORDER[-1]):
+        _ordered_sink_names(short)

@@ -39,11 +39,14 @@ def bench_pipelines(spark, sf: float) -> dict[str, float]:
     # stops dominating — throughput at 60k subjects understated the
     # pipeline by >2x (r1 verdict)
     n_subjects = int(os.environ.get("SPARK_GRAFT_BENCH_SUBJECTS", int(6_000_000 * sf)))
-    # validate the knob BEFORE paying for corpus generation. Default 3:
+    # validate the knob BEFORE paying for corpus generation. Default 4:
     # r8 observed a monotone warm-up..iter2 improvement (43.7 -> 27.4 s
-    # transform) on a page-cache-churned box — best-of-2 under-damps;
-    # the third sample is cheap insurance for the throughput gate.
-    iters = int(os.environ.get("SPARK_GRAFT_PIPELINE_ITERS", "3"))
+    # transform) on a page-cache-churned box — best-of-2 under-damps —
+    # and the r15 session measured post-warmup samples [51.7, 40.2,
+    # 40.9, 27.8, 29.4] on a HEALTHY canary: best-of-3 would have
+    # recorded 40.2 for a pipeline whose converged number is ~28. The
+    # fourth sample is ~35 s of insurance on the round's headline gate.
+    iters = int(os.environ.get("SPARK_GRAFT_PIPELINE_ITERS", "4"))
     if iters < 1:
         raise ValueError(
             "SPARK_GRAFT_PIPELINE_ITERS must be >= 1 (set "
