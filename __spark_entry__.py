@@ -3075,6 +3075,51 @@ def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ::BIGINT casts, the hashed_doc_embeddings scalar projection, the
 # text-dedup recompose onto the SemDeDup cid equi-join with
 # k ~ sqrt(n)) re-green existing rows in place.
+def _q_filter_attrition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15: per-rule attrition funnel for the Gopher-style quality
+    gate — isolation and marginal kill counts per rule in gate order,
+    plus the surviving count after each rule. Derives every rule from
+    gopher_quality_filter's OWN feature columns (one definition), so
+    the last row's n_remaining equals the gate's keep-count. One
+    partial-aggregable global aggregate; the oracle replays the
+    tokenizer, the four features, and the rule/marginal folds."""
+    from dgraph_dbpedia_spark.operators.textstats import (
+        filter_attrition_report,
+    )
+
+    return filter_attrition_report(_t(spark, sf_dir, "documents"))
+
+
+def _q_pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15: packing-efficiency audit over pack_offsets (same 512/4
+    parameters as the registered pack_offsets row, definitions shared
+    wholesale): per shard — docs, tokens, packs, round-6 fill rate,
+    tail waste, and boundary-straddling doc count. The oracle reuses
+    the pack_offsets replay and folds the same aggregates."""
+    from dgraph_dbpedia_spark.operators.sampling import (
+        pack_efficiency_report,
+    )
+
+    return pack_efficiency_report(
+        _t(spark, sf_dir, "documents"), max_tokens=512, n_shards=4
+    )
+
+
+def _q_source_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15: per-source mixture report — docs, exact token counts,
+    round-6 token share, and the alpha=0.5 temperature weight
+    (sqrt of exact BIGINT counts: IEEE-exactly-rounded on both
+    engines, unlike pow; denominator = sorted sequential fold). The
+    planning-side complement of temperature_sample."""
+    from dgraph_dbpedia_spark.operators.sampling import (
+        source_mixture_report,
+    )
+
+    return source_mixture_report(
+        _t(spark, sf_dir, "documents"), group_col="source", alpha=0.5
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # changed or new this round (r12) — first in line for driver rows:
     # the corpus_divergence contract fix (round-4 on both engines +
@@ -3327,6 +3372,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # 44-49 in r14 — VERDICT r13 #2; the seven r14 additions rotated
     # INTO the window in r15 — VERDICT r14 #2; see the r15 ROTATION
     # block)
+    # ---- r15 additions (APPENDED after position 50 per the standing
+    # policy): curation observability — the per-rule quality-gate
+    # attrition funnel, the pack-size efficiency audit, and the
+    # temperature-mixture planning report
+    "filter_attrition_report": _q_filter_attrition_report,
+    "pack_efficiency_report": _q_pack_efficiency_report,
+    "source_mixture_report": _q_source_mixture_report,
 }
 
 
@@ -4864,6 +4916,26 @@ def _sql_curation_ctes() -> str:
     """
 
 
+#: ONE definition of the Gopher-gate feature CTEs (tokenizer + the
+#: four rule features) shared by the gopher_quality oracle and the
+#: r15 filter_attrition_report oracle — the report must never be able
+#: to disagree with the gate it audits, on either engine
+_SQL_GOPHER_FEATS = f"""t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+            f AS (
+                SELECT doc_id,
+                       len(toks) AS n_words,
+                       round(coalesce(list_sum(list_transform(toks,
+                                 w -> length(w))), 0)
+                             / greatest(len(toks), 1), 4) AS mean_word_len,
+                       round(len(list_filter(toks,
+                                 w -> regexp_matches(w, '[A-Za-z]')))
+                             / greatest(len(toks), 1), 4) AS alpha_word_ratio,
+                       len(list_intersect(list_transform(toks, w -> lower(w)),
+                           ['the','of','and','to','in','a','is','that','for','it'])
+                       ) AS n_stopwords
+                FROM t)"""
+
+
 def oracle_sql() -> dict[str, str]:
     d = {
         "topk_sources_per_lang": """
@@ -5578,20 +5650,7 @@ def oracle_sql() -> dict[str, str]:
         "quantized_ann_topk_served": _sql_quantized_topk_served(),
         "quantized_ann_topk_served_batch": _sql_quantized_topk_served_batch(),
         "gopher_quality": f"""
-            WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
-            f AS (
-                SELECT doc_id,
-                       len(toks) AS n_words,
-                       round(coalesce(list_sum(list_transform(toks,
-                                 w -> length(w))), 0)
-                             / greatest(len(toks), 1), 4) AS mean_word_len,
-                       round(len(list_filter(toks,
-                                 w -> regexp_matches(w, '[A-Za-z]')))
-                             / greatest(len(toks), 1), 4) AS alpha_word_ratio,
-                       len(list_intersect(list_transform(toks, w -> lower(w)),
-                           ['the','of','and','to','in','a','is','that','for','it'])
-                       ) AS n_stopwords
-                FROM t)
+            WITH {_SQL_GOPHER_FEATS}
             SELECT doc_id, n_words, mean_word_len, alpha_word_ratio,
                    n_stopwords,
                    (n_words >= 50 AND n_words <= 100000
@@ -7156,6 +7215,124 @@ def oracle_sql() -> dict[str, str]:
                m.c::BIGINT AS n_votes,
                round(m.c / t.tot::DOUBLE, 4) AS vote_frac
         FROM m JOIN t USING (qid)
+    """
+    # r15: per-rule attrition funnel — the features come from the ONE
+    # shared Gopher-feature fragment (_SQL_GOPHER_FEATS, the same CTEs
+    # the gopher_quality oracle runs), then isolation fails, marginal
+    # fails (pass all earlier rules, fail this one) and the running
+    # survivor counts, one UNION ALL branch per rule in gate order
+    d["filter_attrition_report"] = f"""
+        WITH {_SQL_GOPHER_FEATS},
+        p AS (
+            SELECT (n_words >= 50) AS p1, (n_words <= 100000) AS p2,
+                   (mean_word_len >= 3.0) AS p3,
+                   (mean_word_len <= 10.0) AS p4,
+                   (alpha_word_ratio >= 0.8) AS p5,
+                   (n_stopwords >= 2) AS p6
+            FROM f),
+        a AS (
+            SELECT count(*) AS n,
+                   coalesce(sum(CASE WHEN NOT p1 THEN 1 END), 0) AS f1,
+                   coalesce(sum(CASE WHEN NOT p2 THEN 1 END), 0) AS f2,
+                   coalesce(sum(CASE WHEN NOT p3 THEN 1 END), 0) AS f3,
+                   coalesce(sum(CASE WHEN NOT p4 THEN 1 END), 0) AS f4,
+                   coalesce(sum(CASE WHEN NOT p5 THEN 1 END), 0) AS f5,
+                   coalesce(sum(CASE WHEN NOT p6 THEN 1 END), 0) AS f6,
+                   coalesce(sum(CASE WHEN NOT p1 THEN 1 END), 0) AS m1,
+                   coalesce(sum(CASE WHEN p1 AND NOT p2 THEN 1 END), 0)
+                       AS m2,
+                   coalesce(sum(CASE WHEN p1 AND p2 AND NOT p3
+                                THEN 1 END), 0) AS m3,
+                   coalesce(sum(CASE WHEN p1 AND p2 AND p3 AND NOT p4
+                                THEN 1 END), 0) AS m4,
+                   coalesce(sum(CASE WHEN p1 AND p2 AND p3 AND p4
+                                AND NOT p5 THEN 1 END), 0) AS m5,
+                   coalesce(sum(CASE WHEN p1 AND p2 AND p3 AND p4
+                                AND p5 AND NOT p6 THEN 1 END), 0) AS m6
+            FROM p)
+        SELECT 'words_min' AS rule, 1::BIGINT AS rule_order,
+               f1::BIGINT AS n_failed, m1::BIGINT AS n_failed_marginal,
+               (n - m1)::BIGINT AS n_remaining FROM a
+        UNION ALL SELECT 'words_max', 2::BIGINT, f2::BIGINT, m2::BIGINT,
+               (n - m1 - m2)::BIGINT FROM a
+        UNION ALL SELECT 'mean_word_len_min', 3::BIGINT, f3::BIGINT,
+               m3::BIGINT, (n - m1 - m2 - m3)::BIGINT FROM a
+        UNION ALL SELECT 'mean_word_len_max', 4::BIGINT, f4::BIGINT,
+               m4::BIGINT, (n - m1 - m2 - m3 - m4)::BIGINT FROM a
+        UNION ALL SELECT 'alpha_word_ratio', 5::BIGINT, f5::BIGINT,
+               m5::BIGINT, (n - m1 - m2 - m3 - m4 - m5)::BIGINT FROM a
+        UNION ALL SELECT 'stopwords', 6::BIGINT, f6::BIGINT, m6::BIGINT,
+               (n - m1 - m2 - m3 - m4 - m5 - m6)::BIGINT FROM a
+    """
+    # r15: packing-efficiency audit — the offsets replay is the
+    # pack_offsets oracle's own chain (same 512/4 parameters as the
+    # registered pack_offsets row), then per-shard folds; n_packs is
+    # exact integer ceil, fill_rate double-division (never DECIMAL)
+    d["pack_efficiency_report"] = f"""
+        WITH base AS (
+            SELECT doc_id,
+                   ({_sql_hash64('doc_id::VARCHAR')} % 4)::INT AS shard,
+                   len({_SQL_TOKS}) AS n_tokens
+            FROM documents),
+        c AS (
+            SELECT doc_id, shard, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS end_tok
+            FROM base),
+        o AS (
+            SELECT shard, n_tokens, end_tok,
+                   ((end_tok - n_tokens) // 512) AS first_pack,
+                   (greatest(end_tok - 1, end_tok - n_tokens) // 512)
+                       AS last_pack
+            FROM c),
+        s AS (
+            SELECT shard, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+                   max(end_tok) AS stream,
+                   coalesce(sum(CASE WHEN first_pack != last_pack
+                                THEN 1 END), 0) AS n_straddlers
+            FROM o GROUP BY shard)
+        SELECT shard::BIGINT AS shard, n_docs::BIGINT AS n_docs,
+               n_tokens::BIGINT AS n_tokens,
+               ((stream + 511) // 512)::BIGINT AS n_packs,
+               CASE WHEN ((stream + 511) // 512) = 0 THEN NULL
+                    ELSE round(n_tokens::DOUBLE
+                               / (((stream + 511) // 512) * 512)::DOUBLE, 6)
+               END AS fill_rate,
+               (((stream + 511) // 512) * 512 - n_tokens)::BIGINT
+                   AS waste_tokens,
+               n_straddlers::BIGINT AS n_straddlers
+        FROM s
+    """
+    # r15: temperature-mixture planning report — exact BIGINT token
+    # counts, round-6 shares, and alpha=0.5 weights via sqrt (IEEE
+    # exactly rounded on both engines; pow is not) with the
+    # denominator folded SEQUENTIALLY in group order (list_reduce over
+    # ORDER BY g NULLS FIRST — Spark's sort_array puts NULL structs
+    # first, the standing NULL-ordering trap)
+    d["source_mixture_report"] = f"""
+        WITH t AS (
+            SELECT source AS g, len({_SQL_TOKS}) AS n_toks
+            FROM documents),
+        per AS (
+            SELECT g, count(*)::BIGINT AS n_docs,
+                   coalesce(sum(n_toks), 0)::BIGINT AS n_tokens
+            FROM t GROUP BY g),
+        w AS (
+            SELECT g, n_docs, n_tokens, sqrt(n_tokens::DOUBLE) AS wv
+            FROM per),
+        s AS (
+            SELECT sum(n_tokens) AS total,
+                   list_reduce(list(wv ORDER BY g NULLS FIRST),
+                               (a, b) -> a + b) AS den
+            FROM w)
+        SELECT w.g AS source, w.n_docs, w.n_tokens,
+               CASE WHEN s.total = 0 THEN NULL
+                    ELSE round(w.n_tokens::DOUBLE / s.total::DOUBLE, 6)
+               END AS token_share,
+               CASE WHEN s.den = 0 THEN NULL
+                    ELSE round(w.wv / s.den, 6) END AS weight_alpha
+        FROM w CROSS JOIN s
     """
     # a generator that could not build its oracle (compression_ratio
     # when the fixed corpus is unreadable) returns None — drop the key

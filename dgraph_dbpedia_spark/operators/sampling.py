@@ -119,6 +119,146 @@ def pack_offsets(
     )
 
 
+def pack_efficiency_report(
+    df: DataFrame,
+    max_tokens: int = 2048,
+    n_shards: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Packing-efficiency audit over :func:`pack_offsets` (r15): the
+    per-shard numbers a pretraining-data team reads before committing
+    a pack size — how full the packs are and how often documents
+    straddle pack boundaries (straddling costs cross-document
+    attention masking or mid-document truncation downstream). One row
+    per non-empty shard::
+
+        (shard, n_docs, n_tokens, n_packs, fill_rate, waste_tokens,
+         n_straddlers)
+
+    ``n_packs = ceil(stream_len / max_tokens)`` (exact integer
+    arithmetic), ``fill_rate = round(n_tokens / (n_packs *
+    max_tokens), 6)`` (NULL for an all-empty shard), ``waste_tokens``
+    is the final pack's padding tail (concat-and-chunk has no
+    internal waste BY CONSTRUCTION — the waste is all in the tail,
+    which is why fill rates here run high and the interesting number
+    is ``n_straddlers``), and ``n_straddlers`` counts docs with
+    ``first_pack != last_pack``.
+
+    Shares :func:`pack_offsets`' shard/offset/pack definitions
+    wholesale (one definition — this report can never disagree with
+    the offsets it audits). 100 TB shape: pack_offsets' single
+    per-shard window shuffle, then a partial-aggregable groupBy whose
+    output is bounded by ``n_shards``."""
+    off = pack_offsets(
+        df,
+        max_tokens=max_tokens,
+        n_shards=n_shards,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    per = off.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.max("end_tok").cast("long").alias("__stream"),
+        F.coalesce(
+            F.sum((F.col("first_pack") != F.col("last_pack")).cast("long")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_straddlers"),
+    )
+    n_packs = F.expr(f"(__stream + {max_tokens} - 1) div {max_tokens}")
+    return per.select(
+        F.col("shard").cast("long").alias("shard"),
+        "n_docs",
+        "n_tokens",
+        n_packs.cast("long").alias("n_packs"),
+        F.round(
+            F.try_divide(
+                F.col("n_tokens"), n_packs * F.lit(max_tokens)
+            ),
+            6,
+        ).alias("fill_rate"),
+        (n_packs * F.lit(max_tokens) - F.col("n_tokens"))
+        .cast("long")
+        .alias("waste_tokens"),
+        "n_straddlers",
+    )
+
+
+def source_mixture_report(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus mixture report (r15): per group — document count, exact
+    token count, token share, and the alpha-smoothed temperature
+    weight ``n_tokens^alpha / sum_g n_tokens^alpha`` (the sampling
+    distribution mC4/XLM-R-style temperature mixing would draw from;
+    totals cancel, so smoothing the raw counts equals smoothing the
+    shares). The planning-side complement of
+    :func:`temperature_sample`: that operator REALIZES a rebalance by
+    dropping rows; this one reports the target mixture so a human (or
+    a mixture optimizer) can read the weights before any data moves.
+    Returns ``(group, n_docs, n_tokens, token_share, weight_alpha)``,
+    shares and weights round-6.
+
+    Cross-engine determinism: ``alpha=0.5`` (the default and the
+    registered form) computes ``sqrt`` of exact BIGINT token counts —
+    IEEE-exactly-rounded on every engine, unlike ``pow`` whose libm
+    may differ in the last ulp — and the weight denominator folds the
+    per-group terms SEQUENTIALLY in group order (sorted fold, the
+    package recipe), never a shuffle-order float sum. Other alphas
+    use ``pow`` and carry the documented last-ulp caveat.
+
+    100 TB shape: one partial-aggregable groupBy bounded by the group
+    count, then bounded single-row crossJoins (the X6 pattern) — the
+    corpus is never reshuffled and the group dimension is never
+    collected to the driver."""
+    from dgraph_dbpedia_spark.functions.hashing import tokens
+
+    if float(alpha) <= 0.0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    per = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum(F.size(tokens(F.col(text_col)))), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    if float(alpha) == 0.5:
+        term = F.sqrt(F.col("n_tokens").cast("double"))
+    else:
+        term = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    w = per.withColumn("__w", term)
+    scalars = w.agg(
+        F.sum("n_tokens").alias("__total"),
+        # sequential sorted fold: group values are unique, so sorting
+        # the (group, term) structs fixes ONE summation order both
+        # engines can replay (float + is non-associative)
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("__g", "__w"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["__w"],
+        ).alias("__den"),
+    )
+    return (
+        w.crossJoin(F.broadcast(scalars))
+        .select(
+            F.col("__g").alias(group_col),
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.try_divide(F.col("n_tokens"), F.col("__total")), 6
+            ).alias("token_share"),
+            F.round(F.try_divide(F.col("__w"), F.col("__den")), 6).alias(
+                "weight_alpha"
+            ),
+        )
+    )
+
+
 def _unit_coin(id_col: str, seed: int) -> F.Column:
     """The cross-engine [0, 1) coin every sampler shares — the 60-bit
     md5 id hash mapped through mod 1e6. ONE definition: weighted_sample

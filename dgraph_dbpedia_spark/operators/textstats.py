@@ -493,6 +493,102 @@ def gopher_quality_filter(
     )
 
 
+def filter_attrition_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Per-rule attrition funnel for the Gopher-style quality gate
+    (r15): the curation-observability report every large filtering
+    run needs before anyone trusts ``keep`` — which rule removes how
+    much, both in isolation and marginally in gate order (a rule
+    whose marginal kill count is ~0 is redundant; one that removes
+    40% of the corpus needs eyes before the run). Returns ONE row per
+    rule, in gate order::
+
+        (rule, rule_order, n_failed, n_failed_marginal, n_remaining)
+
+    where ``n_failed`` counts documents failing the rule in
+    isolation, ``n_failed_marginal`` counts documents that pass every
+    EARLIER rule and fail this one (the docs this rule alone removes
+    from the surviving set), and ``n_remaining`` is the surviving
+    count after rules ``1..rule_order``. The last row's
+    ``n_remaining`` equals ``df.where('keep').count()`` of
+    :func:`gopher_quality_filter` by construction — the rule
+    thresholds are applied to that function's OWN feature columns
+    (one definition: this report can never disagree with the gate it
+    audits).
+
+    100 TB shape: one partial-aggregable global aggregate over
+    per-document booleans (map-side combine reduces every partition
+    to a single 13-counter row before the 1-row shuffle); the
+    per-rule explode runs on the single aggregated row. No UDF, no
+    second pass over the text."""
+    feats = gopher_quality_filter(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        min_words=min_words,
+        max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        min_alpha_word_ratio=min_alpha_word_ratio,
+        min_stopwords=min_stopwords,
+    )
+    rules = [
+        ("words_min", F.col("n_words") >= F.lit(min_words)),
+        ("words_max", F.col("n_words") <= F.lit(max_words)),
+        (
+            "mean_word_len_min",
+            F.col("mean_word_len") >= F.lit(float(min_mean_word_len)),
+        ),
+        (
+            "mean_word_len_max",
+            F.col("mean_word_len") <= F.lit(float(max_mean_word_len)),
+        ),
+        (
+            "alpha_word_ratio",
+            F.col("alpha_word_ratio") >= F.lit(float(min_alpha_word_ratio)),
+        ),
+        ("stopwords", F.col("n_stopwords") >= F.lit(min_stopwords)),
+    ]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    passed_so_far = F.lit(True)
+    for i, (_, cond) in enumerate(rules):
+        # coalesce(sum, 0): an EMPTY corpus must report 0, not NULL
+        # (the vocab_growth lesson, ADVICE r13)
+        aggs.append(
+            F.coalesce(F.sum((~cond).cast("long")), F.lit(0)).alias(f"_f{i}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum((passed_so_far & ~cond).cast("long")), F.lit(0)
+            ).alias(f"_m{i}")
+        )
+        passed_so_far = passed_so_far & cond
+    one = feats.agg(*aggs)
+    cum = F.lit(0).cast("long")
+    rows = []
+    for i, (name, _) in enumerate(rules):
+        cum = cum + F.col(f"_m{i}")
+        rows.append(
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.lit(i + 1).cast("long").alias("rule_order"),
+                F.col(f"_f{i}").cast("long").alias("n_failed"),
+                F.col(f"_m{i}").cast("long").alias("n_failed_marginal"),
+                (F.col("_n") - cum).cast("long").alias("n_remaining"),
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("_r")).select("_r.*")
+
+
 def unigram_logprob(
     df: DataFrame,
     text_col: str = "text",

@@ -330,3 +330,43 @@ def test_r14_operator_plan_shapes(spark):
     plan = _plan(kc)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_r15_operator_plan_shapes(spark):
+    """Pin the scale-critical physical-plan properties of the r15
+    additions (the .explain audit, made permanent):
+
+    - filter_attrition_report: ONE aggregation chain (partial
+      HashAggregate before the exchange, final after — map-side
+      combine reduces every partition to one counter row), no Python
+      stage, and exactly one shuffle of the counters;
+    - pack_efficiency_report: the single per-shard window shuffle
+      pack_offsets owns plus a partial-aggregable groupBy — no extra
+      corpus-wide exchange beyond those two, no Python stage;
+    - source_mixture_report: corpus never reshuffled — one groupBy
+      bounded by the group count, scalars ride BROADCAST crossJoins
+      (the X6 pattern), no SortMergeJoin anywhere.
+    """
+    import __spark_entry__ as entry_mod
+
+    far = entry_mod.QUERIES["filter_attrition_report"](spark, SF)
+    plan = _plan(far)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan, plan
+    # one counter shuffle: the global agg's partial/final exchange
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+
+    per = entry_mod.QUERIES["pack_efficiency_report"](spark, SF)
+    plan = _plan(per)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan, plan
+    # shuffles: the shard hashpartitioning for the window (reused by
+    # the same-key groupBy) plus AQE bookkeeping — never a second
+    # corpus-wide key
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+    smr = entry_mod.QUERIES["source_mixture_report"](spark, SF)
+    plan = _plan(smr)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -522,3 +522,113 @@ def test_classifier_training_set(spark):
     assert sum(1 for r in got2 if r["label"] == 1) == 2
     with pytest.raises(ValueError, match="n_per_class"):
         classifier_training_set(docs, ref, n_per_class=0)
+
+
+# ---------------------------------------------------------------------------
+# r15: pack_efficiency_report / source_mixture_report
+
+
+def test_pack_efficiency_report_hand_numbers(spark):
+    """One shard (n_shards=1) removes hash placement from the math:
+    docs of 3/4/5 tokens at max_tokens=4 -> stream 12, 3 packs, fill
+    1.0, waste 0; with a 13th token (extra 1-token doc) -> 4 packs,
+    waste 3, fill round(13/16, 6). Straddlers counted from the shared
+    pack_offsets first/last ids."""
+    from dgraph_dbpedia_spark.operators.sampling import (
+        pack_efficiency_report,
+        pack_offsets,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g"), (3, "h i j k l")],
+        ["doc_id", "text"],
+    )
+    r = pack_efficiency_report(docs, max_tokens=4, n_shards=1).collect()
+    assert len(r) == 1
+    row = r[0].asDict()
+    assert row == {
+        "shard": 0,
+        "n_docs": 3,
+        "n_tokens": 12,
+        "n_packs": 3,
+        "fill_rate": 1.0,
+        "waste_tokens": 0,
+        # doc order is doc_id: [3][4][5] tokens -> offsets 0-3, 3-7,
+        # 7-12: the 4-token and 5-token docs straddle a 4-boundary
+        "n_straddlers": 2,
+    }
+
+    docs2 = docs.union(
+        spark.createDataFrame([(4, "m")], ["doc_id", "text"])
+    )
+    row2 = (
+        pack_efficiency_report(docs2, max_tokens=4, n_shards=1)
+        .collect()[0]
+        .asDict()
+    )
+    assert row2["n_packs"] == 4
+    assert row2["waste_tokens"] == 3
+    assert row2["fill_rate"] == round(13 / 16, 6)
+
+    # consistency with pack_offsets itself (one definition)
+    off = pack_offsets(docs2, max_tokens=4, n_shards=1)
+    assert row2["n_straddlers"] == off.where("first_pack != last_pack").count()
+
+
+def test_pack_efficiency_report_empty_docs_shard(spark):
+    """A shard whose docs are all empty has stream 0 -> 0 packs, NULL
+    fill rate, 0 waste (NULL semantics must match the oracle's CASE)."""
+    from dgraph_dbpedia_spark.operators.sampling import pack_efficiency_report
+
+    docs = spark.createDataFrame([(1, ""), (2, " ")], ["doc_id", "text"])
+    row = (
+        pack_efficiency_report(docs, max_tokens=4, n_shards=1)
+        .collect()[0]
+        .asDict()
+    )
+    assert row["n_tokens"] == 0 and row["n_packs"] == 0
+    assert row["fill_rate"] is None and row["waste_tokens"] == 0
+
+
+def test_source_mixture_report_hand_weights(spark):
+    """Two sources with 9 and 16 total tokens: shares 9/25 and 16/25,
+    alpha=0.5 weights 3/7 and 4/7 (sqrt of exact counts). Weights sum
+    to ~1; determinism under repartitioning."""
+    from dgraph_dbpedia_spark.operators.sampling import source_mixture_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", " ".join("x" * 1 for _ in range(4))),
+            (2, "a", " ".join("x" for _ in range(5))),
+            (3, "b", " ".join("x" for _ in range(16))),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    got = {
+        r["source"]: r.asDict()
+        for r in source_mixture_report(docs, group_col="source").collect()
+    }
+    assert got["a"]["n_docs"] == 2 and got["a"]["n_tokens"] == 9
+    assert got["b"]["n_docs"] == 1 and got["b"]["n_tokens"] == 16
+    assert got["a"]["token_share"] == round(9 / 25, 6)
+    assert got["b"]["token_share"] == round(16 / 25, 6)
+    assert got["a"]["weight_alpha"] == round(3 / 7, 6)
+    assert got["b"]["weight_alpha"] == round(4 / 7, 6)
+
+    again = {
+        tuple(r)
+        for r in source_mixture_report(
+            docs.repartition(7), group_col="source"
+        ).collect()
+    }
+    assert again == {tuple(r.values()) for r in got.values()}
+
+
+def test_source_mixture_report_rejects_bad_alpha(spark):
+    from dgraph_dbpedia_spark.operators.sampling import source_mixture_report
+
+    docs = spark.createDataFrame([(1, "a", "x")], ["doc_id", "source", "text"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        source_mixture_report(docs, alpha=0.0)

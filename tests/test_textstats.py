@@ -809,3 +809,63 @@ def test_vocab_growth_empty_corpus_zeros(spark):
     for r in rows:
         assert (r["n_docs"], r["n_tokens"], r["vocab"]) == (0, 0, 0)
         assert r["cutoff_id"] is None
+
+
+# ---------------------------------------------------------------------------
+# r15: filter_attrition_report
+
+
+def test_filter_attrition_report_matches_gate(spark):
+    """The funnel's invariants against gopher_quality_filter itself
+    (one definition): last row's n_remaining == the gate's keep
+    count; sum of marginals == total - survivors; each rule's
+    isolation count >= its marginal count; rows come back in gate
+    order 1..6."""
+    from dgraph_dbpedia_spark.operators.textstats import (
+        filter_attrition_report,
+        gopher_quality_filter,
+    )
+
+    # a spread of docs: too short, prose-like, no stopwords, long words
+    rows = [
+        (1, "the cat sat on the mat and it is that for " * 12),
+        (2, "word"),
+        (3, "zz qq ww ee rr tt yy uu " * 20),
+        (4, "pneumonoultramicroscopics " * 60),
+        (5, "the of and to in a is that for it " + "normal words here " * 30),
+        (6, ""),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = dict(min_words=10, max_words=200, min_mean_word_len=2.0,
+              max_mean_word_len=12.0, min_alpha_word_ratio=0.8,
+              min_stopwords=2)
+    rep = filter_attrition_report(docs, **kw).collect()
+    assert [r["rule_order"] for r in rep] == [1, 2, 3, 4, 5, 6]
+    assert [r["rule"] for r in rep] == [
+        "words_min", "words_max", "mean_word_len_min",
+        "mean_word_len_max", "alpha_word_ratio", "stopwords",
+    ]
+    keep_n = gopher_quality_filter(docs, **kw).where("keep").count()
+    assert rep[-1]["n_remaining"] == keep_n
+    assert sum(r["n_failed_marginal"] for r in rep) == len(rows) - keep_n
+    for r in rep:
+        assert r["n_failed"] >= r["n_failed_marginal"]
+    # n_remaining is monotone non-increasing from the corpus size
+    rem = [len(rows)] + [r["n_remaining"] for r in rep]
+    assert all(a >= b for a, b in zip(rem, rem[1:]))
+
+
+def test_filter_attrition_report_empty_corpus(spark):
+    """Empty corpus: six rows, all-zero counters (coalesce'd sums —
+    the vocab_growth lesson), not NULLs."""
+    from dgraph_dbpedia_spark.operators.textstats import (
+        filter_attrition_report,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    rep = filter_attrition_report(docs).collect()
+    assert len(rep) == 6
+    for r in rep:
+        assert (r["n_failed"], r["n_failed_marginal"], r["n_remaining"]) == (
+            0, 0, 0,
+        )
