@@ -3120,6 +3120,35 @@ def _q_source_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_token_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15: power-of-two token-length histogram — the length
+    distribution a packing/context-window decision reads. Bucket
+    edges via exact integer bit-length (the registry's standing
+    length(bin(n)) recipe), never floor(log2(double)). All-integer
+    output; one partial-aggregable groupBy."""
+    from dgraph_dbpedia_spark.operators.textstats import (
+        token_bucket_histogram,
+    )
+
+    return token_bucket_histogram(_t(spark, sf_dir, "documents"))
+
+
+def _q_quantization_error_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r15: per-label int8 reconstruction-error audit — round-6
+    cosine loss between each vector and its dequantized int8 form,
+    scales/quantizer shared WHOLESALE with the int8 serve path. Mean
+    folds exact e6 BIGINTs (order-independent by construction); the
+    oracle replays scales, floor-quantization, dequant and both
+    folds."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        quantization_error_report,
+    )
+
+    return quantization_error_report(_t(spark, sf_dir, "embeddings"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # changed or new this round (r12) — first in line for driver rows:
     # the corpus_divergence contract fix (round-4 on both engines +
@@ -3379,6 +3408,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_attrition_report": _q_filter_attrition_report,
     "pack_efficiency_report": _q_pack_efficiency_report,
     "source_mixture_report": _q_source_mixture_report,
+    "token_bucket_histogram": _q_token_bucket_histogram,
+    "quantization_error_report": _q_quantization_error_report,
 }
 
 
@@ -7333,6 +7364,62 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN s.den = 0 THEN NULL
                     ELSE round(w.wv / s.den, 6) END AS weight_alpha
         FROM w CROSS JOIN s
+    """
+    # r15: power-of-two token-length histogram — exact integer bucket
+    # edges via bit length (1 << (length(bin(n)) - 1), the standing
+    # recipe), never floor(log2(double))
+    d["token_bucket_histogram"] = f"""
+        WITH t AS (SELECT len({_SQL_TOKS}) AS n FROM documents),
+        b AS (
+            SELECT n, CASE WHEN n <= 0 THEN 0
+                           ELSE (1::BIGINT << (length(bin(n)) - 1))
+                      END AS bucket_lo
+            FROM t)
+        SELECT bucket_lo::BIGINT AS bucket_lo,
+               (CASE WHEN bucket_lo = 0 THEN 0
+                     ELSE bucket_lo * 2 - 1 END)::BIGINT AS bucket_hi,
+               count(*)::BIGINT AS n_docs,
+               coalesce(sum(n), 0)::BIGINT AS n_tokens
+        FROM b GROUP BY bucket_lo
+    """
+    # r15: int8 reconstruction-error audit — replays the serve path's
+    # per-dim max-abs scales and floor-quantization (the
+    # _sql_quantized_topk fragments, full-corpus calibration), then
+    # round-6 cosine loss per vector; the mean folds exact e6 integers
+    # (round(err * 1e6) summed — order-independent on both engines),
+    # division-by-zero -> NULL on both engines (DuckDB double x/0 is
+    # NULL like Spark's try_divide; zero-norm rows drop from n_scored)
+    d["quantization_error_report"] = f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v, label
+            FROM embeddings),
+        pe AS (
+            SELECT pos, max(abs(x)) AS m
+            FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos
+                  FROM e)
+            GROUP BY pos),
+        st AS (
+            SELECT list_transform(list(m ORDER BY pos),
+                                  x -> greatest(x, 1e-12)) AS scales
+            FROM pe),
+        d0 AS (
+            SELECT label, v,
+                   list_transform(range(1, len(v) + 1),
+                       i -> greatest(least(floor(v[i] / st.scales[i] * 127
+                                                 + 0.5), 127), -127)::DOUBLE
+                            * st.scales[i]) AS dq
+            FROM e CROSS JOIN st),
+        r AS (
+            SELECT label,
+                   round(1 - list_dot_product(v, dq) /
+                         (sqrt(list_dot_product(v, v)) *
+                          sqrt(list_dot_product(dq, dq))), 6) AS err
+            FROM d0)
+        SELECT label, count(*)::BIGINT AS n, count(err)::BIGINT AS n_scored,
+               max(err) AS max_err,
+               round(sum(round(err * 1000000, 0))::DOUBLE /
+                     (count(err)::DOUBLE * 1000000), 6) AS mean_err
+        FROM r GROUP BY label
     """
     # a generator that could not build its oracle (compression_ratio
     # when the fixed corpus is unreadable) returns None — drop the key

@@ -1370,6 +1370,71 @@ def quantize_embeddings(
     )
 
 
+def quantization_error_report(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label int8 reconstruction-error audit (r15): how much
+    cosine geometry the scalar quantization loses, BEFORE anyone
+    trusts the int8 serve path on a new corpus — the calibration
+    check an index rollout runs next to ann_recall_report (that one
+    audits end-to-end recall; this one attributes loss to the
+    quantizer itself). Per label::
+
+        (label, n, n_scored, max_err, mean_err)
+
+    where ``err = round(1 - cos(v, v_hat), 6)`` and ``v_hat[i] =
+    q8(v[i]) * scales[i]`` (the uniform 1/127 cancels inside cosine
+    and is omitted — the oracle replays the same formula). A
+    zero-norm vector has NULL err: counted in ``n``, excluded from
+    ``n_scored``/``max_err``/``mean_err`` (both engines' aggregates
+    skip NULLs).
+
+    Determinism: ``mean_err`` folds EXACT integers — each err is
+    scaled to an e6 integer (``round(err * 1e6)``), summed as BIGINT,
+    divided once, rounded 6 — so the mean is order-independent by
+    construction (no float-sum ordering to replay); ``max_err`` is a
+    max of round-6 doubles (order-independent). Scales/quantization
+    are :func:`quantization_scales` / :func:`_q8` WHOLESALE — the
+    report audits exactly the quantizer the serve path runs.
+
+    100 TB shape: the scales ride ONE broadcast row, the error is a
+    scan-fused projection, and the report is a partial-aggregable
+    groupBy bounded by the label count. The e6 BIGINT sum holds to
+    ~4.5e15 scored rows per label (err <= 2 -> 2e6/row vs int64)."""
+    scales = quantization_scales(df, vec_col)
+    v = F.col("_v")
+    dq = F.zip_with(
+        v, F.col("scales"), lambda x, s: _q8(x, s).cast("double") * s
+    )
+    cos = F.try_divide(
+        _dot(v, dq), F.sqrt(_dot(v, v)) * F.sqrt(_dot(dq, dq))
+    )
+    err6 = F.round(F.lit(1.0) - cos, 6)
+    per = (
+        df.select(
+            F.col(label_col).alias("_lab"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .crossJoin(F.broadcast(scales))
+        .select("_lab", err6.alias("_err"))
+    )
+    return per.groupBy(F.col("_lab").alias(label_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("_err").cast("long").alias("n_scored"),
+        F.max("_err").alias("max_err"),
+        F.round(
+            F.try_divide(
+                F.sum(F.round(F.col("_err") * 1e6, 0).cast("long")),
+                F.count("_err").cast("double") * 1e6,
+            ),
+            6,
+        ).alias("mean_err"),
+    )
+
+
 def _q8(v: Column, s: Column) -> Column:
     """One int8 component: floor(v/s*127 + 0.5) clamped to [-127, 127]
     (see :func:`quantize_embeddings` for why both halves matter)."""

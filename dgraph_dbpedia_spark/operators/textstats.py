@@ -493,6 +493,53 @@ def gopher_quality_filter(
     )
 
 
+def token_bucket_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Power-of-two token-length histogram (r15): the length
+    distribution a packing/context-window decision reads — one row
+    per occupied log2 bucket::
+
+        (bucket_lo, bucket_hi, n_docs, n_tokens)
+
+    where a document with ``n >= 1`` tokens lands in ``[2^floor(log2
+    n), 2^(floor(log2 n)+1) - 1]`` and empty documents occupy the
+    ``[0, 0]`` bucket. All-integer output — the bucket edge is
+    ``2^(bit_length(n) - 1)`` computed with exact integer/bit
+    arithmetic (``length(bin(n))``, the registry's standing
+    bit-length recipe), never ``floor(log2(double))`` whose last-ulp
+    behavior at exact powers of two differs between engines.
+
+    100 TB shape: one partial-aggregable groupBy over a scan-fused
+    projection; output bounded by ~64 buckets. No UDF, no second
+    pass."""
+    n = F.size(tokens(F.col(text_col)))
+    # SQL-expr shiftleft: the Python-side F.shiftleft only accepts a
+    # literal int bit count, not a column expression
+    lo = F.when(F.col("__n") <= 0, F.lit(0).cast("long")).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), length(bin(__n)) - 1)")
+    )
+    return (
+        df.select(F.col(id_col), n.alias("__n"))
+        .select(F.col(id_col), "__n", lo.alias("bucket_lo"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+        .select(
+            "bucket_lo",
+            F.when(F.col("bucket_lo") == 0, F.lit(0).cast("long"))
+            .otherwise(F.col("bucket_lo") * 2 - 1)
+            .alias("bucket_hi"),
+            "n_docs",
+            "n_tokens",
+        )
+    )
+
+
 def filter_attrition_report(
     df: DataFrame,
     text_col: str = "text",

@@ -370,3 +370,20 @@ def test_r15_operator_plan_shapes(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastExchange" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+    # token_bucket_histogram: scan-fused projection + ONE
+    # partial-aggregable groupBy (partial + final HashAggregate)
+    tbh = entry_mod.QUERIES["token_bucket_histogram"](spark, SF)
+    plan = _plan(tbh)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+    # quantization_error_report: scales ride ONE broadcast row, the
+    # corpus is never sort-merge joined, label agg partial-aggregates
+    qer = entry_mod.QUERIES["quantization_error_report"](spark, SF)
+    plan = _plan(qer)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan

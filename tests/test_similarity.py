@@ -2134,3 +2134,59 @@ def test_knn_label_noise_block_lane_guards(spark):
         assert False, "both candidate structures must raise"
     except ValueError as e:
         assert "mutually exclusive" in str(e)
+
+
+# ---------------------------------------------------------------------------
+# r15: quantization_error_report
+
+
+def test_quantization_error_report_hand_numbers(spark):
+    """One-hot vectors reconstruct exactly (err 0); an off-grid vector
+    carries the hand-computed round-6 cosine loss; a zero vector is
+    counted in n but excluded from n_scored/max/mean (NULL err)."""
+    import math
+
+    from dgraph_dbpedia_spark.operators.similarity import (
+        quantization_error_report,
+    )
+
+    rows = [
+        (1, [4.0, 0.0], "a"),
+        (2, [0.0, 4.0], "a"),
+        (3, [1.0, 3.0], "b"),
+        (4, [0.0, 0.0], "b"),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {
+        r["label"]: r.asDict()
+        for r in quantization_error_report(df).collect()
+    }
+    # scales = [4, 4]; one-hot rows quantize to +-127 on their axis
+    assert got["a"]["n"] == 2 and got["a"]["n_scored"] == 2
+    assert got["a"]["max_err"] == 0.0 and got["a"]["mean_err"] == 0.0
+    # v=[1,3]: q = [floor(1/4*127+.5), floor(3/4*127+.5)] = [32, 95]
+    # dq = [128, 380]; err = round(1 - cos([1,3],[128,380]), 6)
+    cos = (1 * 128 + 3 * 380) / (
+        math.sqrt(1 + 9) * math.sqrt(128**2 + 380**2)
+    )
+    want = round(1 - cos, 6)
+    assert got["b"]["n"] == 2
+    assert got["b"]["n_scored"] == 1  # the zero vector has NULL err
+    assert got["b"]["max_err"] == want
+    assert got["b"]["mean_err"] == round(round(want * 1e6) / 1e6, 6)
+
+
+def test_quantization_error_report_deterministic(spark):
+    """Same report under repartitioning (the e6-integer mean is
+    order-independent by construction)."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        quantization_error_report,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {tuple(r) for r in quantization_error_report(emb).collect()}
+    b = {
+        tuple(r)
+        for r in quantization_error_report(emb.repartition(17)).collect()
+    }
+    assert a == b and len(a) > 0

@@ -869,3 +869,33 @@ def test_filter_attrition_report_empty_corpus(spark):
         assert (r["n_failed"], r["n_failed_marginal"], r["n_remaining"]) == (
             0, 0, 0,
         )
+
+
+def test_token_bucket_histogram_hand_buckets(spark):
+    """Docs of 0/1/2/3/4/7/8 tokens land in buckets [0,0], [1,1],
+    [2,3]x2, [4,7]x2, [8,15]; token sums per bucket are exact."""
+    from dgraph_dbpedia_spark.operators.textstats import (
+        token_bucket_histogram,
+    )
+
+    def doc(i, n):
+        return (i, " ".join(["w"] * n))
+
+    docs = spark.createDataFrame(
+        [doc(1, 0), doc(2, 1), doc(3, 2), doc(4, 3), doc(5, 4),
+         doc(6, 7), doc(7, 8)],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["bucket_lo"]: r.asDict()
+        for r in token_bucket_histogram(docs).collect()
+    }
+    assert set(got) == {0, 1, 2, 4, 8}
+    assert got[0] == {"bucket_lo": 0, "bucket_hi": 0, "n_docs": 1,
+                      "n_tokens": 0}
+    assert got[1]["n_docs"] == 1 and got[1]["bucket_hi"] == 1
+    assert got[2] == {"bucket_lo": 2, "bucket_hi": 3, "n_docs": 2,
+                      "n_tokens": 5}
+    assert got[4] == {"bucket_lo": 4, "bucket_hi": 7, "n_docs": 2,
+                      "n_tokens": 11}
+    assert got[8]["n_docs"] == 1 and got[8]["bucket_hi"] == 15
