@@ -3120,6 +3120,47 @@ def _q_source_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_list_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15: inverted-list skew audit over the served IVF index's
+    assignment — per occupied list: exact count, round-6 share and
+    load factor (1.0 = balanced; a probe landing in a load-4 list
+    pays 4x the balanced serve cost). Exact-integer ratios; one
+    bounded groupBy + one broadcast scalar row. Oracle replays the
+    seed-centroid assignment (the shared casg rule) and the folds.
+    cid cast to long explicitly: the index's by-cid partition layout
+    reads the directory column back as int."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        ivf_list_skew_report,
+    )
+
+    assigned, _ = _served_ivf_index(spark, sf_dir)
+    return ivf_list_skew_report(
+        assigned.select("vec_id", F.col("cid").cast("long").alias("cid"))
+    )
+
+
+def _q_pq_reconstruction_error_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r15: per-label PQ reconstruction-error audit — the codebook
+    twin of quantization_error_report (same shared e6-integer error
+    fold), over the same m=4/k_sub=16/1-iter training and vec_id > 0
+    encode corpus as the registered pq_topk chain. Codes from the
+    pinned encode kernel; decode is a literal codebook lookup (X6) —
+    the corpus is never joined or shuffled. The oracle reuses the
+    FULL _sql_pq_topk training replay in its recon_error mode."""
+    from dgraph_dbpedia_spark.operators.pq import (
+        pq_reconstruction_error_report,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, dims=64, m=4, k_sub=16, n_iter=1)
+    return pq_reconstruction_error_report(
+        emb.where(F.col("vec_id") > 0), cb, dims=64, m=4
+    )
+
+
 def _q_token_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r15: power-of-two token-length histogram — the length
     distribution a packing/context-window decision reads. Bucket
@@ -3410,6 +3451,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_mixture_report": _q_source_mixture_report,
     "token_bucket_histogram": _q_token_bucket_histogram,
     "quantization_error_report": _q_quantization_error_report,
+    "ivf_list_skew_report": _q_ivf_list_skew_report,
+    "pq_reconstruction_error_report": _q_pq_reconstruction_error_report,
 }
 
 
@@ -3855,6 +3898,7 @@ def _sql_pq_topk(
     coarse_k: int | None = None, n_probe: int = 2,
     corpus_train: bool = False,
     rerank_shortlist: int | None = None,
+    recon_error: bool = False,
 ) -> str:
     """Full PQ chain replay: per subspace, L2 Lloyd (lowest-id seeds,
     round-6 squared-L2 assignment with cid-asc ties, round-``nd``
@@ -3970,6 +4014,36 @@ def _sql_pq_topk(
     tab_joins = " ".join(
         f"JOIN tab{j} t{j} ON t{j}.cid = n{j}.cid" for j in range(m)
     )
+    if recon_error:
+        # r15 reconstruction-error mode: reuses the ENTIRE training +
+        # per-subspace nearest-code replay above; the decode is the
+        # concat of each code's trained sub-centroid, then the shared
+        # e6-integer error fold (the quantization_error_report shape)
+        vhat = "cb0.c"
+        for j in range(1, m):
+            vhat = f"list_concat({vhat}, cb{j}.c)"
+        cb_joins = " ".join(
+            f"JOIN pc{j}_{n_iter} cb{j} ON cb{j}.cid = n{j}.cid"
+            for j in range(m)
+        )
+        return f"""WITH {', '.join(ctes)},
+            rv AS (
+                SELECT n0.vec_id, {vhat} AS vhat
+                FROM nc0 n0 {code_joins} {cb_joins}),
+            r AS (
+                SELECT emb.label,
+                       round(1 - list_dot_product(e.v, rv.vhat) /
+                             (sqrt(list_dot_product(e.v, e.v)) *
+                              sqrt(list_dot_product(rv.vhat, rv.vhat))),
+                             6) AS err
+                FROM rv JOIN e USING (vec_id)
+                JOIN embeddings emb USING (vec_id))
+            SELECT label, count(*)::BIGINT AS n,
+                   count(err)::BIGINT AS n_scored,
+                   max(err) AS max_err,
+                   round(sum(round(err * 1000000, 0))::DOUBLE /
+                         (count(err)::DOUBLE * 1000000), 6) AS mean_err
+            FROM r GROUP BY label"""
     adc = " + ".join(f"t{j}.dq" for j in range(m))
     rec = " + ".join(f"t{j}.cc" for j in range(m))
     adc_select = f"""
@@ -7421,6 +7495,41 @@ def oracle_sql() -> dict[str, str]:
                      (count(err)::DOUBLE * 1000000), 6) AS mean_err
         FROM r GROUP BY label
     """
+    # r15: inverted-list skew audit — the casg CTE (the shared
+    # 16-seed assignment rule the knn/serve oracles replay), then
+    # exact per-list counts and single divisions of exact integers
+    d["ivf_list_skew_report"] = f"""
+        WITH ce AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id > 0),
+        cc AS (
+            SELECT vec_id AS cid, v AS c FROM ce
+            ORDER BY vec_id LIMIT 16),
+        casg AS (
+            SELECT vec_id, cid FROM (
+                SELECT ce.vec_id, cc.cid,
+                       row_number() OVER (
+                           PARTITION BY ce.vec_id
+                           ORDER BY {_sql_cosine('ce.v', 'cc.c', 6)} DESC,
+                                    cc.cid ASC) AS rn
+                FROM ce CROSS JOIN cc) z
+            WHERE rn = 1),
+        per AS (
+            SELECT cid::BIGINT AS cid, count(*)::BIGINT AS n
+            FROM casg GROUP BY cid),
+        s AS (
+            SELECT sum(n) AS total, count(*)::BIGINT AS n_lists
+            FROM per)
+        SELECT per.cid, per.n,
+               round(per.n::DOUBLE / s.total::DOUBLE, 6) AS share,
+               round((per.n * s.n_lists)::DOUBLE / s.total::DOUBLE, 6)
+                   AS load_factor
+        FROM per CROSS JOIN s
+    """
+    # r15: PQ reconstruction-error audit — the _sql_pq_topk generator
+    # in its recon_error mode (the same Lloyd + nearest-code replay
+    # the pq rows run, new final decode + shared error fold)
+    d["pq_reconstruction_error_report"] = _sql_pq_topk(recon_error=True)
     # a generator that could not build its oracle (compression_ratio
     # when the fixed corpus is unreadable) returns None — drop the key
     # so the driver records its documented weaker rows-only check

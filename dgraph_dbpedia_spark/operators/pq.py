@@ -861,3 +861,93 @@ def pq_ivf_topk_served(
         codes_col=codes_col,
         query_col=query_col,
     )
+
+
+def pq_reconstruction_error_report(
+    df: DataFrame,
+    codebooks: DataFrame,
+    dims: int,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Per-label PQ reconstruction-error audit (r15): the round-6
+    cosine loss between each vector and its PQ decode — the
+    codebook-quality check an IVF-PQ rollout runs next to the int8
+    twin (:func:`..similarity.quantization_error_report`; that one
+    audits the scalar quantizer, this one the trained codebooks —
+    together they attribute serve-path recall loss BEFORE
+    ann_recall_report measures it end to end). Returns the shared
+    report shape ``(label, n, n_scored, max_err, mean_err)``
+    (:func:`..similarity._recon_error_report`, ONE definition of the
+    error fold).
+
+    Codes come from the SAME encode lanes the serve path materializes
+    (:func:`encode_codes_arrow` kernel / the native ``_nearest_l2``
+    fold — both pinned bit-equal by the pq test suite), and the
+    decode is a LITERAL codebook lookup: the bounded ``m x k_sub``
+    codebook frame is collected once (an X6 read, same as the arrow
+    encode lane) and each subspace's reconstruction is
+    ``element_at(<literal centroid array>, code + 1)`` — a scan-fused
+    projection, so the corpus is never joined or shuffled; the only
+    shuffle is the bounded per-label aggregate.
+
+    100 TB shape: encode + decode + error are one projection between
+    scan and aggregate; the label agg partial-aggregates. The e6
+    BIGINT mean holds to ~4.5e15 scored rows per label."""
+    sub = _validate_pq(dims, m, 1)
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.col(label_col).alias("_lab"),
+    )
+    if use_arrow:
+        enc = encode_codes_arrow(_collect_codebooks(codebooks, m, sub))
+        coded = base.withColumn("_codes", enc(F.col("_v")))
+    else:
+
+        def match_j(jj: int):
+            return lambda s: s["j"] == jj
+
+        nearest = [
+            _nearest_l2(
+                F.slice(F.col("_v"), j * sub + 1, sub),
+                F.filter(F.col("_cb"), match_j(j)),
+            )["cid"]
+            for j in range(m)
+        ]
+        coded = base.crossJoin(
+            F.broadcast(_codebook_row(codebooks))
+        ).select(
+            F.col(id_col), "_v", "_lab", F.array(*nearest).alias("_codes")
+        )
+    # literal decode: dense cids 0..k_sub-1 index the sorted centroid
+    # literals directly (the pq_train contract)
+    by_j: dict[int, dict[int, list[float]]] = {}
+    for r in codebooks.select("j", "cid", "c").collect():
+        by_j.setdefault(r["j"], {})[r["cid"]] = [float(x) for x in r["c"]]
+
+    def cb_lit(j: int):
+        cents = by_j[j]
+        return F.array(
+            *[
+                F.array(*[F.lit(x) for x in cents[cid]])
+                for cid in sorted(cents)
+            ]
+        )
+
+    vhat = F.concat(
+        *[
+            F.element_at(cb_lit(j), F.element_at("_codes", j + 1) + 1)
+            for j in range(m)
+        ]
+    )
+    from dgraph_dbpedia_spark.operators.similarity import (
+        _recon_error_report,
+    )
+
+    return _recon_error_report(
+        coded.select("_lab", "_v", vhat.alias("_vhat")), label_col
+    )

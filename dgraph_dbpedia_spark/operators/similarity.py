@@ -744,6 +744,55 @@ def ivf_assign(
     )
 
 
+def ivf_list_skew_report(
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    list_col: str = "cid",
+) -> DataFrame:
+    """Inverted-list skew audit (r15): per-list occupancy of an IVF
+    (or any bucketed) assignment — the partition-balance check a
+    100 TB serving rollout reads BEFORE the skew shows up as one
+    straggler executor per probe. A probe's cost is the size of the
+    lists it touches: a ``load_factor`` of 4 means queries landing in
+    that list pay 4x the balanced cost (and at ingest, that list's
+    partition is the shuffle straggler — the same hot-key pathology
+    the salting operators exist for). Per occupied list::
+
+        (cid, n, share, load_factor)
+
+    with ``share = round(n / total, 6)`` and ``load_factor =
+    round(n * n_lists / total, 6)`` (1.0 = perfectly balanced;
+    ``n_lists`` is the OCCUPIED list count, so the report composes
+    with any assignment source — served index ``assigned`` frames,
+    :func:`ivf_assign` output, LSH bucket ids).
+
+    100 TB shape: one partial-aggregable groupBy bounded by the list
+    count, then the two scalars ride ONE broadcast row (the X6
+    pattern). Exact integer counts; the two ratios are single
+    divisions of exact integers, round-6 — order-independent by
+    construction."""
+    per = assigned.groupBy(F.col(list_col).alias(list_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    scalars = per.agg(
+        F.sum("n").alias("__total"),
+        F.count(F.lit(1)).cast("long").alias("__n_lists"),
+    )
+    return per.crossJoin(F.broadcast(scalars)).select(
+        list_col,
+        "n",
+        F.round(F.try_divide(F.col("n"), F.col("__total")), 6).alias(
+            "share"
+        ),
+        F.round(
+            F.try_divide(
+                F.col("n") * F.col("__n_lists"), F.col("__total")
+            ),
+            6,
+        ).alias("load_factor"),
+    )
+
+
 def ivf_seed_centroids(
     e: DataFrame,
     n_centroids: int,
@@ -1405,33 +1454,51 @@ def quantization_error_report(
     groupBy bounded by the label count. The e6 BIGINT sum holds to
     ~4.5e15 scored rows per label (err <= 2 -> 2e6/row vs int64)."""
     scales = quantization_scales(df, vec_col)
-    v = F.col("_v")
     dq = F.zip_with(
-        v, F.col("scales"), lambda x, s: _q8(x, s).cast("double") * s
+        F.col("_v"), F.col("scales"),
+        lambda x, s: _q8(x, s).cast("double") * s,
     )
-    cos = F.try_divide(
-        _dot(v, dq), F.sqrt(_dot(v, v)) * F.sqrt(_dot(dq, dq))
-    )
-    err6 = F.round(F.lit(1.0) - cos, 6)
     per = (
         df.select(
             F.col(label_col).alias("_lab"),
             F.col(vec_col).cast("array<double>").alias("_v"),
         )
         .crossJoin(F.broadcast(scales))
-        .select("_lab", err6.alias("_err"))
+        .select("_lab", "_v", dq.alias("_vhat"))
     )
-    return per.groupBy(F.col("_lab").alias(label_col)).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.count("_err").cast("long").alias("n_scored"),
-        F.max("_err").alias("max_err"),
-        F.round(
-            F.try_divide(
-                F.sum(F.round(F.col("_err") * 1e6, 0).cast("long")),
-                F.count("_err").cast("double") * 1e6,
-            ),
-            6,
-        ).alias("mean_err"),
+    return _recon_error_report(per, label_col)
+
+
+def _recon_error_report(per: DataFrame, label_col: str) -> DataFrame:
+    """ONE definition of the reconstruction-error fold shared by
+    :func:`quantization_error_report` and the PQ twin
+    (:func:`..pq.pq_reconstruction_error_report`): given a frame of
+    ``(_lab, _v, _vhat)``, compute ``err = round(1 - cos(v, vhat),
+    6)`` per row and the per-label ``(label, n, n_scored, max_err,
+    mean_err)`` report. The mean folds exact e6 BIGINTs
+    (order-independent by construction); zero-norm rows have NULL err
+    (try_divide) and drop from ``n_scored``/``max_err``/``mean_err``
+    on both engines."""
+    cos = F.try_divide(
+        _dot("_v", "_vhat"),
+        F.sqrt(_dot("_v", "_v")) * F.sqrt(_dot("_vhat", "_vhat")),
+    )
+    err6 = F.round(F.lit(1.0) - cos, 6)
+    return (
+        per.select("_lab", err6.alias("_err"))
+        .groupBy(F.col("_lab").alias(label_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count("_err").cast("long").alias("n_scored"),
+            F.max("_err").alias("max_err"),
+            F.round(
+                F.try_divide(
+                    F.sum(F.round(F.col("_err") * 1e6, 0).cast("long")),
+                    F.count("_err").cast("double") * 1e6,
+                ),
+                6,
+            ).alias("mean_err"),
+        )
     )
 
 

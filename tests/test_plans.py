@@ -92,6 +92,10 @@ _PYTHON_OK = {
     # r14: composes minhash_pairs (pinned minhash Arrow lane) with the
     # narrow split coin — the returned plan is the lazy band-join frame
     "split_leakage_report",
+    # r15: the same pinned encode_codes_arrow kernel as the pq rows
+    # (training + encode in the returned lazy plan); the decode is a
+    # literal lookup, JVM-side
+    "pq_reconstruction_error_report",
 }
 
 
@@ -385,5 +389,23 @@ def test_r15_operator_plan_shapes(spark):
     plan = _plan(qer)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+    # ivf_list_skew_report: bounded groupBy + broadcast scalar row,
+    # never a sort-merge join of the assignment frame
+    ils = entry_mod.QUERIES["ivf_list_skew_report"](spark, SF)
+    plan = _plan(ils)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+    # pq_reconstruction_error_report: encode + literal decode + error
+    # are one projection — the CORPUS is never sort-merge joined, and
+    # the only aggregate chain is the bounded per-label one
+    pre = entry_mod.QUERIES["pq_reconstruction_error_report"](spark, SF)
+    plan = _plan(pre)
+    assert "BatchEvalPython" not in plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan

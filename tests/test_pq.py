@@ -476,3 +476,55 @@ def test_pq_train_rejects_degenerate_seeds_both_lanes(spark, emb):
     )
     with pytest.raises(ValueError, match="non-64-wide"):
         pq_train(wide, dims=64, m=4, k_sub=8, n_iter=1)
+
+
+# ---------------------------------------------------------------------------
+# r15: pq_reconstruction_error_report
+
+
+def test_pq_recon_error_lanes_equal_and_exact_on_grid(spark):
+    """Arrow and native encode lanes produce the IDENTICAL report
+    (the family's pinning contract), and vectors that ARE sub-centroid
+    concatenations reconstruct with zero error."""
+    from dgraph_dbpedia_spark.operators.pq import (
+        pq_reconstruction_error_report,
+        pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = pq_train(emb, dims=64, m=4, k_sub=16, n_iter=1).localCheckpoint()
+    corpus = emb.where("vec_id > 0")
+    a = {
+        tuple(r)
+        for r in pq_reconstruction_error_report(
+            corpus, cb, dims=64, m=4, use_arrow=True
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in pq_reconstruction_error_report(
+            corpus, cb, dims=64, m=4, use_arrow=False
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+    # every row: 0 <= mean_err <= max_err <= 2, all scored (no
+    # zero-norm vectors in the fixture)
+    for _lab, n, n_scored, max_err, mean_err in a:
+        assert n == n_scored
+        assert 0.0 <= mean_err <= max_err <= 2.0
+
+    # on-grid corpus: vectors BUILT from the trained sub-centroids
+    # reconstruct exactly (err 0 for every label)
+    rows = cb.collect()
+    by_j = {}
+    for r in rows:
+        by_j.setdefault(r["j"], {})[r["cid"]] = list(r["c"])
+    grid = [
+        (i, by_j[0][i] + by_j[1][i] + by_j[2][i] + by_j[3][i], f"l{i % 3}")
+        for i in range(4)
+    ]
+    gdf = spark.createDataFrame(grid, ["vec_id", "embedding", "label"])
+    rep = pq_reconstruction_error_report(gdf, cb, dims=64, m=4).collect()
+    assert rep and all(
+        r["max_err"] == 0.0 and r["mean_err"] == 0.0 for r in rep
+    )

@@ -2190,3 +2190,20 @@ def test_quantization_error_report_deterministic(spark):
         for r in quantization_error_report(emb.repartition(17)).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_ivf_list_skew_report_hand_numbers(spark):
+    """Known assignment: lists of 6/2/— docs over 8 total -> shares
+    0.75/0.25, load factors 1.5/0.5 (n_lists = OCCUPIED count = 2)."""
+    from dgraph_dbpedia_spark.operators.similarity import (
+        ivf_list_skew_report,
+    )
+
+    rows = [(i, 0 if i < 6 else 1) for i in range(8)]
+    asg = spark.createDataFrame(rows, ["vec_id", "cid"])
+    got = {
+        r["cid"]: r.asDict() for r in ivf_list_skew_report(asg).collect()
+    }
+    assert set(got) == {0, 1}
+    assert got[0] == {"cid": 0, "n": 6, "share": 0.75, "load_factor": 1.5}
+    assert got[1] == {"cid": 1, "n": 2, "share": 0.25, "load_factor": 0.5}
