@@ -3161,6 +3161,30 @@ def _q_pq_reconstruction_error_report(
     )
 
 
+def _q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15: banding-config quality audit — the exact shingle-Jaccard
+    pair set (ngram_jaccard_pairs, the ground truth a sample can
+    afford) vs the MinHash banded+verified candidates at the same w=3
+    / threshold=0.4 config the dedup rows run; one-row
+    (n_truth, n_candidates, n_matched, recall, precision). The oracle
+    composes the two pair chains' own proven replays WHOLESALE."""
+    from dgraph_dbpedia_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        ngram_jaccard_pairs,
+        pair_recall_audit,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(
+        docs, w=3, threshold=0.4, max_shingle_freq=1000
+    )
+    cands = minhash_dedup_pairs(docs, w=3, k=16, bands=4, threshold=0.4)
+    # the two pair frames carry their persisted shingle handles (the
+    # _q_ngram_jaccard posture — the suite's clearCache reclaims them;
+    # releasing here would force a recompute inside the audit join)
+    return pair_recall_audit(truth, cands)
+
+
 def _q_token_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r15: power-of-two token-length histogram — the length
     distribution a packing/context-window decision reads. Bucket
@@ -3453,6 +3477,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantization_error_report": _q_quantization_error_report,
     "ivf_list_skew_report": _q_ivf_list_skew_report,
     "pq_reconstruction_error_report": _q_pq_reconstruction_error_report,
+    "minhash_recall_audit": _q_minhash_recall_audit,
 }
 
 
@@ -7530,6 +7555,28 @@ def oracle_sql() -> dict[str, str]:
     # in its recon_error mode (the same Lloyd + nearest-code replay
     # the pq rows run, new final decode + shared error fold)
     d["pq_reconstruction_error_report"] = _sql_pq_topk(recon_error=True)
+    # r15: banding-config audit — both pair chains reused WHOLESALE
+    # from their standalone proven oracles (the split_leakage
+    # composition rule), matched on the exact unordered (a, b) key
+    d["minhash_recall_audit"] = f"""
+        WITH t AS (
+            SELECT DISTINCT a, b FROM ({d['ngram_jaccard_pairs']}) x),
+        c AS (
+            SELECT DISTINCT a, b FROM ({_sql_minhash_pairs(3, 16, 4, 0.4)}) y),
+        s AS (
+            SELECT (SELECT count(*) FROM t) AS n_truth,
+                   (SELECT count(*) FROM c) AS n_candidates,
+                   (SELECT count(*) FROM t SEMI JOIN c USING (a, b))
+                       AS n_matched)
+        SELECT n_truth::BIGINT AS n_truth,
+               n_candidates::BIGINT AS n_candidates,
+               n_matched::BIGINT AS n_matched,
+               round(n_matched::DOUBLE / nullif(n_truth, 0)::DOUBLE, 6)
+                   AS recall,
+               round(n_matched::DOUBLE / nullif(n_candidates, 0)::DOUBLE, 6)
+                   AS precision
+        FROM s
+    """
     # a generator that could not build its oracle (compression_ratio
     # when the fixed corpus is unreadable) returns None — drop the key
     # so the driver records its documented weaker rows-only check

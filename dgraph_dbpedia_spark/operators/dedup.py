@@ -1388,6 +1388,66 @@ def ngram_novelty(
     )
 
 
+def pair_recall_audit(
+    truth: DataFrame,
+    candidates: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Candidate-pair quality audit (r15): how much of an exact
+    ground-truth pair set a cheaper candidate generator recovers —
+    the banding-config check a dedup rollout runs on a sample before
+    trusting MinHash bands (or any blocked/bucketed pair source) at
+    corpus scale: recall below target means more bands/rows-per-band;
+    precision well below 1 means the candidate verify step is too
+    loose. ONE row::
+
+        (n_truth, n_candidates, n_matched, recall, precision)
+
+    with ``recall = round(n_matched / n_truth, 6)`` and ``precision =
+    round(n_matched / n_candidates, 6)`` (NULL on an empty side —
+    try_divide). Pairs are treated as UNORDERED sets of (a, b) rows:
+    both inputs are deduplicated and matched on the exact (a, b) key,
+    so a band join emitting one row per shared band does not inflate
+    either side.
+
+    100 TB shape: the audit is meant for a SAMPLE (the exact truth
+    side is quadratic-ish to produce by nature); the plan itself is
+    two narrow dedups + one pair-key equi-join + a global aggregate —
+    everything partial-aggregable, nothing collected."""
+    t = truth.select(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+    ).dropDuplicates(["_a", "_b"])
+    c = candidates.select(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+    ).dropDuplicates(["_a", "_b"])
+    joined = t.withColumn("_t", F.lit(1)).join(
+        c.withColumn("_c", F.lit(1)), ["_a", "_b"], "full_outer"
+    )
+    agg = joined.agg(
+        F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("n_truth"),
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias(
+            "n_candidates"
+        ),
+        F.coalesce(
+            F.sum(F.col("_t") * F.col("_c")), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_matched"),
+    )
+    return agg.select(
+        "n_truth",
+        "n_candidates",
+        "n_matched",
+        F.round(F.try_divide(F.col("n_matched"), F.col("n_truth")), 6).alias(
+            "recall"
+        ),
+        F.round(
+            F.try_divide(F.col("n_matched"), F.col("n_candidates")), 6
+        ).alias("precision"),
+    )
+
+
 def dedup_report(clusters: DataFrame) -> DataFrame:
     """Cluster-size histogram of a ``(id, cluster_id)`` component
     labeling (:func:`dedup_clusters` / :func:`dedup_clusters_star`

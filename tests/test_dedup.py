@@ -1010,3 +1010,44 @@ def test_split_leakage_report_no_cross_pairs_empty(spark):
     )
     assert out.count() == 0
     release(out)
+
+
+# ---------------------------------------------------------------------------
+# r15: pair_recall_audit
+
+
+def test_pair_recall_audit_hand_numbers(spark):
+    """Known overlap: 4 truth pairs, 3 candidates (one emitted TWICE —
+    band-join duplicates must not inflate), 2 matched -> recall 0.5,
+    precision 2/3."""
+    from dgraph_dbpedia_spark.operators.dedup import pair_recall_audit
+
+    truth = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (7, 8)], ["a", "b"]
+    )
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 2), (3, 4), (9, 10)], ["a", "b"]
+    )
+    row = pair_recall_audit(truth, cands).collect()[0].asDict()
+    assert row == {
+        "n_truth": 4,
+        "n_candidates": 3,
+        "n_matched": 2,
+        "recall": 0.5,
+        "precision": round(2 / 3, 6),
+    }
+
+
+def test_pair_recall_audit_empty_sides(spark):
+    """Empty truth -> NULL recall (try_divide); empty candidates ->
+    NULL precision; counts stay exact zeros."""
+    from dgraph_dbpedia_spark.operators.dedup import pair_recall_audit
+
+    empty = spark.createDataFrame([], "a long, b long")
+    some = spark.createDataFrame([(1, 2)], ["a", "b"])
+    r1 = pair_recall_audit(empty, some).collect()[0].asDict()
+    assert r1["n_truth"] == 0 and r1["recall"] is None
+    assert r1["n_candidates"] == 1 and r1["precision"] == 0.0
+    r2 = pair_recall_audit(some, empty).collect()[0].asDict()
+    assert r2["n_candidates"] == 0 and r2["precision"] is None
+    assert r2["recall"] == 0.0

@@ -96,6 +96,10 @@ _PYTHON_OK = {
     # (training + encode in the returned lazy plan); the decode is a
     # literal lookup, JVM-side
     "pq_reconstruction_error_report",
+    # r15: composes the pinned minhash Arrow lane (the minhash_pairs
+    # candidate side) with the native exact-Jaccard truth side — the
+    # returned plan is the lazy audit join over both
+    "minhash_recall_audit",
 }
 
 
@@ -408,4 +412,11 @@ def test_r15_operator_plan_shapes(spark):
     plan = _plan(pre)
     assert "BatchEvalPython" not in plan
     assert "SortMergeJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+    # minhash_recall_audit: the audit's global counters partial-
+    # aggregate (no corpus-sized rows reach the final 1-row agg)
+    mra = entry_mod.QUERIES["minhash_recall_audit"](spark, SF)
+    plan = _plan(mra)
+    assert "BatchEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2, plan
