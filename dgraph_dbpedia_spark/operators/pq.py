@@ -289,17 +289,27 @@ def _codebook_row(codebooks: DataFrame) -> DataFrame:
     )
 
 
-def _collect_codebooks(codebooks: DataFrame, m: int, sub: int):
+def _collect_codebook_rows(codebooks: DataFrame):
+    """ONE bounded driver read (X6) of the ``(j, cid, c)`` codebook
+    frame — shared by the Arrow encode lane's matrices and the literal
+    decode (ADVICE r15: the reconstruction report used to collect the
+    same bounded frame twice)."""
+    return codebooks.select(
+        "j", "cid", F.col("c").cast("array<double>").alias("c")
+    ).collect()
+
+
+def _collect_codebooks(codebooks: DataFrame, m: int, sub: int, rows=None):
     """Bounded driver read (the X6 pattern) of the ``(j, cid, c)``
     codebook frame for the Arrow encode lane: per subspace, a
     ``(k_sub, sub)`` numpy matrix with rows in DENSE cid order (so
     ``argmin``'s first-min tie equals the native L2-asc-cid-asc
-    rule)."""
+    rule). ``rows`` substitutes an already-collected
+    :func:`_collect_codebook_rows` result."""
     import numpy as np
 
-    rows = codebooks.select(
-        "j", "cid", F.col("c").cast("array<double>").alias("c")
-    ).collect()
+    if rows is None:
+        rows = _collect_codebook_rows(codebooks)
     per_j: dict[int, list] = {}
     for r in rows:
         per_j.setdefault(r["j"], []).append((r["cid"], list(r["c"])))
@@ -903,8 +913,15 @@ def pq_reconstruction_error_report(
         F.col(vec_col).cast("array<double>").alias("_v"),
         F.col(label_col).alias("_lab"),
     )
+    # ONE bounded collect serves the encode matrices AND the decode
+    # literals (ADVICE r15: previously collected twice); building the
+    # matrices also asserts the dense-cid contract for BOTH lanes
+    # BEFORE the literal decode below could silently mis-index a
+    # sparse codebook
+    cb_rows = _collect_codebook_rows(codebooks)
+    cb_mats = _collect_codebooks(codebooks, m, sub, rows=cb_rows)
     if use_arrow:
-        enc = encode_codes_arrow(_collect_codebooks(codebooks, m, sub))
+        enc = encode_codes_arrow(cb_mats)
         coded = base.withColumn("_codes", enc(F.col("_v")))
     else:
 
@@ -924,9 +941,10 @@ def pq_reconstruction_error_report(
             F.col(id_col), "_v", "_lab", F.array(*nearest).alias("_codes")
         )
     # literal decode: dense cids 0..k_sub-1 index the sorted centroid
-    # literals directly (the pq_train contract)
+    # literals directly (the pq_train contract, asserted above) —
+    # reuses the one collected codebook, no second driver job
     by_j: dict[int, dict[int, list[float]]] = {}
-    for r in codebooks.select("j", "cid", "c").collect():
+    for r in cb_rows:
         by_j.setdefault(r["j"], {})[r["cid"]] = [float(x) for x in r["c"]]
 
     def cb_lit(j: int):

@@ -26,7 +26,7 @@ import os
 from dataclasses import dataclass
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dgraph_dbpedia_spark.model import TRIPLE_SCHEMA, URI_TYPE, XSD_DATE
@@ -276,6 +276,29 @@ def clean_geo(df: DataFrame, cfg: TransformConfig) -> DataFrame:
     if cfg.externalise_uris:
         out = out.withColumn("s", blank_node(F.col("s")))
     return out
+
+
+def _both_ends(df: DataFrame, o_when: Column | None = None) -> DataFrame:
+    """Both endpoints of a triple frame as ``(s, lang)`` rows from ONE
+    scan: the subject always, the object (renamed ``s``) when ``o_when``
+    holds (always, when ``None``). Value-identical to unioning
+    ``select(s)`` with ``select(o as s)[.where(o_when)]`` for the
+    non-null endpoints the TTL parse guarantees — the 2-row ``inline``
+    just removes the second scan of the same dataset (the xid
+    distinct's input multiset is what matters, and it is unchanged;
+    the ``isNotNull`` exists only to drop the suppressed-object
+    placeholder rows the conditional branch emits)."""
+    keep_o = F.lit(True) if o_when is None else o_when
+    return df.select(
+        F.inline(
+            F.array(
+                F.struct(F.col("s"), F.col("lang")),
+                F.struct(
+                    F.when(keep_o, F.col("o")).alias("s"), F.col("lang")
+                ),
+            )
+        )
+    ).where(F.col("s").isNotNull())
 
 
 def external_id_triples(frames: list[DataFrame]) -> DataFrame:
@@ -684,18 +707,24 @@ def transform(
             # infoboxTriples.select($"s") (DbpediaDgraphSparkApp.scala:
             # 374-389), so those blank nodes carry no <xid> there either;
             # we mirror that exactly rather than "fix" the upstream.
+            #
+            # r16 (guide §2.3 project-before-union / §6): the four
+            # datasets contributing BOTH endpoints used to appear as
+            # two single-column branches each — two scans per dataset.
+            # _both_ends emits (s, lang) and (o-as-s, lang) from ONE
+            # scan via a 2-row inline; the union multiset (and so the
+            # distinct) is identical, and the xid job reads each
+            # parquet dataset once instead of twice — at 100 TB that
+            # halves the external-id pass's input I/O.
             xid_inputs = [
                 label_triples.select("s", "lang"),
                 infobox_triples.select("s", "lang"),
-                interlang_triples.select("s", "lang"),
-                interlang_triples.select(F.col("o").alias("s"), "lang"),
-                page_links_triples.select("s", "lang"),
-                page_links_triples.select(F.col("o").alias("s"), "lang"),
-                category_triples.select("s", "lang"),
-                category_triples.select(F.col("o").alias("s"), "lang"),
-                skos_triples.select("s", "lang"),
-                skos_triples.select(F.col("o").alias("s"), "lang").where(
-                    F.col("p").isin(SKOS_RELATED, SKOS_BROADER)
+                _both_ends(interlang_triples),
+                _both_ends(page_links_triples),
+                _both_ends(category_triples),
+                _both_ends(
+                    skos_triples,
+                    o_when=F.col("p").isin(SKOS_RELATED, SKOS_BROADER),
                 ),
                 spark.createDataFrame([(SKOS_CONCEPT, "any")], ["s", "lang"]),
                 geo_triples.select("s", "lang"),
