@@ -75,29 +75,50 @@ LAST_DIRECT_HEALTHY = {
     "measured": "2026-08-17 (r16, 5-iter direct, warm-up excluded)",
     "best_direct_healthy_sec": 21.352,
     # code identity at measurement time (VERDICT r15 #3): the floor is
-    # a measurement of THIS transform code (content hash of
-    # plans/transform.py + sources/writers.py via
-    # transform_code_hash()); when the current hash differs the clamp
-    # is stale and canary_verdict falls back to the unclamped estimate
-    # with gate_floor_stale flagged
-    "code_hash": "3e23a66848f5",
+    # a measurement of THIS transform code via transform_code_hash();
+    # when the current hash differs the clamp is stale and
+    # canary_verdict falls back to the unclamped estimate with
+    # gate_floor_stale flagged. r17: hash surface widened per ADVICE
+    # r16 (old 2-file hash of the same tree: 3e23a66848f5) — the value
+    # below is the widened hash of the SAME transform code the 21.352 s
+    # floor measured; re-pinning the hash alone is therefore not a
+    # floor refresh.
+    "code_hash": "5fa5005128dd",
 }
 
 
 def transform_code_hash() -> str:
     """Content hash of the transform-pipeline code the
-    LAST_DIRECT_HEALTHY floor measured (VERDICT r15 #3): the two files
-    whose changes can move transform wall-clock structurally. A stale
-    floor self-documents instead of silently misrepresenting new
-    code."""
+    LAST_DIRECT_HEALTHY floor measured (VERDICT r15 #3). ADVICE r16:
+    the r16 two-file hash (plans/transform.py + sources/writers.py)
+    missed perf-relevant surface — transform wall-clock also depends on
+    the source layer (parquet reader, ttl parse reused by the RDF
+    read-back), the session confs (GC, memory, shuffle partitions,
+    gzip level), and the operator/function modules transform imports.
+    Hash that full surface so a stale floor self-documents instead of
+    silently misrepresenting new code."""
     import hashlib
 
     root = os.path.dirname(os.path.abspath(__file__))
     h = hashlib.sha256()
-    for rel in (
+    rels = [
         "dgraph_dbpedia_spark/plans/transform.py",
-        "dgraph_dbpedia_spark/sources/writers.py",
-    ):
+        "dgraph_dbpedia_spark/session.py",
+        "dgraph_dbpedia_spark/model.py",
+        "dgraph_dbpedia_spark/functions/rdf.py",
+        "dgraph_dbpedia_spark/functions/schema_gen.py",
+        "dgraph_dbpedia_spark/functions/hashing.py",
+        "dgraph_dbpedia_spark/operators/topk.py",
+        "dgraph_dbpedia_spark/operators/stats.py",
+        "dgraph_dbpedia_spark/operators/cachectl.py",
+    ]
+    src_dir = os.path.join(root, "dgraph_dbpedia_spark", "sources")
+    rels += sorted(
+        f"dgraph_dbpedia_spark/sources/{f}"
+        for f in os.listdir(src_dir)
+        if f.endswith(".py")
+    )
+    for rel in rels:
         with open(os.path.join(root, rel), "rb") as f:
             h.update(f.read())
     return h.hexdigest()[:12]
@@ -417,6 +438,23 @@ def main() -> None:
     }
     # full per-query detail on its own (long) line first...
     print(json.dumps(detail))
+    # ...AND to a committed file (VERDICT r16 #1): the driver keeps only
+    # a ~2000-char stdout tail, so the detail line never survives into
+    # the artifacts and PERF rounds graded on a single total
+    # (PERF_r16: per_query {}, geomean null). The file is overwritten
+    # per run — a timestamped copy per round gets committed as
+    # BENCH_DETAIL_r<N>.json so round-over-round per-query comparison
+    # is a file diff. Written AFTER all timing (outside every timed
+    # region); a read-only checkout must not fail the bench.
+    try:
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        with open(out_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as e:
+        print(f"BENCH_DETAIL.json not written: {e}", file=sys.stderr)
     # ...then a COMPACT summary as the LAST line: the driver records a
     # bounded stdout tail (2000 chars) and json-parses the final line;
     # the detail line with 70 query timings overflows that window and

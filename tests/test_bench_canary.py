@@ -7,9 +7,14 @@ Pure-Python: no Spark session."""
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+# repo root from __file__, not a hardcoded path (ADVICE r16): the
+# suite must run from any checkout location, like test_oracle_types.py
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import bench
 
