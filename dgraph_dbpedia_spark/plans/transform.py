@@ -282,12 +282,21 @@ def _both_ends(df: DataFrame, o_when: Column | None = None) -> DataFrame:
     """Both endpoints of a triple frame as ``(s, lang)`` rows from ONE
     scan: the subject always, the object (renamed ``s``) when ``o_when``
     holds (always, when ``None``). Value-identical to unioning
-    ``select(s)`` with ``select(o as s)[.where(o_when)]`` for the
-    non-null endpoints the TTL parse guarantees — the 2-row ``inline``
-    just removes the second scan of the same dataset (the xid
-    distinct's input multiset is what matters, and it is unchanged;
-    the ``isNotNull`` exists only to drop the suppressed-object
-    placeholder rows the conditional branch emits)."""
+    ``select(s)`` with ``select(o as s)[.where(o_when)]`` for rows with
+    non-null endpoints; the 2-row ``inline`` just removes the second
+    scan of the same dataset. NULL-endpoint caveat (ADVICE r16): the
+    TTL parse deliberately yields null p/o for malformed lines
+    (sources/ttl.py F.get) and ingest persists them, so on such input
+    this plan DROPS the ``(null, lang)`` endpoint row the old
+    two-select union would have kept — an intentional behavior choice
+    (a null URI cannot carry an <xid>; blank_node(null) would have
+    produced a null-subject triple downstream), not an identity. The
+    ``isNotNull`` therefore drops both the suppressed-object
+    placeholder rows the conditional branch emits AND any genuinely
+    null endpoints. Well-formed corpora (every test fixture and the
+    bench/oracle corpus) have no null endpoints, where the multiset
+    identity is exact — pinned by the oracle + pipeline-parity
+    pytest."""
     keep_o = F.lit(True) if o_when is None else o_when
     return df.select(
         F.inline(
@@ -387,7 +396,11 @@ def _ordered_sink_names(by_name: dict[str, DataFrame]) -> tuple[str, ...]:
 
 
 def write_rdf(
-    spark: SparkSession, df: DataFrame, path: str, persist: bool = True
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    persist: bool = True,
+    on_counted=None,
 ) -> DataFrame:
     """Partitioned sorted gzip text sink for RDF lines (S6,
     DbpediaDgraphSparkApp.scala:496-516): partition dirs by ``lang``,
@@ -402,7 +415,12 @@ def write_rdf(
     reference caches reused subplans for the same reason).
     ``persist=False`` means the caller already persisted ``df`` and
     manages its lifetime (transform() keeps the cleaned frames alive so
-    types.rdf can derive from them instead of the gzip read-back)."""
+    types.rdf can derive from them instead of the gzip read-back).
+    ``on_counted`` (optional, no-arg) fires as soon as this sink's
+    count job has resolved — transform() uses it to release the types
+    job only after every retained cache is materialized (r17); it is
+    invoked exactly once, from a ``finally`` if the count raises, so a
+    failing sink can never leave the waiter hanging."""
     from pyspark import StorageLevel
 
     if persist:
@@ -420,7 +438,12 @@ def write_rdf(
         # and crash the read-back on the missing partition column —
         # and would size n_parts from rows that never reach the sink
         filtered = invalid_predicate_filter(df)
-        n = filtered.count()
+        try:
+            n = filtered.count()
+        finally:
+            if on_counted is not None:
+                on_counted()
+                on_counted = None
         if not n:
             # honor overwrite semantics on the empty path too: a rerun
             # into the same out dir must not leave a PREVIOUS run's
@@ -648,21 +671,36 @@ def transform(
     # resident. At 600k subjects the difference is within noise, so the
     # scale-measured value is the default.
     sink_workers = int(os.environ.get("SPARK_GRAFT_SINK_WORKERS", "5"))
-    with ThreadPoolExecutor(max_workers=sink_workers) as pool:
-        # LONGEST-JOB-FIRST submission (r14 profile at 600k subjects):
-        # types.rdf (13.8 s) and external_ids.rdf (12.6 s) are the two
-        # longest jobs — each folds a distinct over ~every retained
-        # frame — but as the LAST submissions they started at t=24.8/
-        # 25.4 of a 38.7 s cold transform, a ~9 s serial tail after the
-        # plain sinks had finished (profile: sinks done 29.5, types
-        # 38.7). Submitting them FIRST removes the tail, and their
-        # union-distinct is the one job that scans ALL retained frames,
-        # so it warms the DISK_ONLY cache for every later sink instead
-        # of each sink paying its own first materialization. The tiny
-        # schema writes (1.4 s each, already materialized by
-        # schema.count()) move LAST as gap-fillers — they were blocking
-        # two of the five workers at the front. Measured at 600k
-        # subjects, same session/canary: see BENCH_SCALE.md r14.
+    import threading
+
+    sink_counts_done = threading.Semaphore(0)
+    # +1 thread when types runs: the types job PARKS on the latch below
+    # until every sink count has resolved, so it must not occupy one of
+    # the sink_workers slots while parked. A wider rework (every job
+    # gets a thread immediately, heavy writes bounded by a semaphore)
+    # was MEASURED WORSE same-session (best 50.6 s vs 30.8 s at 600k
+    # subjects, r17): eight simultaneous count jobs slow each other
+    # (external_ids:count 16.9 -> 33.5 s) and the types distinct lands
+    # mid-write-wave, racing five gzip sorts for task slots
+    # (types:count 6.6 -> 21.9 s). The pool-width gate keeps count
+    # waves and write waves naturally staggered; see OPTIMIZATION_r17.md.
+    with ThreadPoolExecutor(
+        max_workers=sink_workers + (1 if cfg.write_types else 0)
+    ) as pool:
+        # Scheduling (r17 rework of the r14 longest-job-first scheme):
+        # the SINK COUNT jobs are the cache materializers — 7
+        # independent jobs racing nothing — and the types
+        # union-distinct (which reads every retained frame) is DELAYED
+        # until all seven counts have resolved, so it scans warm
+        # DISK_ONLY blocks instead of racing the sinks partition-by-
+        # partition for the first materialization (the r16 "computed
+        # at most twice, cached once" window: racing tasks park on the
+        # cache's per-block write locks, holding task slots the
+        # materializing job needs — phase-profiled 44.8 s types:count
+        # in the r17 session's machine state, of which only ~6 s is
+        # the distinct itself; see OPTIMIZATION_r17.md). external_ids
+        # is independent of everything (it scans parquet, not the
+        # caches) and starts immediately alongside the counts.
         if cfg.write_types:
             # DISK_ONLY for the retained cleaned frames (r6 sweep,
             # BENCH_SCALE.md): at 84M triples it matches MEMORY_AND_DISK
@@ -698,7 +736,18 @@ def transform(
                 pre["article_categories"].select(F.col("o").alias("s"), "lang"),
                 pre["skos_categories"].select("s", "lang"),
             )
-            types_future = pool.submit(write_rdf, spark, types, f"{out}/types.rdf")
+            n_sinks = len(frames)
+
+            def _types_after_counts() -> DataFrame:
+                # park until every sink's count job has materialized its
+                # retained cache (write_rdf releases the semaphore from
+                # a finally, so a failed sink still unblocks this); then
+                # the union-distinct runs over warm DISK_ONLY blocks
+                for _ in range(n_sinks):
+                    sink_counts_done.acquire()
+                return write_rdf(spark, types, f"{out}/types.rdf")
+
+            types_future = pool.submit(_types_after_counts)
         xid_future = None
         if cfg.externalise_uris:
             # NOTE (reference parity): infobox URI-typed OBJECTS are
@@ -745,6 +794,7 @@ def transform(
                 retained[name] if cfg.write_types else by_name[name],
                 f"{out}/{name}.rdf",
                 not cfg.write_types,
+                sink_counts_done.release if cfg.write_types else None,
             )
             for name in sink_order
         }

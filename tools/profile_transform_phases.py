@@ -29,14 +29,18 @@ work = tempfile.mkdtemp(prefix="sparkgraft-phase-")
 spans = []
 t0 = [0.0]
 
-def timed_write_rdf(spark_, df, path, persist=True):
+def timed_write_rdf(spark_, df, path, persist=True, on_counted=None):
     name = os.path.basename(path)
     if persist:
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         filtered = T.invalid_predicate_filter(df)
         s0 = time.perf_counter() - t0[0]
-        n = filtered.count()
+        try:
+            n = filtered.count()
+        finally:
+            if on_counted is not None:
+                on_counted()
         s1 = time.perf_counter() - t0[0]
         spans.append((f"{name}:count", s0, s1))
         if not n:
