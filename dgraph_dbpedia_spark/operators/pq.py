@@ -299,6 +299,36 @@ def _collect_codebook_rows(codebooks: DataFrame):
     ).collect()
 
 
+def _dense_codebook_entries(rows, m: int, sub: int) -> list[list[list[float]]]:
+    """Pure-Python dense-cid validation of collected codebook rows
+    (ADVICE r16: the native lane of the reconstruction report needs the
+    contract check, not numpy): per subspace ``j`` in 0..m-1, the sorted
+    centroid lists with cids asserted dense 0..k_sub-1 and width ``sub``.
+    Shared by both encode lanes; numpy matrices are built from the
+    result only on the Arrow lane (:func:`_collect_codebooks`)."""
+    per_j: dict[int, list] = {}
+    for r in rows:
+        per_j.setdefault(r["j"], []).append((r["cid"], list(r["c"])))
+    if sorted(per_j) != list(range(m)):
+        raise ValueError(
+            f"codebooks must cover subspaces 0..{m - 1}, got {sorted(per_j)}"
+        )
+    out = []
+    for j in range(m):
+        ent = sorted(per_j[j])
+        if [cid for cid, _ in ent] != list(range(len(ent))):
+            raise ValueError(
+                f"subspace {j} cids must be dense 0..k_sub-1"
+            )
+        for _, c in ent:
+            if len(c) != sub:
+                raise ValueError(
+                    f"subspace {j} centroid width {len(c)} != {sub}"
+                )
+        out.append([c for _, c in ent])
+    return out
+
+
 def _collect_codebooks(codebooks: DataFrame, m: int, sub: int, rows=None):
     """Bounded driver read (the X6 pattern) of the ``(j, cid, c)``
     codebook frame for the Arrow encode lane: per subspace, a
@@ -310,26 +340,10 @@ def _collect_codebooks(codebooks: DataFrame, m: int, sub: int, rows=None):
 
     if rows is None:
         rows = _collect_codebook_rows(codebooks)
-    per_j: dict[int, list] = {}
-    for r in rows:
-        per_j.setdefault(r["j"], []).append((r["cid"], list(r["c"])))
-    if sorted(per_j) != list(range(m)):
-        raise ValueError(
-            f"codebooks must cover subspaces 0..{m - 1}, got {sorted(per_j)}"
-        )
-    mats = []
-    for j in range(m):
-        ent = sorted(per_j[j])
-        if [cid for cid, _ in ent] != list(range(len(ent))):
-            raise ValueError(
-                f"subspace {j} cids must be dense 0..k_sub-1"
-            )
-        mats.append(np.asarray([c for _, c in ent], dtype=np.float64))
-        if mats[-1].shape[1] != sub:
-            raise ValueError(
-                f"subspace {j} centroid width {mats[-1].shape[1]} != {sub}"
-            )
-    return mats
+    return [
+        np.asarray(cents, dtype=np.float64)
+        for cents in _dense_codebook_entries(rows, m, sub)
+    ]
 
 
 def _l2_codes_np(Xj, C, cnorm):
@@ -914,14 +928,17 @@ def pq_reconstruction_error_report(
         F.col(label_col).alias("_lab"),
     )
     # ONE bounded collect serves the encode matrices AND the decode
-    # literals (ADVICE r15: previously collected twice); building the
-    # matrices also asserts the dense-cid contract for BOTH lanes
-    # BEFORE the literal decode below could silently mis-index a
-    # sparse codebook
+    # literals (ADVICE r15: previously collected twice); the dense-cid
+    # contract is asserted in pure Python for BOTH lanes BEFORE the
+    # literal decode below could silently mis-index a sparse codebook
+    # (ADVICE r16: numpy enters only on the Arrow lane that needs the
+    # matrices — the native lane stays importable without it)
     cb_rows = _collect_codebook_rows(codebooks)
-    cb_mats = _collect_codebooks(codebooks, m, sub, rows=cb_rows)
+    _dense_codebook_entries(cb_rows, m, sub)
     if use_arrow:
-        enc = encode_codes_arrow(cb_mats)
+        enc = encode_codes_arrow(
+            _collect_codebooks(codebooks, m, sub, rows=cb_rows)
+        )
         coded = base.withColumn("_codes", enc(F.col("_v")))
     else:
 
