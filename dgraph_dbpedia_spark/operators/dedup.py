@@ -1072,16 +1072,24 @@ def dedup_corpus(
 
     This is the transitive-closure-correct version of
     :func:`near_dup_filter` (greedy pairwise keep-lowest under-deletes
-    on chains): components come from :func:`dedup_clusters`, then a
+    on chains): components come from the clusterer, then a
     broadcast-able left-semi join keeps the docs whose id IS their
     cluster id. Singletons are their own cluster, so untouched docs
     always survive.
 
     ``clusterer`` selects the component algorithm (default
-    :func:`dedup_clusters`; pass :func:`dedup_clusters_star` for
-    long-diameter chain graphs — the propagation clusterer raises once
-    component diameter exceeds its ``max_iter``); ``cluster_kwargs``
-    (``max_iter``, ``checkpoint_every``) pass through to it.
+    :func:`dedup_clusters_star` — r17, VERDICT r16 #3: the star
+    contraction's O(log^2 n) round bound beat label propagation's
+    diameter-linear rounds on every composed row measured at sf0.1
+    (curation_pipeline 15.96 -> 11.31 s, pretraining_prep 11.57 ->
+    7.89 s, dedup_increment 5.07 -> 3.92 s best-of-3 warm; the
+    standalone dedup_corpus / semantic_dedup rows flat within noise),
+    never lost, and converges on ANY diameter where propagation
+    raises past ``max_iter`` — output proven identical on every
+    affected row, see OPTIMIZATION_r17.md. Pass
+    :func:`dedup_clusters` to get propagation back);
+    ``cluster_kwargs`` (``max_iter``, ``checkpoint_every``) pass
+    through to it.
 
     ``docs`` must be deterministic under re-evaluation (the
     :func:`dedup_clusters` contract): the result scans ``docs`` lazily
@@ -1089,7 +1097,7 @@ def dedup_corpus(
     instead of materializing the corpus. Wrap a nondeterministic
     source in ``localCheckpoint()`` first."""
     if clusterer is None:
-        clusterer = dedup_clusters
+        clusterer = dedup_clusters_star
     clusters = clusterer(
         docs.select(F.col(id_col)), pairs, id_col=id_col, **cluster_kwargs
     )

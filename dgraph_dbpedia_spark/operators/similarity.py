@@ -2008,7 +2008,7 @@ def semantic_dedup(
     plain dot with no norm columns and no divide (see
     :func:`_semantic_sk_pairs`)."""
     from dgraph_dbpedia_spark.operators.dedup import (
-        dedup_clusters,
+        dedup_clusters_star,
         dedup_corpus,
     )
 
@@ -2024,16 +2024,22 @@ def semantic_dedup(
     # the clusterer eagerly materializes the component labels into a
     # checkpoint-rooted frame, so the assignment cache can be released
     # as soon as the representative set is pinned; finally: a
-    # non-convergence RuntimeError is a documented recoverable
-    # condition (retry with clusterer=dedup_clusters_star), and the
-    # corpus-sized assignment cache must not outlive the failure
+    # non-convergence RuntimeError (reachable only with an explicit
+    # tiny max_iter or clusterer=dedup_clusters on a long-diameter
+    # graph — the r17 star default converges on any diameter) must not
+    # leave the corpus-sized assignment cache alive past the failure
     try:
         if keep == "min_id":
             out = dedup_corpus(
                 df, pairs.select("a", "b"), id_col=id_col, **cluster_kwargs
             )
         else:
-            clusterer = cluster_kwargs.pop("clusterer", None) or dedup_clusters
+            # same r17 default as dedup_corpus (measured flat-to-better
+            # and output-identical on the keep_far row; a split default
+            # between the two lanes would be a trap)
+            clusterer = (
+                cluster_kwargs.pop("clusterer", None) or dedup_clusters_star
+            )
             clusters = clusterer(
                 df.select(F.col(id_col)),
                 pairs.select("a", "b"),

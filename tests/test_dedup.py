@@ -440,10 +440,12 @@ def test_dedup_corpus_transitive_chain(spark):
 
 
 def test_dedup_corpus_clusterer_passthrough(spark):
-    """The clusterer/kwargs passthrough reaches the component step: the
-    star clusterer with a generous max_iter collapses a chain whose
-    diameter exceeds the propagation default, and an explicit tiny
-    max_iter raises — proving the kwarg is forwarded, not dropped."""
+    """The clusterer/kwargs passthrough reaches the component step: an
+    explicitly-passed star clusterer collapses a chain whose diameter
+    exceeds the propagation clusterer's default max_iter, and an
+    explicit tiny max_iter raises (the r17 star default also enforces
+    its round bound) — proving the kwargs are forwarded, not
+    dropped."""
     import pytest
 
     from dgraph_dbpedia_spark.operators.dedup import (
