@@ -106,10 +106,18 @@ def main() -> None:
         from __spark_entry__ import _adaptive_centroids
 
         n_centroids = _adaptive_centroids(n_total)
-        pairs = semantic_dedup_pairs(
+        pairs_lazy = semantic_dedup_pairs(
             e, threshold=0.95, n_centroids=n_centroids,
             id_col="doc_id", vec_col="e",
-        ).localCheckpoint()
+        )
+        # r17 (VERDICT r16 #5): dump the pairs plan so the within-
+        # cluster equi-join shape is checkable at the scale point
+        # (stderr, keeps the one-line-JSON stdout contract)
+        print(
+            pairs_lazy._jdf.queryExecution().executedPlan().toString(),
+            file=sys.stderr,
+        )
+        pairs = pairs_lazy.localCheckpoint()
     else:
         n_centroids = None
         pairs = cosine_near_dup_pairs(
