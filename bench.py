@@ -82,9 +82,10 @@ LAST_DIRECT_HEALTHY = {
     # 20.405]) with the bench END canary — the pipeline section runs
     # last — at 56.89 GFLOPS / 7.82 py_mops, squarely inside the
     # restored-AVX band. Same-session standalone 5-iter direct runs
-    # landed in degraded oscillation windows (best 23.475 at a
-    # decaying canary; 28.032 deep in one) and are recorded here so
-    # the floor's provenance is complete. Prior floors for the
+    # landed in degraded oscillation windows (bests 22.386 / 23.475 /
+    # 28.032; the 22.386 run's samples [28.5, 26.3, 24.4, 22.4, 25.0]
+    # are the session's tightest standalone spread) and are recorded
+    # here so the floor's provenance is complete. Prior floors for the
     # record: 21.352 (2026-08-17, r16 xid-one-scan code, 5-iter
     # direct at no-AVX canary 13.3/6.6), 27.795 (2026-08-16, r15
     # code).
